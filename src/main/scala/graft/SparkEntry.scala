@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.TextFunctions
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2 plus the corpus-pipeline operators, each
+  * with an ANSI-SQL oracle the driver runs in DuckDB over the same
+  * parquet tables. Column names are aliased identically on both sides
+  * (the driver's compare hashes values under sorted column names).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(iso: String): Timestamp = Timestamp.from(Instant.parse(iso))
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Language-ID marker words (shared between Spark impl and oracle). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("customer", "vector", "big"),
+    "en" -> Seq("order", "table", "window"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("join", "small", "row"))
+
+  /** Flagship query (reference README "Trades count for given interval",
+    * `marketdb-iteratee/.../MarketIteratees.scala:7-21` counter fold):
+    * count of one series' events in a time range at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = tbl(spark, "/root/testdata/sf0.001", "events")
+    SeriesScan
+      .scan(ev, Map("event_type" -> "click"), "ts",
+        t("2024-01-01T00:00:00Z"), t("2024-01-31T00:00:00Z"))
+      .agg(count("*").as("trades_count"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational breadth (lineitem/orders/dims) ───────────────────
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          avg("l_quantity").as("avg_qty"),
+          count("*").as("n"))
+    }),
+    "q02_filter_project" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+    }),
+    "q03_join_agg" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "o_orderstatus")
+        .agg(count("*").as("n_items"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+    "q04_broadcast_region" -> ((s, dir) => {
+      tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count("*").as("n_suppliers"), sum("s_acctbal").as("total_bal"))
+    }),
+    "q05_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+    "q06_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count("*").as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q07_cube" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count("*").as("n"), sum("o_totalprice").as("total"))
+    }),
+    "q08_anti_join" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q09_semi_join" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    }),
+    "q10_set_ops" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      def ids(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
+      ids("purchase").intersect(ids("signup")).except(ids("error"))
+    }),
+    // ── time-series surface (reference parity, events table) ────────
+    "q11_series_scan" -> ((s, dir) => {
+      SeriesScan.scan(tbl(s, dir, "events"),
+          Map("user_id" -> 7L, "event_type" -> "view"), "ts",
+          t("2024-01-05T00:00:00Z"), t("2024-01-20T00:00:00Z"))
+        .select("event_id", "ts", "user_id", "value")
+    }),
+    "q12_series_count" -> ((s, dir) => {
+      SeriesScan.scan(tbl(s, dir, "events"),
+          Map("user_id" -> 42L, "event_type" -> "click"), "ts",
+          t("2024-01-01T00:00:00Z"), t("2024-01-31T00:00:00Z"))
+        .agg(count("*").as("trades_count"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+    }),
+    "q13_merge_streams" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").where(col("user_id") < 20)
+      OrderedMerge.mergeTagged("ts",
+          "click" -> ev.where(col("event_type") === "click"),
+          "view" -> ev.where(col("event_type") === "view"))
+        .select("stream", "event_id", "ts", "user_id", "value")
+    }),
+    "q14_hour_bars" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count("*").as("n"), sum("value").as("volume"),
+          min("value").as("low"), max("value").as("high"),
+          min_by(col("value"), col("ts")).as("open"),
+          max_by(col("value"), col("ts")).as("close"))
+    }),
+    "q15_dedup_first" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").withColumn("day", to_date(col("ts")))
+      Dedup.firstByKey(ev, Seq("user_id", "event_type", "day"), Seq("ts", "event_id"))
+        .select("event_id", "user_id", "event_type", "day", "ts")
+    }),
+    "q16_gap_detect" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)).as("gap_us"))
+        .where(col("gap_us") > 21600000000L)
+        .groupBy("user_id")
+        .agg(count("*").as("n_gaps"))
+    }),
+    "q17_active_days" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    }),
+    "q18_time_parts" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .where(col("user_id") < 5)
+        .select(col("event_id"),
+          year(col("ts")).cast("long").as("yr"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("minute_of_day"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("label"))
+    }),
+    "q19_uid_dict" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val dict = UidDictionary.build(ev, "event_type")
+      UidDictionary.encode(ev, dict, "event_type", "uid")
+        .groupBy("event_type", "uid")
+        .agg(count("*").as("n"))
+    }),
+    "q30_sorted_limit" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+    // ── corpus pipeline: text analysis ──────────────────────────────
+    "q20_token_stats" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+        col("n_chars"))
+    }),
+    "q21_lang_id" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text"), langMarkers).as("guess"))
+        .withColumn("correct", col("lang") === col("guess"))
+    }),
+    "q22_quality_score" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+    // ── corpus pipeline: dedup family ───────────────────────────────
+    "q23_minhash_buckets" -> ((s, dir) => {
+      Dedup.minhashBuckets(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 2, nHashes = 2, bandSize = 1)
+    }),
+    "q24_fingerprint" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.fingerprint(col("text"), 3).as("fingerprint"),
+          size(array_distinct(TextFunctions.shingles(col("text"), 3)))
+            .cast("long").as("n_shingles"))
+        .where(col("fingerprint").isNotNull)
+    }),
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 2, threshold = 0.8)
+    }),
+    "q28_simhash" -> ((s, dir) => {
+      Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+    }),
+    // ── corpus pipeline: similarity search ──────────────────────────
+    "q26_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    }),
+    "q27_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.annTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nBits = 4, dim = 64)
+    }),
+    // ── as-of join ──────────────────────────────────────────────────
+    "q29_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      AsOfJoin.asOf(
+          left = ev.where(col("event_type") === "purchase"),
+          right = ev.where(col("event_type") === "click"),
+          keyCols = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"))
+        .select("event_id", "user_id", "ts", "value",
+          "last_click_ts", "last_click_value")
+    })
+  )
+
+  // ── DuckDB oracle SQL (identical aliases; see class doc) ──────────
+
+  private val toksCte =
+    "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
+
+  private def langIdSql: String = {
+    val langs = langMarkers.keys.toSeq.sorted
+    def score(l: String) = {
+      val lst = langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(t, x -> list_contains($lst, x)))::DOUBLE / greatest(len(t), 1)::DOUBLE AS s_$l"
+    }
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS ($toksCte),
+       |scores AS (SELECT doc_id, lang, ${langs.map(score).mkString(", ")} FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE $cases ELSE '${langs.last}' END AS guess,
+       |  lang = (CASE $cases ELSE '${langs.last}' END) AS correct
+       |FROM scores""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 16).map(i =>
+      s"sum(CASE WHEN strpos('89abcdef', substr(md5(tok), ${i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS p$i")
+      .mkString(", ")
+    val bits = (0 until 16).map(i =>
+      s"CASE WHEN p$i > 0 THEN ${1L << (15 - i)} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
+       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc,
+        |  avg(l_quantity) AS avg_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount > 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n_items,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, o_orderstatus""".stripMargin,
+    "q04_broadcast_region" ->
+      """SELECT r_name, count(*) AS n_suppliers, sum(s_acctbal) AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q06_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q07_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q11_series_scan" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE user_id = 7 AND event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q12_series_count" ->
+      """SELECT count(*) AS trades_count, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE user_id = 42 AND event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'""".stripMargin,
+    "q13_merge_streams" ->
+      """SELECT 'click' AS stream, event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'click' AND user_id < 20
+        |UNION ALL
+        |SELECT 'view' AS stream, event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'view' AND user_id < 20""".stripMargin,
+    "q14_hour_bars" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+        |  sum(value) AS volume, min(value) AS low, max(value) AS high,
+        |  min_by(value, ts) AS open, max_by(value, ts) AS close
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "q15_dedup_first" ->
+      """SELECT event_id, user_id, event_type, day, ts FROM (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q16_gap_detect" ->
+      """SELECT user_id, count(*) AS n_gaps FROM (
+        |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events) WHERE gap_us > 21600000000 GROUP BY user_id""".stripMargin,
+    "q17_active_days" ->
+      """WITH spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |    max(CAST(ts AS DATE)) AS d1 FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |FROM spans""".stripMargin,
+    "q18_time_parts" ->
+      """SELECT event_id, CAST(year(ts) AS BIGINT) AS yr,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+        |  CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS minute_of_day,
+        |  epoch_ms(ts) AS ts_ms,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS label
+        |FROM events WHERE user_id < 5""".stripMargin,
+    "q19_uid_dict" ->
+      """WITH dict AS (SELECT name, row_number() OVER (ORDER BY name) AS uid
+        |  FROM (SELECT DISTINCT event_type AS name FROM events))
+        |SELECT e.event_type, d.uid, count(*) AS n
+        |FROM events e JOIN dict d ON e.event_type = d.name
+        |GROUP BY e.event_type, d.uid""".stripMargin,
+    "q30_sorted_limit" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+    "q20_token_stats" ->
+      s"""WITH toks AS ($toksCte)
+         |SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+         |  len(list_distinct(t))::DOUBLE / greatest(len(t), 1)::DOUBLE AS uniq_ratio,
+         |  n_chars
+         |FROM toks""".stripMargin,
+    "q21_lang_id" -> langIdSql,
+    "q22_quality_score" ->
+      s"""WITH toks AS ($toksCte)
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |    / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         |  len(list_distinct(t))::DOUBLE / greatest(len(t), 1)::DOUBLE AS uniq_ratio,
+         |  least(len(t)::DOUBLE / 20.0, 1.0) * 0.4
+         |    + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |        / greatest(length(text), 1)::DOUBLE) * 4.0, 1.0)) * 0.2
+         |    + (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)::DOUBLE) * 0.4 AS quality
+         |FROM toks""".stripMargin,
+    "q23_minhash_buckets" ->
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
+         |sigs AS (SELECT doc_id, min(md5(s || '0')) AS s0, min(md5(s || '1')) AS s1
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, 0 AS band_id, md5(s0) AS bucket FROM sigs
+         |  UNION ALL SELECT doc_id, 1 AS band_id, md5(s1) AS bucket FROM sigs)
+         |SELECT band_id, bucket, count(*) AS bucket_size, min(doc_id) AS min_doc
+         |FROM bands GROUP BY band_id, bucket HAVING count(*) > 1""".stripMargin,
+    "q24_fingerprint" ->
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks)
+         |SELECT doc_id, min(md5(s)) AS fingerprint,
+         |  count(DISTINCT s) AS n_shingles
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "q25_jaccard_pairs" ->
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.8""".stripMargin,
+    "q28_simhash" -> simhashSql,
+    "q26_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (SELECT query_id, cand_id,
+        |  list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c, q WHERE query_id <> cand_id)
+        |SELECT query_id, cand_id, cosine, rank FROM (
+        |  SELECT query_id, cand_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // q27_ann_lsh: approximate operator, no SQL oracle (driver rows-only check)
+    "q29_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.ts AS last_click_ts, c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+  )
 }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  * All are composed from codegen'd built-ins — no UDFs — so they stay
+  * inside whole-stage codegen and scale linearly with the scan.
+  *
+  * Everything here is deterministic and reproducible in ANSI SQL, which
+  * is what lets the DuckDB oracle check the corpus operators
+  * (SURVEY §7 step 5).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer: lowercase, split on runs of whitespace,
+    * empties dropped. (BPE-ish regex token counting is `tokenCount`.) */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio — a repetition/quality signal. */
+  def uniqueTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Word k-shingles as strings ("a b c"), the unit for MinHash /
+    * Jaccard near-dup detection. transform over a slice window. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // guard: sequence(1, m) with m < 1 would run descending in Spark
+    when(n >= k,
+      transform(sequence(lit(1), n - lit(k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash signature component: min over shingles of
+    * md5(shingle || seed). String-min over hex md5 is a uniform,
+    * engine-portable stand-in for a 64-bit hash family — identical in
+    * Spark and DuckDB, which keeps the oracle exact. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(s, lit(seed.toString)))))
+
+  /** Document fingerprint: minimum rolling md5 over word k-shingles —
+    * a winnowing-style representative hash for exact-ish clustering. */
+  def fingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword ratio given a marker-word list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** n-gram-heuristic language ID: score each candidate language by its
+    * marker-token hit ratio; emit the argmax (ties → lexicographically
+    * first language code, deterministic). */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    // struct compare is field-order lexicographic: max score wins, ties
+    // fall to max(-idx) = lexicographically first language code.
+    val scored = markers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), idx) =>
+        struct(stopwordRatio(text, words).as("score"),
+          lit(-idx).as("tie"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Composite quality score in [0,1]: length saturation, low
+    * punctuation, vocabulary diversity. Weights fixed; oracle mirrors
+    * the same arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val uniq = uniqueTokenRatio(text)
+    lenScore * lit(0.4) + punct * lit(0.2) + uniq * lit(0.4)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — the canonical market-data join the
+  * reference lacks but its merged-stream consumers hand-roll inside
+  * iteratee folds (the heterogeneous trades⋈orders interleaving of
+  * `MultipleTimeSeriesEnumeratorTest.scala:262-311` exists precisely to
+  * let a fold carry "latest order state as of each trade").
+  *
+  * Spark-first implementation (SURVEY §4: union + window, no custom
+  * physical operator needed): tag both sides, union by the shared key +
+  * time, and carry the right side's latest values forward with
+  * `last(..., ignoreNulls)` over a key-partitioned, time-ordered window.
+  * One shuffle by key, per-key sort — identical data movement to a
+  * sort-merge as-of join, and skew-safe under AQE. Left rows then
+  * filter back out with the matched right columns attached.
+  *
+  * Ties (right.time == left.time) match, i.e. the join is "most recent
+  * right event with rightTime <= leftTime" — DuckDB `ASOF JOIN`
+  * semantics, which the oracle uses.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (each row gets the as-of match)
+    * @param right     reference side (latest row at or before left time)
+    * @param keyCols   equi-key columns present on both sides
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param rightVals right (srcCol, attachedName) pairs, order preserved
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val rSelect = keyCols.map(col) ++
+      Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+      rightVals.map { case (src, dst) => col(src).as(s"__r_$dst") }
+    val r = right.select(rSelect: _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal time (__side 0 < 1) so
+    // an equal-time right row is visible to the left row — ASOF <=.
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.map(_._2).foldLeft(unioned) { (df, dst) =>
+      df.withColumn(dst, last(col(s"__r_$dst"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__side") === 1)
+      .select((leftCols ++ rightVals.map(_._2)).map(col): _*)
+  }
+}

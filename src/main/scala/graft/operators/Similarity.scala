@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Baseline: brute-force cosine top-k, expressed with
+  * `zip_with`/`aggregate` array expressions (codegen-eligible, no UDF).
+  * Scale path: LSH bucketing by random-hyperplane sign bits — probe
+  * only same-bucket candidates, turning the n×m cross join into a
+  * bucket-local join (IVF-style), then exact re-rank within bucket.
+  */
+object Similarity {
+
+  /** Sum of elementwise products as double (dot product). */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Attach the L2 norm once per vector (computed before the join so
+    * it isn't recomputed per candidate pair). */
+  def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame =
+    df.withColumn(normCol,
+      sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))))
+
+  /** Brute-force cosine top-k: for each query vector, the k most
+    * similar candidates (self-pairs excluded). Queries are expected to
+    * be a small set → broadcast side of the join; candidates stream.
+    * Rank ties broken by candidate id for determinism. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", "qn")
+    val c = withNorm(
+      candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+      "cv", "cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
+    * onto deterministic pseudo-random hyperplanes. Vectors in the same
+    * bucket are ANN candidates. Hyperplane component h(b, i) is derived
+    * from a hash so executors need no shared state or broadcast of
+    * plane matrices. */
+  def lshBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    def planeSign(b: Int, i: Int): Double = {
+      // deterministic pseudo-random ±1, baked into the plan as literals
+      var h = b * 1000003 + i * 0x9e3779b9
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+      if ((h & 1) == 0) 1.0 else -1.0
+    }
+    val bits = (0 until nBits).map { b =>
+      val proj = (0 until dim).map { i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(planeSign(b, i))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** IVF/LSH-bucketed ANN: join query and candidate sides on bucket id,
+    * exact cosine re-rank within bucket. Misses across bucket walls are
+    * the approximation cost; multi-probe = union over bit-flipped
+    * buckets (not needed at test scale). */
+  def annTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+    val q = lshBucket(queries, vecCol, nBits, dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val c = lshBucket(candidates, vecCol, nBits, dim)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("bucket"))
+    val qn = withNorm(q, "qv", "qn")
+    val cn = withNorm(c, "cv", "cn")
+    val scored = cn.join(broadcast(qn), Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** RTS exchange archive CSV source — the batch ETL entry of the
+  * reference (`marketdb-loader/.../loader/TradeData.scala:36-100`):
+  * `;`-separated lines `code;contract;price;amount;dat_time;trade_id;Nosystem`,
+  * with header lines starting `code;contract` and blank lines skipped
+  * (`TradeData.scala:74-75`), constant market "RTS"
+  * (`TradeData.scala:30`).
+  *
+  * Spark-first design: declarative `spark.read.csv` with an explicit
+  * schema; validation does not throw per row (the reference uses
+  * `guard(...)` producing `Rejected`,
+  * `model/AggregateRoot.scala:20-21`) — instead invalid rows carry a
+  * `reject_reason` and are split into a quarantine side output, keeping
+  * the happy path codegen-friendly and fully distributed.
+  */
+object RtsCsv {
+
+  /** Raw read: header/blank filtering via the csv reader options. */
+  def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("header", "true") // drops the `code;contract;...` header line
+      .option("mode", "PERMISSIVE")
+      .schema(Schemas.rtsTradeCsv)
+      .csv(paths: _*)
+      // blank-line guard (`TradeData.scala:74`): csv usually drops them,
+      // but a lone separator row survives — require the key fields.
+      .where(col("contract").isNotNull || col("trade_id").isNotNull)
+
+  /** Typed parse (`TradeData.scala:36-48`) with reject-reason column
+    * instead of exceptions. Columns follow graft.model.Trade. */
+  def parse(raw: DataFrame): DataFrame = {
+    val parsed = raw.select(
+      lit("RTS").as("market"),
+      col("contract").as("security"),
+      col("trade_id").cast("long").as("tradeId"),
+      col("price").cast("double").as("price"),
+      col("amount").cast("int").as("amount"),
+      to_timestamp(col("dat_time"), Schemas.rtsTimeFormat).as("time"),
+      (col("Nosystem") === "1").as("nosystem"))
+    parsed.withColumn(
+      "reject_reason",
+      when(col("security").isNull, "missing security")
+        .when(col("tradeId").isNull, "bad trade_id")
+        .when(col("price").isNull, "bad price")
+        .when(col("amount").isNull, "bad amount")
+        .when(col("time").isNull, "bad dat_time"))
+  }
+
+  /** Valid rows only, reject column dropped. */
+  def trades(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parse(readRaw(spark, paths)).where(col("reject_reason").isNull).drop("reject_reason")
+
+  /** Quarantine side output — the `Rejected` path of the reference's
+    * event-sourced pipeline (`model/Trade.scala:52-54`). */
+  def rejects(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parse(readRaw(spark, paths)).where(col("reject_reason").isNotNull)
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver testdata layout
+  * (`/root/testdata/sfN/NAME.parquet`).
+  *
+  * This is the Spark analog of the reference's scanner-open path
+  * (`marketdb-iteratee/.../TimeSeriesEnumerator.scala:36-46`): nothing
+  * custom — `spark.read.parquet` yields a lazy scan whose filters and
+  * projections Catalyst pushes into the parquet reader (the rebuild's
+  * replacement for HBase start/stop row keys).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+    * timestamp type, so these are read as raw Long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to
+    * micros as TIMESTAMP_NTZ, exactly matching DuckDB's nanos→micros
+    * cast so oracle results align. */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    nanosCols.get(name) match {
+      case None => spark.read.parquet(path)
+      case Some(cols) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        cols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+          df.withColumn(c,
+            org.apache.spark.sql.functions.expr(
+              s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+        }
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` mirrors the
+    * DuckDB oracle's naming. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
