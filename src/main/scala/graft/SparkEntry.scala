@@ -101,7 +101,8 @@ object SparkEntry {
     }),
     "q08_anti_join" -> ((s, dir) => {
       tbl(s, dir, "customer")
-        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(tbl(s, dir, "orders").where(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
     "q09_semi_join" -> ((s, dir) => {
@@ -113,7 +114,10 @@ object SparkEntry {
     "q10_set_ops" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       def ids(tpe: String) = ev.where(col("event_type") === tpe).select("user_id")
-      ids("purchase").intersect(ids("signup")).except(ids("error"))
+      val heavyError = ev.where(col("event_type") === "error")
+        .groupBy("user_id").agg(count("*").as("c"))
+        .where(col("c") > 20).select("user_id")
+      ids("purchase").intersect(ids("signup")).except(heavyError)
     }),
     // ── time-series surface (reference parity, events table) ────────
     "q11_series_scan" -> ((s, dir) => {
@@ -331,7 +335,8 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
     "q09_semi_join" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -341,7 +346,8 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'signup'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id HAVING count(*) > 20""".stripMargin,
     "q11_series_scan" ->
       """SELECT event_id, ts, user_id, value FROM events
         |WHERE user_id = 7 AND event_type = 'view'

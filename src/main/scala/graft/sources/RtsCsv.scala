@@ -33,15 +33,17 @@ object RtsCsv {
       .where(col("contract").isNotNull || col("trade_id").isNotNull)
 
   /** Typed parse (`TradeData.scala:36-48`) with reject-reason column
-    * instead of exceptions. Columns follow graft.model.Trade. */
+    * instead of exceptions. `try_cast`/`try_to_timestamp` yield NULL
+    * for malformed values (ANSI mode would throw), which the guard
+    * below converts to a quarantine reason. */
   def parse(raw: DataFrame): DataFrame = {
     val parsed = raw.select(
       lit("RTS").as("market"),
       col("contract").as("security"),
-      col("trade_id").cast("long").as("tradeId"),
-      col("price").cast("double").as("price"),
-      col("amount").cast("int").as("amount"),
-      to_timestamp(col("dat_time"), Schemas.rtsTimeFormat).as("time"),
+      expr("try_cast(trade_id AS LONG)").as("tradeId"),
+      expr("try_cast(price AS DOUBLE)").as("price"),
+      expr("try_cast(amount AS INT)").as("amount"),
+      expr(s"try_to_timestamp(dat_time, '${Schemas.rtsTimeFormat}')").as("time"),
       (col("Nosystem") === "1").as("nosystem"))
     parsed.withColumn(
       "reject_reason",

@@ -47,9 +47,11 @@ object IngestPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
+        // deterministic in-batch dedup: earliest event wins (not
+        // dropDuplicates, whose survivor is partition-order dependent)
+        graft.operators.Dedup
+          .firstByKey(batch, Seq(idCol), Seq(timeCol))
           .withColumn("__date", to_date(col(timeCol)))
-          .dropDuplicates(idCol)
           .write
           .mode("append")
           .partitionBy("__date")

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family: idempotent keyed dedup (the reference's storage
+  * overwrite semantics, `model/Trade.scala:56-59`) plus the corpus
+  * near-dup operators on planted duplicates. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docA2 = "the quick brown fox jumps over the lazy dog near the river bank tonight" // near-dup
+  private val docB = "completely different content about spark query engines and parquet files here"
+
+  private def docs = Seq(
+    (1L, docA), (2L, docA2), (3L, docB), (4L, docA) // 4 is exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("firstByKey keeps exactly one deterministic row per key") {
+    val df = Seq(
+      (10L, "a", 1), (10L, "b", 2), (10L, "a", 3), (20L, "c", 1)
+    ).toDF("id", "payload", "seq")
+    val kept = Dedup.firstByKey(df, Seq("id"), Seq("seq", "payload"))
+    val got = kept.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((10L, "a"), (20L, "c")))
+    // idempotent: running again changes nothing
+    assert(Dedup.firstByKey(kept, Seq("id"), Seq("seq", "payload")).count() === 2)
+  }
+
+  test("exactGroups finds exact duplicates with deterministic keeper") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = groups.where(col("n_copies") > 1).collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("n_copies") === 2L)
+    assert(dup.head.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("minhash LSH buckets the near-dup pair together") {
+    val buckets = Dedup.minhashBuckets(docs, "doc_id", "text",
+      k = 2, nHashes = 4, bandSize = 1)
+    // exact dups (1,4) always collide; near-dups (1,2) collide in >=1 band
+    val sizes = buckets.agg(max("bucket_size")).head().getLong(0)
+    assert(sizes >= 3, s"expected a bucket with the near-dup cluster, got max=$sizes")
+  }
+
+  test("simhash: near-dups are close in hamming distance, different docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) === sh(4L)) // exact dup ⇒ identical
+    assert(hamming(sh(1L), sh(2L)) <= 6, "near-dup should be close")
+    assert(hamming(sh(1L), sh(3L)) > hamming(sh(1L), sh(2L)),
+      "unrelated doc should be farther than near-dup")
+  }
+
+  test("jaccardPairs surfaces exact and near duplicates above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)), "exact dup pair missing")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 === 1.0)
+    assert(keys.contains((1L, 2L)), "near-dup pair missing")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.RtsCsv
+
+/** Reference-parity: RTS archive parse — golden count 60 valid trades
+  * per day file (`TradeDataIterateeTest.scala:26`), header/blank
+  * filtering, reject quarantine (FIXTURES.md §A.3). Fixture is
+  * synthesized with the same format:
+  * `code;contract;price;amount;dat_time;trade_id;Nosystem`. */
+class RtsCsvSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("rts").toFile
+    val rows = (0 until 60).map { i =>
+      f"RIH2;RTS-3.12;${157000 + i}%d.00000;${1 + i % 5}%d;2012-02-01 10:${i / 60}%02d:${i % 60}%02d.00${i % 10}%d;${497757776L + i}%d;${i % 7 == 0}"
+        .replace("true", "1").replace("false", "0")
+    }
+    val bad = Seq(
+      "RIH2;RTS-3.12;not_a_price;1;2012-02-01 10:00:00.000;999000001;0",
+      "RIH2;RTS-3.12;157000.00000;1;garbage-time;999000002;0")
+    val content = ("code;contract;price;amount;dat_time;trade_id;Nosystem" +: (rows ++ bad))
+      .mkString("\n")
+    val f = new java.io.File(dir, "120201ft.csv")
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("parses 60 valid trades, quarantines 2 rejects") {
+    val path = writeFixture()
+    val trades = RtsCsv.trades(spark, Seq(path))
+    assert(trades.count() === 60)
+    val rejects = RtsCsv.rejects(spark, Seq(path))
+    assert(rejects.count() === 2)
+    val reasons = rejects.select("reject_reason").collect().map(_.getString(0)).sorted
+    assert(reasons === Array("bad dat_time", "bad price"))
+  }
+
+  test("typed schema and constant market") {
+    val path = writeFixture()
+    val t = RtsCsv.trades(spark, Seq(path))
+    assert(t.schema.fieldNames.toSeq ===
+      Seq("market", "security", "tradeId", "price", "amount", "time", "nosystem"))
+    val first = t.orderBy("tradeId").head()
+    assert(first.getString(0) === "RTS")
+    assert(first.getString(1) === "RTS-3.12")
+    assert(first.getLong(2) === 497757776L)
+    assert(first.getDouble(3) === 157000.0)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Cosine top-k: exact answers on crafted vectors; LSH variant puts
+  * identical vectors in one bucket. */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine") {
+    val topk = Similarity.cosineTopK(
+        vecs.where($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getAs[Long]("cand_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(topk(0).getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+    assert(topk(1).getAs[Double]("cosine") === 0.0)
+    assert(topk(2).getAs[Double]("cosine") === -1.0)
+  }
+
+  test("ann lsh co-buckets identical vectors and finds them") {
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(dup, vecs.union(dup.toDF("vec_id", "embedding")),
+      "vec_id", "embedding", k = 2, nBits = 2, dim = 4)
+    val cands = ann.collect().map(_.getAs[Long]("cand_id"))
+    assert(cands.contains(0L), "identical vector must share the LSH bucket")
+  }
+}
