@@ -220,12 +220,13 @@ object SparkEntry {
         k = 2, nHashes = 2, bandSize = 1)
     }),
     "q24_fingerprint" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      d.select(col("doc_id"),
-          TextFunctions.fingerprint(col("text"), 3).as("fingerprint"),
-          size(array_distinct(TextFunctions.shingles(col("text"), 3)))
-            .cast("long").as("n_shingles"))
-        .where(col("fingerprint").isNotNull)
+      // explode-then-agg: one md5 per shingle, map-side partial min
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fingerprint"),
+          countDistinct(col("s")).as("n_shingles"))
     }),
     "q25_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",

@@ -27,15 +27,23 @@ object TextFunctions {
       greatest(size(tokens(text)), lit(1)).cast("double")
 
   /** Word k-shingles as strings ("a b c"), the unit for MinHash /
-    * Jaccard near-dup detection. transform over a slice window. */
+    * Jaccard near-dup detection.
+    *
+    * Built by folding `zip_with` over shifted slices of the token
+    * array: zip_with/slice evaluate their array arguments once per
+    * row, whereas a `transform(sequence(...), i => slice(toks, i, k))`
+    * lambda would re-evaluate the captured token expression per
+    * element — O(tokens²) per document. zip_with null-pads the shorter
+    * side, so tail positions (< k tokens left) become null and are
+    * filtered; fewer than k tokens total yields an empty array. */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    // guard: sequence(1, m) with m < 1 would run descending in Spark
-    when(n >= k,
-      transform(sequence(lit(1), n - lit(k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val folded = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(n - lit(j - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(folded, s => s.isNotNull)
   }
 
   /** One MinHash signature component: min over shingles of

@@ -45,12 +45,19 @@ object Dedup {
       .agg(count("*").as("n_copies"), min(col(idCol)).as("keeper_id"))
 
   /** MinHash signatures: one row per doc with `nHashes` signature
-    * columns s0..s{n-1} over word k-shingles. */
+    * columns s0..s{n-1} over word k-shingles. Explode-then-aggregate so
+    * each shingle is hashed once per seed (a per-row array expression
+    * would recompute the shingle array per signature column — Catalyst
+    * inlines aliased projections); partial aggregation makes the
+    * shuffle carry only (doc, partial-min) rows. Docs with no shingles
+    * produce no row. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int): DataFrame = {
-    val sh = shingles(col(textCol), k)
-    val sigCols = (0 until nHashes).map(i => minhash(sh, i).as(s"s$i"))
-    docs.select((col(idCol) +: sigCols): _*)
+    val exploded = docs.select(col(idCol),
+      explode(shingles(col(textCol), k)).as("__sh"))
+    val aggs = (0 until nHashes).map(i =>
+      min(md5(concat(col("__sh"), lit(i.toString)))).as(s"s$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: docs whose signatures agree on all hashes
@@ -61,14 +68,14 @@ object Dedup {
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int, bandSize: Int): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, nHashes)
-    val bands = (0 until nHashes / bandSize).map { b =>
+    // one struct per band, exploded — a union of per-band selects would
+    // re-run the signature aggregation once per band
+    val bandStructs = (0 until nHashes / bandSize).map { b =>
       val keys = (b * bandSize until (b + 1) * bandSize).map(i => col(s"s$i"))
-      sigs.select(
-        lit(b).as("band_id"),
-        md5(concat_ws("|", keys: _*)).as("bucket"),
-        col(idCol))
+      struct(lit(b).as("band_id"), md5(concat_ws("|", keys: _*)).as("bucket"))
     }
-    bands.reduce(_.unionByName(_))
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"), col(idCol))
       .groupBy("band_id", "bucket")
       .agg(count("*").as("bucket_size"), min(col(idCol)).as("min_doc"))
       .where(col("bucket_size") > 1)
@@ -92,24 +99,59 @@ object Dedup {
     docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup pairs: inverted-index self-join on
-    * distinct k-shingles, |A∩B| from the join, |A∪B| from per-doc
-    * shingle counts. Emits pairs with jaccard >= threshold,
-    * doc_a < doc_b. */
+  /** n-gram Jaccard near-dup pairs, exact, with PPJoin-style prefix
+    * filtering (Chaudhuri et al., "A Primitive Operator for Similarity
+    * Joins"): a pair with J >= t must share at least one of each doc's
+    * |A| - ceil(t*|A|) + 1 globally-rarest shingles, so the
+    * inverted-index self-join runs only over those prefixes instead of
+    * every shingle — the fan-out on frequent shingles (the n^2 killer
+    * at corpus scale) never materializes. Candidates are then verified
+    * exactly via sorted-set intersection. Emits pairs with
+    * jaccard >= threshold, doc_a < doc_b — byte-identical to the naive
+    * all-pairs join. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
+    val t = threshold
+    // epsilon guards float round-up of t*n inside ceil: err toward the
+    // looser (still exact) bound
+    def ceilT(c: org.apache.spark.sql.Column) = ceil(c - lit(1e-9))
     val sh = docs.select(col(idCol).as("doc"),
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
-    val sizes = sh.groupBy("doc").agg(count("*").as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count("*").as("inter"))
-    // sizes is one short row per doc — leave the join strategy to AQE
-    // (broadcastable at test scale, shuffle-hash at corpus scale).
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
+    // dictionary-encode shingles, rarest first: sid order == (df, sh)
+    // order, so per-doc sid order is the canonical prefix order and all
+    // later joins/intersections run on ints, not shingle strings
+    val freq = sh.groupBy("sh").agg(count("*").as("df"))
+    val dict = freq.select(col("sh"),
+      (row_number().over(Window.orderBy(col("df"), col("sh"))) - 1).as("sid"))
+    val shId = sh.join(broadcast(dict), "sh").select(col("doc"), col("sid"))
+    // one shuffle builds the per-doc sorted sid set; prefixes and exact
+    // verification both derive from it (no window passes)
+    val sets = shId.groupBy("doc")
+      .agg(sort_array(collect_list("sid")).as("set"))
+      .withColumn("n", size(col("set")))
+    // prefix filter: a J>=t pair shares one of each side's
+    // n - ceil(t*n) + 1 rarest shingles (set is sorted rarest-first)
+    val prefixLen = (col("n") - ceilT(col("n") * lit(t)) + lit(1)).cast("int")
+    val prefix = sets
+      .select(col("doc"), col("n"),
+        posexplode(slice(col("set"), lit(1), prefixLen)).as(Seq("pos0", "sid")))
+      .withColumn("pos", col("pos0") + 1)
+    // candidate join with length filter (t*|B| <= |A| <= |B|/t) and
+    // PPJoin positional filter (Xiao et al.): overlap upper bound from
+    // the match positions must reach alpha = ceil(t/(1+t)*(|A|+|B|))
+    val alpha = ceilT((col("a.n") + col("b.n")) * lit(t / (1.0 + t)))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc") < col("b.doc") &&
+          col("a.n") >= ceilT(col("b.n") * lit(t)) &&
+          col("b.n") >= ceilT(col("a.n") * lit(t)) &&
+          lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact verification on the sorted int sets
+    cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
+      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
