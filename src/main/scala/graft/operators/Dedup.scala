@@ -151,7 +151,8 @@ object Dedup {
     cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
-      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))))
+      .withColumn("inter",
+        graft.expressions.SortedIntersectCount(col("sa.set"), col("sb.set")))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 moved the Column↔Expression converters behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`);
+  * the conventional extension-library pattern is a small shim inside
+  * the `org.apache.spark.sql` namespace (as used by open-source Spark
+  * extensions generally). Everything else in this repo stays in
+  * `graft.*` and goes through this one seam.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
