@@ -246,6 +246,24 @@ object SparkEntry {
       Similarity.annTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, nBits = 4, dim = 64)
     }),
+    // ── finance-style aggregates & windows ──────────────────────────
+    "q31_vwap" -> ((s, dir) => {
+      // VWAP per part per order-year: sum(p*q)/sum(q) where
+      // l_extendedprice is already price*qty in TPC-H convention
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg((sum("l_extendedprice") / sum("l_quantity")).as("vwap"),
+          sum("l_quantity").as("volume"))
+    }),
+    "q32_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .where(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum("value").over(w).as("running_value"))
+    }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
@@ -454,6 +472,17 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.8""".stripMargin,
     "q28_simhash" -> simhashSql,
+    "q31_vwap" ->
+      """SELECT l_partkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  sum(l_extendedprice) / sum(l_quantity) AS vwap,
+        |  sum(l_quantity) AS volume
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_partkey, CAST(year(o_orderdate) AS BIGINT)""".stripMargin,
+    "q32_running_sum" ->
+      """SELECT user_id, event_id, ts,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events WHERE user_id < 10""".stripMargin,
     "q26_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 10),

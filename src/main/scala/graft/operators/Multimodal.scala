@@ -1,0 +1,145 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for corpus pipelines.
+  *
+  * Media travels as opaque `binary` columns plus typed metadata; the
+  * Spark-side plumbing — schema, batched per-partition decode, feature
+  * extraction shape, frame sampling — is real and tested, while the
+  * codec itself is a STUB: this container has no image/audio libraries,
+  * so `decode` parses a deterministic fake header (`Multimodal.MAGIC`,
+  * kind, width, height, frame count) instead of calling libjpeg/ffmpeg.
+  * Swapping in a real codec replaces only the body of
+  * `decodeOne` — the operator shape (mapPartitions over binary,
+  * per-partition codec init, bounded batches) is exactly what a real
+  * decoder needs at 100 TB: codecs are heavyweight native objects that
+  * must be constructed once per partition, never per row, and never
+  * shipped from the driver.
+  */
+object Multimodal {
+
+  val MAGIC: Short = 0x4752 // "GR"
+
+  final case class MediaMeta(
+      kind: String, // image | audio | video
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      byteSize: Long,
+      valid: Boolean)
+
+  final case class Decoded(id: Long, meta: MediaMeta)
+  final case class Features(id: Long, embedding: Array[Float])
+  final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Build a fake media blob (test/data-gen helper): header + payload. */
+  def encodeFake(kind: String, width: Int, height: Int, nFrames: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2 + 1 + 4 + 4 + 4 + payload.length)
+    buf.putShort(MAGIC)
+    buf.put((kind match {
+      case "image" => 0; case "audio" => 1; case "video" => 2
+    }).toByte)
+    buf.putInt(width); buf.putInt(height); buf.putInt(nFrames)
+    buf.put(payload)
+    buf.array()
+  }
+
+  /** STUB codec body — replace with a real decoder (libjpeg/ffmpeg
+    * binding) in production. Deterministic; never throws (invalid
+    * blobs yield valid=false, the quarantine pattern of F5). */
+  private def decodeOne(id: Long, bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 15)
+      return Decoded(id, MediaMeta("unknown", 0, 0, 0,
+        if (bytes == null) 0L else bytes.length.toLong, valid = false))
+    val buf = ByteBuffer.wrap(bytes)
+    val magic = buf.getShort
+    if (magic != MAGIC)
+      return Decoded(id, MediaMeta("unknown", 0, 0, 0, bytes.length.toLong, valid = false))
+    val kind = buf.get() match {
+      case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
+    }
+    Decoded(id, MediaMeta(kind, buf.getInt, buf.getInt, buf.getInt,
+      bytes.length.toLong, valid = kind != "unknown"))
+  }
+
+  /** Decode metadata for every blob: one codec per partition, rows
+    * streamed (no per-row codec setup, no full-partition buffering). */
+  def decode(df: DataFrame, idCol: String, binCol: String): Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = NativeCodec.open() — once per partition
+        it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** STUB feature extractor: deterministic pseudo-embedding from the
+    * payload bytes (a real impl runs a vision/audio model over the
+    * decoded pixels in batches — same operator shape). */
+  def features(df: DataFrame, idCol: String, binCol: String, dim: Int): Dataset[Features] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = new Array[Float](dim)
+          if (bytes != null) {
+            var i = 0
+            while (i < bytes.length) {
+              v(i % dim) += (bytes(i) & 0xff) / 255.0f
+              i += 1
+            }
+          }
+          Features(id, v)
+        }
+      }
+  }
+
+  /** Frame sampling for video blobs: every `stride`-th fixed-size frame
+    * from the payload — one row per sampled frame (the explode shape a
+    * real ffmpeg frame iterator produces). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val headerLen = 15
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val d = decodeOne(id, bytes)
+        if (!d.meta.valid || d.meta.kind != "video") Iterator.empty
+        else {
+          val payload = bytes.drop(headerLen)
+          val nFrames = payload.length / frameBytes
+          Iterator.range(0, nFrames, stride).map { f =>
+            Frame(id, f, payload.slice(f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
+
+  /** Metadata-only projection pushdown helper: media tables should be
+    * stored with metadata in separate parquet columns so queries that
+    * never touch pixels never read them (column pruning does the work —
+    * verify with `.explain` ReadSchema). */
+  def metaTable(decoded: Dataset[Decoded]): DataFrame =
+    decoded.select(col("id"), col("meta.*"))
+
+  /** Deterministic fake corpus for tests/demos. */
+  def fakeCorpus(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val payload = Array.tabulate[Byte](64 + (i % 5) * 32)(j => ((i * 31 + j) % 251).toByte)
+      (i.toLong, encodeFake(kind, 16 + i % 8, 9 + i % 4, if (kind == "video") 8 else 1, payload))
+    }.toDF("media_id", "content")
+  }
+}
