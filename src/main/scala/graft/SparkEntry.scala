@@ -264,6 +264,18 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"),
           sum("value").over(w).as("running_value"))
     }),
+    "q33_ohlc_fold" -> ((s, dir) => {
+      // custom typed Aggregator (single-pass OHLC fold, §2.10)
+      val ohlc = udaf(graft.functions.OhlcAggregator.agg)
+      tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(ohlc(unix_micros(col("ts").cast("timestamp")), col("value")).as("o"))
+        .select(col("user_id"), col("day"),
+          col("o.open").as("open"), col("o.high").as("high"),
+          col("o.low").as("low"), col("o.close").as("close"),
+          col("o.volume").as("volume"), col("o.n").as("n"))
+    }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
@@ -472,6 +484,12 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.8""".stripMargin,
     "q28_simhash" -> simhashSql,
+    "q33_ohlc_fold" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |  max_by(value, ts) AS close, sum(value) AS volume, count(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
     "q31_vwap" ->
       """SELECT l_partkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  sum(l_extendedprice) / sum(l_quantity) AS vwap,
