@@ -264,6 +264,16 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"),
           sum("value").over(w).as("running_value"))
     }),
+    "q34_grouping_sets" -> ((s, dir) => {
+      // SQL surface: GROUPING SETS (DataFrame API exposes only
+      // rollup/cube); exercised through a registered view
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
     "q33_ohlc_fold" -> ((s, dir) => {
       // custom typed Aggregator (single-pass OHLC fold, §2.10)
       val ohlc = udaf(graft.functions.OhlcAggregator.agg)
@@ -484,6 +494,11 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.8""".stripMargin,
     "q28_simhash" -> simhashSql,
+    "q34_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q33_ohlc_fold" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
         |  min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
