@@ -134,11 +134,13 @@ object SparkEntry {
           min("ts").as("first_ts"), max("ts").as("last_ts"))
     }),
     "q13_merge_streams" -> ((s, dir) => {
+      // custom SortedMergeUnion operator: k-way merge of pre-sorted
+      // series, no re-sort (falls back to Union+Sort on big inputs)
       val ev = tbl(s, dir, "events").where(col("user_id") < 20)
-      OrderedMerge.mergeTagged("ts",
-          "click" -> ev.where(col("event_type") === "click"),
-          "view" -> ev.where(col("event_type") === "view"))
+      def series(tpe: String) = ev.where(col("event_type") === tpe)
+        .withColumn("stream", lit(tpe))
         .select("stream", "event_id", "ts", "user_id", "value")
+      OrderedMerge.mergeSorted("ts", series("click"), series("view"))
     }),
     "q14_hour_bars" -> ((s, dir) => {
       tbl(s, dir, "events")

@@ -39,6 +39,28 @@ object OrderedMerge {
       timeCol,
       tagged.map { case (tag, df) => df.withColumn("stream", lit(tag)) }: _*)
 
+  /** Merge via the custom `SortedMergeUnion` operator
+    * (`graft.plans`): k-way merge of pre-sorted series without a
+    * re-sort when sizes allow, Union+Sort fallback otherwise — the
+    * planner decides from stats. Children must share the schema;
+    * each is sorted by `timeCol` on the way in (a no-op for sources
+    * that already are, thanks to requiredChildOrdering). */
+  def mergeSorted(timeCol: String, streams: DataFrame*): DataFrame = {
+    require(streams.nonEmpty, "need at least one stream")
+    val spark = streams.head.sparkSession
+    // idempotent strategy registration (also available via
+    // spark.sql.extensions=graft.GraftExtensions)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.SortedMergeUnionStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.SortedMergeUnionStrategy
+    }
+    val cols = streams.head.columns.toSeq
+    val aligned = streams.map(_.select(cols.map(col): _*))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.ofRows(spark,
+      graft.plans.SortedMergeUnion(aligned.map(Bridge.analyzed), timeCol))
+  }
+
   /** Order-invariant check (the reference's `sortedLogger` test fold,
     * `marketdb-loader/src/test/scala/.../ScalazIterateeTests.scala:67-84`):
     * count of adjacent inversions; 0 ⇔ stream is non-decreasing in

@@ -16,8 +16,15 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // 0. session extensions: custom expression from plain SQL
+    val sic = spark.sql(
+      "SELECT sorted_intersect_count(array(1,3,5,7), array(3,4,5)) AS c")
+      .head().getInt(0)
+    println(s"[demo] sorted_intersect_count via SQL extension: $sic")
 
     // 1. RTS CSV batch source with rejects
     val dir = Files.createTempDirectory("demo").toString
