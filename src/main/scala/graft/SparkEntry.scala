@@ -288,6 +288,39 @@ object SparkEntry {
           col("o.low").as("low"), col("o.close").as("close"),
           col("o.volume").as("volume"), col("o.n").as("n"))
     }),
+    "q35_knn_label" -> ((s, dir) => {
+      // k-NN majority-vote classification over embedding space
+      val emb = tbl(s, dir, "embeddings")
+      val topk = Similarity.cosineTopK(emb.where(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("cand_id"), col("label").as("cand_label")),
+          "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(count("*").as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("cand_label"))
+      votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("cand_label").as("pred_label"),
+          col("votes"), col("true_label"),
+          (col("cand_label") === col("true_label")).as("correct"))
+    }),
+    "q36_sessionize" -> ((s, dir) => {
+      // 30-minute-inactivity sessionization: flag + running sum + agg
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (tsUs - lag(tsUs, 1).over(wOrd)).as("gap_us"))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count("*").as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+    }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
@@ -530,6 +563,43 @@ object SparkEntry {
         |  SELECT query_id, cand_id, cosine, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q35_knn_label" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (SELECT query_id, cand_id,
+        |  list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c, q WHERE query_id <> cand_id),
+        |topk AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5),
+        |votes AS (SELECT t.query_id, e.label AS cand_label, count(*) AS votes
+        |  FROM topk t JOIN embeddings e ON t.cand_id = e.vec_id
+        |  GROUP BY t.query_id, e.label),
+        |pred AS (SELECT query_id, cand_label AS pred_label, votes FROM (
+        |  SELECT query_id, cand_label, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn
+        |  FROM votes) WHERE rn = 1)
+        |SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label,
+        |  p.pred_label = e.label AS correct
+        |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id""".stripMargin,
+    "q36_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |  FROM f)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM s GROUP BY user_id, sess_idx""".stripMargin,
     // q27_ann_lsh: approximate operator, no SQL oracle (driver rows-only check)
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -54,6 +54,46 @@ object RtsCsv {
         .when(col("time").isNull, "bad dat_time"))
   }
 
+  /** Zip archive read (`TradeData.scala:61-86`): `binaryFile` source +
+    * per-partition unzip, keeping only `*ft.csv`/`*ot.csv` entries
+    * (F3, `TradeData.scala:77-78`) and dropping header/blank lines
+    * (F2, `:74-75`). Each executor streams its archives — no driver
+    * involvement, scales with archive count. */
+  def readZipRaw(spark: SparkSession, zipGlob: String,
+      entrySuffixes: Seq[String] = Seq("ft.csv", "ot.csv")): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile")
+      .load(zipGlob)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filter(e => entrySuffixes.exists(s => e.getName.toLowerCase.endsWith(s)))
+          .flatMap { _ =>
+            val content = new String(zis.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            content.split("\r?\n").iterator
+          }.toVector
+      }
+      .filter(l => l.nonEmpty && !l.startsWith("code;contract"))
+    val cols = Schemas.rtsTradeCsv.fieldNames
+    val split = split_part_all(lines.toDF("line"), cols)
+    split
+  }
+
+  private def split_part_all(df: DataFrame, names: Seq[String]): DataFrame =
+    df.select(names.zipWithIndex.map { case (n, i) =>
+      element_at(split(col("line"), ";"), i + 1).as(n)
+    }: _*)
+
+  /** Zip → typed trades (valid rows). */
+  def tradesFromZip(spark: SparkSession, zipGlob: String): DataFrame =
+    parse(readZipRaw(spark, zipGlob))
+      .where(col("reject_reason").isNull).drop("reject_reason")
+
   /** Valid rows only, reject column dropped. */
   def trades(spark: SparkSession, paths: Seq[String]): DataFrame =
     parse(readRaw(spark, paths)).where(col("reject_reason").isNull).drop("reject_reason")

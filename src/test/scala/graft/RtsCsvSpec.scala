@@ -37,6 +37,26 @@ class RtsCsvSpec extends AnyFunSuite with SparkTestBase {
     assert(reasons === Array("bad dat_time", "bad price"))
   }
 
+  test("zip archive source filters entries and parses 60 trades") {
+    val dir = Files.createTempDirectory("rtszip").toFile
+    val csv = ("code;contract;price;amount;dat_time;trade_id;Nosystem" +:
+      (0 until 60).map(i =>
+        f"RIH2;RTS-3.12;${157000 + i}%d.00000;1;2012-02-01 10:00:${i % 60}%02d.000;${497757776L + i}%d;0"))
+      .mkString("\n")
+    val zipPath = new java.io.File(dir, "FT120201.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("120201ft.csv"))
+    zos.write(csv.getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("ignore me".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+
+    val trades = RtsCsv.tradesFromZip(spark, zipPath.getAbsolutePath)
+    assert(trades.count() === 60) // golden count, TradeDataIterateeTest.scala:26
+    assert(trades.select("market").distinct().head().getString(0) === "RTS")
+  }
+
   test("typed schema and constant market") {
     val path = writeFixture()
     val t = RtsCsv.trades(spark, Seq(path))
