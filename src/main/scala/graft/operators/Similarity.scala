@@ -67,6 +67,23 @@ object Similarity {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
+  /** Embedding-cosine near-duplicate pairs (dedup family): vectors in
+    * the same LSH bucket with cosine >= threshold, id_a < id_b.
+    * Approximate (bucket-local, like all ANN dedup at corpus scale);
+    * raise `nBits` to shrink buckets, lower it to raise recall. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int, dim: Int): DataFrame = {
+    val b = withNorm(
+      lshBucket(df, vecCol, nBits, dim)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket")),
+      "v", "n")
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF/LSH-bucketed ANN: join query and candidate sides on bucket id,
     * exact cosine re-rank within bucket. Misses across bucket walls are
     * the approximation cost; multi-probe = union over bit-flipped

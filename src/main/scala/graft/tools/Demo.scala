@@ -26,6 +26,12 @@ object Demo {
       .head().getInt(0)
     println(s"[demo] sorted_intersect_count via SQL extension: $sic")
 
+    // 0b. embedding near-dup pairs on the real embeddings table
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val nd = graft.operators.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.95, nBits = 4, dim = 64).count()
+    println(s"[demo] embedding near-dup pairs (cos>=0.95): $nd")
+
     // 1. RTS CSV batch source with rejects
     val dir = Files.createTempDirectory("demo").toString
     val csv = s"$dir/120201ft.csv"

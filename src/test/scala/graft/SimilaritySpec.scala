@@ -25,6 +25,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(topk(2).getAs[Double]("cosine") === -1.0)
   }
 
+  test("cosine near-dup pairs find planted duplicate vectors") {
+    val dups = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.001f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(dups, "vec_id", "embedding",
+        threshold = 0.99, nBits = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
   test("ann lsh co-buckets identical vectors and finds them") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val ann = Similarity.annTopK(dup, vecs.union(dup.toDF("vec_id", "embedding")),
