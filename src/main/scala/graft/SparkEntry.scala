@@ -204,6 +204,15 @@ object SparkEntry {
         TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
         col("n_chars"))
     }),
+    "q37_token_count" -> ((s, dir) => {
+      // token counting two ways: whitespace and a BPE-ish regex
+      // (letter runs / digit runs / single punctuation) — same regex
+      // semantics in Java (Spark) and RE2 (DuckDB)
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+    }),
     "q21_lang_id" -> ((s, dir) => {
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
           TextFunctions.langId(col("text"), langMarkers).as("guess"))
@@ -486,6 +495,11 @@ object SparkEntry {
          |  n_chars
          |FROM toks""".stripMargin,
     "q21_lang_id" -> langIdSql,
+    "q37_token_count" ->
+      s"""WITH toks AS ($toksCte)
+         |SELECT doc_id, len(t) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+         |FROM toks""".stripMargin,
     "q22_quality_score" ->
       s"""WITH toks AS ($toksCte)
          |SELECT doc_id, len(t) AS n_tokens,

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guard: the physical properties SCALE.md
+  * claims (broadcast dim joins, parquet pushdown, exchange reuse) are
+  * asserted here so a refactor that silently degrades a plan fails CI,
+  * not the 100 TB run. */
+class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q03 joins dims via broadcast, never sort-merge") {
+    val p = executedPlan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q11 series scan pushes series+time predicates to parquet") {
+    val p = executedPlan("q11_series_scan")
+    assert(p.contains("PushedFilters"), p)
+    assert("PushedFilters: \\[[^\\]]*user_id".r.findFirstIn(p).isDefined,
+      s"series key not pushed:\n$p")
+  }
+
+  test("q25 reuses the shared shingle subtree instead of rescanning") {
+    val p = executedPlan("q25_jaccard_pairs")
+    assert(p.contains("ReusedExchange"), s"no exchange reuse:\n$p")
+  }
+
+  test("q01 aggregates with map-side partials (two-phase hash agg)") {
+    val p = executedPlan("q01_pricing_summary")
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate"), s"no partial aggregation:\n$p")
+    assert(p.split("Exchange").length == 2, // exactly one exchange
+      s"expected exactly one shuffle:\n$p")
+  }
+}

@@ -23,14 +23,24 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # tolerance: round to 9 significant digits
-        return float(f"{v:.9g}")
+        # round for SORTING only; equality uses rel-tolerance (eq_cell)
+        return float(f"{v:.6g}")
     if hasattr(v, "isoformat"):  # datetime/date; strip tz info textually
         s = v.isoformat()
         return s.replace("+00:00", "")
     if isinstance(v, bool):
         return bool(v)
     return v
+
+
+def eq_cell(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-8, abs_tol=1e-10)
+    return norm(a) == norm(b)
+
+
+def eq_row(ra, rb):
+    return len(ra) == len(rb) and all(eq_cell(a, b) for a, b in zip(ra, rb))
 
 
 def main():
@@ -53,19 +63,19 @@ def main():
                 print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
                 n_fail += 1
                 continue
+            def key(r):
+                return tuple((x is None, str(norm(x))) for x in r)
             grows = sorted(
-                [tuple(norm(row[c]) for c in gcols) for row in got.to_pylist()],
-                key=lambda r: tuple((x is None, str(x)) for x in r))
+                [tuple(row[c] for c in gcols) for row in got.to_pylist()], key=key)
             wrows = sorted(
-                [tuple(norm(row[c]) for c in wcols) for row in want.to_pylist()],
-                key=lambda r: tuple((x is None, str(x)) for x in r))
+                [tuple(row[c] for c in wcols) for row in want.to_pylist()], key=key)
             if len(grows) != len(wrows):
                 print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
                 n_fail += 1
                 continue
             bad = None
             for i, (g, w) in enumerate(zip(grows, wrows)):
-                if g != w:
+                if not eq_row(g, w):
                     bad = (i, g, w)
                     break
             if bad:
