@@ -13,17 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of elementwise products as double (dot product). */
+  /** Dot product as double, via the native codegen expression
+    * (same index-order accumulation as the interpreted
+    * aggregate(zip_with(...)) formulation — bit-equal results). */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.FloatDotProduct(a, b)
 
   /** Attach the L2 norm once per vector (computed before the join so
     * it isn't recomputed per candidate pair). */
   def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame =
-    df.withColumn(normCol,
-      sqrt(aggregate(col(vecCol), lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double"))))
+    df.withColumn(normCol, sqrt(dot(col(vecCol), col(vecCol))))
 
   /** Brute-force cosine top-k: for each query vector, the k most
     * similar candidates (self-pairs excluded). Queries are expected to
