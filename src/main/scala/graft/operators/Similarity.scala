@@ -51,16 +51,16 @@ object Similarity {
     * from a hash so executors need no shared state or broadcast of
     * plane matrices. */
   def lshBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
-    def planeSign(b: Int, i: Int): Double = {
+    def planeSign(b: Int, i: Int): Float = {
       // deterministic pseudo-random ±1, baked into the plan as literals
       var h = b * 1000003 + i * 0x9e3779b9
       h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
-      if ((h & 1) == 0) 1.0 else -1.0
+      if ((h & 1) == 0) 1.0f else -1.0f
     }
     val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map { i =>
-        element_at(col(vecCol), i + 1).cast("double") * lit(planeSign(b, i))
-      }.reduce(_ + _)
+      // projection = native dot against the literal ±1 plane vector
+      val plane = typedLit(Array.tabulate(dim)(i => planeSign(b, i)))
+      val proj = graft.expressions.FloatDotProduct(col(vecCol), plane)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce(_ + _))
