@@ -124,10 +124,21 @@ object Dedup {
     val dict = freq.select(col("sh"),
       (row_number().over(Window.orderBy(col("df"), col("sh"))) - 1).as("sid"))
     val shId = sh.join(broadcast(dict), "sh").select(col("doc"), col("sid"))
-    // one shuffle builds the per-doc sorted sid set; prefixes and exact
-    // verification both derive from it (no window passes)
+    // adaptive verification strategy: with a small shingle vocabulary
+    // (dictionary-encodable into a fixed-width bitset) pairwise
+    // intersection is AND+popcount over |vocab|/64 words; otherwise a
+    // sorted-int-set merge. The vocabulary count costs one extra job.
+    val vocab = dict.count()
+    val useBitmap = vocab <= 65536
+    // one shuffle builds the per-doc sid set (+ bitmap); prefixes and
+    // exact verification both derive from it (no window passes)
+    val setAggs =
+      Seq(sort_array(collect_list("sid")).as("set")) ++
+        (if (useBitmap)
+          Seq(graft.expressions.BitmapAggregate(col("sid"), vocab.toInt).as("bm"))
+        else Nil)
     val sets = shId.groupBy("doc")
-      .agg(sort_array(collect_list("sid")).as("set"))
+      .agg(setAggs.head, setAggs.tail: _*)
       .withColumn("n", size(col("set")))
     // prefix filter: a J>=t pair shares one of each side's
     // n - ceil(t*n) + 1 rarest shingles (set is sorted rarest-first)
@@ -147,12 +158,18 @@ object Dedup {
           lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact verification on the sorted int sets
+    // exact verification: bitmap AND+popcount or sorted-set merge
+    val verifyCols =
+      if (useBitmap) Seq(col("doc"), col("bm"), col("n"))
+      else Seq(col("doc"), col("set"), col("n"))
+    val vsets = sets.select(verifyCols: _*)
+    val interExpr =
+      if (useBitmap) graft.expressions.BitmapAndCount(col("sa.bm"), col("sb.bm"))
+      else graft.expressions.SortedIntersectCount(col("sa.set"), col("sb.set"))
     cands
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
-      .withColumn("inter",
-        graft.expressions.SortedIntersectCount(col("sa.set"), col("sb.set")))
+      .join(vsets.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(vsets.as("sb"), col("doc_b") === col("sb.doc"))
+      .withColumn("inter", interExpr)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
