@@ -330,6 +330,16 @@ object SparkEntry {
         .groupBy("user_id", "sess_idx")
         .agg(count("*").as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
     }),
+    "q38_multimodal_meta" -> ((s, dir) => {
+      // multimodal plumbing over a deterministic fake corpus (no media
+      // table in testdata; codec stubbed — see Multimodal). Rows-only
+      // driver check: not SQL-expressible (binary decode).
+      val corpus = Multimodal.fakeCorpus(s, 300)
+      Multimodal.metaTable(Multimodal.decode(corpus, "media_id", "content"))
+        .groupBy("kind")
+        .agg(count("*").as("n"), sum("byteSize").as("total_bytes"),
+          avg(col("width")).as("avg_width"))
+    }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")

@@ -157,7 +157,10 @@ object Dedup {
           col("b.n") >= ceilT(col("a.n") * lit(t)) &&
           lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+    // NOTE: candidates may repeat (a pair can share several prefix
+    // shingles); dedup happens after the threshold filter, when only
+    // true near-dups remain — far cheaper than a distinct shuffle of
+    // the full candidate set
     // exact verification: bitmap AND+popcount or sorted-set merge
     val verifyCols =
       if (useBitmap) Seq(col("doc"), col("bm"), col("n"))
@@ -174,5 +177,6 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
   }
 }
