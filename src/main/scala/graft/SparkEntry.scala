@@ -204,6 +204,15 @@ object SparkEntry {
         TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
         col("n_chars"))
     }),
+    "q39_percentiles" -> ((s, dir) => {
+      // exact interpolated quantiles (matches DuckDB quantile_cont)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count("*").as("n"))
+    }),
     "q37_token_count" -> ((s, dir) => {
       // token counting two ways: whitespace and a BPE-ish regex
       // (letter runs / digit runs / single punctuation) — same regex
@@ -505,6 +514,11 @@ object SparkEntry {
          |  n_chars
          |FROM toks""".stripMargin,
     "q21_lang_id" -> langIdSql,
+    "q39_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q37_token_count" ->
       s"""WITH toks AS ($toksCte)
          |SELECT doc_id, len(t) AS ws_tokens,
