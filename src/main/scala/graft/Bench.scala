@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE: coalesce shuffle partitions toward the advisory size
+      // instead of maximizing parallelism — avoids per-task scheduling
+      // overhead dominating small-SF runs while staying correct at
+      // scale (Spark performance-tuning guidance)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
