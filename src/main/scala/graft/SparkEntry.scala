@@ -266,6 +266,13 @@ object SparkEntry {
       Similarity.annTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, nBits = 4, dim = 64)
     }),
+    "q40_ivf_ann" -> ((s, dir) => {
+      // IVF ANN: k-means cells + multi-probe exact re-rank (rows-only
+      // driver check: approximate, quantizer not SQL-expressible)
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+    }),
     // ── finance-style aggregates & windows ──────────────────────────
     "q31_vwap" -> ((s, dir) => {
       // VWAP per part per order-year: sum(p*q)/sum(q) where

@@ -83,6 +83,85 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * vector to its nearest centroid; queries probe only the `nProbe`
+    * nearest cells and re-rank exactly inside them. The quantizer is
+    * deliberately tiny (it is a routing table, not a model): trained
+    * driver-side on a bounded sample, shipped as plan literals, with
+    * deterministic initialization (first k sample vectors by id) and a
+    * fixed iteration count so results are reproducible. Assignment and
+    * scoring run through the native `FloatDotProduct`.
+    *
+    * At corpus scale: centroid count ~ sqrt(n) keeps cells balanced;
+    * the candidate join shuffles by cell id instead of cross-joining. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      sampleSize: Int = 2000, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Row
+    // 1. bounded deterministic sample -> driver k-means
+    val sample: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(sample.length >= nCentroids, "sample smaller than centroid count")
+    var centroids: Array[Array[Float]] = sample.take(nCentroids).map(_.clone())
+    val dim = centroids.head.length
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < nCentroids) {
+          val d = sqDist(v, centroids(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
+      }.toArray
+    }
+    // 2. cell assignment as an expression: argmin ||v||^2-2v.c+||c||^2
+    //    == argmin (||c||^2 - 2 v.c); ties -> lowest cell id
+    def cellScores(vec: org.apache.spark.sql.Column) =
+      centroids.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x.toDouble * x).sum
+        struct((lit(c2) - lit(2.0) * graft.expressions.FloatDotProduct(
+          vec, typedLit(c))).as("d"), lit(j).as("cell"))
+      }
+    def nearestCell(vec: org.apache.spark.sql.Column) =
+      array_min(array(cellScores(vec): _*)).getField("cell")
+    def probeCells(vec: org.apache.spark.sql.Column, p: Int) =
+      transform(slice(array_sort(array(cellScores(vec): _*)), 1, p),
+        s => s.getField("cell"))
+
+    val c = withNorm(candidates.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cv")), "cv", "cn")
+      .withColumn("cell", nearestCell(col("cv")))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv")), "qv", "qn")
+      .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
+    // 3. cell-local exact re-rank
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF/LSH-bucketed ANN: join query and candidate sides on bucket id,
     * exact cosine re-rank within bucket. Misses across bucket walls are
     * the approximation cost; multi-probe = union over bit-flipped

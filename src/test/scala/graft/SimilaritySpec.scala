@@ -38,6 +38,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("ivf topk recalls exact neighbors on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    // probing half the cells must recover most exact neighbors
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    // determinism: second run identical
+    val ivf2 = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ivf === ivf2)
+  }
+
   test("ann lsh co-buckets identical vectors and finds them") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val ann = Similarity.annTopK(dup, vecs.union(dup.toDF("vec_id", "embedding")),
