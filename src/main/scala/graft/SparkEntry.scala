@@ -204,6 +204,17 @@ object SparkEntry {
         TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
         col("n_chars"))
     }),
+    "q41_rolling_24h" -> ((s, dir) => {
+      // RANGE-frame rolling window: trailing 24h per user on event time
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-86399999999L, 0L)
+      tbl(s, dir, "events")
+        .where(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count("*").over(w).as("n_24h"),
+          avg("value").over(w).as("avg_24h"))
+    }),
     "q39_percentiles" -> ((s, dir) => {
       // exact interpolated quantiles (matches DuckDB quantile_cont)
       tbl(s, dir, "events")
@@ -521,6 +532,12 @@ object SparkEntry {
          |  n_chars
          |FROM toks""".stripMargin,
     "q21_lang_id" -> langIdSql,
+    "q41_rolling_24h" ->
+      """SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS n_24h, avg(value) OVER w AS avg_24h
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q39_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,
