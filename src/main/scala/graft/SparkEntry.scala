@@ -266,6 +266,12 @@ object SparkEntry {
     "q28_simhash" -> ((s, dir) => {
       Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
     }),
+    "q42_rolling_fingerprint" -> ((s, dir) => {
+      // single-pass Rabin-Karp fingerprint (custom codegen expression;
+      // rows-only driver check — not SQL-expressible in the oracle)
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.RollingHashMin(col("text"), lit(16)).as("fp"))
+    }),
     // ── corpus pipeline: similarity search ──────────────────────────
     "q26_cosine_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
