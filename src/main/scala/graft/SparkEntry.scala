@@ -147,8 +147,9 @@ object SparkEntry {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(count("*").as("n"), sum("value").as("volume"),
           min("value").as("low"), max("value").as("high"),
-          min_by(col("value"), col("ts")).as("open"),
-          max_by(col("value"), col("ts")).as("close"))
+          // unique (ts, event_id) tiebreak (hard rule 4)
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
     }),
     "q15_dedup_first" -> ((s, dir) => {
       val ev = tbl(s, dir, "events").withColumn("day", to_date(col("ts")))
@@ -324,7 +325,8 @@ object SparkEntry {
       tbl(s, dir, "events")
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(ohlc(unix_micros(col("ts").cast("timestamp")), col("value")).as("o"))
+        .agg(ohlc(unix_micros(col("ts").cast("timestamp")), col("event_id"),
+          col("value")).as("o"))
         .select(col("user_id"), col("day"),
           col("o.open").as("open"), col("o.high").as("high"),
           col("o.low").as("low"), col("o.close").as("close"),
@@ -381,7 +383,8 @@ object SparkEntry {
           right = ev.where(col("event_type") === "click"),
           keyCols = Seq("user_id"),
           leftTime = "ts", rightTime = "ts",
-          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"))
+          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"),
+          rightTie = Seq("event_id"))
         .select("event_id", "user_id", "ts", "value",
           "last_click_ts", "last_click_value")
     })
@@ -496,7 +499,8 @@ object SparkEntry {
     "q14_hour_bars" ->
       """SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
         |  sum(value) AS volume, min(value) AS low, max(value) AS high,
-        |  min_by(value, ts) AS open, max_by(value, ts) AS close
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  last(value ORDER BY ts, event_id) AS close
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "q15_dedup_first" ->
       """SELECT event_id, user_id, event_type, day, ts FROM (
@@ -604,8 +608,9 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q33_ohlc_fold" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
-        |  min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
-        |  max_by(value, ts) AS close, sum(value) AS volume, count(*) AS n
+        |  first(value ORDER BY ts, event_id) AS open, max(value) AS high,
+        |  min(value) AS low, last(value ORDER BY ts, event_id) AS close,
+        |  sum(value) AS volume, count(*) AS n
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
     "q31_vwap" ->

@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first implementation (SURVEY §4: union + window, no custom
   * physical operator needed): tag both sides, union by the shared key +
-  * time, and carry the right side's latest values forward with
-  * `last(..., ignoreNulls)` over a key-partitioned, time-ordered window.
-  * One shuffle by key, per-key sort — identical data movement to a
-  * sort-merge as-of join, and skew-safe under AQE. Left rows then
-  * filter back out with the matched right columns attached.
+  * time, and carry the right side's latest row forward as ONE struct
+  * with `last(struct, ignoreNulls)` over a key-partitioned,
+  * time-ordered window. Carrying a single struct (not one `last` per
+  * column) means a matched right row whose value column is genuinely
+  * NULL keeps that NULL — an older row's value is never substituted
+  * field-by-field. One shuffle by key, per-key sort — identical data
+  * movement to a sort-merge as-of join, and skew-safe under AQE. Left
+  * rows then filter back out with the matched right columns attached.
   *
   * Ties (right.time == left.time) match, i.e. the join is "most recent
   * right event with rightTime <= leftTime" — DuckDB `ASOF JOIN`
-  * semantics, which the oracle uses.
+  * semantics, which the oracle uses. Ties *among right rows* at equal
+  * (key, time) resolve deterministically to the greatest `rightTie`
+  * value (hard rule 4) when tie columns are supplied.
   */
 object AsOfJoin {
 
@@ -30,6 +35,9 @@ object AsOfJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param rightVals right (srcCol, attachedName) pairs, order preserved
+    * @param rightTie  right-side columns breaking ties at equal
+    *                  (key, rightTime); the row with the greatest tie
+    *                  tuple wins. Pass a unique id for determinism.
     */
   def asOf(
       left: DataFrame,
@@ -37,26 +45,36 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[(String, String)]): DataFrame = {
+      rightVals: Seq[(String, String)],
+      rightTie: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     val rSelect = keyCols.map(col) ++
       Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-      rightVals.map { case (src, dst) => col(src).as(s"__r_$dst") }
+      rightTie.zipWithIndex.map { case (c, i) => col(c).as(s"__tie$i") } ++
+      Seq(struct(rightVals.map { case (src, dst) => col(src).as(dst) }: _*)
+        .as("__r"))
     val r = right.select(rSelect: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal time (__side 0 < 1) so
     // an equal-time right row is visible to the left row — ASOF <=.
+    // Among tied right rows, ascending tie order makes the greatest tie
+    // tuple the last seen, i.e. the winner. Left rows' __tie is NULL
+    // (sorts first) — irrelevant, they carry no __r.
+    val ordering = Seq(col("__t"), col("__side")) ++
+      rightTie.indices.map(i => col(s"__tie$i"))
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.map(_._2).foldLeft(unioned) { (df, dst) =>
-      df.withColumn(dst, last(col(s"__r_$dst"), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    val attached = rightVals.map(_._2).foldLeft(carried) { (df, dst) =>
+      df.withColumn(dst, col("__match").getField(dst))
     }
-    carried
+    attached
       .where(col("__side") === 1)
       .select((leftCols ++ rightVals.map(_._2)).map(col): _*)
   }

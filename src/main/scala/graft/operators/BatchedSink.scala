@@ -19,6 +19,10 @@ import org.apache.spark.util.LongAccumulator
   */
 object BatchedSink {
 
+  /** Counts carry AT-LEAST-ONCE semantics: accumulators double-count
+    * under task retries (Spark re-runs `flush` too — make it
+    * idempotent, as the reference's keyed-overwrite sink is). For an
+    * exact count, read the sink back after the write. */
   final case class Report(written: Long, batches: Long)
 
   /** @param flush called once per batch on the executor; must be
@@ -26,6 +30,8 @@ object BatchedSink {
   def write[T](ds: Dataset[T], batchSize: Int, limit: Option[Long] = None)(
       flush: Seq[T] => Unit): Report = {
     require(batchSize > 0, "batchSize must be positive")
+    limit.foreach(n => require(n > 0 && n <= Int.MaxValue,
+      s"limit must be in (0, ${Int.MaxValue}]: $n"))
     val spark = ds.sparkSession
     val rows: LongAccumulator = spark.sparkContext.longAccumulator("graft.sink.rows")
     val batches: LongAccumulator = spark.sparkContext.longAccumulator("graft.sink.batches")

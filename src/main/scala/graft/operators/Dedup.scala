@@ -119,10 +119,14 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
     // dictionary-encode shingles, rarest first: sid order == (df, sh)
     // order, so per-doc sid order is the canonical prefix order and all
-    // later joins/intersections run on ints, not shingle strings
+    // later joins/intersections run on ints, not shingle strings.
+    // OrderedIndex (range sort + zipWithIndex) keeps the allocation
+    // parallel — a global row_number window would single-partition the
+    // whole vocabulary.
     val freq = sh.groupBy("sh").agg(count("*").as("df"))
-    val dict = freq.select(col("sh"),
-      (row_number().over(Window.orderBy(col("df"), col("sh"))) - 1).as("sid"))
+    val dict = OrderedIndex
+      .attach(freq, Seq(col("df"), col("sh")), "sid64")
+      .select(col("sh"), col("sid64").cast("int").as("sid"))
     val shId = sh.join(broadcast(dict), "sh").select(col("doc"), col("sid"))
     // adaptive verification strategy: with a small shingle vocabulary
     // (dictionary-encodable into a fixed-width bitset) pairwise

@@ -63,14 +63,37 @@ object OrderedMerge {
 
   /** Order-invariant check (the reference's `sortedLogger` test fold,
     * `marketdb-loader/src/test/scala/.../ScalazIterateeTests.scala:67-84`):
-    * count of adjacent inversions; 0 ⇔ stream is non-decreasing in
-    * `timeCol`. Distributed via a lag window over a single ordering. */
+    * count of adjacent inversions in the frame's CURRENT row order
+    * (partitions in index order, rows in partition order); 0 ⇔ the
+    * stream is non-decreasing in `timeCol`. Checked per-partition in
+    * parallel plus one tiny driver pass over per-partition (first,
+    * last) boundaries — a window ordered by `timeCol` itself would
+    * re-sort the data and make the check vacuous. Nulls are skipped. */
   def inversions(df: DataFrame, timeCol: String): Long = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(timeCol))
-    df.select(col(timeCol))
-      .withColumn("prev", lag(col(timeCol), 1).over(w))
-      .where(col("prev") > col(timeCol))
-      .count()
+    val parts = df.select(col(timeCol)).rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var inv = 0L
+        var first: Comparable[Any] = null
+        var prev: Comparable[Any] = null
+        it.foreach { row =>
+          val v = if (row.isNullAt(0)) null
+            else row.get(0).asInstanceOf[Comparable[Any]]
+          if (v != null) {
+            if (prev != null && prev.compareTo(v) > 0) inv += 1
+            if (first == null) first = v
+            prev = v
+          }
+        }
+        Iterator.single((idx, inv, first, prev))
+      }
+      .collect().sortBy(_._1)
+    val within = parts.map(_._2).sum
+    val nonEmpty = parts.filter(_._3 != null)
+    val boundary = nonEmpty.sliding(2).count {
+      case Array((_, _, _, prevLast), (_, _, nextFirst, _)) =>
+        prevLast.compareTo(nextFirst) > 0
+      case _ => false
+    }
+    within + boundary
   }
 }

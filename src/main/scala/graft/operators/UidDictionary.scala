@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity dictionary (UID subsystem) — the reference maps entity
@@ -24,12 +23,15 @@ object UidDictionary {
 
   /** Build a fresh dictionary `(name, uid)` from the distinct values of
     * `nameCol`, ids dense from 1 in lexicographic name order
-    * (deterministic across reruns — SURVEY §7 "Hard parts"). */
+    * (deterministic across reruns — SURVEY §7 "Hard parts").
+    * Allocation via OrderedIndex (range sort + zipWithIndex) so a
+    * many-million-entity dictionary never funnels through one task. */
   def build(df: DataFrame, nameCol: String): DataFrame =
-    df.select(col(nameCol).as("name"))
-      .where(col("name").isNotNull)
-      .distinct()
-      .withColumn("uid", row_number().over(Window.orderBy(col("name"))).cast("long"))
+    OrderedIndex.attach(
+      df.select(col(nameCol).as("name"))
+        .where(col("name").isNotNull)
+        .distinct(),
+      Seq(col("name")), "uid", startAt = 1L)
 
   /** Extend an existing dictionary with any new names, never renumbering
     * existing entries (ids are immutable and never reused,
@@ -38,12 +40,12 @@ object UidDictionary {
   def extend(existing: DataFrame, df: DataFrame, nameCol: String,
       maxWidthBytes: Int = 8): DataFrame = {
     val maxId = existing.agg(coalesce(max(col("uid")), lit(0L))).head().getLong(0)
-    val fresh = df.select(col(nameCol).as("name"))
-      .where(col("name").isNotNull)
-      .distinct()
-      .join(existing.select("name"), Seq("name"), "left_anti")
-      .withColumn("uid",
-        (row_number().over(Window.orderBy(col("name"))) + lit(maxId)).cast("long"))
+    val fresh = OrderedIndex.attach(
+      df.select(col(nameCol).as("name"))
+        .where(col("name").isNotNull)
+        .distinct()
+        .join(existing.select("name"), Seq("name"), "left_anti"),
+      Seq(col("name")), "uid", startAt = maxId + 1)
     val capacity = if (maxWidthBytes >= 8) Long.MaxValue else (1L << (8 * maxWidthBytes)) - 1
     val newMax = fresh.agg(coalesce(max(col("uid")), lit(0L))).head().getLong(0)
     require(newMax <= capacity,

@@ -24,16 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesTable {
 
-  /** Write `df` as a partitioned, sorted time-series table. */
+  /** Write `df` as a partitioned, sorted time-series table.
+    *
+    * `repartition` hashes on the partition columns (plus a salt bucket
+    * when `filesPerDate > 1`), so write parallelism scales with the
+    * number of (market, date) partitions — one task per partition per
+    * bucket, each emitting one file. A numeric-only `repartition(n,
+    * cols)` would cap TOTAL parallelism at n, funnelling the whole
+    * table through n tasks regardless of partition count. */
   def write(df: DataFrame, path: String, marketCol: String, timeCol: String,
-      securityCol: String, filesPerDate: Int = 1): Unit =
-    df.withColumn("date", to_date(col(timeCol)))
-      .repartition(filesPerDate, col(marketCol), col("date"))
+      securityCol: String, filesPerDate: Int = 1): Unit = {
+    require(filesPerDate > 0, "filesPerDate must be positive")
+    val dated = df.withColumn("date", to_date(col(timeCol)))
+    val (bucketed, partCols) =
+      if (filesPerDate == 1) (dated, Seq(col(marketCol), col("date")))
+      else (dated.withColumn("__bucket",
+        pmod(hash(col(securityCol)), lit(filesPerDate))),
+        Seq(col(marketCol), col("date"), col("__bucket")))
+    bucketed
+      .repartition(partCols: _*)
       .sortWithinPartitions(col(marketCol), col("date"), col(securityCol), col(timeCol))
+      .drop("__bucket")
       .write
       .mode("overwrite")
       .partitionBy(marketCol, "date")
       .parquet(path)
+  }
 
   /** Open the table; series/time predicates applied on top of this
     * prune partitions (see SeriesScan.scan). */

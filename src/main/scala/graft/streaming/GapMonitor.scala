@@ -47,16 +47,22 @@ object GapMonitor {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            val prevLast = state.getOption.map(_.lastTsMs)
+            // events at or before the stored watermark were already
+            // considered in a prior batch — re-examining them could
+            // re-detect and double-emit the same gap when a batch
+            // arrives entirely out of order
+            val floor = prevLast.getOrElse(Long.MinValue)
+            val sorted = rows.map(_.ts.getTime).filter(_ > floor).toArray.sorted
             if (sorted.isEmpty) Iterator.empty
             else {
-              val prevLast = state.getOption.map(_.lastTsMs)
               val seq = prevLast.toArray ++ sorted
               val gaps = seq.sliding(2).collect {
                 case Array(a, b) if b - a > gapMs =>
                   Gap(key, new Timestamp(a), new Timestamp(b), b - a)
               }.toVector
               val n = state.getOption.map(_.count).getOrElse(0L) + sorted.length
+              // watermark is monotone by construction (sorted.last > floor)
               state.update(SeriesState(sorted.last, n))
               if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
               gaps.iterator

@@ -36,4 +36,35 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(joined(2).getAs[Double]("last_px") === 102.0)
     assert(joined(3).getAs[Double]("last_px") === 200.0)
   }
+
+  test("a matched row's NULL field stays NULL (struct carry, not per-column)") {
+    val trades = Seq((1L, "A", ts(40))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(10), Some(100.0), 1L), // older quote with a real px
+      ("A", ts(30), None, 2L)         // the as-of match; px genuinely NULL
+    ).toDF("sym", "qts", "px", "qid")
+    val joined = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "qts",
+      Seq("px" -> "last_px", "qts" -> "last_qts"), rightTie = Seq("qid"))
+      .collect()
+    assert(joined.length === 1)
+    // per-column last(ignoreNulls) would wrongly substitute 100.0 here
+    assert(joined(0).isNullAt(joined(0).fieldIndex("last_px")))
+    assert(joined(0).getAs[Timestamp]("last_qts") === ts(30))
+  }
+
+  test("right-side ties at equal (key, ts) resolve to greatest tie value") {
+    val trades = Seq((1L, "A", ts(25))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(20), 101.0, 5L),
+      ("A", ts(20), 109.0, 9L), // same qts; greatest qid must win
+      ("A", ts(20), 103.0, 3L)
+    ).toDF("sym", "qts", "px", "qid")
+    (1 to 3).foreach { parts =>
+      val joined = AsOfJoin.asOf(trades, quotes.repartition(parts),
+        Seq("sym"), "ts", "qts", Seq("px" -> "last_px"), rightTie = Seq("qid"))
+        .collect()
+      assert(joined.length === 1)
+      assert(joined(0).getAs[Double]("last_px") === 109.0, s"parts=$parts")
+    }
+  }
 }

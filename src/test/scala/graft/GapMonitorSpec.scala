@@ -47,5 +47,17 @@ class GapMonitorSpec extends AnyFunSuite with SparkTestBase {
     val batch2 = spark.read.parquet(out).as[GapMonitor.Gap].collect()
     assert(batch2.map(g => (g.key, g.gapMs)).toSet ===
       Set(("A", 19000L), ("B", 100000L)))
+
+    // batch 3: an entirely-late batch for A (all events before the stored
+    // watermark of 20s) must NOT rewind state or re-emit the 19s gap —
+    // and a following batch continues from the 20s watermark, not 3s
+    Seq(("A", ts(2)), ("A", ts(3))).toDF("key", "ts")
+      .write.mode("append").parquet(in)
+    run()
+    Seq(("A", ts(40))).toDF("key", "ts").write.mode("append").parquet(in)
+    run()
+    val batch4 = spark.read.parquet(out).as[GapMonitor.Gap].collect()
+    assert(batch4.map(g => (g.key, g.gapMs)).toSet ===
+      Set(("A", 19000L), ("B", 100000L), ("A", 20000L)))
   }
 }

@@ -47,16 +47,21 @@ class OrderedMergeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.select("stream").collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
   }
 
-  test("inversions detects out-of-order streams") {
-    val bad = Seq((1L, ts(1000)), (2L, ts(0))).toDF("id", "time")
-    assert(OrderedMerge.inversions(bad.orderBy(col("id")), "time") === 0) // sorted check is on time order
-    // an unsorted-by-time frame exposed via monotonically increasing id order
-    val unsorted = Seq((1L, ts(1000)), (2L, ts(0)), (3L, ts(2000))).toDF("id", "time")
-    // count inversions over id order by faking time column order
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("id")
-    val inv = unsorted.withColumn("prev", lag(col("time"), 1).over(w))
-      .where(col("prev") > col("time")).count()
-    assert(inv === 1)
+  test("inversions detects out-of-order streams in physical row order") {
+    // id order == (1000ms, 0ms, 2000ms): one adjacent inversion
+    val unsorted = Seq((1L, ts(1000)), (2L, ts(0)), (3L, ts(2000)))
+      .toDF("id", "time").coalesce(1).orderBy(col("id"))
+    assert(OrderedMerge.inversions(unsorted, "time") === 1)
+    // sorting by time fixes it
+    assert(OrderedMerge.inversions(unsorted.orderBy(col("time")), "time") === 0)
+  }
+
+  test("inversions catches cross-partition boundary violations") {
+    // range-sort by id puts (id 1, t=1000) in an earlier partition than
+    // (id 2, t=0): inside each partition order is fine, the boundary isn't
+    val df = Seq((1L, ts(1000)), (2L, ts(0)), (3L, ts(2000)), (4L, ts(3000)))
+      .toDF("id", "time").repartitionByRange(2, col("id"))
+      .sortWithinPartitions("id")
+    assert(OrderedMerge.inversions(df, "time") === 1)
   }
 }
