@@ -387,6 +387,95 @@ object SparkEntry {
           rightTie = Seq("event_id"))
         .select("event_id", "user_id", "ts", "value",
           "last_click_ts", "last_click_value")
+    }),
+    // ── round-2 breadth: dedup, joins, windows, strings, subqueries ──
+    "q43_exact_dedup" -> ((s, dir) => {
+      // exact content dedup: md5-hash groups with deterministic keeper
+      Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text")
+    }),
+    "q44_embed_near_dup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs via LSH bucketing (dedup family)
+      Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64)
+    }),
+    "q45_stats_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
+          stddev_samp(col("l_quantity")).as("qty_sd"),
+          var_samp(col("l_extendedprice")).as("price_var"),
+          count("*").as("n"))
+    }),
+    "q46_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      tbl(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    "q47_outer_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").where(col("c_nationkey") === 3)
+        .select("c_custkey", "c_name")
+      val o = tbl(s, dir, "orders").where(col("o_totalprice") > 350000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q48_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").where(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+    "q49_salted_join" -> ((s, dir) => {
+      // skew-safe salted join; result row-identical to the plain join
+      val ev = tbl(s, dir, "events")
+      val dim = ev.groupBy("event_type").agg(avg("value").as("type_avg"))
+      SkewJoin.salted(
+          ev.where(col("user_id") < 50).select("event_id", "event_type", "value"),
+          dim, Seq("event_type"), saltBy = col("event_id"), nSalt = 8)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_avg"), (col("value") - col("type_avg")).as("delta"))
+    }),
+    "q50_time_buckets" -> ((s, dir) => {
+      // batch tumbling windows (reference's per-minute row-key bucketing
+      // generalized, `model/Trade.scala:24-28`); epoch-aligned 6h grid
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count("*").as("n"), avg("value").as("avg_value"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("event_type"), col("n"), col("avg_value"))
+    }),
+    "q51_string_funcs" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"),
+        levenshtein(lower(substring(col("text"), 1, 12)), lit("data pipeline"))
+          .cast("long").as("lev"),
+        translate(lower(substring(col("text"), 1, 20)), "aeiou", "AEIOU").as("tr"),
+        reverse(substring(col("text"), 1, 10)).as("rev"),
+        lpad(col("lang"), 5, "_").as("padded"))
+    }),
+    "q52_scalar_subquery" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders")
+      tbl(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+          |     WHERE o_custkey = c_custkey) AS spend
+          |FROM customer WHERE c_custkey < 200""".stripMargin)
+    }),
+    "q53_distinct_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          sum_distinct(col("l_quantity")).as("qty_distinct_sum"),
+          count("*").as("n"))
     })
   )
 
@@ -412,6 +501,39 @@ object SparkEntry {
        |  lang = (CASE $cases ELSE '${langs.last}' END) AS correct
        |FROM scores""".stripMargin
   }
+
+  /** Random-hyperplane LSH bucket as DuckDB SQL over a DOUBLE[] column —
+    * generated from the SAME `Similarity.planeSigns` the Spark plan
+    * uses, so buckets agree bit-for-bit (each float→double product is
+    * exact; both sides accumulate in index order). */
+  private def lshBucketSqlExpr(vecExpr: String, nBits: Int, dim: Int): String =
+    operators.Similarity.planeSigns(nBits, dim).zipWithIndex.map { case (p, b) =>
+      val arr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $arr) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def annLshSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${lshBucketSqlExpr("v", 4, 64)} AS bucket FROM base),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM b),
+       |scored AS (SELECT query_id, cand_id,
+       |  list_dot_product(qv, cv)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+       |  FROM c JOIN q USING (bucket) WHERE query_id <> cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  private def embedNearDupSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${lshBucketSqlExpr("v", 4, 64)} AS bucket,
+       |  sqrt(list_dot_product(v, v)) AS nrm FROM base)
+       |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       |  list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm) AS cosine
+       |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+       |WHERE list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm) >= 0.3""".stripMargin
 
   private def simhashSql: String = {
     val sums = (0 until 16).map(i =>
@@ -673,7 +795,73 @@ object SparkEntry {
         |SELECT user_id, sess_idx, count(*) AS n_events,
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM s GROUP BY user_id, sess_idx""".stripMargin,
-    // q27_ann_lsh: approximate operator, no SQL oracle (driver rows-only check)
+    "q27_ann_lsh" -> annLshSql,
+    "q43_exact_dedup" ->
+      """SELECT md5(lower(text)) AS text_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(lower(text))""".stripMargin,
+    "q44_embed_near_dup" -> embedNearDupSql,
+    "q45_stats_agg" ->
+      """SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        |  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+        |  stddev_samp(l_quantity) AS qty_sd,
+        |  var_samp(l_extendedprice) AS price_var, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q46_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q47_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |  o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3) c
+        |FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 350000.0) o
+        |ON c_custkey = o_custkey""".stripMargin,
+    "q48_window_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q49_salted_join" ->
+      """WITH dim AS (SELECT event_type, avg(value) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, type_avg,
+        |  value - type_avg AS delta
+        |FROM events e JOIN dim USING (event_type)
+        |WHERE user_id < 50""".stripMargin,
+    "q50_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+        |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+        |  event_type, count(*) AS n, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q51_string_funcs" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(lower(substr(text, 1, 12)), 'data pipeline') AS BIGINT) AS lev,
+        |  translate(lower(substr(text, 1, 20)), 'aeiou', 'AEIOU') AS tr,
+        |  reverse(substr(text, 1, 10)) AS rev,
+        |  lpad(lang, 5, '_') AS padded
+        |FROM documents""".stripMargin,
+    "q52_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+        |     WHERE o_custkey = c_custkey) AS spend
+        |FROM customer WHERE c_custkey < 200""".stripMargin,
+    "q53_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  sum(DISTINCT l_quantity) AS qty_distinct_sum, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.ts AS last_click_ts, c.value AS last_click_value

@@ -50,17 +50,23 @@ object Similarity {
     * bucket are ANN candidates. Hyperplane component h(b, i) is derived
     * from a hash so executors need no shared state or broadcast of
     * plane matrices. */
-  def lshBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
-    def planeSign(b: Int, i: Int): Float = {
-      // deterministic pseudo-random ±1, baked into the plan as literals
-      var h = b * 1000003 + i * 0x9e3779b9
-      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
-      if ((h & 1) == 0) 1.0f else -1.0f
+  /** Deterministic pseudo-random ±1 hyperplane components — shared by
+    * the Spark plan and the DuckDB oracle SQL generator so both sides
+    * compute identical buckets. */
+  def planeSigns(nBits: Int, dim: Int): IndexedSeq[Array[Float]] =
+    (0 until nBits).map { b =>
+      Array.tabulate(dim) { i =>
+        var h = b * 1000003 + i * 0x9e3779b9
+        h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+        if ((h & 1) == 0) 1.0f else -1.0f
+      }
     }
-    val bits = (0 until nBits).map { b =>
+
+  def lshBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    val planes = planeSigns(nBits, dim)
+    val bits = planes.zipWithIndex.map { case (p, b) =>
       // projection = native dot against the literal ±1 plane vector
-      val plane = typedLit(Array.tabulate(dim)(i => planeSign(b, i)))
-      val proj = graft.expressions.FloatDotProduct(col(vecCol), plane)
+      val proj = graft.expressions.FloatDotProduct(col(vecCol), typedLit(p))
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce(_ + _))
