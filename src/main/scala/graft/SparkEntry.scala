@@ -476,6 +476,27 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           sum_distinct(col("l_quantity")).as("qty_distinct_sum"),
           count("*").as("n"))
+    }),
+    "q54_simhash_pairs" -> ((s, dir) => {
+      // banded SimHash near-dup join (exact for hamming <= 3)
+      Dedup.simhashNearDup(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
+    "q55_range_join" -> ((s, dir) => {
+      // point-in-interval join via time bucketing: clicks inside each
+      // user's daily purchase span
+      val ev = tbl(s, dir, "events")
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("t_us"))
+      val spans = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(unix_micros(min(col("ts")).cast("timestamp")).as("s_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("e_us"))
+      RangeJoin.pointInInterval(clicks, spans, Seq("user_id"),
+          "t_us", "s_us", "e_us", bucketUs = 6L * 3600 * 1000000)
+        .groupBy("user_id", "day")
+        .agg(count("*").as("n_clicks"))
     })
   )
 
@@ -535,16 +556,28 @@ object SparkEntry {
        |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
        |WHERE list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm) >= 0.3""".stripMargin
 
-  private def simhashSql: String = {
+  /** CTE chain ending in `sims(doc_id, simhash)` — shared by q28 and
+    * the q54 banded near-dup pair oracle. */
+  private def simhashCteSql: String = {
     val sums = (0 until 16).map(i =>
       s"sum(CASE WHEN strpos('89abcdef', substr(md5(tok), ${i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS p$i")
       .mkString(", ")
     val bits = (0 until 16).map(i =>
       s"CASE WHEN p$i > 0 THEN ${1L << (15 - i)} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
-       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    s"""toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
+       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)""".stripMargin
   }
+
+  private def simhashSql: String =
+    s"WITH $simhashCteSql\nSELECT doc_id, simhash FROM sims"
+
+  private def simhashPairsSql: String =
+    s"""WITH $simhashCteSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -862,6 +895,16 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  sum(DISTINCT l_quantity) AS qty_distinct_sum, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q54_simhash_pairs" -> simhashPairsSql,
+    "q55_range_join" ->
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(ts) AS s0, max(ts) AS e0
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT s.user_id, s.day, count(*) AS n_clicks
+        |FROM spans s JOIN c ON s.user_id = c.user_id
+        |  AND c.ts >= s.s0 AND c.ts <= s.e0
+        |GROUP BY s.user_id, s.day""".stripMargin,
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.ts AS last_click_ts, c.value AS last_click_value

@@ -99,6 +99,38 @@ object Dedup {
     docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs via banded join — EXACT for
+    * `maxHamming <= 3` by pigeonhole: split the 16-bit fingerprint into
+    * 4 bands of 4 bits; a pair differing in at most 3 bits must agree
+    * on at least one whole band, so the band-value equi-join (shuffle
+    * on short keys) finds every qualifying pair without the n² cross
+    * join; exact Hamming distance then verifies candidates. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantee only holds for maxHamming <= 3")
+    val sigs = simhash(docs, idCol, textCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))
+    }
+    val bands = sigs
+      .select(col(idCol).as("doc"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // a pair can agree on several bands — one row per pair (hamming
+      // is functionally determined by the pair, min is a no-op pick)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"))
+  }
+
   /** n-gram Jaccard near-dup pairs, exact, with PPJoin-style prefix
     * filtering (Chaudhuri et al., "A Primitive Operator for Similarity
     * Joins"): a pair with J >= t must share at least one of each doc's
