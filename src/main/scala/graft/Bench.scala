@@ -18,17 +18,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT/codegen paths and parquet footers, so per-query
     // numbers reflect steady state rather than first-query startup.
-    // One tiny representative query per hot code path (join+agg,
-    // text/shingle expressions, embedding arrays) at the smallest SF.
+    // The full catalog runs once at the smallest SF: generated codegen
+    // sources are SF-independent, so the compiled-class cache carries
+    // over to the measured run.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.all.foreach { t =>
       try graft.sources.Tables.load(spark, sfDir, t).schema
       catch { case _: Throwable => }
     }
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q03_join_agg", "q23_minhash_buckets", "q25_jaccard_pairs",
-      "q26_cosine_topk", "q28_simhash", "q16_gap_detect").foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).count()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count()
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -478,9 +478,10 @@ object SparkEntry {
           count("*").as("n"))
     }),
     "q54_simhash_pairs" -> ((s, dir) => {
-      // banded SimHash near-dup join (exact for hamming <= 3)
+      // banded SimHash near-dup join (exact for hamming <= 1 via
+      // 2 bands x 8 bits — buckets stay ~n/256)
       Dedup.simhashNearDup(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 1)
     }),
     "q55_range_join" -> ((s, dir) => {
       // point-in-interval join via time bucketing: clicks inside each
@@ -577,7 +578,7 @@ object SparkEntry {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -84,35 +84,53 @@ object Dedup {
   /** SimHash: positional-nibble majority hash. For each of 16 md5 hex
     * positions, a token votes +1 if its nibble's top bit is set, else
     * -1; the sign of the per-position sum forms a 16-bit fingerprint.
-    * Near-dups share most bits (compare via Hamming distance). Built
-    * from codegen'd expressions only. */
+    * Near-dups share most bits (compare via Hamming distance).
+    *
+    * Shape: explode tokens → md5 ONCE per token → 16 conditional sums
+    * in one hash aggregate (map-side partials; the shuffle carries one
+    * 16-int row per doc). A per-row array formulation
+    * (`aggregate(transform(tokens, ...))`) evaluates interpreted and
+    * recomputes the md5 per bit — 16× the hashing, off the codegen
+    * path (CLAUDE.md higher-order-function note). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bits = (0 until 16).map { i =>
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("h"))
+    val sums = (0 until 16).map { i =>
       // nibble i of md5(token); top bit set <=> hex digit >= '8'
-      val votes = transform(toks, t =>
-        when(instr(lit("89abcdef"), substring(md5(t), i + 1, 1)) > 0, 1)
-          .otherwise(-1))
-      val s = aggregate(votes, lit(0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+      sum(when(instr(lit("89abcdef"), substring(col("h"), i + 1, 1)) > 0, 1)
+        .otherwise(-1)).as(s"p$i")
     }
-    docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+    val bits = (0 until 16).map(i =>
+      when(col(s"p$i") > 0, lit(1L << (15 - i))).otherwise(lit(0L)))
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs via banded join — EXACT for
-    * `maxHamming <= 3` by pigeonhole: split the 16-bit fingerprint into
-    * 4 bands of 4 bits; a pair differing in at most 3 bits must agree
-    * on at least one whole band, so the band-value equi-join (shuffle
-    * on short keys) finds every qualifying pair without the n² cross
-    * join; exact Hamming distance then verifies candidates. */
+  /** SimHash near-dup pairs via banded join — EXACT by pigeonhole:
+    * split the 16-bit fingerprint into `maxHamming + 1` bands; a pair
+    * differing in at most `maxHamming` bits must agree on at least one
+    * whole band, so the band-value equi-join (shuffle on short keys)
+    * finds every qualifying pair without the n² cross join; exact
+    * Hamming distance then verifies candidates. Fewer, wider bands
+    * (lower maxHamming) mean exponentially smaller buckets — with a
+    * 16-bit fingerprint, maxHamming=1 (2 bands × 8 bits) keeps bucket
+    * sizes ~n/256 where maxHamming=3 (4 × 4 bits) degrades to ~n/16. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4-band pigeonhole guarantee only holds for maxHamming <= 3")
+      maxHamming: Int = 1): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 16 % nBands == 0,
+      s"maxHamming + 1 must divide the 16-bit fingerprint: $maxHamming")
+    val bandBits = 16 / nBands
+    val mask = (1L << bandBits) - 1
+    // persist: the self-join evaluates `bands` twice — without this the
+    // whole tokenize+hash+aggregate subtree runs once per side
     val sigs = simhash(docs, idCol, textCol)
-    val bandStructs = (0 until 4).map { b =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
     }
     val bands = sigs
       .select(col(idCol).as("doc"), col("simhash"),
@@ -155,7 +173,11 @@ object Dedup {
     // OrderedIndex (range sort + zipWithIndex) keeps the allocation
     // parallel — a global row_number window would single-partition the
     // whole vocabulary.
+    // persist: freq feeds three downstream actions (vocab count, dict
+    // sort+collect for broadcast, and via dict the shId join) — without
+    // it the full doc-explode + groupBy shuffle reruns per action
     val freq = sh.groupBy("sh").agg(count("*").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = OrderedIndex
       .attach(freq, Seq(col("df"), col("sh")), "sid64")
       .select(col("sh"), col("sid64").cast("int").as("sid"))
@@ -173,9 +195,13 @@ object Dedup {
         (if (useBitmap)
           Seq(graft.expressions.BitmapAggregate(col("sid"), vocab.toInt).as("bm"))
         else Nil)
+    // persist: prefix (a/b sides) and the two verification joins all
+    // re-evaluate `sets` — four runs of explode+dict-join+collect
+    // without it
     val sets = shId.groupBy("doc")
       .agg(setAggs.head, setAggs.tail: _*)
       .withColumn("n", size(col("set")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix filter: a J>=t pair shares one of each side's
     // n - ceil(t*n) + 1 rarest shingles (set is sorted rarest-first)
     val prefixLen = (col("n") - ceilT(col("n") * lit(t)) + lit(1)).cast("int")

@@ -28,8 +28,11 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q25 reuses the shared shingle subtree instead of rescanning") {
+    // reuse arrives either as exchange reuse or as the persisted
+    // doc-set cache (sets/freq are persisted inside jaccardPairs)
     val p = executedPlan("q25_jaccard_pairs")
-    assert(p.contains("ReusedExchange"), s"no exchange reuse:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      s"no subtree reuse:\n$p")
   }
 
   test("q01 aggregates with map-side partials (two-phase hash agg)") {
