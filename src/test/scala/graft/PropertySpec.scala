@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, OrderedIndex, OrderedMerge}
+
+/** Property-based invariants (SURVEY §5 rebuild test plan): time-order
+  * preservation under merge, dense-id allocation semantics, as-of join
+  * vs. brute force, parse∘format identity for the RTS time format.
+  * ScalaCheck generators sampled under fixed seeds (no scalatestplus
+  * bridge in the offline cache) — failures are reproducible. */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def ts(ms: Long) = new Timestamp(1330000000000L + ms)
+
+  test("merge of arbitrary sorted streams is non-decreasing in time") {
+    val streamsGen = Gen.listOfN(4, Gen.listOfN(20, Gen.chooseNum(0L, 100000L)))
+    samples(streamsGen, 8).foreach { streams =>
+      val dfs = streams.zipWithIndex.map { case (times, i) =>
+        times.sorted.zipWithIndex
+          .map { case (t, j) => (i.toLong * 1000 + j, ts(t)) }
+          .toDF("id", "time")
+      }
+      val merged = OrderedMerge.merge("time", dfs: _*)
+      assert(merged.count() === streams.map(_.size).sum)
+      assert(OrderedMerge.inversions(merged, "time") === 0)
+    }
+  }
+
+  test("OrderedIndex assigns exactly 0..n-1 in sort order, any partitioning") {
+    val namesGen = Gen.zip(
+      Gen.listOfN(25, Gen.identifier.map(_.take(8))), Gen.chooseNum(1, 5))
+    samples(namesGen, 8).foreach { case (names, parts) =>
+      val distinct = names.distinct.filter(_.nonEmpty)
+      val df = distinct.toDF("name").repartition(parts)
+      val got = OrderedIndex.attach(df, Seq(col("name")), "idx")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = distinct.sorted.zipWithIndex
+        .map { case (n, i) => n -> i.toLong }.toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
+  test("as-of join equals per-row brute-force latest-prior lookup") {
+    val evGen = Gen.listOfN(15,
+      Gen.zip(Gen.oneOf("A", "B"), Gen.chooseNum(0L, 50L)))
+    samples(Gen.zip(evGen, evGen), 8).foreach { case (leftRaw, rightRaw) =>
+      val left = leftRaw.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t * 1000)) }
+        .toDF("lid", "k", "t")
+      val right = rightRaw.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t * 1000), t * 1.5) }
+        .toDF("rid", "k", "rt", "v")
+      val joined = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+          Seq("v" -> "last_v"), rightTie = Seq("rid"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // brute force: row with max (rt, rid) among rt <= t per left row
+      val expected = leftRaw.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rightRaw.zipWithIndex.collect {
+          case ((rk, rt), ri) if rk == k && rt <= t => (rt, ri.toLong)
+        }
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(rightRaw(cands.max._2.toInt)._2 * 1.5))
+      }.toMap
+      assert(joined === expected)
+    }
+  }
+
+  test("RTS time parse is the inverse of format (round-trip identity)") {
+    val msGen = Gen.chooseNum(0L, 4102444800000L)
+    val ms = samples(msGen, 32)
+    val fmt = graft.model.Schemas.rtsTimeFormat
+    val bad = ms.toDF("ms")
+      .select(timestamp_millis(col("ms")).as("t"))
+      .select(col("t"),
+        to_timestamp(date_format(col("t"), fmt), fmt).as("rt"))
+      .where(col("t") =!= col("rt"))
+      .count()
+    assert(bad === 0)
+  }
+}
