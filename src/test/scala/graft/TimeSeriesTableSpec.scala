@@ -64,4 +64,29 @@ class TimeSeriesTableSpec extends AnyFunSuite with SparkTestBase {
         s"expected pruning: 0 < $prunedFiles < $allFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("filesPerDate > 1 salts into multiple files per partition, data intact") {
+    val dir = Files.createTempDirectory("tst").toString + "/salted"
+    val trades = for {
+      d <- 1 to 2; sec <- 0 until 8; i <- 0 until 5
+    } yield Trade("RTS", s"SEC-$sec", (d * 1000 + sec * 10 + i).toLong,
+      100.0 + i, 1, ts(d, i), nosystem = false)
+    // at toy scale AQE correctly coalesces the tiny salted shuffle back
+    // into one task (no small files); disable coalescing to observe the
+    // salt fan-out that large partitions would get
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try TimeSeriesTable.write(trades.toDS.toDF, dir, "market", "time",
+      "security", filesPerDate = 3)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    val partDir = new java.io.File(s"$dir/market=RTS/date=2024-01-01")
+    val files = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1 && files <= 3, s"expected 2-3 salted files, got $files")
+
+    // no __bucket column leaks; every row comes back
+    val back = TimeSeriesTable.read(spark, dir)
+    assert(!back.columns.contains("__bucket"))
+    assert(back.count() === trades.size)
+    assert(back.select("tradeId").distinct().count() === trades.size)
+  }
 }
