@@ -185,8 +185,9 @@ object Dedup {
     // adaptive verification strategy: with a small shingle vocabulary
     // (dictionary-encodable into a fixed-width bitset) pairwise
     // intersection is AND+popcount over |vocab|/64 words; otherwise a
-    // sorted-int-set merge. The vocabulary count costs one extra job.
-    val vocab = dict.count()
+    // sorted-int-set merge. Count the persisted freq (== dict size)
+    // rather than dict, whose lineage re-runs the sort+zipWithIndex.
+    val vocab = freq.count()
     val useBitmap = vocab <= 65536
     // one shuffle builds the per-doc sid set (+ bitmap); prefixes and
     // exact verification both derive from it (no window passes)
