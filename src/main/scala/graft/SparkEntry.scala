@@ -269,7 +269,7 @@ object SparkEntry {
     }),
     "q42_rolling_fingerprint" -> ((s, dir) => {
       // single-pass Rabin-Karp fingerprint (custom codegen expression;
-      // rows-only driver check — not SQL-expressible in the oracle)
+      // oracle replicates the mod-2^61-1 Horner scheme in HUGEINT)
       tbl(s, dir, "documents").select(col("doc_id"),
         graft.expressions.RollingHashMin(col("text"), lit(16)).as("fp"))
     }),
@@ -896,6 +896,23 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  sum(DISTINCT l_quantity) AS qty_distinct_sum, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Rabin-Karp min rolling hash replicated with HUGEINT Horner
+    // reduction — same B=257, M=2^61-1, byte==codepoint (corpus is
+    // ASCII; RollingHashMin hashes UTF-8 bytes)
+    "q42_rolling_fingerprint" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS n,
+        |    least(16, length(text)) AS kk FROM documents),
+        |w AS (SELECT doc_id, text, kk,
+        |    unnest(generate_series(1, n - kk + 1)) AS i
+        |  FROM docs WHERE n > 0),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(0::HUGEINT, list_transform(
+        |      generate_series(i, i + kk - 1),
+        |      j -> ord(substr(text, j, 1))::HUGEINT)),
+        |    (acc, c) -> (acc * 257 + c) % 2305843009213693951) AS hv
+        |  FROM w)
+        |SELECT doc_id, CAST(min(hv) AS BIGINT) AS fp FROM h GROUP BY doc_id
+        |UNION ALL SELECT doc_id, 0 AS fp FROM docs WHERE n = 0""".stripMargin,
     "q54_simhash_pairs" -> simhashPairsSql,
     "q55_range_join" ->
       """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
