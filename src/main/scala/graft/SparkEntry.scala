@@ -285,11 +285,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nBits = 4, dim = 64)
     }),
     "q40_ivf_ann" -> ((s, dir) => {
-      // IVF ANN: k-means cells + multi-probe exact re-rank (rows-only
-      // driver check: approximate, quantizer not SQL-expressible)
+      // IVF ANN: coarse-quantizer cells + multi-probe exact re-rank.
+      // iters=0 keeps the quantizer a pure function of the first 16
+      // vectors, so the DuckDB oracle can replicate the cells exactly
+      // (the k-means path, iters>0, is covered by SimilaritySpec).
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        iters = 0)
     }),
     // ── finance-style aggregates & windows ──────────────────────────
     "q31_vwap" -> ((s, dir) => {
@@ -830,6 +833,38 @@ object SparkEntry {
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM s GROUP BY user_id, sess_idx""".stripMargin,
     "q27_ann_lsh" -> annLshSql,
+    // IVF with the deterministic sample quantizer: cells are the first
+    // 16 vectors (iters=0 on the Spark side), assignment/probing by
+    // argmin(||c||^2 - 2 v.c) with ties to the lowest cell — identical
+    // float->double accumulation on both engines
+    "q40_ivf_ann" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cells AS (SELECT vec_id AS cell, v AS cv,
+        |    list_dot_product(v, v) AS c2 FROM base WHERE vec_id < 16),
+        |dist AS (SELECT b.vec_id, c.cell,
+        |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+        |  FROM base b CROSS JOIN cells c),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist
+        |  WHERE vec_id < 10) WHERE rn <= 4),
+        |c AS (SELECT b.vec_id AS cand_id, b.v AS cv2,
+        |    sqrt(list_dot_product(b.v, b.v)) AS cn, a.cell
+        |  FROM base b JOIN assign a USING (vec_id)),
+        |q AS (SELECT b.vec_id AS query_id, b.v AS qv,
+        |    sqrt(list_dot_product(b.v, b.v)) AS qn, p.cell
+        |  FROM base b JOIN probes p ON b.vec_id = p.vec_id),
+        |scored AS (SELECT query_id, cand_id,
+        |    list_dot_product(qv, cv2) / (qn * cn) AS cosine
+        |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id)
+        |SELECT query_id, cand_id, cosine, rank FROM (
+        |  SELECT query_id, cand_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q43_exact_dedup" ->
       """SELECT md5(lower(text)) AS text_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper_id
