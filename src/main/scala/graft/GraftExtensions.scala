@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.SortedIntersectCount
+import graft.expressions.{BitmapAndCount, FloatDotProduct, RollingHashMin, SortedIntersectCount}
 
 /** Session extensions: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too.
@@ -14,16 +14,20 @@ import graft.expressions.SortedIntersectCount
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, build: (Expression, Expression) => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, s"$name(a, b) takes exactly 2 arguments")
+      build(children.head, children(1))
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.SortedMergeUnionStrategy)
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName,
-        "sorted_intersect_count"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          "sorted_intersect_count(a, b) takes exactly 2 arguments")
-        SortedIntersectCount(children.head, children(1))
-      }))
+    ext.injectFunction(binary("sorted_intersect_count", SortedIntersectCount.apply))
+    ext.injectFunction(binary("float_dot", FloatDotProduct.apply))
+    ext.injectFunction(binary("bitmap_and_count", BitmapAndCount.apply))
+    ext.injectFunction(binary("rolling_hash_min", RollingHashMin.apply))
   }
 }

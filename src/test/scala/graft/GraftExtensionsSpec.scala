@@ -27,4 +27,27 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
   test("GraftExtensions applies without error to fresh extensions") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("float_dot and rolling_hash_min callable from SQL once registered") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot",
+      exprs => graft.expressions.FloatDotProduct(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash_min",
+      exprs => graft.expressions.RollingHashMin(exprs.head, exprs(1)),
+      "scala_udf")
+    val dot = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val h = spark.sql("SELECT rolling_hash_min('abcdef', 3) AS h")
+      .head().getLong(0)
+    // 3-byte windows of "abcdef": min of the four Horner hashes
+    val expect = "abcdef".getBytes.sliding(3)
+      .map(w => w.foldLeft(0L)((a, b) => (a * 257 + (b & 0xff)) % ((1L << 61) - 1)))
+      .min
+    assert(h === expect)
+  }
 }
