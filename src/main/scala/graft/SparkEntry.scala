@@ -501,6 +501,15 @@ object SparkEntry {
           "t_us", "s_us", "e_us", bucketUs = 6L * 3600 * 1000000)
         .groupBy("user_id", "day")
         .agg(count("*").as("n_clicks"))
+    }),
+    "q56_json_props" -> ((s, dir) => {
+      // semi-structured column: JSON path extraction + aggregation
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      tbl(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count("*").as("n"), avg("k").as("avg_k"),
+          sum("k").as("sum_k"), max("k").as("max_k"))
     })
   )
 
@@ -949,6 +958,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(hv) AS BIGINT) AS fp FROM h GROUP BY doc_id
         |UNION ALL SELECT doc_id, 0 AS fp FROM docs WHERE n = 0""".stripMargin,
     "q54_simhash_pairs" -> simhashPairsSql,
+    "q56_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  avg(json_extract(props, '$.k')::BIGINT) AS avg_k,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q55_range_join" ->
       """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |    min(ts) AS s0, max(ts) AS e0
