@@ -48,11 +48,15 @@ object OrderedMerge {
   def mergeSorted(timeCol: String, streams: DataFrame*): DataFrame = {
     require(streams.nonEmpty, "need at least one stream")
     val spark = streams.head.sparkSession
-    // idempotent strategy registration (also available via
-    // spark.sql.extensions=graft.GraftExtensions)
+    // idempotent strategy + optimizer-rule registration (also available
+    // via spark.sql.extensions=graft.GraftExtensions)
     if (!spark.experimental.extraStrategies.contains(graft.plans.SortedMergeUnionStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.SortedMergeUnionStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SortedMergeUnionLimitPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SortedMergeUnionLimitPushdown
     }
     val cols = streams.head.columns.toSeq
     val aligned = streams.map(_.select(cols.map(col): _*))
