@@ -510,6 +510,15 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count("*").as("n"), avg("k").as("avg_k"),
           sum("k").as("sum_k"), max("k").as("max_k"))
+    }),
+    "q57_sliding_windows" -> ((s, dir) => {
+      // overlapping (hopping) windows in batch: 6h window, 3h slide —
+      // every event lands in exactly two windows
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+        .agg(count("*").as("n"), avg("value").as("avg_value"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n"), col("avg_value"))
     })
   )
 
@@ -964,6 +973,14 @@ object SparkEntry {
         |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q57_sliding_windows" ->
+      """WITH x AS (SELECT time_bucket(INTERVAL '3 hours', ts) AS s0, value
+        |  FROM events),
+        |w AS (SELECT s0 AS w_start, value FROM x
+        |  UNION ALL SELECT s0 - INTERVAL '3 hours' AS w_start, value FROM x)
+        |SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
+        |  count(*) AS n, avg(value) AS avg_value
+        |FROM w GROUP BY w_start""".stripMargin,
     "q55_range_join" ->
       """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |    min(ts) AS s0, max(ts) AS e0
