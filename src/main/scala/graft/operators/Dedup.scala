@@ -165,8 +165,12 @@ object Dedup {
     // epsilon guards float round-up of t*n inside ceil: err toward the
     // looser (still exact) bound
     def ceilT(c: org.apache.spark.sql.Column) = ceil(c - lit(1e-9))
+    // persist: both the frequency aggregation and the dictionary-encode
+    // join consume the exploded shingles — one tokenize+explode pass,
+    // not two
     val sh = docs.select(col(idCol).as("doc"),
         explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dictionary-encode shingles, rarest first: sid order == (df, sh)
     // order, so per-doc sid order is the canonical prefix order and all
     // later joins/intersections run on ints, not shingle strings.
