@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: core time-series operators at 1x/2x/4x the sf0.1
+  * events table (self-union with shifted keys/time, so key cardinality
+  * and time range grow with the data — no artificial hot keys). A
+  * near-linear total per step is the evidence that the operator's
+  * shuffle/partition strategy survives scale-up; superlinear growth
+  * flags an operator that would fall over at 100 TB.
+  * Run: `sbt "runMain graft.tools.ScaleProbe [sfDir]"`. */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = graft.sources.Tables.load(spark, sfDir, "events")
+
+    def scaled(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        base
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("ts", col("ts") + expr(s"interval $i hours"))
+      }.reduce(_ unionByName _)
+
+    def time(f: => Long): (Double, Long) = {
+      def once = { val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n) }
+      val a = once; val b = once
+      (math.min(a._1, b._1), a._2)
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "hour_bars" -> (ev => ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+        .agg(count("*"), sum("value"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))))
+        .count()),
+      "sessionize" -> { ev =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tsUs = unix_micros(col("ts").cast("timestamp"))
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+            (tsUs - lag(tsUs, 1).over(w)).as("gap_us"))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess_idx", sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_idx").count().count()
+      },
+      "asof_join" -> (ev => graft.operators.AsOfJoin.asOf(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"),
+        Seq("user_id"), "ts", "ts",
+        Seq("value" -> "last_click_value"), rightTie = Seq("event_id")).count()),
+      "merge_sort" -> (ev => graft.operators.OrderedMerge.merge("ts",
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view")).count()),
+      "dedup_first" -> (ev => graft.operators.Dedup.firstByKey(
+        ev.withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "event_type", "day"), Seq("ts", "event_id")).count())
+    )
+
+    println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
+    ops.foreach { case (name, f) =>
+      Seq(1, 2, 4).foreach { m =>
+        val df = scaled(m)
+        val (sec, rows) = time(f(df))
+        println(f"[probe] $name%-12s $m%4d $rows%10d $sec%8.2f")
+      }
+    }
+    spark.stop()
+  }
+}
