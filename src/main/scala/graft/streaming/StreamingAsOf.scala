@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of enrichment — the streaming twin of
+  * `graft.operators.AsOfJoin`, and the live version of the reference's
+  * "latest order state as of each trade" fold over the merged
+  * heterogeneous stream
+  * (`marketdb-iteratee/.../MultipleTimeSeriesEnumeratorTest.scala:262-311`).
+  *
+  * A keyed `flatMapGroupsWithState` carries the latest reference-side
+  * (ts, value) per key across micro-batches: each probe event is
+  * emitted with the most recent reference value at or before its
+  * event time. Within a batch, events are processed in (ts, side)
+  * order — reference rows at equal timestamps are visible to probe
+  * rows (ASOF <= semantics, matching the batch operator). State is one
+  * small tuple per key — O(#keys), evictable via an optional
+  * processing-time idle timeout.
+  *
+  * Exactness caveat (inherent to streaming as-of): a reference event
+  * arriving in a LATER micro-batch than a probe event it should have
+  * matched cannot retroactively re-emit the probe row. Results are
+  * exact when per-key reference events are not late across batches —
+  * bound lateness upstream with a watermark on the source.
+  */
+object StreamingAsOf {
+
+  final case class In(key: String, ts: Timestamp, side: String, value: Double)
+  final case class RefState(tsMs: Long, value: Double)
+  final case class Enriched(key: String, ts: Timestamp, value: Double,
+      refTs: Timestamp, refValue: java.lang.Double)
+
+  /** @param probe "probe" side marker in `sideCol` (rows are emitted)
+    * @param ref   reference side marker (rows update state)
+    * @param idleTimeoutMs > 0 evicts idle keys (long-running streams);
+    *   0 for `Trigger.AvailableNow` runs. */
+  def enrich(events: DataFrame, keyCol: String, tsCol: String,
+      sideCol: String, valueCol: String, probe: String, ref: String,
+      idleTimeoutMs: Long = 0L): Dataset[Enriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+      col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(sideCol).cast("string").as("side"),
+      col(valueCol).cast("double").as("value")).as[In]
+
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RefState, Enriched](OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[In], state: GroupState[RefState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // ref rows sort before probe rows at equal ts => ASOF <=
+            val ordered = rows.toArray.sortBy(e =>
+              (e.ts.getTime, if (e.side == ref) 0 else 1))
+            var cur = state.getOption.orNull
+            val out = Vector.newBuilder[Enriched]
+            ordered.foreach { e =>
+              if (e.side == ref) {
+                // keep the newest reference event only (monotone state)
+                if (cur == null || e.ts.getTime >= cur.tsMs)
+                  cur = RefState(e.ts.getTime, e.value)
+              } else if (e.side == probe) {
+                // a stored ref newer than this probe (late probe) must
+                // not match: ASOF needs ref.ts <= probe.ts
+                if (cur != null && cur.tsMs <= e.ts.getTime)
+                  out += Enriched(key, e.ts, e.value,
+                    new Timestamp(cur.tsMs), cur.value)
+                else
+                  out += Enriched(key, e.ts, e.value, null, null)
+              }
+            }
+            if (cur != null) state.update(cur)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+}
