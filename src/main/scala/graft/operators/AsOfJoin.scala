@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * semantics, which the oracle uses. Ties *among right rows* at equal
   * (key, time) resolve deterministically to the greatest `rightTie`
   * value (hard rule 4) when tie columns are supplied.
+  *
+  * NULL keys: SQL join equality never matches NULL = NULL, but a
+  * window partition groups NULL keys together — left rows with NULL
+  * keys here match NULL-keyed right rows (DuckDB ASOF would yield no
+  * match). Filter NULL keys out first if SQL semantics are required;
+  * the catalog queries join on non-null series keys.
   */
 object AsOfJoin {
 

@@ -57,15 +57,19 @@ object StreamingAsOf {
         (key: String, rows: Iterator[In], state: GroupState[RefState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // ref rows sort before probe rows at equal ts => ASOF <=
+            // ref rows sort before probe rows at equal ts => ASOF <=;
+            // equal-ts ref ties order by value so the winner is
+            // deterministic regardless of iterator order (hard rule 4)
             val ordered = rows.toArray.sortBy(e =>
-              (e.ts.getTime, if (e.side == ref) 0 else 1))
+              (e.ts.getTime, if (e.side == ref) 0 else 1, e.value))
             var cur = state.getOption.orNull
             val out = Vector.newBuilder[Enriched]
             ordered.foreach { e =>
               if (e.side == ref) {
-                // keep the newest reference event only (monotone state)
-                if (cur == null || e.ts.getTime >= cur.tsMs)
+                // keep the newest reference event; equal-ts ties resolve
+                // to the greatest value (matches the sort order above)
+                if (cur == null || e.ts.getTime > cur.tsMs ||
+                    (e.ts.getTime == cur.tsMs && e.value >= cur.value))
                   cur = RefState(e.ts.getTime, e.value)
               } else if (e.side == probe) {
                 // a stored ref newer than this probe (late probe) must

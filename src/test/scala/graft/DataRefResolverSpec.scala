@@ -47,6 +47,23 @@ class DataRefResolverSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(p1)) === "payload")
   }
 
+  test("a failing fetch never half-populates the cache") {
+    val dir = Files.createTempDirectory("mirror2")
+    def bad() = new java.io.InputStream {
+      private var n = 0
+      override def read(): Int =
+        if (n < 3) { n += 1; 'x' } else throw new java.io.IOException("mid-stream")
+    }
+    intercept[java.io.IOException] {
+      DataRefResolver.cached(dir, "FT120202.zip")(bad _)
+    }
+    assert(!Files.isRegularFile(dir.resolve("FT120202.zip")))
+    // a later good fetch succeeds
+    val ok = DataRefResolver.cached(dir, "FT120202.zip")(
+      () => new ByteArrayInputStream("good".getBytes))
+    assert(new String(Files.readAllBytes(ok)) === "good")
+  }
+
   test("local resolver answers only for existing files") {
     val root = Files.createTempDirectory("archives")
     val resolver = DataRefResolver.localResolver(root.toString, "'FT'yyMMdd'.zip'")

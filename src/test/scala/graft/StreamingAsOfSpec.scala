@@ -62,5 +62,18 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkTestBase {
     val b3 = spark.read.parquet(out).as[StreamingAsOf.Enriched].collect()
       .map(e => e.value -> Option(e.refValue).map(_.toDouble)).toMap
     assert(b3(4.0) === Some(105.0))
+
+    // batch 4: equal-ts quote ties resolve deterministically to the
+    // greatest value, independent of arrival order
+    Seq(
+      ("A", ts(50), "quote", 101.0),
+      ("A", ts(50), "quote", 109.0),
+      ("A", ts(50), "quote", 103.0),
+      ("A", ts(55), "trade", 5.0)
+    ).toDF("key", "ts", "side", "value").write.mode("append").parquet(in)
+    run()
+    val b4 = spark.read.parquet(out).as[StreamingAsOf.Enriched].collect()
+      .map(e => e.value -> Option(e.refValue).map(_.toDouble)).toMap
+    assert(b4(5.0) === Some(109.0))
   }
 }
