@@ -511,6 +511,21 @@ object SparkEntry {
         .agg(count("*").as("n"), avg("k").as("avg_k"),
           sum("k").as("sum_k"), max("k").as("max_k"))
     }),
+    "q58_multimodal_pipeline" -> ((s, dir) => {
+      // full multimodal pipeline: decode -> quarantine invalids ->
+      // feature-extract -> ANN top-3 per query blob (stub codec, real
+      // operator shapes; rows-only driver check like q38)
+      val corpus = Multimodal.fakeCorpus(s, 120)
+      val decoded = Multimodal.decode(corpus, "media_id", "content")
+      val validIds = decoded.where(col("meta.valid")).select(col("id"))
+      val feats = Multimodal.features(
+        corpus.join(validIds, corpus("media_id") === validIds("id"))
+          .select("media_id", "content"),
+        "media_id", "content", dim = 16)
+        .select(col("id").as("vec_id"), col("embedding"))
+      Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
+        "vec_id", "embedding", k = 3)
+    }),
     "q57_sliding_windows" -> ((s, dir) => {
       // overlapping (hopping) windows in batch: 6h window, 3h slide —
       // every event lands in exactly two windows
