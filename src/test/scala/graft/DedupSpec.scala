@@ -55,6 +55,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "unrelated doc should be farther than near-dup")
   }
 
+  test("jaccardPairs equals brute-force pairwise jaccard on real documents") {
+    val real = graft.sources.Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 60)
+    val got = Dedup.jaccardPairs(real, "doc_id", "text", k = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over collected shingle sets
+    val sets = real.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 2).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      j = if (uni == 0) 0.0 else inter.toDouble / uni
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-12, s"pair $k") }
+    assert(want.nonEmpty, "fixture should contain some similar pairs")
+  }
+
   test("jaccardPairs surfaces exact and near duplicates above threshold") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
