@@ -511,6 +511,20 @@ object SparkEntry {
         .agg(count("*").as("n"), avg("k").as("avg_k"),
           sum("k").as("sum_k"), max("k").as("max_k"))
     }),
+    "q59_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 flavor: promo revenue share per month (part dim join
+      // + conditional aggregation)
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(trunc(col("l_shipdate"), "month").as("month")) // DateType, matches DuckDB date_trunc
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
+            / sum(rev)).as("promo_share"),
+          count("*").as("n"))
+    }),
     "q58_multimodal_pipeline" -> ((s, dir) => {
       // full multimodal pipeline: decode -> quarantine invalids ->
       // feature-extract -> ANN top-3 per query blob (stub codec, real
@@ -988,6 +1002,16 @@ object SparkEntry {
         |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q59_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |  100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)) AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY date_trunc('month', l_shipdate)""".stripMargin,
     "q57_sliding_windows" ->
       """WITH x AS (SELECT time_bucket(INTERVAL '3 hours', ts) AS s0, value
         |  FROM events),
