@@ -511,6 +511,25 @@ object SparkEntry {
         .agg(count("*").as("n"), avg("k").as("avg_k"),
           sum("k").as("sum_k"), max("k").as("max_k"))
     }),
+    "q60_order_book" -> ((s, dir) => {
+      // order-book reconstruction (custom typed Aggregator, §2.10):
+      // click=bid view=ask deltas on a floored price grid, every 7th
+      // event a cancel; top-of-book per user
+      val book = udaf(graft.functions.OrderBookAggregator.agg)
+      val ev = tbl(s, dir, "events")
+        .where(col("event_type").isin("click", "view") && col("user_id") < 20)
+        .select(col("user_id"),
+          when(col("event_type") === "click", 1).otherwise(2)
+            .cast("smallint").as("bdir"),
+          (floor(col("value") * 10) / 10.0).as("price"),
+          when(col("event_id") % 7 === 0, -1L).otherwise(1L).as("qty"))
+      ev.groupBy("user_id")
+        .agg(book(col("bdir"), col("price"), col("qty")).as("b"))
+        .select(col("user_id"),
+          col("b.bestBid").as("best_bid"), col("b.bidDepth").as("bid_depth"),
+          col("b.bestAsk").as("best_ask"), col("b.askDepth").as("ask_depth"),
+          col("b.nLevels").as("n_levels"))
+    }),
     "q59_promo_share" -> ((s, dir) => {
       // TPC-H Q14 flavor: promo revenue share per month (part dim join
       // + conditional aggregation)
@@ -1002,6 +1021,30 @@ object SparkEntry {
         |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q60_order_book" ->
+      """WITH d AS (SELECT user_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS bdir,
+        |    floor(value * 10) / 10.0 AS price,
+        |    CASE WHEN event_id % 7 = 0 THEN -1 ELSE 1 END AS qty
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND user_id < 20),
+        |lv AS (SELECT user_id, bdir, price, CAST(sum(qty) AS BIGINT) AS q
+        |  FROM d GROUP BY user_id, bdir, price HAVING sum(qty) > 0),
+        |tops AS (SELECT user_id,
+        |    max(CASE WHEN bdir = 1 THEN price END) AS best_bid,
+        |    min(CASE WHEN bdir = 2 THEN price END) AS best_ask,
+        |    CAST(count(*) AS BIGINT) AS n_levels
+        |  FROM lv GROUP BY user_id)
+        |SELECT t.user_id, t.best_bid,
+        |  CAST(coalesce((SELECT sum(q) FROM lv
+        |    WHERE user_id = t.user_id AND bdir = 1 AND price = t.best_bid), 0)
+        |    AS BIGINT) AS bid_depth,
+        |  t.best_ask,
+        |  CAST(coalesce((SELECT sum(q) FROM lv
+        |    WHERE user_id = t.user_id AND bdir = 2 AND price = t.best_ask), 0)
+        |    AS BIGINT) AS ask_depth,
+        |  t.n_levels
+        |FROM tops t""".stripMargin,
     "q59_promo_share" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
         |  100.0 * sum(CASE WHEN p_type = 'PROMO'
