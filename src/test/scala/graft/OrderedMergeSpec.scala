@@ -56,6 +56,29 @@ class OrderedMergeSpec extends AnyFunSuite with SparkTestBase {
     assert(OrderedMerge.inversions(unsorted.orderBy(col("time")), "time") === 0)
   }
 
+  test("failure in one of k merged streams propagates to the action") {
+    // reference: MultipleTimeSeriesEnumeratorTest error-in-one-stream
+    val ok = Seq((1L, ts(0))).toDF("id", "time")
+    val failing = Seq((2L, ts(1))).toDF("id", "time")
+      .withColumn("id", udf((_: Long) =>
+        throw new IllegalStateException("stream fault")).apply(col("id")))
+    val merged = OrderedMerge.merge("time", ok, failing)
+    val e = intercept[Exception](merged.collect())
+    assert(e.getMessage != null)
+  }
+
+  test("heterogeneous merge null-fills missing columns (superset schema)") {
+    val trades = Seq((1L, ts(0), false)).toDF("id", "time", "nosystem")
+    val orders = Seq((2L, ts(1), 5)).toDF("id", "time", "status")
+    val merged = OrderedMerge.merge("time", trades, orders)
+    assert(merged.columns.toSet === Set("id", "time", "nosystem", "status"))
+    val rows = merged.orderBy("time").collect()
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("nosystem")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("status")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("nosystem")))
+    assert(rows(1).getInt(rows(1).fieldIndex("status")) === 5)
+  }
+
   test("inversions catches cross-partition boundary violations") {
     // range-sort by id puts (id 1, t=1000) in an earlier partition than
     // (id 2, t=0): inside each partition order is fine, the boundary isn't
