@@ -15,6 +15,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.drop(1).headOption
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,7 +75,7 @@ object ScaleProbe {
 
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
     ops.foreach { case (name, f) =>
-      Seq(1, 2, 4).foreach { m =>
+      mults.foreach { m =>
         val df = scaled(m)
         val (sec, rows) = time(f(df))
         println(f"[probe] $name%-12s $m%4d $rows%10d $sec%8.2f")
