@@ -31,7 +31,13 @@ object OrderBookAggregator {
   // a stable Spark map encoder (map keys must be encodable + equatable)
   type Buf = Map[String, Long]
 
-  private def key(dir: Short, price: Double): String = s"$dir:$price"
+  private def key(dir: Short, price: Double): String = {
+    // normalize -0.0 -> 0.0: the string key would otherwise split one
+    // price level in two (Catalyst normalizes floats in groupBy keys;
+    // an Aggregator buffer must do its own)
+    val p = if (price == 0.0) 0.0 else price
+    s"$dir:$p"
+  }
   private def parse(k: String): (Short, Double) = {
     val i = k.indexOf(':')
     (k.substring(0, i).toShort, k.substring(i + 1).toDouble)

@@ -35,6 +35,16 @@ class OrderBookAggregatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("-0.0 and 0.0 collapse into one price level") {
+    val ohlc = udaf(OrderBookAggregator.agg)
+    val r = Seq(Delta(1, 0.0, 3L), Delta(1, -0.0, 2L)).toDS
+      .agg(ohlc(col("dir"), col("price"), col("qtyDelta")).as("b"))
+      .select("b.bestBid", "b.bidDepth", "b.nLevels").head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 1L)
+  }
+
   test("empty flow yields an empty book") {
     val ohlc = udaf(OrderBookAggregator.agg)
     val r = Seq.empty[Delta].toDS
