@@ -44,8 +44,10 @@ case class SortedMergeUnion(children: Seq[LogicalPlan], timeCol: String)
 }
 
 object SortedMergeUnionStrategy extends SparkStrategy {
-  /** Per-child size bound for the single-partition merge path. */
-  val mergeSizeThreshold: Long = 256L * 1024 * 1024
+  /** Per-child size bound for the single-partition merge path
+    * (overridable via -Dgraft.mergeSizeThreshold for tests/tuning). */
+  def mergeSizeThreshold: Long =
+    java.lang.Long.getLong("graft.mergeSizeThreshold", 256L * 1024 * 1024)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s @ SortedMergeUnion(children, timeCol) =>

@@ -41,6 +41,21 @@ class SortedMergeUnionSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).sorted.toSeq === expected.toSeq)
   }
 
+  test("big inputs fall back to distributed Union+Sort, same rows") {
+    System.setProperty("graft.mergeSizeThreshold", "1")
+    try {
+      val merged = OrderedMerge.mergeSorted("time", series("A", 0), series("B", 7))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortedMergeUnion "),
+        s"expected fallback, got merge exec:\n$plan")
+      assert(plan.contains("Sort "), s"fallback must sort:\n$plan")
+      val rows = merged.collect()
+      assert(rows.length === 100)
+      val times = rows.map(_.getAs[Timestamp]("time").getTime)
+      assert(times.zip(times.tail).forall { case (x, y) => x <= y })
+    } finally System.clearProperty("graft.mergeSizeThreshold")
+  }
+
   test("downstream sort on time is eliminated by outputOrdering") {
     val merged = OrderedMerge.mergeSorted("time", series("A", 0), series("B", 7))
     val sortedAgain = merged.orderBy("time")
