@@ -74,6 +74,47 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("range join equals the naive inequality join on random inputs") {
+    import graft.operators.RangeJoin
+    val pointsGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("A", "B"), Gen.chooseNum(0L, 200L)))
+    val intervalsGen = Gen.listOfN(10,
+      Gen.zip(Gen.oneOf("A", "B"), Gen.chooseNum(0L, 200L), Gen.chooseNum(0L, 80L)))
+    val widthGen = Gen.oneOf(1L, 13L, 64L, 500L)
+    samples(Gen.zip(pointsGen, intervalsGen, widthGen), 6).foreach {
+      case (ps, is, w) =>
+        val points = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("pid", "k", "t")
+        val intervals = is.zipWithIndex
+          .map { case ((k, s, len), i) => (i.toLong, k, s, s + len) }
+          .toDF("iid", "k", "s", "e")
+        val naive = points.join(intervals,
+            points("k") === intervals("k") && col("t") >= col("s") && col("t") <= col("e"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bucketed = RangeJoin.pointInInterval(points, intervals,
+            Seq("k"), "t", "s", "e", w)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(bucketed === naive, s"width=$w")
+    }
+  }
+
+  test("salted join equals plain join on random skewed inputs") {
+    import graft.operators.SkewJoin
+    val bigGen = Gen.listOfN(60, Gen.frequency(
+      4 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c", "zz")))
+    val smallGen = Gen.someOf(Seq("hot", "a", "b", "c", "d"))
+    samples(Gen.zip(bigGen, smallGen, Gen.chooseNum(1, 9)), 6).foreach {
+      case (bigKeys, smallKeys, nSalt) =>
+        val big = bigKeys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+          .toDF("id", "key")
+        val small = smallKeys.toSeq.map(k => (k, k.length)).toDF("key", "w")
+        val plain = big.join(small, "key")
+          .select("id", "w").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val salted = SkewJoin.salted(big, small, Seq("key"), col("id"), nSalt)
+          .select("id", "w").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(salted === plain, s"nSalt=$nSalt")
+    }
+  }
+
   test("RTS time parse is the inverse of format (round-trip identity)") {
     val msGen = Gen.chooseNum(0L, 4102444800000L)
     val ms = samples(msGen, 32)
