@@ -27,7 +27,14 @@ object TextFunctions {
       greatest(size(tokens(text)), lit(1)).cast("double")
 
   /** Word k-shingles as strings ("a b c"), the unit for MinHash /
-    * Jaccard near-dup detection.
+    * Jaccard near-dup detection. Native single-pass codegen expression
+    * (`WordShingles`); byte-identical to `shinglesDeclarative`, which
+    * the spec checks it against. */
+  def shingles(text: Column, k: Int): Column =
+    graft.expressions.WordShingles(text, lit(k))
+
+  /** Declarative reference formulation (parity oracle for the native
+    * expression; also documents the built-in-only construction).
     *
     * Built by folding `zip_with` over shifted slices of the token
     * array: zip_with/slice evaluate their array arguments once per
@@ -36,7 +43,7 @@ object TextFunctions {
     * element — O(tokens²) per document. zip_with null-pads the shorter
     * side, so tail positions (< k tokens left) become null and are
     * filtered; fewer than k tokens total yields an empty array. */
-  def shingles(text: Column, k: Int): Column = {
+  def shinglesDeclarative(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     val folded = (2 to k).foldLeft(toks) { (acc, j) =>
