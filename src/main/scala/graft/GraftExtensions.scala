@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitmapAndCount, FloatDotProduct, RollingHashMin, SortedIntersectCount}
+import graft.expressions.{BitmapAndCount, FloatDotProduct, RollingHashMin, SortedIntersectCount, WordShingles}
 
 /** Session extensions: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too.
@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("float_dot", FloatDotProduct.apply))
     ext.injectFunction(binary("bitmap_and_count", BitmapAndCount.apply))
     ext.injectFunction(binary("rolling_hash_min", RollingHashMin.apply))
+    ext.injectFunction(binary("word_shingles", WordShingles.apply))
   }
 }
