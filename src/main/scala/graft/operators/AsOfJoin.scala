@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left      probe side (each row gets the as-of match)
-    * @param right     reference side (latest row at or before left time)
+    * @param right     reference side (latest row at or before left
+    *                  time — or, `forward = true`, the earliest row at
+    *                  or after it)
     * @param keyCols   equi-key columns present on both sides
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
@@ -44,6 +46,10 @@ object AsOfJoin {
     * @param rightTie  right-side columns breaking ties at equal
     *                  (key, rightTime); the row with the greatest tie
     *                  tuple wins. Pass a unique id for determinism.
+    * @param forward   false (default): most recent right row with
+    *                  rightTime <= leftTime (DuckDB ASOF `>=`);
+    *                  true: earliest right row with rightTime >=
+    *                  leftTime — the mirrored scan direction.
     */
   def asOf(
       left: DataFrame,
@@ -52,7 +58,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightVals: Seq[(String, String)],
-      rightTie: Seq[String] = Nil): DataFrame = {
+      rightTie: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -64,13 +71,20 @@ object AsOfJoin {
         .as("__r"))
     val r = right.select(rSelect: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // Right rows sort before left rows at equal time (__side 0 < 1) so
-    // an equal-time right row is visible to the left row — ASOF <=.
-    // Among tied right rows, ascending tie order makes the greatest tie
-    // tuple the last seen, i.e. the winner. Left rows' __tie is NULL
-    // (sorts first) — irrelevant, they carry no __r.
-    val ordering = Seq(col("__t"), col("__side")) ++
-      rightTie.indices.map(i => col(s"__tie$i"))
+    // Backward: ascending time; right rows sort before left rows at
+    // equal time (__side 0 < 1) so an equal-time right row is visible
+    // to the left row — ASOF <=. Among tied right rows, ascending tie
+    // order makes the greatest tie tuple the last seen, i.e. the
+    // winner. Left rows' __tie is NULL (sorts first in asc, last in
+    // desc via nulls_last below) — irrelevant, they carry no __r.
+    // Forward: the same carry over DESCENDING time — "last right seen
+    // walking backward from +inf" == earliest right at or after.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
+    // ties stay ascending in both directions: among equal-(key, time)
+    // right rows the last visited — the carried one — is the greatest
+    // tie tuple
+    val ordering = Seq(timeOrd, col("__side").asc) ++
+      rightTie.indices.map(i => col(s"__tie$i").asc)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(ordering: _*)

@@ -52,6 +52,38 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(joined(0).getAs[Timestamp]("last_qts") === ts(30))
   }
 
+  test("forward mode matches the earliest right row at or after left time") {
+    val trades = Seq(
+      (1L, "A", ts(10)), // next quote is at 20
+      (2L, "A", ts(20)), // tie: quote at 20 matches
+      (3L, "A", ts(31)), // no later quote -> null
+      (4L, "B", ts(1))   // next quote on B at 5
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(20), 101.0), ("A", ts(30), 102.0), ("B", ts(5), 200.0)
+    ).toDF("sym", "qts", "px")
+    val joined = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "qts",
+        Seq("px" -> "next_px"), forward = true)
+      .orderBy("trade_id").collect()
+    assert(joined(0).getAs[Double]("next_px") === 101.0)
+    assert(joined(1).getAs[Double]("next_px") === 101.0)
+    assert(joined(2).isNullAt(joined(2).fieldIndex("next_px")))
+    assert(joined(3).getAs[Double]("next_px") === 200.0)
+  }
+
+  test("forward ties at equal (key, ts) also resolve to greatest tie value") {
+    val trades = Seq((1L, "A", ts(15))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(20), 101.0, 5L), ("A", ts(20), 109.0, 9L), ("A", ts(20), 103.0, 3L)
+    ).toDF("sym", "qts", "px", "qid")
+    (1 to 3).foreach { parts =>
+      val joined = AsOfJoin.asOf(trades, quotes.repartition(parts),
+        Seq("sym"), "ts", "qts", Seq("px" -> "next_px"),
+        rightTie = Seq("qid"), forward = true).collect()
+      assert(joined(0).getAs[Double]("next_px") === 109.0, s"parts=$parts")
+    }
+  }
+
   test("right-side ties at equal (key, ts) resolve to greatest tie value") {
     val trades = Seq((1L, "A", ts(25))).toDF("trade_id", "sym", "ts")
     val quotes = Seq(
