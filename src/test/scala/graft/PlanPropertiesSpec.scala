@@ -35,6 +35,31 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"no subtree reuse:\n$p")
   }
 
+  test("q55 range join plans an equi-join, never a nested loop") {
+    val p = executedPlan("q55_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("q49 salted join broadcasts the replicated dim") {
+    val p = executedPlan("q49_salted_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q48 window family runs all functions over one shuffle") {
+    val p = executedPlan("q48_window_family")
+    // one Exchange for the window partitioning, none extra
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one window shuffle:\n$p")
+  }
+
+  test("q42 fingerprint is a zero-exchange codegen scan") {
+    val p = executedPlan("q42_rolling_fingerprint")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen:\n$p")
+  }
+
   test("q01 aggregates with map-side partials (two-phase hash agg)") {
     val p = executedPlan("q01_pricing_summary")
     assert("partial_sum|partial_count".r.findFirstIn(p).isDefined ||
