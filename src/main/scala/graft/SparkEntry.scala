@@ -391,6 +391,21 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value",
           "last_click_ts", "last_click_value")
     }),
+    "q61_asof_forward" -> ((s, dir) => {
+      // forward as-of: each signup matched to the user's first
+      // subsequent purchase (earliest right at or after left time)
+      val ev = tbl(s, dir, "events")
+      AsOfJoin.asOf(
+          left = ev.where(col("event_type") === "signup"),
+          right = ev.where(col("event_type") === "purchase"),
+          keyCols = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts" -> "first_purchase_ts",
+            "value" -> "first_purchase_value"),
+          rightTie = Seq("event_id"), forward = true)
+        .select("event_id", "user_id", "ts",
+          "first_purchase_ts", "first_purchase_value")
+    }),
     // ── round-2 breadth: dedup, joins, windows, strings, subqueries ──
     "q43_exact_dedup" -> ((s, dir) => {
       // exact content dedup: md5-hash groups with deterministic keeper
@@ -1072,6 +1087,12 @@ object SparkEntry {
         |FROM spans s JOIN c ON s.user_id = c.user_id
         |  AND c.ts >= s.s0 AND c.ts <= s.e0
         |GROUP BY s.user_id, s.day""".stripMargin,
+    "q61_asof_forward" ->
+      """SELECT s.event_id, s.user_id, s.ts,
+        |  p.ts AS first_purchase_ts, p.value AS first_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.ts AS last_click_ts, c.value AS last_click_value
