@@ -307,10 +307,14 @@ object SparkEntry {
     "q32_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Rounded identically on both engines: DuckDB evaluates windowed
+      // sums with a segment tree, Spark with a linear scan — different
+      // association, last-ulp drift (values ~1e3, diff ~5e-13 at sf0.01;
+      // 6 dp boundary is 1e6x above the noise).
       tbl(s, dir, "events")
         .where(col("user_id") < 10)
         .select(col("user_id"), col("event_id"), col("ts"),
-          sum("value").over(w).as("running_value"))
+          round(sum("value").over(w), 6).as("running_value"))
     }),
     "q34_grouping_sets" -> ((s, dir) => {
       // SQL surface: GROUPING SETS (DataFrame API exposes only
@@ -333,7 +337,9 @@ object SparkEntry {
         .select(col("user_id"), col("day"),
           col("o.open").as("open"), col("o.high").as("high"),
           col("o.low").as("low"), col("o.close").as("close"),
-          col("o.volume").as("volume"), col("o.n").as("n"))
+          // volume is a double sum folded in merge order — round
+          // identically on both engines (values ~1e2, 6 dp margin 1e9x)
+          round(col("o.volume"), 6).as("volume"), col("o.n").as("n"))
     }),
     "q35_knn_label" -> ((s, dir) => {
       // k-NN majority-vote classification over embedding space
@@ -417,11 +423,17 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64)
     }),
     "q45_stats_agg" -> ((s, dir) => {
+      // Moments are rounded identically on both engines: Spark merges
+      // per-partition co-moments in partition order while DuckDB folds a
+      // single stream, so the raw doubles differ in the last ~2 ulps.
+      // Digits are chosen per column magnitude so the rounding boundary
+      // sits many orders of magnitude above the ulp noise (corr ~1e-3 →
+      // 9 dp, covar ~3e3 → 6 dp, sd ~14 → 9 dp, var ~9e8 → 2 dp).
       tbl(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-          covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
-          stddev_samp(col("l_quantity")).as("qty_sd"),
-          var_samp(col("l_extendedprice")).as("price_var"),
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 9).as("qty_sd"),
+          round(var_samp(col("l_extendedprice")), 2).as("price_var"),
           count("*").as("n"))
     }),
     "q46_pivot" -> ((s, dir) => {
@@ -576,10 +588,12 @@ object SparkEntry {
     }),
     "q57_sliding_windows" -> ((s, dir) => {
       // overlapping (hopping) windows in batch: 6h window, 3h slide —
-      // every event lands in exactly two windows
+      // every event lands in exactly two windows. avg_value is rounded
+      // identically on both engines (value ~50, ulp noise ~1e-14 vs a
+      // 5e-10 rounding boundary) — see q45 for the association rationale.
       tbl(s, dir, "events")
         .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
-        .agg(count("*").as("n"), avg("value").as("avg_value"))
+        .agg(count("*").as("n"), round(avg("value"), 9).as("avg_value"))
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
           col("n"), col("avg_value"))
     })
@@ -850,7 +864,7 @@ object SparkEntry {
       """SELECT user_id, CAST(ts AS DATE) AS day,
         |  first(value ORDER BY ts, event_id) AS open, max(value) AS high,
         |  min(value) AS low, last(value ORDER BY ts, event_id) AS close,
-        |  sum(value) AS volume, count(*) AS n
+        |  round(sum(value), 6) AS volume, count(*) AS n
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
     "q31_vwap" ->
@@ -861,8 +875,8 @@ object SparkEntry {
         |GROUP BY l_partkey, CAST(year(o_orderdate) AS BIGINT)""".stripMargin,
     "q32_running_sum" ->
       """SELECT user_id, event_id, ts,
-        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
         |FROM events WHERE user_id < 10""".stripMargin,
     "q26_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -952,10 +966,10 @@ object SparkEntry {
         |FROM documents GROUP BY md5(lower(text))""".stripMargin,
     "q44_embed_near_dup" -> embedNearDupSql,
     "q45_stats_agg" ->
-      """SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS qty_price_corr,
-        |  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-        |  stddev_samp(l_quantity) AS qty_sd,
-        |  var_samp(l_extendedprice) AS price_var, count(*) AS n
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 9) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 9) AS qty_sd,
+        |  round(var_samp(l_extendedprice), 2) AS price_var, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q46_pivot" ->
       """SELECT user_id,
@@ -1076,7 +1090,7 @@ object SparkEntry {
         |w AS (SELECT s0 AS w_start, value FROM x
         |  UNION ALL SELECT s0 - INTERVAL '3 hours' AS w_start, value FROM x)
         |SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
-        |  count(*) AS n, avg(value) AS avg_value
+        |  count(*) AS n, round(avg(value), 9) AS avg_value
         |FROM w GROUP BY w_start""".stripMargin,
     "q55_range_join" ->
       """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local pre-check mimicking the driver's DuckDB oracle compare.
 
-Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Usage: check_oracle.py <verify_out_dir> <sf_dir> [--tolerant]
 
 For each query dir under verify_out_dir: read Spark's parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB (tables =
 <sf_dir>/<name>.parquet registered as views), sort columns by name and
-rows by value, and compare cell-by-cell with float tolerance.
+rows by value, and compare cell-by-cell.
+
+Default is STRICT: floats must be bit-identical, matching the driver's
+exact hash gate (round 2 shipped two hash-red queries because the old
+rel_tol=1e-8 default masked last-ulp association differences).
+--tolerant restores the old rel_tol=1e-8 compare for triage only —
+never trust a tolerant PASS as gate-green.
 """
 import json
 import math
@@ -15,6 +21,8 @@ import sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+STRICT = True
 
 
 def norm(v):
@@ -35,6 +43,8 @@ def norm(v):
 
 def eq_cell(a, b):
     if isinstance(a, float) and isinstance(b, float):
+        if STRICT:
+            return a == b or (math.isnan(a) and math.isnan(b))
         return math.isclose(a, b, rel_tol=1e-8, abs_tol=1e-10)
     return norm(a) == norm(b)
 
@@ -44,7 +54,12 @@ def eq_row(ra, rb):
 
 
 def main():
+    global STRICT
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    if "--tolerant" in sys.argv[3:]:
+        STRICT = False
+        print("NOTE: tolerant float compare (rel_tol=1e-8) — triage only,"
+              " the driver gate is exact")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
