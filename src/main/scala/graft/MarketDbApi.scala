@@ -83,12 +83,15 @@ object MarketDbApi {
 
   /** Idempotent batch store: the reference's rowkey+qualifier overwrite
     * semantics (same (market, security, eventId) replaces) made
-    * deterministic — keep the latest by time, tie-broken on the id —
-    * then written as the partitioned, sorted time-series layout. */
+    * deterministic — keep the latest by time; two candidate rows at the
+    * SAME (key, time) are further tie-broken on (price, amount) so the
+    * survivor is total-order deterministic per hard rule 4 (the id is
+    * part of the key, so it cannot break this tie) — then written as
+    * the partitioned, sorted time-series layout. */
   def store(trades: Dataset[Trade], path: String, filesPerDate: Int = 1): Unit = {
     val deduped = Dedup.firstByKey(
       trades.toDF.withColumn("__neg_t", -unix_micros(col("time").cast("timestamp"))),
-      Seq("market", "security", "tradeId"), Seq("__neg_t"))
+      Seq("market", "security", "tradeId"), Seq("__neg_t", "price", "amount"))
       .drop("__neg_t")
     TimeSeriesTable.write(deduped, path, "market", "time", "security",
       filesPerDate)

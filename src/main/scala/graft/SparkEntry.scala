@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import java.time.Instant
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,16 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Exact integer view of a fixed-decimal double column: value*10^d
+    * rounded to the nearest long. The per-row double multiply and round
+    * are bit-identical on Spark and DuckDB (same IEEE ops on the same
+    * input), and the integer SUM is associativity-free — so any ratio
+    * or average derived from it with a fixed op sequence is hash-stable
+    * with NO rounding (hard rule 9's exact-arithmetic variant; rounding
+    * a quotient instead can land exactly on a half-way point — q31 did). */
+  private def scaledLong(c: Column, digits: Int): Column =
+    round(c * math.pow(10, digits), 0).cast("long")
 
   /** Language-ID marker words (shared between Spark impl and oracle). */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -45,12 +55,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── relational breadth (lineitem/orders/dims) ───────────────────
     "q01_pricing_summary" -> ((s, dir) => {
+      // Money sums rounded identically on both engines (hard rule 9):
+      // the true sums sit on the 2-dp (price) / 4-dp (price*(1-disc))
+      // decimal grid, so rounding AT the grid precision is boundary-safe
+      // while erasing partition-order ulp drift. avg_qty is exact
+      // (integer-valued sum, one division).
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_base"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc"),
           avg("l_quantity").as("avg_qty"),
           count("*").as("n"))
     }),
@@ -72,14 +87,17 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "o_orderstatus")
         .agg(count("*").as("n_items"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          // 4-dp grid sum, rounded per hard rule 9
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
     }),
     "q04_broadcast_region" -> ((s, dir) => {
       tbl(s, dir, "supplier")
         .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count("*").as("n_suppliers"), sum("s_acctbal").as("total_bal"))
+        // acctbal is 2-dp; round at the grid (hard rule 9 — this one
+        // actually flipped the strict check at sf0.001)
+        .agg(count("*").as("n_suppliers"), round(sum("s_acctbal"), 2).as("total_bal"))
     }),
     "q05_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -97,7 +115,7 @@ object SparkEntry {
     "q07_cube" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count("*").as("n"), sum("o_totalprice").as("total"))
+        .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
     "q08_anti_join" -> ((s, dir) => {
       tbl(s, dir, "customer")
@@ -145,7 +163,7 @@ object SparkEntry {
     "q14_hour_bars" -> ((s, dir) => {
       tbl(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count("*").as("n"), sum("value").as("volume"),
+        .agg(count("*").as("n"), round(sum("value"), 4).as("volume"),
           min("value").as("low"), max("value").as("high"),
           // unique (ts, event_id) tiebreak (hard rule 4)
           min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
@@ -214,7 +232,10 @@ object SparkEntry {
         .where(col("user_id") < 30)
         .select(col("user_id"), col("event_id"), col("ts"),
           count("*").over(w).as("n_24h"),
-          avg("value").over(w).as("avg_24h"))
+          // exact windowed avg: integer-cent sum over the window (both
+          // engines sum BIGINT exactly), then a fixed divide sequence
+          (sum(scaledLong(col("value"), 2)).over(w).cast("double")
+            / lit(100.0) / count("*").over(w)).as("avg_24h"))
     }),
     "q39_percentiles" -> ((s, dir) => {
       // exact interpolated quantiles (matches DuckDB quantile_cont)
@@ -301,7 +322,11 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("long").as("yr"))
-        .agg((sum("l_extendedprice") / sum("l_quantity")).as("vwap"),
+        // exact-cent numerator (see scaledLong): the quotient of a 2-dp
+        // sum by an integer quantity lands exactly on round-boundary
+        // half-way points, so rounding is NOT hash-safe here
+        .agg((sum(scaledLong(col("l_extendedprice"), 2)).cast("double")
+            / lit(100.0) / sum("l_quantity")).as("vwap"),
           sum("l_quantity").as("volume"))
     }),
     "q32_running_sum" -> ((s, dir) => {
@@ -386,29 +411,39 @@ object SparkEntry {
     }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
+      // Right side pre-deduped to one row per (user_id, ts) with an
+      // explicit max_by(event_id) winner: DuckDB ASOF JOIN has no
+      // defined tie-break among equal right timestamps, so the tie is
+      // pinned BEFORE the join on both engines (hard rule 4).
       val ev = tbl(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
       AsOfJoin.asOf(
           left = ev.where(col("event_type") === "purchase"),
-          right = ev.where(col("event_type") === "click"),
+          right = clicks,
           keyCols = Seq("user_id"),
           leftTime = "ts", rightTime = "ts",
-          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"),
-          rightTie = Seq("event_id"))
+          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"))
         .select("event_id", "user_id", "ts", "value",
           "last_click_ts", "last_click_value")
     }),
     "q61_asof_forward" -> ((s, dir) => {
       // forward as-of: each signup matched to the user's first
       // subsequent purchase (earliest right at or after left time)
+      // right side pre-deduped per (user_id, ts) — see q29 rationale
       val ev = tbl(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
       AsOfJoin.asOf(
           left = ev.where(col("event_type") === "signup"),
-          right = ev.where(col("event_type") === "purchase"),
+          right = purchases,
           keyCols = Seq("user_id"),
           leftTime = "ts", rightTime = "ts",
           rightVals = Seq("ts" -> "first_purchase_ts",
             "value" -> "first_purchase_value"),
-          rightTie = Seq("event_id"), forward = true)
+          forward = true)
         .select("event_id", "user_id", "ts",
           "first_purchase_ts", "first_purchase_value")
     }),
@@ -466,7 +501,11 @@ object SparkEntry {
     "q49_salted_join" -> ((s, dir) => {
       // skew-safe salted join; result row-identical to the plain join
       val ev = tbl(s, dir, "events")
-      val dim = ev.groupBy("event_type").agg(avg("value").as("type_avg"))
+      // type_avg is exact (integer-cent sum / fixed divide sequence), so
+      // both it and the derived delta are hash-stable with no rounding
+      val dim = ev.groupBy("event_type").agg(
+        (sum(scaledLong(col("value"), 2)).cast("double")
+          / lit(100.0) / count(lit(1))).as("type_avg"))
       SkewJoin.salted(
           ev.where(col("user_id") < 50).select("event_id", "event_type", "value"),
           dim, Seq("event_type"), saltBy = col("event_id"), nSalt = 8)
@@ -478,7 +517,9 @@ object SparkEntry {
       // generalized, `model/Trade.scala:24-28`); epoch-aligned 6h grid
       tbl(s, dir, "events")
         .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
-        .agg(count("*").as("n"), avg("value").as("avg_value"))
+        .agg(count("*").as("n"),
+          (sum(scaledLong(col("value"), 2)).cast("double")
+            / lit(100.0) / count(lit(1))).as("avg_value"))
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
           col("event_type"), col("n"), col("avg_value"))
     }),
@@ -496,8 +537,8 @@ object SparkEntry {
       s.sql(
         """SELECT c_custkey,
           |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
-          |  (SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
-          |     WHERE o_custkey = c_custkey) AS spend
+          |  round((SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+          |     WHERE o_custkey = c_custkey), 2) AS spend
           |FROM customer WHERE c_custkey < 200""".stripMargin)
     }),
     "q53_distinct_agg" -> ((s, dir) => {
@@ -567,8 +608,10 @@ object SparkEntry {
       li.join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(trunc(col("l_shipdate"), "month").as("month")) // DateType, matches DuckDB date_trunc
         .agg(
-          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
-            / sum(rev)).as("promo_share"),
+          // exact 4-dp integer sums (price 2dp x (1-disc) 2dp), fixed
+          // op sequence: 100.0 * pn / pd — no rounding needed
+          (lit(100.0) * sum(scaledLong(when(col("p_type") === "PROMO", rev).otherwise(0.0), 4)).cast("double")
+            / sum(scaledLong(rev, 4)).cast("double")).as("promo_share"),
           count("*").as("n"))
     }),
     "q58_multimodal_pipeline" -> ((s, dir) => {
@@ -588,12 +631,14 @@ object SparkEntry {
     }),
     "q57_sliding_windows" -> ((s, dir) => {
       // overlapping (hopping) windows in batch: 6h window, 3h slide —
-      // every event lands in exactly two windows. avg_value is rounded
-      // identically on both engines (value ~50, ulp noise ~1e-14 vs a
-      // 5e-10 rounding boundary) — see q45 for the association rationale.
+      // every event lands in exactly two windows. avg_value is computed
+      // from an exact integer-cent sum (see scaledLong) so both engines
+      // agree bit-for-bit without rounding.
       tbl(s, dir, "events")
         .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
-        .agg(count("*").as("n"), round(avg("value"), 9).as("avg_value"))
+        .agg(count("*").as("n"),
+          (sum(scaledLong(col("value"), 2)).cast("double")
+            / lit(100.0) / count(lit(1))).as("avg_value"))
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
           col("n"), col("avg_value"))
     })
@@ -681,8 +726,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc,
         |  avg(l_quantity) AS avg_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
@@ -694,14 +739,14 @@ object SparkEntry {
         |  AND l_discount > 0.05""".stripMargin,
     "q03_join_agg" ->
       """SELECT n_name, o_orderstatus, count(*) AS n_items,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, o_orderstatus""".stripMargin,
     "q04_broadcast_region" ->
-      """SELECT r_name, count(*) AS n_suppliers, sum(s_acctbal) AS total_bal
+      """SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -716,7 +761,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q07_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -752,7 +797,7 @@ object SparkEntry {
         |WHERE event_type = 'view' AND user_id < 20""".stripMargin,
     "q14_hour_bars" ->
       """SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
-        |  sum(value) AS volume, min(value) AS low, max(value) AS high,
+        |  round(sum(value), 4) AS volume, min(value) AS low, max(value) AS high,
         |  first(value ORDER BY ts, event_id) AS open,
         |  last(value ORDER BY ts, event_id) AS close
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
@@ -798,7 +843,9 @@ object SparkEntry {
     "q21_lang_id" -> langIdSql,
     "q41_rolling_24h" ->
       """SELECT user_id, event_id, ts,
-        |  count(*) OVER w AS n_24h, avg(value) OVER w AS avg_24h
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 100.0 / count(*) OVER w AS avg_24h
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -869,7 +916,8 @@ object SparkEntry {
         |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
     "q31_vwap" ->
       """SELECT l_partkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |  sum(l_extendedprice) / sum(l_quantity) AS vwap,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / sum(l_quantity) AS vwap,
         |  sum(l_quantity) AS volume
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_partkey, CAST(year(o_orderdate) AS BIGINT)""".stripMargin,
@@ -997,7 +1045,9 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 300
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q49_salted_join" ->
-      """WITH dim AS (SELECT event_type, avg(value) AS type_avg
+      """WITH dim AS (SELECT event_type,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 / count(*) AS type_avg
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value, type_avg,
         |  value - type_avg AS delta
@@ -1006,7 +1056,9 @@ object SparkEntry {
     "q50_time_buckets" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
         |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
-        |  event_type, count(*) AS n, avg(value) AS avg_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*) AS avg_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q51_string_funcs" ->
       """SELECT doc_id,
@@ -1018,8 +1070,8 @@ object SparkEntry {
     "q52_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
-        |  (SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
-        |     WHERE o_custkey = c_custkey) AS spend
+        |  round((SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+        |     WHERE o_custkey = c_custkey), 2) AS spend
         |FROM customer WHERE c_custkey < 200""".stripMargin,
     "q53_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -1076,9 +1128,11 @@ object SparkEntry {
         |FROM tops t""".stripMargin,
     "q59_promo_share" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
-        |  100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-        |    / sum(l_extendedprice * (1.0 - l_discount)) AS promo_share,
+        |  100.0 * CAST(sum(CAST(round((CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 10000)
+        |      AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |      AS BIGINT)) AS DOUBLE) AS promo_share,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1090,7 +1144,9 @@ object SparkEntry {
         |w AS (SELECT s0 AS w_start, value FROM x
         |  UNION ALL SELECT s0 - INTERVAL '3 hours' AS w_start, value FROM x)
         |SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
-        |  count(*) AS n, round(avg(value), 9) AS avg_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*) AS avg_value
         |FROM w GROUP BY w_start""".stripMargin,
     "q55_range_join" ->
       """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
@@ -1105,13 +1161,17 @@ object SparkEntry {
       """SELECT s.event_id, s.user_id, s.ts,
         |  p.ts AS first_purchase_ts, p.value AS first_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'signup') s
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.ts AS last_click_ts, c.value AS last_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
   )
 }
