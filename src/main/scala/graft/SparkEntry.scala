@@ -629,6 +629,21 @@ object SparkEntry {
       Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
         "vec_id", "embedding", k = 3)
     }),
+    "q62_hetero_merge" -> ((s, dir) => {
+      // heterogeneous series merge with superset-schema null-fill and a
+      // stream discriminator — the reference's signature trades⋈orders
+      // read path (MultipleTimeSeriesEnumeratorTest.scala:262-311):
+      // the purchase stream carries a trade-like `value` payload, the
+      // click stream an order-like `k` attribute; the merged stream has
+      // BOTH columns, null-filled where the source lacks them.
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      OrderedMerge.mergeTagged("ts", "purchase" -> purchases, "click" -> clicks)
+    }),
     "q57_sliding_windows" -> ((s, dir) => {
       // overlapping (hopping) windows in batch: 6h window, 3h slide —
       // every event lands in exactly two windows. avg_value is computed
@@ -1165,6 +1180,14 @@ object SparkEntry {
         |  SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
+    "q62_hetero_merge" ->
+      """SELECT event_id, ts, user_id, value, 'purchase' AS stream,
+        |  CAST(NULL AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, ts, user_id, CAST(NULL AS DOUBLE) AS value,
+        |  'click' AS stream, json_extract(props, '$.k')::BIGINT AS k
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "q29_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.ts AS last_click_ts, c.value AS last_click_value

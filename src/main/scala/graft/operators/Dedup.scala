@@ -24,6 +24,18 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Materialize `result` while the persisted intermediates are hot,
+    * then release them: repeated operator invocations in a long-lived
+    * session no longer accumulate cached blocks (only the returned
+    * frame stays persisted — caller-owned; unpersist it when done).
+    * Count is the cheapest full materialization (no driver collect). */
+  private def releasingAfter(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Idempotent keep-one-per-key: deterministic representative = min
     * (orderCols) row, mirroring "last write wins" made reproducible.
     * One shuffle; row_number (not dropDuplicates) so the survivor is
@@ -116,7 +128,9 @@ object Dedup {
     * Hamming distance then verifies candidates. Fewer, wider bands
     * (lower maxHamming) mean exponentially smaller buckets — with a
     * 16-bit fingerprint, maxHamming=1 (2 bands × 8 bits) keeps bucket
-    * sizes ~n/256 where maxHamming=3 (4 × 4 bits) degrades to ~n/16. */
+    * sizes ~n/256 where maxHamming=3 (4 × 4 bits) degrades to ~n/16.
+    * Eager: the result is materialized (and returned persisted,
+    * caller-owned) so the signature cache can be released on exit. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1): DataFrame = {
     val nBands = maxHamming + 1
@@ -137,16 +151,18 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      // a pair can agree on several bands — one row per pair (hamming
-      // is functionally determined by the pair, min is a no-op pick)
-      .groupBy("doc_a", "doc_b")
-      .agg(min("hamming").as("hamming"))
+    releasingAfter(sigs) {
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        // a pair can agree on several bands — one row per pair (hamming
+        // is functionally determined by the pair, min is a no-op pick)
+        .groupBy("doc_a", "doc_b")
+        .agg(min("hamming").as("hamming"))
+    }
   }
 
   /** n-gram Jaccard near-dup pairs, exact, with PPJoin-style prefix
@@ -158,7 +174,9 @@ object Dedup {
     * at corpus scale) never materializes. Candidates are then verified
     * exactly via sorted-set intersection. Emits pairs with
     * jaccard >= threshold, doc_a < doc_b — byte-identical to the naive
-    * all-pairs join. */
+    * all-pairs join. Eager: the result is materialized (and returned
+    * persisted, caller-owned) so the shared-subtree caches can be
+    * released on exit. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     val t = threshold
@@ -236,14 +254,16 @@ object Dedup {
     val interExpr =
       if (useBitmap) graft.expressions.BitmapAndCount(col("sa.bm"), col("sb.bm"))
       else graft.expressions.SortedIntersectCount(col("sa.set"), col("sb.set"))
-    cands
-      .join(vsets.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(vsets.as("sb"), col("doc_b") === col("sb.doc"))
-      .withColumn("inter", interExpr)
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      .dropDuplicates("doc_a", "doc_b")
+    releasingAfter(sh, freq, sets) {
+      cands
+        .join(vsets.as("sa"), col("doc_a") === col("sa.doc"))
+        .join(vsets.as("sb"), col("doc_b") === col("sb.doc"))
+        .withColumn("inter", interExpr)
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        .dropDuplicates("doc_a", "doc_b")
+    }
   }
 }

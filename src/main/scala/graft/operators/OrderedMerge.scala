@@ -45,7 +45,17 @@ object OrderedMerge {
     * planner decides from stats. Children must share the schema;
     * each is sorted by `timeCol` on the way in (a no-op for sources
     * that already are, thanks to requiredChildOrdering). */
-  def mergeSorted(timeCol: String, streams: DataFrame*): DataFrame = {
+  def mergeSorted(timeCol: String, streams: DataFrame*): DataFrame =
+    mergeSortedTied(timeCol, Nil, streams: _*)
+
+  /** `mergeSorted` with explicit tiebreak columns: (timeCol, tieCols)
+    * should form a per-child total order, making merge + limit return a
+    * deterministic row set (hard rule 4) — the pushed per-child top-n
+    * sorts by the full key, so equal timestamps straddling row n can no
+    * longer flip the selection. Without tiebreaks, tie order stays
+    * unspecified (the reference's semantics). */
+  def mergeSortedTied(timeCol: String, tieCols: Seq[String],
+      streams: DataFrame*): DataFrame = {
     require(streams.nonEmpty, "need at least one stream")
     val spark = streams.head.sparkSession
     // idempotent strategy + optimizer-rule registration (also available
@@ -62,7 +72,8 @@ object OrderedMerge {
     val aligned = streams.map(_.select(cols.map(col): _*))
     import org.apache.spark.sql.graft.Bridge
     Bridge.ofRows(spark,
-      graft.plans.SortedMergeUnion(aligned.map(Bridge.analyzed), timeCol))
+      graft.plans.SortedMergeUnion(aligned.map(Bridge.analyzed), timeCol,
+        tieCols))
   }
 
   /** Order-invariant check (the reference's `sortedLogger` test fold,

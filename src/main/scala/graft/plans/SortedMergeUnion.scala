@@ -28,16 +28,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *    source already is) and `outputOrdering` (downstream operators
   *    see the order for free, e.g. a subsequent limit or as-of probe).
   */
-case class SortedMergeUnion(children: Seq[LogicalPlan], timeCol: String)
+case class SortedMergeUnion(children: Seq[LogicalPlan], timeCol: String,
+    tieCols: Seq[String] = Nil)
     extends LogicalPlan {
   require(children.nonEmpty, "SortedMergeUnion needs at least one child")
+  /** Merge key columns: time first, then optional tiebreaks. With
+    * tiebreaks forming a per-child total order, merge + limit returns a
+    * deterministic row set (hard rule 4); without them, tie order
+    * between equal timestamps is unspecified (reference semantics). */
+  def orderCols: Seq[String] = timeCol +: tieCols
   override def output: Seq[Attribute] = children.head.output
-  // declare the merge key as referenced in EVERY child, or column
-  // pruning (e.g. under a bare count()) strips it and the strategy
+  // declare the merge keys as referenced in EVERY child, or column
+  // pruning (e.g. under a bare count()) strips them and the strategy
   // can no longer resolve the ordering
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      children.flatMap(_.output.filter(_.name == timeCol)))
+      children.flatMap(_.output.filter(a => orderCols.contains(a.name))))
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan =
     copy(children = newChildren)
@@ -50,37 +56,39 @@ object SortedMergeUnionStrategy extends SparkStrategy {
     java.lang.Long.getLong("graft.mergeSizeThreshold", 256L * 1024 * 1024)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case s @ SortedMergeUnion(children, timeCol) =>
-      val timeAttr = s.output.find(_.name == timeCol).getOrElse(
-        throw new IllegalArgumentException(
-          s"time column $timeCol not in ${s.output.map(_.name)}"))
-      val order = SortOrder(timeAttr, Ascending)
+    case s @ SortedMergeUnion(children, _, _) =>
+      val orders = s.orderCols.map { name =>
+        val attr = s.output.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge column $name not in ${s.output.map(_.name)}"))
+        SortOrder(attr, Ascending)
+      }
       val smallEnough = children.forall(
         _.stats.sizeInBytes <= BigInt(mergeSizeThreshold))
       if (smallEnough) {
-        SortedMergeUnionExec(children.map(planLater), order) :: Nil
+        SortedMergeUnionExec(children.map(planLater), orders) :: Nil
       } else {
         // distributed fallback: union + global sort (range partition);
         // built from physical building blocks so the same logical node
         // covers both scales
         import org.apache.spark.sql.execution.{SortExec, UnionExec}
-        SortExec(Seq(order), global = true,
+        SortExec(orders, global = true,
           UnionExec(children.map(planLater))) :: Nil
       }
     case _ => Nil
   }
 }
 
-case class SortedMergeUnionExec(children: Seq[SparkPlan], order: SortOrder)
+case class SortedMergeUnionExec(children: Seq[SparkPlan], orders: Seq[SortOrder])
     extends SparkPlan {
 
-  private val timeName: String = order.child match {
+  private val orderNames: Seq[String] = orders.map(_.child match {
     case a: Attribute => a.name
     case other => other.sql
-  }
+  })
 
   override def output: Seq[Attribute] = children.head.output
-  override def outputOrdering: Seq[SortOrder] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = orders
   override def outputPartitioning: Partitioning = SinglePartition
   // one partition per child, each sorted: EnsureRequirements inserts
   // the coalescing exchange / sort only where the child isn't already
@@ -90,9 +98,11 @@ case class SortedMergeUnionExec(children: Seq[SparkPlan], order: SortOrder)
   // (schemas are name-aligned, exprIds are not)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     children.map { c =>
-      val attr = c.output.find(_.name == timeName).getOrElse(
-        throw new IllegalStateException(s"$timeName missing in child output"))
-      Seq(SortOrder(attr, Ascending))
+      orderNames.map { name =>
+        val attr = c.output.find(_.name == name).getOrElse(
+          throw new IllegalStateException(s"$name missing in child output"))
+        SortOrder(attr, Ascending)
+      }
     }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -102,7 +112,7 @@ case class SortedMergeUnionExec(children: Seq[SparkPlan], order: SortOrder)
     // only this (a SparkPlan itself is not serializable)
     val ordering =
       new org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering(
-        Seq(order), output)
+        orders, output)
     children.map(_.execute()).reduce { (l, r) =>
       l.zipPartitions(r)(SortedMergeUnionExec.mergeSorted(ordering))
     }

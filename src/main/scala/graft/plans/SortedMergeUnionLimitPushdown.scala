@@ -39,11 +39,18 @@ object SortedMergeUnionLimitPushdown extends Rule[LogicalPlan] {
       val limited = smu.children.map {
         case c if alreadyPushed(c, n) => c
         case c =>
-          val timeAttr = c.output.find(_.name == smu.timeCol).getOrElse(
-            throw new IllegalStateException(
-              s"${smu.timeCol} missing in merge child output"))
+          // pushed order = time + caller-supplied tiebreaks: with a
+          // per-child total order the pushed top-n is the SAME row set
+          // as the unpushed plan; time alone leaves limit-with-ties
+          // nondeterminism when equal timestamps straddle row n
+          val sortOrders = smu.orderCols.map { name =>
+            val attr = c.output.find(_.name == name).getOrElse(
+              throw new IllegalStateException(
+                s"$name missing in merge child output"))
+            SortOrder(attr, Ascending)
+          }
           Limit(org.apache.spark.sql.catalyst.expressions.Literal(n),
-            Sort(Seq(SortOrder(timeAttr, Ascending)), global = true, c))
+            Sort(sortOrders, global = true, c))
       }
       g.copy(child = l.copy(child = smu.copy(children = limited)))
   }

@@ -35,6 +35,27 @@ class LimitPushdownSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("tiebreak columns make merge+limit row-deterministic at equal times") {
+    // equal timestamps deliberately straddle the limit boundary: rows
+    // 2..5 all share ts(2000); limit 3 must pick ids 1,2,3 — only a
+    // per-child total order (time, id) guarantees that row SET
+    val a = Seq((5L, ts(2000)), (1L, ts(1000)), (3L, ts(2000)))
+      .toDF("id", "time")
+    val b = Seq((2L, ts(2000)), (4L, ts(2000)), (9L, ts(9000)))
+      .toDF("id", "time")
+    val merged = OrderedMerge.mergeSortedTied("time", Seq("id"), a, b).limit(3)
+
+    // pushed per-child top-n present and ordered by (time, id)
+    val physical = merged.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(physical).length >= 2, physical)
+    assert(physical.contains("id"), s"tiebreak missing from pushed sort:\n$physical")
+
+    // deterministic row set across repeated runs
+    (1 to 3).foreach { _ =>
+      assert(merged.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("pushdown preserves results on the events table vs orderBy+limit") {
     val ev = graft.sources.Tables.load(spark, sf0001, "events")
     def series(t: String) = ev.where(col("event_type") === t)
