@@ -629,6 +629,21 @@ object SparkEntry {
       Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
         "vec_id", "embedding", k = 3)
     }),
+    "q64_ann_multiprobe" -> ((s, dir) => {
+      // multi-probe LSH: own bucket + 2 smallest-margin bit-flip
+      // buckets per query (Lv et al. VLDB'07) — recovers neighbors lost
+      // across bucket walls at the cost of 3 probes on the small side
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.annTopKMultiProbe(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nBits = 8, dim = 64, nProbe = 3)
+    }),
+    "q63_simhash64_pairs" -> ((s, dir) => {
+      // 64-bit SimHash near-dup pairs: wider fingerprint kills the
+      // ~3.5% coincidental 16-bit collisions; maxHamming=3 banding is
+      // 4 bands x 16 bits -> buckets ~n/65536 (pigeonhole-exact)
+      Dedup.simhashNearDup64(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
     "q62_hetero_merge" -> ((s, dir) => {
       // heterogeneous series merge with superset-schema null-fill and a
       // stream discriminator — the reference's signature trades⋈orders
@@ -706,6 +721,43 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** q64 oracle: multi-probe LSH replicated in SQL — same plane
+    * literals, same (|margin|, bit) sort (struct comparison is
+    * field-lexicographic in both engines, bit index breaks margin
+    * ties), same own-bucket + 2 bit-flip probe set. Projections are
+    * bit-identical across engines (q27-established FloatDotProduct ↔
+    * list_dot_product parity), so the probe sets coincide exactly. */
+  private def annMultiProbeSql: String = {
+    val nBits = 8; val dim = 64; val nProbe = 3; val k = 5
+    val planes = operators.Similarity.planeSigns(nBits, dim)
+    val projDefs = planes.zipWithIndex.map { case (p, b) =>
+      val arr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_dot_product(v, $arr) AS p$b"
+    }.mkString(", ")
+    val bucket = (0 until nBits)
+      .map(b => s"(CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val margins = (0 until nBits)
+      .map(b => s"struct_pack(m := abs(p$b), b := $b)").mkString("[", ", ", "]")
+    val probeList = ("bucket0" +: (1 until nProbe).map(i =>
+      s"xor(bucket0, 1 << flips[$i])")).mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |proj AS (SELECT vec_id, v, $projDefs FROM base),
+       |bkt AS (SELECT vec_id, v, $bucket AS bucket0,
+       |  list_transform(list_sort($margins), x -> x.b) AS flips FROM proj),
+       |c AS (SELECT vec_id AS cand_id, v AS cv, bucket0 AS bucket FROM bkt),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |  unnest([$probeList]) AS bucket
+       |  FROM bkt WHERE vec_id < 10),
+       |scored AS (SELECT DISTINCT query_id, cand_id,
+       |  list_dot_product(qv, cv)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+       |  FROM c JOIN q USING (bucket) WHERE query_id <> cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
   private def embedNearDupSql: String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${lshBucketSqlExpr("v", 4, 64)} AS bucket,
@@ -737,6 +789,28 @@ object SparkEntry {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
+
+  /** 64-bit variant of [[simhashCteSql]]: bit b votes on bit (3 - b%4)
+    * of md5 hex nibble b/4 (strpos hex decode mirrors the Spark side's
+    * instr formulation). The oracle verifies pairs brute-force — the
+    * banding is the Spark side's scale optimization, proven equivalent
+    * by pigeonhole (and by SimhashNearDupSpec). */
+  private def simhash64PairsSql: String = {
+    val sums = (0 until 64).map { b =>
+      val mask = 8 >> (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), ${b / 4 + 1}, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END) AS p$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map(i =>
+      s"CASE WHEN p$i > 0 THEN CAST(${1L << (63 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
+       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -991,6 +1065,7 @@ object SparkEntry {
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM s GROUP BY user_id, sess_idx""".stripMargin,
     "q27_ann_lsh" -> annLshSql,
+    "q64_ann_multiprobe" -> annMultiProbeSql,
     // IVF with the deterministic sample quantizer: cells are the first
     // 16 vectors (iters=0 on the Spark side), assignment/probing by
     // argmin(||c||^2 - 2 v.c) with ties to the lowest cell — identical
@@ -1111,6 +1186,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(hv) AS BIGINT) AS fp FROM h GROUP BY doc_id
         |UNION ALL SELECT doc_id, 0 AS fp FROM docs WHERE n = 0""".stripMargin,
     "q54_simhash_pairs" -> simhashPairsSql,
+    "q63_simhash64_pairs" -> simhash64PairsSql,
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  avg(json_extract(props, '$.k')::BIGINT) AS avg_k,

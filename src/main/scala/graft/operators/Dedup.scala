@@ -132,31 +132,74 @@ object Dedup {
     * Eager: the result is materialized (and returned persisted,
     * caller-owned) so the signature cache can be released on exit. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 1): DataFrame = {
+      maxHamming: Int = 1): DataFrame =
+    bandedNearDup(simhash(docs, idCol, textCol), idCol, "simhash", 16, maxHamming)
+
+  /** 64-bit SimHash: same positional-vote construction as [[simhash]]
+    * but over ALL four bits of each of the 16 md5 hex nibbles — bit
+    * b votes on bit (3 - b%4) of nibble b/4, so bits 0,4,8,… coincide
+    * with the 16-bit fingerprint. 64 bits cut coincidental collisions
+    * (SCALE.md: ~3.5% of 16-bit pairs collide at test scale) to ~0 and
+    * let banding use wider bands (16-bit bands at maxHamming=3 keep
+    * buckets ~n/65536 where the 16-bit fingerprint's 4-bit bands
+    * degrade to ~n/16). Same single-aggregate shape: one md5 per token,
+    * 64 conditional sums, shuffle carries one 64-int row per doc. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("h"))
+    val sums = (0 until 64).map { b =>
+      // nibble value via position in the hex alphabet (mirrors the
+      // DuckDB oracle's strpos formulation exactly)
+      val nib = instr(lit("0123456789abcdef"), substring(col("h"), b / 4 + 1, 1)) - 1
+      sum(when(nib.bitwiseAND(lit(8 >> (b % 4))) > 0, 1).otherwise(-1)).as(s"p$b")
+    }
+    val bits = (0 until 64).map(i =>
+      when(col(s"p$i") > 0, lit(1L << (63 - i))).otherwise(lit(0L)))
+    // addition of disjoint bit patterns == bitwise OR (bit 0's addend is
+    // Long.MinValue; adding non-negative values to it cannot overflow)
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash64"))
+  }
+
+  /** [[simhashNearDup]] over the 64-bit fingerprint; default
+    * maxHamming=3 → 4 bands × 16 bits (pigeonhole-exact). */
+  def simhashNearDup64(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    bandedNearDup(simhash64(docs, idCol, textCol), idCol, "simhash64", 64,
+      maxHamming)
+
+  /** Shared banded near-dup join (pigeonhole-exact, see
+    * [[simhashNearDup]]): `sigs` = one (id, fingerprint) row per doc;
+    * `width` = fingerprint bits. Persists the signature subtree for the
+    * self-join's two sides, releases it on exit (result is returned
+    * materialized + persisted, caller-owned). */
+  private def bandedNearDup(sigs: DataFrame, idCol: String, sigCol: String,
+      width: Int, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    require(maxHamming >= 0 && 16 % nBands == 0,
-      s"maxHamming + 1 must divide the 16-bit fingerprint: $maxHamming")
-    val bandBits = 16 / nBands
-    val mask = (1L << bandBits) - 1
+    require(maxHamming >= 0 && width % nBands == 0,
+      s"maxHamming + 1 must divide the $width-bit fingerprint: $maxHamming")
+    val bandBits = width / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     // persist: the self-join evaluates `bands` twice — without this the
     // whole tokenize+hash+aggregate subtree runs once per side
-    val sigs = simhash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+        shiftrightunsigned(col(sigCol), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
     }
-    val bands = sigs
-      .select(col(idCol).as("doc"), col("simhash"),
+    val bands = cached
+      .select(col(idCol).as("doc"), col(sigCol).as("sig"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc"), col("simhash"),
+      .select(col("doc"), col("sig"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    releasingAfter(sigs) {
+    releasingAfter(cached) {
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+          expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
         .where(col("hamming") <= maxHamming)
         // a pair can agree on several bands — one row per pair (hamming
         // is functionally determined by the pair, min is a no-op pick)

@@ -170,20 +170,67 @@ object Similarity {
 
   /** IVF/LSH-bucketed ANN: join query and candidate sides on bucket id,
     * exact cosine re-rank within bucket. Misses across bucket walls are
-    * the approximation cost; multi-probe = union over bit-flipped
-    * buckets (not needed at test scale). */
+    * the approximation cost; [[annTopKMultiProbe]] recovers them. */
   def annTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
-    val q = lshBucket(queries, vecCol, nBits, dim)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame =
+    annTopKMultiProbe(queries, candidates, idCol, vecCol, k, nBits, dim,
+      nProbe = 1)
+
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB'07):
+    * each query probes its own bucket PLUS the buckets reached by
+    * flipping its `nProbe - 1` smallest-margin sign bits — the
+    * hyperplanes the query sits closest to, which are exactly the bits
+    * most likely to differ for a true neighbor across a bucket wall.
+    * Only the (small, broadcast) query side explodes nProbe-fold; the
+    * candidate side keeps one bucket per vector, so the join stays a
+    * bucket-local equi-join at any corpus size.
+    *
+    * Formulated without higher-order lambdas: the probe array inlines
+    * the bucket/margin subexpressions and whole-stage codegen CSE
+    * evaluates each plane projection once (a `transform` lambda would
+    * re-evaluate them per probe, interpreted — CLAUDE.md note). */
+  def annTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int, dim: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nBits + 1,
+      s"nProbe must be in [1, nBits + 1]: $nProbe")
+    val planes = planeSigns(nBits, dim)
+    def projs(v: org.apache.spark.sql.Column) =
+      planes.map(p => graft.expressions.FloatDotProduct(v, typedLit(p)))
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      projs(v).zipWithIndex.map { case (pr, b) =>
+        when(pr > 0, lit(1L << b)).otherwise(lit(0L)) }.reduce(_ + _)
+    // margin-ordered flip sequence: (|proj|, bit) structs sorted
+    // ascending — field order makes bit index the deterministic tiebreak
+    def flipsOf(v: org.apache.spark.sql.Column) =
+      array_sort(array(projs(v).zipWithIndex.map { case (pr, b) =>
+        struct(abs(pr).as("m"), lit(b).as("b")) }: _*))
+    def probesOf(v: org.apache.spark.sql.Column) = {
+      val bucket = bucketOf(v)
+      val flips = flipsOf(v)
+      array(bucket +: (1 until nProbe).map { i =>
+        // 2^b exact in double for b < 53; xor flips the chosen sign bit
+        bucket.bitwiseXOR(
+          pow(lit(2.0), element_at(flips, i).getField("b").cast("double"))
+            .cast("long"))
+      }: _*)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(probesOf(col("qv"))))
     val c = lshBucket(candidates, vecCol, nBits, dim)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("bucket"))
     val qn = withNorm(q, "qv", "qn")
     val cn = withNorm(c, "cv", "cn")
-    val scored = cn.join(broadcast(qn), Seq("bucket"))
+    val raw = cn.join(broadcast(qn), Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    // multi-probe only: a candidate can surface via several probed
+    // buckets — one row per (query, cand) before ranking (cosine is
+    // pair-determined). Single-probe pairs are unique by construction;
+    // skipping the dedup keeps that plan shuffle-free before the window.
+    val scored =
+      if (nProbe > 1) raw.dropDuplicates("query_id", "cand_id") else raw
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
