@@ -89,6 +89,38 @@ object RtsCsv {
       element_at(split(col("line"), ";"), i + 1).as(n)
     }: _*)
 
+  /** Decimal-typed parse variant (SURVEY §1.3 fidelity): the reference
+    * holds price as `BigDecimal` with the RTS feed's 5-decimal scale
+    * (`marketdb-api/.../model/Payload.scala:13`); `tradesDecimal`
+    * parses the price text straight to DECIMAL(18,5) with NO double
+    * intermediate — a 5-dp price like 0.00001 or 157000.12345 is held
+    * exactly. The catalog/oracle surface stays double (CLAUDE.md hard
+    * rule 3); this is the lossless-money ingest path, with the
+    * double cast boundary at the caller's explicit choice
+    * (`.withColumn("price", col("price").cast("double"))`). */
+  def parseDecimal(raw: DataFrame): DataFrame = {
+    val parsed = raw.select(
+      lit("RTS").as("market"),
+      col("contract").as("security"),
+      expr("try_cast(trade_id AS LONG)").as("tradeId"),
+      expr("try_cast(price AS DECIMAL(18,5))").as("price"),
+      expr("try_cast(amount AS INT)").as("amount"),
+      expr(s"try_to_timestamp(dat_time, '${Schemas.rtsTimeFormat}')").as("time"),
+      (col("Nosystem") === "1").as("nosystem"))
+    parsed.withColumn(
+      "reject_reason",
+      when(col("security").isNull, "missing security")
+        .when(col("tradeId").isNull, "bad trade_id")
+        .when(col("price").isNull, "bad price")
+        .when(col("amount").isNull, "bad amount")
+        .when(col("time").isNull, "bad dat_time"))
+  }
+
+  /** Valid rows with exact DECIMAL(18,5) prices. */
+  def tradesDecimal(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parseDecimal(readRaw(spark, paths))
+      .where(col("reject_reason").isNull).drop("reject_reason")
+
   /** Zip → typed trades (valid rows). */
   def tradesFromZip(spark: SparkSession, zipGlob: String): DataFrame =
     parse(readZipRaw(spark, zipGlob))

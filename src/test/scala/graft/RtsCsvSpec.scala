@@ -57,6 +57,43 @@ class RtsCsvSpec extends AnyFunSuite with SparkTestBase {
     assert(trades.select("market").distinct().head().getString(0) === "RTS")
   }
 
+  test("decimal ingest holds 5-dp prices exactly, round-trips parquet") {
+    val dir = Files.createTempDirectory("rtsdec").toFile
+    // 0.00001 and 157000.12345 are NOT binary-representable: a double
+    // path would show .000009999… / .123449999…; DECIMAL(18,5) is exact
+    val content = Seq(
+      "code;contract;price;amount;dat_time;trade_id;Nosystem",
+      "RIH2;RTS-3.12;0.00001;1;2012-02-01 10:00:00.000;1;0",
+      "RIH2;RTS-3.12;157000.12345;2;2012-02-01 10:00:01.000;2;0",
+      "RIH2;RTS-3.12;not_a_price;1;2012-02-01 10:00:02.000;3;0"
+    ).mkString("\n")
+    val f = new java.io.File(dir, "120201ft.csv")
+    Files.writeString(f.toPath, content)
+
+    val t = RtsCsv.tradesDecimal(spark, Seq(f.getAbsolutePath))
+    val priceType = t.schema("price").dataType
+    assert(priceType === org.apache.spark.sql.types.DecimalType(18, 5))
+    assert(t.count() === 2) // bad price still quarantined
+    val prices = t.orderBy("tradeId").collect()
+      .map(_.getDecimal(3).toPlainString)
+    assert(prices === Array("0.00001", "157000.12345"))
+
+    // parquet round-trip preserves the exact decimal
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    t.write.parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("price").dataType ===
+      org.apache.spark.sql.types.DecimalType(18, 5))
+    assert(back.orderBy("tradeId").collect().map(_.getDecimal(3).toPlainString)
+      === Array("0.00001", "157000.12345"))
+
+    // the documented cast boundary: explicit, caller-chosen
+    val asDouble = t.withColumn("price",
+      org.apache.spark.sql.functions.col("price").cast("double"))
+    assert(asDouble.schema("price").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("typed schema and constant market") {
     val path = writeFixture()
     val t = RtsCsv.trades(spark, Seq(path))
