@@ -629,6 +629,19 @@ object SparkEntry {
       Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
         "vec_id", "embedding", k = 3)
     }),
+    "q65_merge_limit" -> ((s, dir) => {
+      // tied merge + limit: the custom SortedMergeUnion with explicit
+      // tiebreak columns — the pushed per-child top-n sorts by
+      // (ts, event_id), so the earliest-100 row SET is deterministic
+      // even where equal timestamps straddle the boundary (hard rule 4)
+      val ev = tbl(s, dir, "events").where(col("user_id") < 40)
+      def series(tpe: String) = ev.where(col("event_type") === tpe)
+        .withColumn("stream", lit(tpe))
+        .select("stream", "event_id", "ts", "user_id", "value")
+      OrderedMerge.mergeSortedTied("ts", Seq("event_id"),
+          series("click"), series("view"), series("purchase"))
+        .limit(100)
+    }),
     "q64_ann_multiprobe" -> ((s, dir) => {
       // multi-probe LSH: own bucket + 2 smallest-margin bit-flip
       // buckets per query (Lv et al. VLDB'07) — recovers neighbors lost
@@ -1256,6 +1269,12 @@ object SparkEntry {
         |  SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
+    "q65_merge_limit" ->
+      """SELECT * FROM (
+        |  SELECT event_type AS stream, event_id, ts, user_id, value
+        |  FROM events
+        |  WHERE user_id < 40 AND event_type IN ('click', 'view', 'purchase'))
+        |ORDER BY ts, event_id LIMIT 100""".stripMargin,
     "q62_hetero_merge" ->
       """SELECT event_id, ts, user_id, value, 'purchase' AS stream,
         |  CAST(NULL AS BIGINT) AS k

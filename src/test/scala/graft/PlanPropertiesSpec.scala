@@ -60,6 +60,19 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen:\n$p")
   }
 
+  test("q65 tied merge+limit runs zero exchanges (per-child top-n + merge)") {
+    val p = executedPlan("q65_merge_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"no pushed top-n:\n$p")
+    assert(p.contains("SortedMergeUnion"), p)
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("q64 multi-probe ANN broadcasts the probe side, never sort-merge") {
+    val p = executedPlan("q64_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast bucket join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
   test("q01 aggregates with map-side partials (two-phase hash agg)") {
     val p = executedPlan("q01_pricing_summary")
     assert("partial_sum|partial_count".r.findFirstIn(p).isDefined ||
