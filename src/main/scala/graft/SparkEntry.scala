@@ -272,6 +272,13 @@ object SparkEntry {
       Dedup.minhashBuckets(tbl(s, dir, "documents"), "doc_id", "text",
         k = 2, nHashes = 2, bandSize = 1)
     }),
+    "q66_minhash_estimate" -> ((s, dir) => {
+      // Broder minhash estimator over LSH-banded candidates: the
+      // verification-free scale path (fixed-width signatures, no
+      // shingle sets shipped); est = n_agree/16 is an exact rational
+      Dedup.minhashJaccardEstimate(tbl(s, dir, "documents"), "doc_id",
+        "text", k = 2, nHashes = 16, bandSize = 4)
+    }),
     "q24_fingerprint" -> ((s, dir) => {
       // explode-then-agg: one md5 per shingle, map-side partial min
       tbl(s, dir, "documents")
@@ -803,6 +810,34 @@ object SparkEntry {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
 
+  /** q66 oracle: Broder minhash estimator replicated in SQL — same
+    * shingle hash (md5(s || seed)), same band buckets
+    * (md5(s_i || '|' || ...) = Spark's md5(concat_ws("|", ...))),
+    * same n_agree/16 exact rational. */
+  private def minhashEstimateSql: String = {
+    val nH = 16; val bs = 4
+    val sigDefs = (0 until nH).map(i => s"min(md5(s || '$i')) AS s$i").mkString(", ")
+    val bandSelects = (0 until nH / bs).map { b =>
+      val keys = (b * bs until (b + 1) * bs).map(i => s"s$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($keys) AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until nH)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS ($toksCte),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
+       |sigs AS (SELECT doc_id, $sigDefs FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST($agree AS BIGINT) AS n_agree,
+       |  CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM cands JOIN sigs sa ON doc_a = sa.doc_id
+       |JOIN sigs sb ON doc_b = sb.doc_id""".stripMargin
+  }
+
   /** 64-bit variant of [[simhashCteSql]]: bit b votes on bit (3 - b%4)
     * of md5 hex nibble b/4 (strpos hex decode mirrors the Spark side's
     * instr formulation). The oracle verifies pairs brute-force — the
@@ -1200,6 +1235,7 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 0 AS fp FROM docs WHERE n = 0""".stripMargin,
     "q54_simhash_pairs" -> simhashPairsSql,
     "q63_simhash64_pairs" -> simhash64PairsSql,
+    "q66_minhash_estimate" -> minhashEstimateSql,
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  avg(json_extract(props, '$.k')::BIGINT) AS avg_k,

@@ -93,6 +93,45 @@ object Dedup {
       .where(col("bucket_size") > 1)
   }
 
+  /** MinHash Jaccard ESTIMATOR: for LSH-banded candidate pairs,
+    * estimate J(A,B) as the fraction of agreeing signature components
+    * (P[min-hash collision] = J, Broder '97 — the estimator behind
+    * every production-scale near-dup pipeline). This is the scale path
+    * when [[jaccardPairs]]' exact set verification is too expensive:
+    * signatures are fixed-width (nHashes strings), candidates come
+    * from banding, and no shingle set ever crosses the network —
+    * the estimate needs only the two signature rows.
+    * `est_jaccard` = agreements/nHashes is an exact small rational —
+    * hash-stable with no rounding. */
+  def minhashJaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nHashes: Int, bandSize: Int): DataFrame = {
+    require(nHashes % bandSize == 0, "bandSize must divide nHashes")
+    val sigs = minhashSignatures(docs, idCol, textCol, k, nHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until nHashes / bandSize).map { b =>
+      val keys = (b * bandSize until (b + 1) * bandSize).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", keys: _*)).as("bucket"))
+    }
+    val banded = sigs
+      .select(col(idCol).as("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val agree = (0 until nHashes).map(i =>
+      when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
+    releasingAfter(sigs) {
+      cands
+        .join(sigs.as("sa"), col("doc_a") === col(s"sa.$idCol"))
+        .join(sigs.as("sb"), col("doc_b") === col(s"sb.$idCol"))
+        .select(col("doc_a"), col("doc_b"),
+          agree.cast("long").as("n_agree"),
+          (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+    }
+  }
+
   /** SimHash: positional-nibble majority hash. For each of 16 md5 hex
     * positions, a token votes +1 if its nibble's top bit is set, else
     * -1; the sign of the per-position sum forms a 16-bit fingerprint.

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming SimHash near-dup detection — the batch banded join
+  * (`graft.operators.Dedup.simhashNearDup64`) re-expressed as stateful
+  * stream processing, extending the reference's streaming ingest
+  * surface (`marketdb-core/.../core/MarketDB.scala:139-168` is
+  * point-ingest only; near-dup screening at ingest time is what a
+  * corpus pipeline adds on top).
+  *
+  * Shape: per-row 64-bit fingerprint (pure function, no shuffle) →
+  * explode to (band, band-value) keys → `flatMapGroupsWithState`
+  * keyed by bucket. Each bucket's state is the (doc, sig) list seen so
+  * far; a new doc emits a pair for every stored signature within
+  * `maxHamming` — so pairs surface BOTH within and across
+  * micro-batches, which a per-batch join cannot do.
+  *
+  * Semantics: at-least-once per pair — a pair agreeing on several
+  * bands is emitted once per agreeing band (bucket states are
+  * independent); compact downstream with `dropDuplicates(doc_a,
+  * doc_b)` or the idempotent-sink pattern (`IngestPipeline`), exactly
+  * like any at-least-once source.
+  *
+  * Scale: state per bucket is its member list — banding keeps buckets
+  * ~n/2^bandBits (SCALE.md); production corpora would add timeout
+  * eviction (swap `GroupStateTimeout` + watermark) to bound state by
+  * recency, trading cross-epoch recall.
+  */
+object StreamingNearDup {
+
+  final case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Pure-Scala twin of `Dedup.simhash64`'s expression pipeline
+    * (lowercase, split on spaces, drop empties, md5 per token, 64
+    * positional nibble-bit votes) — `StreamingNearDupSpec` asserts
+    * fingerprint equality against the Column formulation. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.toLowerCase.split(" ", -1).foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = md5hex(tok)
+        var b = 0
+        while (b < 64) {
+          val nib = Character.digit(h.charAt(b / 4), 16)
+          votes(b) += (if ((nib & (8 >> (b % 4))) > 0) 1 else -1)
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << (63 - i))
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-dup pairs over a STREAMING frame of (idCol: long-castable,
+    * textCol: string). Append-mode output; see class doc for the
+    * at-least-once contract. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 64 % nBands == 0,
+      s"maxHamming + 1 must divide the 64-bit fingerprint: $maxHamming")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        val sig = simhash64(text)
+        (0 until nBands).map(b =>
+          (b, (sig >>> (b * bandBits)) & mask, doc, sig))
+      }
+      .groupByKey { case (band, bv, _, _) => (band, bv) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[List[(Long, Long)]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          rows.foreach { case (_, _, doc, sig) =>
+            seen.foreach { case (d0, s0) =>
+              if (d0 != doc) {
+                val ham = java.lang.Long.bitCount(s0 ^ sig)
+                if (ham <= maxHamming)
+                  out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
+              }
+            }
+            seen = (doc, sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+}

@@ -28,6 +28,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = graft.sources.Tables.load(spark, sfDir, "events")
+    val docsBase = graft.sources.Tables.load(spark, sfDir, "documents")
+    val embBase = graft.sources.Tables.load(spark, sfDir, "embeddings")
 
     def scaled(mult: Int): DataFrame =
       (0 until mult).map { i =>
@@ -35,6 +37,24 @@ object ScaleProbe {
           .withColumn("user_id", col("user_id") + lit(i * 1000000L))
           .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
           .withColumn("ts", col("ts") + expr(s"interval $i hours"))
+      }.reduce(_ unionByName _)
+
+    /** Replica tokens are prefixed per copy (replica 0 = original), so
+      * shingle/token hashes DECORRELATE across replicas: near-dup pair
+      * density stays within-replica and grows linearly with the data —
+      * a plain self-union would near-dup every row against its copies
+      * and measure quadratic pair blowup, not operator scaling. */
+    def scaledDocs(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        val d = docsBase.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        if (i == 0) d
+        else d.withColumn("text",
+          regexp_replace(col("text"), "([\\p{Alnum}]+)", s"r${i}_$$1"))
+      }.reduce(_ unionByName _)
+
+    def scaledEmb(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
       }.reduce(_ unionByName _)
 
     def time(f: => Long): (Double, Long) = {
@@ -73,14 +93,26 @@ object ScaleProbe {
         Seq("user_id", "event_type", "day"), Seq("ts", "event_id")).count())
     )
 
+    // corpus/embedding operators scale over their own tables
+    val docOps: Seq[(String, DataFrame => Long)] = Seq(
+      "jaccard" -> (d => graft.operators.Dedup
+        .jaccardPairs(d, "doc_id", "text", k = 2, threshold = 0.8).count()),
+      "simhash64" -> (d => graft.operators.Dedup
+        .simhashNearDup64(d, "doc_id", "text", maxHamming = 3).count()))
+    val embOps: Seq[(String, DataFrame => Long)] = Seq(
+      "ann_mprobe" -> (e => graft.operators.Similarity.annTopKMultiProbe(
+        embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nBits = 8, dim = 64, nProbe = 3).count()))
+
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
-    ops.foreach { case (name, f) =>
+    def run(name: String, f: DataFrame => Long, mk: Int => DataFrame): Unit =
       mults.foreach { m =>
-        val df = scaled(m)
-        val (sec, rows) = time(f(df))
+        val (sec, rows) = time(f(mk(m)))
         println(f"[probe] $name%-12s $m%4d $rows%10d $sec%8.2f")
       }
-    }
+    ops.foreach { case (n, f) => run(n, f, scaled) }
+    docOps.foreach { case (n, f) => run(n, f, scaledDocs) }
+    embOps.foreach { case (n, f) => run(n, f, scaledEmb) }
     spark.stop()
   }
 }

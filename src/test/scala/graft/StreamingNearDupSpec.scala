@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Dedup
+import graft.streaming.StreamingNearDup
+
+/** Streaming SimHash near-dup: the stateful banded-bucket stream must
+  * find exactly the pairs the batch banded join finds — including
+  * pairs whose two documents arrive in DIFFERENT micro-batches (the
+  * case a per-batch join cannot cover). */
+class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("pure-Scala fingerprint equals the expression pipeline") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 100)
+    val fromExpr = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromExpr.nonEmpty)
+    docs.select("doc_id", "text").collect().foreach { r =>
+      // docs with no tokens produce no expression row — nothing to check
+      fromExpr.get(r.getLong(0)).foreach { sig =>
+        assert(StreamingNearDup.simhash64(r.getString(1)) === sig,
+          s"fingerprint mismatch for doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("stateful streaming pairs match the batch banded join across micro-batches") {
+    val root = Files.createTempDirectory("sneardup").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    // two single-file writes -> two micro-batches under maxFilesPerTrigger=1
+    docs.where(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(in)
+    docs.where(col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = s"$root/out"
+    val q = StreamingNearDup.pairs(stream, "doc_id", "text", maxHamming = 3)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+      .distinct() // at-least-once per agreeing band -> dedup
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture should contain near-dups")
+    assert(got === want)
+    // cross-batch coverage: at least one pair spans the two halves
+    assert(want.exists { case (a, b, _) => a < 60 && b >= 60 },
+      "fixture should contain a cross-batch pair")
+  }
+}
