@@ -20,7 +20,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.minhashBuckets(noDocs, "doc_id", "text", 2, 2, 1).count() === 0)
     assert(Dedup.simhash(noDocs, "doc_id", "text").count() === 0)
     assert(Dedup.simhashNearDup(noDocs, "doc_id", "text", 1).count() === 0)
+    assert(Dedup.simhash64(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashNearDup64(noDocs, "doc_id", "text", 3).count() === 0)
     assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 2, 0.5).count() === 0)
+    assert(Dedup.minhashJaccardEstimate(noDocs, "doc_id", "text", 2, 16, 4)
+      .count() === 0)
+  }
+
+  test("ANN on an empty candidate set") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq((1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.annTopKMultiProbe(q, noVecs, "vec_id", "embedding",
+      k = 5, nBits = 4, dim = 4, nProbe = 3).count() === 0)
+    assert(Similarity.cosineTopK(noVecs, q, "vec_id", "embedding", 5)
+      .count() === 0)
   }
 
   test("as-of join with an empty right side null-extends every left row") {
