@@ -272,6 +272,26 @@ object SparkEntry {
       Dedup.minhashBuckets(tbl(s, dir, "documents"), "doc_id", "text",
         k = 2, nHashes = 2, bandSize = 1)
     }),
+    "q67_tfidf" -> ((s, dir) => {
+      // TF-IDF term weighting — the classic corpus-relevance operator:
+      // two hash aggregates (term-in-doc counts, then document
+      // frequency), idf joined back broadcast-small (vocab-sized).
+      // No ranking on the double (a sub-ulp libm difference could flip
+      // a rank); tfidf itself is rounded per hard rule 9 (ln may
+      // differ in the last ulp across engines).
+      val docs = tbl(s, dir, "documents")
+      val n = docs.count() // corpus size: plan literal, one tiny job
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count("*").as("tf"))
+      val df = tf.groupBy("term").agg(count("*").cast("long").as("df"))
+      tf.join(broadcast(df), "term")
+        .select(col("doc_id"), col("term"), col("tf"),
+          col("df"),
+          round(col("tf") *
+            (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)),
+            9).as("tfidf"))
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1236,6 +1256,15 @@ object SparkEntry {
     "q54_simhash_pairs" -> simhashPairsSql,
     "q63_simhash64_pairs" -> simhash64PairsSql,
     "q66_minhash_estimate" -> minhashEstimateSql,
+    "q67_tfidf" ->
+      s"""WITH toks AS ($toksCte),
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, term, tfc.tf AS tf, CAST(dfc.df AS BIGINT) AS df,
+         |  round(tfc.tf * (ln((n.n + 1.0) / (dfc.df + 1.0)) + 1.0), 9) AS tfidf
+         |FROM tfc JOIN dfc USING (term), n""".stripMargin,
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  avg(json_extract(props, '$.k')::BIGINT) AS avg_k,
