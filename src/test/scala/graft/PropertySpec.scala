@@ -115,6 +115,30 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming pure-Scala simhash64 equals the expression pipeline on random text") {
+    // random tokens incl. punctuation, digits, empty runs, unicode —
+    // edge shapes the fixture corpus doesn't exercise
+    val tokGen = Gen.oneOf(
+      Gen.identifier.map(_.take(6)),
+      Gen.numStr.map(_.take(4)),
+      Gen.oneOf("...", "?!", "a,b", "Ünïcode", "ÅÄÖ", "x"),
+      Gen.const(""))
+    val textGen = Gen.listOfN(12, tokGen).map(_.mkString(" "))
+    val texts = samples(textGen, 40).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fromExpr = graft.operators.Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // docs with zero tokens produce no expression row — skip those
+      fromExpr.get(i.toLong).foreach { sig =>
+        assert(graft.streaming.StreamingNearDup.simhash64(t) === sig,
+          s"mismatch for text '$t'")
+      }
+    }
+    assert(fromExpr.nonEmpty)
+  }
+
   test("RTS time parse is the inverse of format (round-trip identity)") {
     val msGen = Gen.chooseNum(0L, 4102444800000L)
     val ms = samples(msGen, 32)
