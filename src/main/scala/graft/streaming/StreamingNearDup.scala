@@ -69,9 +69,16 @@ object StreamingNearDup {
 
   /** Near-dup pairs over a STREAMING frame of (idCol: long-castable,
     * textCol: string). Append-mode output; see class doc for the
-    * at-least-once contract. */
+    * at-least-once contract.
+    *
+    * `stateCap` bounds each bucket's retained signatures to the most
+    * recent N (FIFO eviction): memory per bucket becomes O(stateCap)
+    * regardless of stream length, at the cost of missing pairs whose
+    * members are more than stateCap bucket-arrivals apart — the
+    * recency-window trade every unbounded-stream dedup makes
+    * (default: unbounded, exact). */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): Dataset[NearDupPair] = {
+      maxHamming: Int = 3, stateCap: Int = Int.MaxValue): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
@@ -101,7 +108,7 @@ object StreamingNearDup {
                   out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
               }
             }
-            seen = (doc, sig) :: seen
+            seen = ((doc, sig) :: seen).take(stateCap)
           }
           state.update(seen)
           out.result().iterator

@@ -28,6 +28,42 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stateCap bounds bucket state: recency window drops only distant pairs") {
+    val root = Files.createTempDirectory("sneardupcap").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.{SaveMode}
+    val spark0 = spark; import spark0.implicits._
+    // three identical docs arriving in three micro-batches
+    Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    Seq((2L, "alpha beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    Seq((3L, "alpha beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = s"$root/out"
+    val q = StreamingNearDup.pairs(stream, "doc_id", "text",
+        maxHamming = 3, stateCap = 1)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap=1 keeps only the latest signature per bucket: the two
+    // arrival-consecutive pairs survive and the (first, third) pair is
+    // beyond the recency window. File-source batch order follows
+    // modification time (arrival order unspecified under ties), so
+    // assert the order-robust shape: exactly one of the three possible
+    // pairs was evicted.
+    assert(got.subsetOf(Set((1L, 2L), (2L, 3L), (1L, 3L))), got.toString)
+    assert(got.size === 2, s"expected exactly one evicted pair, got $got")
+  }
+
   test("stateful streaming pairs match the batch banded join across micro-batches") {
     val root = Files.createTempDirectory("sneardup").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
