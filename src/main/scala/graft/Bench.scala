@@ -36,6 +36,10 @@ object Bench {
     // steady-state cost of the plan (both passes run the full query —
     // no result caching between them, Spark actions recompute).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // drop caches left by a previous pass of the same query (the
+      // eager dedup operators persist their results): each timed pass
+      // must rebuild the full pipeline, not read a warm cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9

@@ -91,7 +91,9 @@ object MarketDbApi {
   def store(trades: Dataset[Trade], path: String, filesPerDate: Int = 1): Unit = {
     val deduped = Dedup.firstByKey(
       trades.toDF.withColumn("__neg_t", -unix_micros(col("time").cast("timestamp"))),
-      Seq("market", "security", "tradeId"), Seq("__neg_t", "price", "amount"))
+      Seq("market", "security", "tradeId"),
+      // every non-key Trade field participates so the order is total
+      Seq("__neg_t", "price", "amount", "nosystem"))
       .drop("__neg_t")
     TimeSeriesTable.write(deduped, path, "market", "time", "security",
       filesPerDate)

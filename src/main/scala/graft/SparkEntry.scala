@@ -280,16 +280,23 @@ object SparkEntry {
       // a rank); tfidf itself is rounded per hard rule 9 (ln may
       // differ in the last ulp across engines).
       val docs = tbl(s, dir, "documents")
-      val n = docs.count() // corpus size: plan literal, one tiny job
+      // corpus size stays IN the plan (1-row broadcast cross join) —
+      // no driver-side count job per query construction
+      val nDf = docs.agg(count("*").cast("double").as("__n"))
       val tf = docs
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count("*").as("tf"))
-      val df = tf.groupBy("term").agg(count("*").cast("long").as("df"))
-      tf.join(broadcast(df), "term")
+      // document frequency as a window over tf — ONE tokenize lineage
+      // (a groupBy-then-join formulation would re-run the explode
+      // subtree per consumer; ReuseExchange does not cover it)
+      val withDf = tf.withColumn("df",
+        count("*").over(Window.partitionBy("term")).cast("long"))
+      withDf
+        .crossJoin(broadcast(nDf))
         .select(col("doc_id"), col("term"), col("tf"),
           col("df"),
           round(col("tf") *
-            (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)),
+            (log((col("__n") + 1.0) / (col("df") + lit(1.0))) + lit(1.0)),
             9).as("tfidf"))
     }),
     "q66_minhash_estimate" -> ((s, dir) => {

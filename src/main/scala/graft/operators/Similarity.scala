@@ -194,6 +194,11 @@ object Similarity {
       nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nBits + 1,
       s"nProbe must be in [1, nBits + 1]: $nProbe")
+    // flip masks are built as pow(2.0, bit): exact only while the bit
+    // index fits double's 53-bit mantissa (any realistic LSH uses far
+    // fewer planes; 2^52 buckets is not a realistic table)
+    require(nProbe == 1 || nBits <= 52,
+      s"multi-probe flip masks require nBits <= 52: $nBits")
     val planes = planeSigns(nBits, dim)
     def projs(v: org.apache.spark.sql.Column) =
       planes.map(p => graft.expressions.FloatDotProduct(v, typedLit(p)))

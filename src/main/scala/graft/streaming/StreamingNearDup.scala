@@ -47,7 +47,10 @@ object StreamingNearDup {
     * fingerprint equality against the Column formulation. */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    text.toLowerCase.split(" ", -1).foreach { tok =>
+    // Locale.ROOT: Spark's lower() lowercases ASCII locale-independently
+    // (UTF8String fast path); default-locale toLowerCase would diverge
+    // on e.g. tr-TR hosts ("INDEX" -> dotless-i "ındex")
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { tok =>
       if (tok.nonEmpty) {
         val h = md5hex(tok)
         var b = 0

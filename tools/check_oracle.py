@@ -44,7 +44,12 @@ def norm(v):
 def eq_cell(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if STRICT:
-            return a == b or (math.isnan(a) and math.isnan(b))
+            if math.isnan(a) or math.isnan(b):
+                return math.isnan(a) and math.isnan(b)
+            # bit-exact, including signed zero (-0.0 != +0.0 under the
+            # driver's byte-level hash, but Python's == conflates them)
+            import struct
+            return struct.pack("<d", a) == struct.pack("<d", b)
         return math.isclose(a, b, rel_tol=1e-8, abs_tol=1e-10)
     return norm(a) == norm(b)
 
