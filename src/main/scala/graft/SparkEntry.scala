@@ -843,7 +843,10 @@ object SparkEntry {
     * same n_agree/16 exact rational. */
   private def minhashEstimateSql: String = {
     val nH = 16; val bs = 4
-    val sigDefs = (0 until nH).map(i => s"min(md5(s || '$i')) AS s$i").mkString(", ")
+    // component i = 8-hex slice (i%4) of md5(s || group i/4) — matches
+    // Dedup.minhashSignatures' 4-components-per-md5 scheme
+    val sigDefs = (0 until nH).map(i =>
+      s"min(substr(md5(s || '${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS s$i").mkString(", ")
     val bandSelects = (0 until nH / bs).map { b =>
       val keys = (b * bs until (b + 1) * bs).map(i => s"s$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($keys) AS bucket FROM sigs"
@@ -1038,7 +1041,8 @@ object SparkEntry {
       s"""WITH toks AS ($toksCte),
          |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
          |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
-         |sigs AS (SELECT doc_id, min(md5(s || '0')) AS s0, min(md5(s || '1')) AS s1
+         |sigs AS (SELECT doc_id, min(substr(md5(s || '0'), 1, 8)) AS s0,
+         |    min(substr(md5(s || '0'), 9, 8)) AS s1
          |  FROM sh GROUP BY doc_id),
          |bands AS (SELECT doc_id, 0 AS band_id, md5(s0) AS bucket FROM sigs
          |  UNION ALL SELECT doc_id, 1 AS band_id, md5(s1) AS bucket FROM sigs)

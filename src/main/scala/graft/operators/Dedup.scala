@@ -58,18 +58,32 @@ object Dedup {
 
   /** MinHash signatures: one row per doc with `nHashes` signature
     * columns s0..s{n-1} over word k-shingles. Explode-then-aggregate so
-    * each shingle is hashed once per seed (a per-row array expression
-    * would recompute the shingle array per signature column — Catalyst
-    * inlines aliased projections); partial aggregation makes the
-    * shuffle carry only (doc, partial-min) rows. Docs with no shingles
-    * produce no row. */
+    * each shingle is hashed once per SEED GROUP (a per-row array
+    * expression would recompute the shingle array per signature
+    * column — Catalyst inlines aliased projections); partial
+    * aggregation makes the shuffle carry only (doc, partial-min) rows.
+    * Docs with no shingles produce no row.
+    *
+    * One md5 yields FOUR independent signature components (its 32 hex
+    * chars split into four 8-hex substrings — md5 bits are pairwise
+    * independent, so each slice is its own uniform hash family
+    * member): component i mins `substr(md5(sh || i/4), (i%4)*8, 8)`.
+    * The md5s are projected BEFORE the aggregate so each is computed
+    * once per (shingle, group) — 4× less hashing than one md5 per
+    * (shingle, seed), which profiling showed dominates the signature
+    * build. The DuckDB oracles replicate the same slicing. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int): DataFrame = {
+    val nGroups = (nHashes + 3) / 4
     val exploded = docs.select(col(idCol),
       explode(shingles(col(textCol), k)).as("__sh"))
-    val aggs = (0 until nHashes).map(i =>
-      min(md5(concat(col("__sh"), lit(i.toString)))).as(s"s$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = exploded.select(
+      col(idCol) +: (0 until nGroups).map(g =>
+        md5(concat(col("__sh"), lit(g.toString))).as(s"__h$g")): _*)
+    val aggs = (0 until nHashes).map { i =>
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"s$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: docs whose signatures agree on all hashes
