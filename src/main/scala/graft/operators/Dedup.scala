@@ -201,17 +201,22 @@ object Dedup {
     val tok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), md5(col("tok")).as("h"))
+    // nibble values projected ONCE per hex char (16 substr+instr per
+    // token instead of 64 inside the aggregate); value via position in
+    // the hex alphabet mirrors the DuckDB oracle's strpos formulation
+    val nibbled = tok.select(
+      col(idCol) +: (0 until 16).map(n =>
+        (instr(lit("0123456789abcdef"), substring(col("h"), n + 1, 1)) - 1)
+          .as(s"__n$n")): _*)
     val sums = (0 until 64).map { b =>
-      // nibble value via position in the hex alphabet (mirrors the
-      // DuckDB oracle's strpos formulation exactly)
-      val nib = instr(lit("0123456789abcdef"), substring(col("h"), b / 4 + 1, 1)) - 1
-      sum(when(nib.bitwiseAND(lit(8 >> (b % 4))) > 0, 1).otherwise(-1)).as(s"p$b")
+      sum(when(col(s"__n${b / 4}").bitwiseAND(lit(8 >> (b % 4))) > 0, 1)
+        .otherwise(-1)).as(s"p$b")
     }
     val bits = (0 until 64).map(i =>
       when(col(s"p$i") > 0, lit(1L << (63 - i))).otherwise(lit(0L)))
     // addition of disjoint bit patterns == bitwise OR (bit 0's addend is
     // Long.MinValue; adding non-negative values to it cannot overflow)
-    tok.groupBy(col(idCol))
+    nibbled.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol), bits.reduce(_ + _).as("simhash64"))
   }
