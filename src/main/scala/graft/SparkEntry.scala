@@ -434,14 +434,20 @@ object SparkEntry {
         .agg(count("*").as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
     }),
     "q38_multimodal_meta" -> ((s, dir) => {
-      // multimodal plumbing over a deterministic fake corpus (no media
-      // table in testdata; codec stubbed — see Multimodal). Rows-only
-      // driver check: not SQL-expressible (binary decode).
-      val corpus = Multimodal.fakeCorpus(s, 300)
-      Multimodal.metaTable(Multimodal.decode(corpus, "media_id", "content"))
+      // multimodal metadata under the oracle gate: the fake corpus
+      // (incl. four reject blobs) is written to parquet, then the
+      // 15-byte header is parsed with codegen'd binary expressions
+      // (no codec, no mapPartitions) — DuckDB slices the SAME parquet
+      // bytes via hex-string arithmetic. avg is an exact integer sum
+      // over an exact count with ONE double division (hard rule 9's
+      // exact-arithmetic variant; int sums are associativity-free).
+      val path = Multimodal.scratchCorpusPath
+      Multimodal.fakeCorpusWithRejects(s, 300).repartition(2)
+        .write.mode("overwrite").parquet(path)
+      Multimodal.decodeMetaExpr(s.read.parquet(path), "media_id", "content")
         .groupBy("kind")
-        .agg(count("*").as("n"), sum("byteSize").as("total_bytes"),
-          avg(col("width")).as("avg_width"))
+        .agg(count(lit(1)).as("n"), sum("byteSize").as("total_bytes"),
+          (sum("width").cast("double") / count(lit(1))).as("avg_width"))
     }),
     // ── as-of join ──────────────────────────────────────────────────
     "q29_asof_join" -> ((s, dir) => {
@@ -1016,6 +1022,34 @@ object SparkEntry {
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q38_multimodal_meta" ->
+      // Twin of Multimodal.decodeMetaExpr over the parquet the Spark
+      // query just wrote (content is deterministic and sf-independent).
+      // DuckDB 1.0 cannot slice BLOBs, so the header is sliced as the
+      // hex STRING (hex() is uppercase on both engines) and parsed via
+      // the '0x'||…::INT cast — same bytes, same integer values.
+      s"""WITH h AS (
+         |  SELECT media_id, content, hex(content) AS hx,
+         |    (content IS NOT NULL AND octet_length(content) >= 15) AS len_ok
+         |  FROM read_parquet('${operators.Multimodal.scratchCorpusPath}/*.parquet')),
+         |k AS (
+         |  SELECT media_id, content, hx,
+         |    (len_ok AND substr(hx, 1, 4) = '4752') AS magic_ok,
+         |    CASE WHEN len_ok AND substr(hx, 1, 4) = '4752'
+         |         THEN ('0x' || substr(hx, 5, 2))::INT END AS kind_code
+         |  FROM h),
+         |m AS (
+         |  SELECT media_id,
+         |    CASE kind_code WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         WHEN 2 THEN 'video' ELSE 'unknown' END AS kind,
+         |    CASE WHEN magic_ok AND kind_code BETWEEN 0 AND 2
+         |         THEN ('0x' || substr(hx, 7, 8))::INT ELSE 0 END AS width,
+         |    COALESCE(octet_length(content), 0)::BIGINT AS byte_size
+         |  FROM k)
+         |SELECT kind, count(*)::BIGINT AS n,
+         |  sum(byte_size)::BIGINT AS total_bytes,
+         |  sum(width)::BIGINT::DOUBLE / count(*) AS avg_width
+         |FROM m GROUP BY kind""".stripMargin,
     "q39_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.ByteBuffer
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns for corpus pipelines.
@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   val MAGIC: Short = 0x4752 // "GR"
+
+  /** Header = magic(2) + kind(1) + width(4) + height(4) + nFrames(4). */
+  val HeaderLen: Int = 15
+
+  /** Fixed scratch path for the q38 parquet-backed corpus: the oracle
+    * SQL is a static string, so Spark writes and DuckDB reads the same
+    * absolute location (content is sf-independent and deterministic). */
+  val scratchCorpusPath: String = "/tmp/graft_q38_media"
 
   final case class MediaMeta(
       kind: String, // image | audio | video
@@ -126,6 +134,38 @@ object Multimodal {
       }
   }
 
+  /** Expression-only header decode: the metadata half of the codec needs
+    * no native library, so it is parsed with codegen'd binary/string
+    * expressions instead of `mapPartitions` — the whole parse stays inside
+    * WholeStageCodegen and is SQL-expressible, which puts it under the
+    * DuckDB oracle gate (both engines slice the same parquet bytes).
+    * Semantics match `decodeOne` exactly: bad magic / short blob / unknown
+    * kind ⇒ kind="unknown", dims 0, valid=false (F5 quarantine).
+    * The `mapPartitions` path in [[decode]] stays as the shape a real
+    * pixel codec needs; this is the scale path for metadata-only queries.
+    */
+  def decodeMetaExpr(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    // hex of just the header: 30 chars; Spark `substring` slices binary
+    val hx = hex(substring(bin, 1, HeaderLen))
+    def hexInt(pos1: Int, nibbles: Int): Column =
+      conv(substring(hx, pos1, nibbles), 16, 10).cast("int")
+    val lenOk = bin.isNotNull && length(bin) >= HeaderLen
+    val magicOk = lenOk && substring(hx, 1, 4) === "4752"
+    val kindCode = when(magicOk, hexInt(5, 2))
+    val valid = magicOk && kindCode.between(0, 2)
+    def dim(pos1: Int): Column = when(valid, hexInt(pos1, 8)).otherwise(0)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      when(kindCode === 0, "image").when(kindCode === 1, "audio")
+        .when(kindCode === 2, "video").otherwise("unknown").as("kind"),
+      dim(7).as("width"),
+      dim(15).as("height"),
+      dim(23).as("nFrames"),
+      coalesce(length(bin).cast("long"), lit(0L)).as("byteSize"),
+      valid.as("valid"))
+  }
+
   /** Metadata-only projection pushdown helper: media tables should be
     * stored with metadata in separate parquet columns so queries that
     * never touch pixels never read them (column pruning does the work —
@@ -141,5 +181,26 @@ object Multimodal {
       val payload = Array.tabulate[Byte](64 + (i % 5) * 32)(j => ((i * 31 + j) % 251).toByte)
       (i.toLong, encodeFake(kind, 16 + i % 8, 9 + i % 4, if (kind == "video") 8 else 1, payload))
     }.toDF("media_id", "content")
+  }
+
+  /** [[fakeCorpus]] plus four deterministic reject blobs — null content,
+    * truncated header, wrong magic, unknown kind byte — one per guard in
+    * the decoder (the F5 quarantine paths under the oracle gate). */
+  def fakeCorpusWithRejects(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val badMagic = {
+      val b = encodeFake("image", 4, 4, 1, Array.fill[Byte](16)(7))
+      b(0) = 0x00; b(1) = 0x00; b
+    }
+    val badKind = {
+      val b = encodeFake("image", 4, 4, 1, Array.fill[Byte](16)(9))
+      b(2) = 9; b
+    }
+    val rejects = Seq(
+      (n.toLong, null: Array[Byte]),
+      (n + 1L, Array[Byte](1, 2, 3)),
+      (n + 2L, badMagic),
+      (n + 3L, badKind)).toDF("media_id", "content")
+    fakeCorpus(spark, n).unionAll(rejects)
   }
 }
