@@ -31,9 +31,11 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => }
     }
-    // best-of-2 per query: single-pass numbers on a shared box swing
-    // 2x on scheduler/GC noise; the min of two passes is the
-    // steady-state cost of the plan (both passes run the full query —
+    // best-of-3 per query: single-pass numbers on a shared box swing
+    // 2x on scheduler/GC noise — and two rounds running, a single
+    // query has shown a phantom 16-20x outlier that reproduces nowhere
+    // (SCALE.md "Bench protocol"); the min of three passes is the
+    // steady-state cost of the plan (every pass runs the full query —
     // no result caching between them, Spark actions recompute).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // drop caches left by a previous pass of the same query (the
@@ -45,7 +47,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

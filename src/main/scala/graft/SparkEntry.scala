@@ -299,6 +299,30 @@ object SparkEntry {
             (log((col("__n") + 1.0) / (col("df") + lit(1.0))) + lit(1.0)),
             9).as("tfidf"))
     }),
+    "q68_partition_prune" -> ((s, dir) => {
+      // directory/partition pruning UNDER THE ORACLE GATE: driver
+      // testdata is one file per table, so no stock query exercises
+      // hive-layout pruning — this one writes events in the ingest
+      // layout the engine prescribes at 100 TB (event_type/day
+      // directories) and reads it back filtered; the scan must plan
+      // PartitionFilters and touch only the matching directories
+      // (PlanPropertiesSpec guards the plan shape + file count).
+      // 'd'-prefixed day keeps the partition value a plain string on
+      // BOTH engines (bare yyyyMMdd would be type-inferred int by
+      // Spark but read VARCHAR by DuckDB's hive_partitioning).
+      val path = Tables.scratchPartitionedPath
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), date_format(col("ts"), "'d'yyyyMMdd").as("day"))
+        .write.mode("overwrite").partitionBy("event_type", "day").parquet(path)
+      s.read.parquet(path)
+        .where(col("event_type") === "click" &&
+          col("day") >= "d20240108" && col("day") <= "d20240121")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(scaledLong(col("value"), 2)).as("cents"),
+          min("event_id").as("min_event"))
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1027,7 +1051,9 @@ object SparkEntry {
       // query just wrote (content is deterministic and sf-independent).
       // DuckDB 1.0 cannot slice BLOBs, so the header is sliced as the
       // hex STRING (hex() is uppercase on both engines) and parsed via
-      // the '0x'||…::INT cast — same bytes, same integer values.
+      // the '0x'||…::INT/::BIGINT casts — same bytes, same integer
+      // values (dims are BIGINT on both sides: an 8-nibble field can
+      // exceed INT32, see Multimodal.decodeMetaExpr).
       s"""WITH h AS (
          |  SELECT media_id, content, hex(content) AS hx,
          |    (content IS NOT NULL AND octet_length(content) >= 15) AS len_ok
@@ -1043,7 +1069,7 @@ object SparkEntry {
          |    CASE kind_code WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |         WHEN 2 THEN 'video' ELSE 'unknown' END AS kind,
          |    CASE WHEN magic_ok AND kind_code BETWEEN 0 AND 2
-         |         THEN ('0x' || substr(hx, 7, 8))::INT ELSE 0 END AS width,
+         |         THEN ('0x' || substr(hx, 7, 8))::BIGINT ELSE 0 END AS width,
          |    COALESCE(octet_length(content), 0)::BIGINT AS byte_size
          |  FROM k)
          |SELECT kind, count(*)::BIGINT AS n,
@@ -1301,6 +1327,18 @@ object SparkEntry {
     "q54_simhash_pairs" -> simhashPairsSql,
     "q63_simhash64_pairs" -> simhash64PairsSql,
     "q66_minhash_estimate" -> minhashEstimateSql,
+    "q68_partition_prune" ->
+      // Twin over the hive-partitioned scratch layout the Spark query
+      // just wrote (read_parquet hive_partitioning re-derives the
+      // partition columns from the directory names, as VARCHAR — the
+      // 'd' prefix keeps Spark's read-back typing identical).
+      s"""SELECT day, count(*)::BIGINT AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         |  min(event_id) AS min_event
+         |FROM read_parquet('${Tables.scratchPartitionedPath}/*/*/*.parquet',
+         |                  hive_partitioning = 1)
+         |WHERE event_type = 'click' AND day >= 'd20240108' AND day <= 'd20240121'
+         |GROUP BY day""".stripMargin,
     "q67_tfidf" ->
       s"""WITH toks AS ($toksCte),
          |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -68,10 +68,12 @@ object Dedup {
     * chars split into four 8-hex substrings — md5 bits are pairwise
     * independent, so each slice is its own uniform hash family
     * member): component i mins `substr(md5(sh || i/4), (i%4)*8, 8)`.
-    * The md5s are projected BEFORE the aggregate so each is computed
-    * once per (shingle, group) — 4× less hashing than one md5 per
-    * (shingle, seed), which profiling showed dominates the signature
-    * build. The DuckDB oracles replicate the same slicing. */
+    * The slices are produced by the fused codegen expression
+    * `Md5HexSlices` (one digest + one 32-byte buffer per shingle,
+    * byte-identical to the composed md5+substr form) and projected
+    * BEFORE the aggregate so each digest runs once per (shingle,
+    * group) — hashing dominates the signature build. The DuckDB
+    * oracles replicate the same slicing in its composed SQL form. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nHashes: Int): DataFrame = {
     val nGroups = (nHashes + 3) / 4
@@ -79,9 +81,10 @@ object Dedup {
       explode(shingles(col(textCol), k)).as("__sh"))
     val hashed = exploded.select(
       col(idCol) +: (0 until nGroups).map(g =>
-        md5(concat(col("__sh"), lit(g.toString))).as(s"__h$g")): _*)
+        graft.expressions.Md5HexSlices(concat(col("__sh"), lit(g.toString)))
+          .as(s"__h$g")): _*)
     val aggs = (0 until nHashes).map { i =>
-      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"s$i")
+      min(col(s"__h${i / 4}").getItem(i % 4)).as(s"s$i")
     }
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -129,11 +132,16 @@ object Dedup {
     val banded = sigs
       .select(col(idCol).as("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // NOTE: candidates may repeat (a pair can collide in several
+    // bands); dedup happens AFTER the agreement computation via
+    // dropDuplicates on the final rows — the n_agree/est_jaccard
+    // columns are functionally determined by the pair, and deferring
+    // the dedup avoids a wide distinct shuffle of the candidate set
+    // (same pattern as jaccardPairs' dedup-after-filter)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
     val agree = (0 until nHashes).map(i =>
       when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
     releasingAfter(sigs) {
@@ -143,6 +151,7 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           agree.cast("long").as("n_agree"),
           (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+        .dropDuplicates("doc_a", "doc_b")
     }
   }
 
@@ -151,20 +160,22 @@ object Dedup {
     * -1; the sign of the per-position sum forms a 16-bit fingerprint.
     * Near-dups share most bits (compare via Hamming distance).
     *
-    * Shape: explode tokens → md5 ONCE per token → 16 conditional sums
-    * in one hash aggregate (map-side partials; the shuffle carries one
-    * 16-int row per doc). A per-row array formulation
-    * (`aggregate(transform(tokens, ...))`) evaluates interpreted and
-    * recomputes the md5 per bit — 16× the hashing, off the codegen
-    * path (CLAUDE.md higher-order-function note). */
+    * Shape: explode tokens → ONE fused digest-to-nibble-values
+    * expression per token (`Md5Nibbles`, codegen — byte-identical to
+    * md5 + 16 substring/instr projections but with no hex-string
+    * intermediate) → 16 conditional sums in one hash aggregate
+    * (map-side partials; the shuffle carries one 16-int row per doc).
+    * A per-row array formulation (`aggregate(transform(tokens, ...))`)
+    * evaluates interpreted and recomputes the md5 per bit — 16× the
+    * hashing, off the codegen path (CLAUDE.md higher-order-function
+    * note). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), md5(col("tok")).as("h"))
+      .select(col(idCol), graft.expressions.Md5Nibbles(col("tok")).as("nibs"))
     val sums = (0 until 16).map { i =>
-      // nibble i of md5(token); top bit set <=> hex digit >= '8'
-      sum(when(instr(lit("89abcdef"), substring(col("h"), i + 1, 1)) > 0, 1)
-        .otherwise(-1)).as(s"p$i")
+      // nibble i of md5(token); top bit set <=> nibble value >= 8
+      sum(when(col("nibs").getItem(i) >= 8, 1).otherwise(-1)).as(s"p$i")
     }
     val bits = (0 until 16).map(i =>
       when(col(s"p$i") > 0, lit(1L << (15 - i))).otherwise(lit(0L)))
@@ -198,18 +209,15 @@ object Dedup {
     * degrade to ~n/16). Same single-aggregate shape: one md5 per token,
     * 64 conditional sums, shuffle carries one 64-int row per doc. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    // all 16 nibble VALUES in one fused codegen expression per token
+    // (one digest, no 32-char hex intermediate, no 16 substr+instr
+    // re-scans) — byte-identical to the DuckDB oracle's composed
+    // strpos-over-hex formulation
+    val nibbled = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), md5(col("tok")).as("h"))
-    // nibble values projected ONCE per hex char (16 substr+instr per
-    // token instead of 64 inside the aggregate); value via position in
-    // the hex alphabet mirrors the DuckDB oracle's strpos formulation
-    val nibbled = tok.select(
-      col(idCol) +: (0 until 16).map(n =>
-        (instr(lit("0123456789abcdef"), substring(col("h"), n + 1, 1)) - 1)
-          .as(s"__n$n")): _*)
+      .select(col(idCol), graft.expressions.Md5Nibbles(col("tok")).as("nibs"))
     val sums = (0 until 64).map { b =>
-      sum(when(col(s"__n${b / 4}").bitwiseAND(lit(8 >> (b % 4))) > 0, 1)
+      sum(when(col("nibs").getItem(b / 4).bitwiseAND(lit(8 >> (b % 4))) > 0, 1)
         .otherwise(-1)).as(s"p$b")
     }
     val bits = (0 until 64).map(i =>

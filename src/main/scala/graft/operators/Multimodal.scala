@@ -148,13 +148,17 @@ object Multimodal {
     val bin = col(binCol)
     // hex of just the header: 30 chars; Spark `substring` slices binary
     val hx = hex(substring(bin, 1, HeaderLen))
-    def hexInt(pos1: Int, nibbles: Int): Column =
-      conv(substring(hx, pos1, nibbles), 16, 10).cast("int")
+    // dims decode as LONG: a 8-nibble field can hold up to 2^32-1,
+    // which would null under an int cast on Spark but error/wrap in
+    // DuckDB's '0x'||…::INT — long keeps both engines total and equal
+    // over the whole field domain (the kind byte is 2 nibbles, int-safe)
+    def hexLong(pos1: Int, nibbles: Int): Column =
+      conv(substring(hx, pos1, nibbles), 16, 10).cast("long")
     val lenOk = bin.isNotNull && length(bin) >= HeaderLen
     val magicOk = lenOk && substring(hx, 1, 4) === "4752"
-    val kindCode = when(magicOk, hexInt(5, 2))
+    val kindCode = when(magicOk, conv(substring(hx, 5, 2), 16, 10).cast("int"))
     val valid = magicOk && kindCode.between(0, 2)
-    def dim(pos1: Int): Column = when(valid, hexInt(pos1, 8)).otherwise(0)
+    def dim(pos1: Int): Column = when(valid, hexLong(pos1, 8)).otherwise(0L)
     df.select(
       col(idCol).cast("long").as("id"),
       when(kindCode === 0, "image").when(kindCode === 1, "audio")

@@ -37,6 +37,12 @@ object Tables {
     }
   }
 
+  /** Fixed scratch path for q68's in-query partitioned ingest layout —
+    * fixed because `oracleSql` is a static string; two concurrent
+    * harness runs on one box would collide (accepted, same trade as
+    * `Multimodal.scratchCorpusPath`). */
+  val scratchPartitionedPath: String = "/tmp/graft_q68_events"
+
   /** Register every table as a temp view so `spark.sql` mirrors the
     * DuckDB oracle's naming. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -25,9 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * like any at-least-once source.
   *
   * Scale: state per bucket is its member list — banding keeps buckets
-  * ~n/2^bandBits (SCALE.md); production corpora would add timeout
-  * eviction (swap `GroupStateTimeout` + watermark) to bound state by
-  * recency, trading cross-epoch recall.
+  * ~n/2^bandBits (SCALE.md). Two production state bounds are provided:
+  * [[pairs]]' `stateCap` (FIFO, bounds memory per bucket) and
+  * [[pairsEvicting]]'s event-time timeout eviction (watermark-driven,
+  * bounds state by recency — idle buckets are dropped wholesale once
+  * the watermark passes their last arrival + `evictAfter`), each
+  * trading cross-epoch recall for a hard bound.
   */
 object StreamingNearDup {
 
@@ -70,6 +73,28 @@ object StreamingNearDup {
     sig
   }
 
+  /** One bucket's screening step, shared by [[pairs]] and
+    * [[pairsEvicting]]: compare each arriving (doc, sig) against the
+    * stored signatures, emit pairs within `maxHamming`, and prepend the
+    * arrival to the state (most-recent-first, trimmed to `stateCap`). */
+  private def screen(arrivals: Iterator[(Long, Long)],
+      stored: List[(Long, Long)], maxHamming: Int, stateCap: Int)
+      : (List[(Long, Long)], List[NearDupPair]) = {
+    var seen = stored
+    val out = List.newBuilder[NearDupPair]
+    arrivals.foreach { case (doc, sig) =>
+      seen.foreach { case (d0, s0) =>
+        if (d0 != doc) {
+          val ham = java.lang.Long.bitCount(s0 ^ sig)
+          if (ham <= maxHamming)
+            out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
+        }
+      }
+      seen = ((doc, sig) :: seen).take(stateCap)
+    }
+    (seen, out.result())
+  }
+
   /** Near-dup pairs over a STREAMING frame of (idCol: long-castable,
     * textCol: string). Append-mode output; see class doc for the
     * at-least-once contract.
@@ -101,20 +126,84 @@ object StreamingNearDup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
             state: GroupState[List[(Long, Long)]]) => {
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[NearDupPair]
-          rows.foreach { case (_, _, doc, sig) =>
-            seen.foreach { case (d0, s0) =>
-              if (d0 != doc) {
-                val ham = java.lang.Long.bitCount(s0 ^ sig)
-                if (ham <= maxHamming)
-                  out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
-              }
-            }
-            seen = ((doc, sig) :: seen).take(stateCap)
-          }
+          val (seen, out) = screen(
+            rows.map { case (_, _, doc, sig) => (doc, sig) },
+            state.getOption.getOrElse(Nil), maxHamming, stateCap)
           state.update(seen)
-          out.result().iterator
+          out.iterator
+        })
+  }
+
+  /** [[pairs]] with WATERMARK-DRIVEN STATE EVICTION — the production
+    * bound for an unbounded stream: each bucket's timeout is re-armed
+    * to (max event time seen in the bucket) + `evictAfter` on every
+    * arrival, and once the query watermark (from `tsCol` minus
+    * `watermarkDelay`) passes it, the bucket's state is dropped
+    * wholesale. Memory is thereby bounded by the arrival RATE over the
+    * eviction window rather than by stream length; pairs whose members
+    * are further apart in event time than `evictAfter` are missed —
+    * the recency trade named in the class doc, now enforced rather
+    * than promised. `stateCap` composes (FIFO bound within the
+    * window). Uses `EventTimeTimeout`, so eviction is deterministic
+    * under replay (driven by data, not wall clock).
+    *
+    * Timeouts fire for a bucket on the first trigger AFTER the
+    * watermark passes its deadline in which the bucket receives no
+    * data — an arrival always re-arms first (timestamps are clamped
+    * strictly past the current watermark, as the API requires). */
+  def pairsEvicting(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String, evictAfter: java.time.Duration,
+      maxHamming: Int = 3, stateCap: Int = Int.MaxValue): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 64 % nBands == 0,
+      s"maxHamming + 1 must divide the 64-bit fingerprint: $maxHamming")
+    require(evictAfter.toMillis > 0, s"evictAfter must be positive: $evictAfter")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val evictMs = evictAfter.toMillis
+    // the banding stays in DataFrame expressions (fingerprint via a
+    // scalar UDF of the shared pure function): a typed flatMap here
+    // would mint fresh output attributes and drop the event-time
+    // watermark tag the EventTimeTimeout checker requires on the
+    // stateful operator's child
+    val sigUdf = udf(simhash64 _)
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv")))
+    docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .withColumn("sig", sigUdf(col("text")))
+      .select(col("doc"), col("sig"), col("__ts"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("__ts"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey { case (_, _, _, band, bv) => (band, bv) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
+            state: GroupState[List[(Long, Long)]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxTs = Long.MinValue
+            val arrivals = rows.map { case (doc, sig, ts, _, _) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              (doc, sig)
+            }
+            val (seen, out) = screen(arrivals,
+              state.getOption.getOrElse(Nil), maxHamming, stateCap)
+            state.update(seen)
+            // the API requires a deadline strictly past the current
+            // watermark; the max() also covers all-null timestamps
+            state.setTimeoutTimestamp(
+              math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
         })
   }
 }

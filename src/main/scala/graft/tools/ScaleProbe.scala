@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * near-linear total per step is the evidence that the operator's
   * shuffle/partition strategy survives scale-up; superlinear growth
   * flags an operator that would fall over at 100 TB.
-  * Run: `sbt "runMain graft.tools.ScaleProbe [sfDir]"`. */
+  * Run: `sbt "runMain graft.tools.ScaleProbe [sfDir [mults [opFilter]]]"`
+  * — e.g. `ScaleProbe /root/testdata/sf0.1 16,32 jaccard` probes one
+  * operator at deeper multipliers without paying for the rest. */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = args.drop(1).headOption
       .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4))
+    val opFilter = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -106,7 +109,7 @@ object ScaleProbe {
 
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
     def run(name: String, f: DataFrame => Long, mk: Int => DataFrame): Unit =
-      mults.foreach { m =>
+      if (opFilter.forall(name.contains)) mults.foreach { m =>
         val (sec, rows) = time(f(mk(m)))
         println(f"[probe] $name%-12s $m%4d $rows%10d $sec%8.2f")
       }

@@ -80,4 +80,28 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.split("Exchange").length == 2, // exactly one exchange
       s"expected exactly one shuffle:\n$p")
   }
+
+  test("q68 scan prunes partitions: filters land in PartitionFilters, files shrink") {
+    val p = executedPlan("q68_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r.findFirstIn(p).isDefined,
+      s"event_type filter not applied at partition level:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+      s"day range filter not applied at partition level:\n$p")
+    // the pruned scan must read strictly fewer directories than exist:
+    // 5 event types × ~30 days were written; 'click' × 14 days survive
+    val scanned = spark.read.parquet(graft.sources.Tables.scratchPartitionedPath)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click" &&
+        org.apache.spark.sql.functions.col("day").between("d20240108", "d20240121"))
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    val total = spark.read.parquet(graft.sources.Tables.scratchPartitionedPath)
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && total.nonEmpty)
+    assert(scanned.head == 14, s"expected 14 pruned directories, got $scanned")
+    assert(scanned.head < total.head,
+      s"pruning read all ${total.head} directories")
+  }
 }

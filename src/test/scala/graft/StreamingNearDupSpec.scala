@@ -64,6 +64,65 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size === 2, s"expected exactly one evicted pair, got $got")
   }
 
+  test("event-time timeout evicts idle bucket state; within-window pairs still surface") {
+    val root = Files.createTempDirectory("sneardupevict").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark; import spark0.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    // five micro-batches with EXPLICIT file mtimes so the file source
+    // processes them in event-time order (mod-time ties would make
+    // batch order unspecified):
+    //   b1 doc1 @10s   b2 doc2 @30s (pair 1-2, within 60s window)
+    //   b3 noise @2000s (advances watermark past doc1/doc2's deadline)
+    //   b4 noise @2001s (timeout FIRES: stale buckets dropped — an
+    //                    arrival re-arms, so eviction needs a trigger
+    //                    in which the bucket is idle)
+    //   b5 doc3 @2002s  (identical text, but state is gone: NO pair)
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", ts(10000L))),
+      Seq((2L, "alpha beta gamma", ts(30000L))),
+      Seq((90L, "zz yy xx ww", ts(2000000L))),
+      Seq((91L, "qq rr ss tt", ts(2001000L))),
+      Seq((3L, "alpha beta gamma", ts(2002000L))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val dir = new java.io.File(in)
+      val before = dir.listFiles().map(_.getName).toSet
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      dir.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(1000000L + i * 60000L)))
+    }
+
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def runToSet(pairs: org.apache.spark.sql.Dataset[StreamingNearDup.NearDupPair],
+        tag: String): Set[(Long, Long)] = {
+      val out = s"$root/out_$tag"
+      val q = pairs.writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // control: without eviction the same input yields all three pairs
+    val unbounded = runToSet(
+      StreamingNearDup.pairs(stream, "doc_id", "text", maxHamming = 3), "nt")
+    assert(unbounded === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // evicting: the cross-batch within-window pair survives; doc3's
+    // pairs are gone BECAUSE the bucket state was evicted (same text,
+    // same buckets — the control above proves the pairs exist)
+    val evicted = runToSet(
+      StreamingNearDup.pairsEvicting(stream, "doc_id", "text", "ts",
+        watermarkDelay = "0 seconds",
+        evictAfter = java.time.Duration.ofSeconds(60), maxHamming = 3), "ev")
+    assert(evicted === Set((1L, 2L)))
+  }
+
   test("stateful streaming pairs match the batch banded join across micro-batches") {
     val root = Files.createTempDirectory("sneardup").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
