@@ -314,6 +314,10 @@ object SparkEntry {
       tbl(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           col("event_type"), date_format(col("ts"), "'d'yyyyMMdd").as("day"))
+        // one task per output directory (the SCALE.md ingest-layout
+        // rule): without this every shuffle partition appends a file
+        // to every directory — ~150 dirs × nShuffle small files
+        .repartition(col("event_type"), col("day"))
         .write.mode("overwrite").partitionBy("event_type", "day").parquet(path)
       s.read.parquet(path)
         .where(col("event_type") === "click" &&
