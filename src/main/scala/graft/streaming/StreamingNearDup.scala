@@ -150,7 +150,11 @@ object StreamingNearDup {
     * Timeouts fire for a bucket on the first trigger AFTER the
     * watermark passes its deadline in which the bucket receives no
     * data — an arrival always re-arms first (timestamps are clamped
-    * strictly past the current watermark, as the API requires). */
+    * strictly past the current watermark, as the API requires).
+    * Standard watermark semantics also apply on input: a row whose
+    * event time does not exceed the current watermark (including the
+    * initial watermark, epoch 0) is dropped as late and screens
+    * nothing. */
   def pairsEvicting(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermarkDelay: String, evictAfter: java.time.Duration,
       maxHamming: Int = 3, stateCap: Int = Int.MaxValue): Dataset[NearDupPair] = {

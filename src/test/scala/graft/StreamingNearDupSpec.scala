@@ -123,6 +123,45 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(evicted === Set((1L, 2L)))
   }
 
+  test("pairsEvicting with a window wider than the stream equals pairs() on real docs") {
+    // parity property: eviction must be the ONLY semantic difference —
+    // with an eviction window wider than the fixture's event-time span,
+    // the evicting operator reduces to the unbounded one
+    val root = Files.createTempDirectory("sneardupevpar").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 120)
+      // synthetic event time: one doc per second, so the stream spans
+      // ~2 minutes << the 1-day eviction window. Offset past epoch 0:
+      // a row whose event time ties the INITIAL watermark (0) is
+      // dropped as late — standard watermark semantics, not eviction
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id") + 1000L).as("ts"))
+    docs.where(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(in)
+    docs.where(col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = s"$root/out"
+    val q = StreamingNearDup.pairsEvicting(stream, "doc_id", "text", "ts",
+        watermarkDelay = "0 seconds",
+        evictAfter = java.time.Duration.ofDays(1), maxHamming = 3)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("stateful streaming pairs match the batch banded join across micro-batches") {
     val root = Files.createTempDirectory("sneardup").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
