@@ -3,6 +3,7 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,6 +36,12 @@ object Md5Hash {
     md.reset()
     md.digest(s.getBytes)
   }
+
+  /** Analysis-time string-input check shared by both expressions. */
+  private[expressions] def requireString(e: UnaryExpression): TypeCheckResult =
+    if (e.child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${e.prettyName} requires a STRING input, got ${e.child.dataType.sql}")
 
   private final val HexChars =
     Array[Byte]('0', '1', '2', '3', '4', '5', '6', '7', '8', '9',
@@ -75,6 +82,11 @@ object Md5Hash {
   * one digest, no hex-string intermediate (see [[Md5Hash]]). */
 case class Md5Nibbles(child: Expression) extends UnaryExpression {
 
+  // reject non-string children at ANALYSIS time, not as a mid-job
+  // ClassCastException/codegen failure (AbstractDataType is
+  // private[sql], so the check is spelled out instead of mixing in
+  // ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult = Md5Hash.requireString(this)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -99,6 +111,7 @@ object Md5Nibbles {
   * one 32-byte buffer instead of five UTF8Strings (see [[Md5Hash]]). */
 case class Md5HexSlices(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = Md5Hash.requireString(this)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -132,16 +132,20 @@ object Dedup {
     val banded = sigs
       .select(col(idCol).as("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // NOTE: candidates may repeat (a pair can collide in several
-    // bands); dedup happens AFTER the agreement computation via
-    // dropDuplicates on the final rows — the n_agree/est_jaccard
-    // columns are functionally determined by the pair, and deferring
-    // the dedup avoids a wide distinct shuffle of the candidate set
-    // (same pattern as jaccardPairs' dedup-after-filter)
+    // NOTE: candidates may repeat (a near-identical pair collides in
+    // up to ALL nHashes/bandSize bands), and the dedup belongs HERE,
+    // before the signature joins — the distinct shuffles narrow
+    // (doc_a, doc_b) rows, while a deferred dropDuplicates would let
+    // every duplicate flow through both joins carrying 2×nHashes
+    // signature strings and then shuffle those same duplicated, wider
+    // rows anyway. jaccardPairs defers its dedup because a highly
+    // selective verification filter sits between candidates and
+    // output; this estimator has no such filter, so dedup-early wins.
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
     val agree = (0 until nHashes).map(i =>
       when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
     releasingAfter(sigs) {
@@ -151,7 +155,6 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           agree.cast("long").as("n_agree"),
           (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
-        .dropDuplicates("doc_a", "doc_b")
     }
   }
 

@@ -116,6 +116,10 @@ object StreamingNearDup {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     docs
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      // null/all-space text yields no tokens in the batch operators
+      // (explode drops the doc) — mirror that here instead of
+      // fingerprinting an empty token bag (or NPE-ing on null)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         val sig = simhash64(text)
@@ -136,7 +140,9 @@ object StreamingNearDup {
 
   /** [[pairs]] with WATERMARK-DRIVEN STATE EVICTION — the production
     * bound for an unbounded stream: each bucket's timeout is re-armed
-    * to (max event time seen in the bucket) + `evictAfter` on every
+    * to (max event time seen in the bucket's HISTORY, carried in the
+    * state so out-of-order arrivals never move the deadline backwards)
+    * + `evictAfter` on every
     * arrival, and once the query watermark (from `tsCol` minus
     * `watermarkDelay`) passes it, the bucket's state is dropped
     * wholesale. Memory is thereby bounded by the arrival RATE over the
@@ -179,6 +185,9 @@ object StreamingNearDup {
     docs
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"),
         col(tsCol).cast("timestamp").as("__ts"))
+      // same null/empty-text semantics as the batch operators (and
+      // pairs()): no tokens -> no fingerprint -> doc screens nothing
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
       .withWatermark("__ts", watermarkDelay)
       .withColumn("sig", sigUdf(col("text")))
       .select(col("doc"), col("sig"), col("__ts"),
@@ -189,19 +198,23 @@ object StreamingNearDup {
       .groupByKey { case (_, _, _, band, bv) => (band, bv) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
-            state: GroupState[List[(Long, Long)]]) => {
+            state: GroupState[(Long, List[(Long, Long)])]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var maxTs = Long.MinValue
+            // the bucket's max event time is CARRIED IN THE STATE so
+            // the deadline is monotone: an out-of-order (late-but-
+            // valid) arrival must not move the deadline backwards and
+            // evict earlier than the documented bound
+            val (storedMax, stored) = state.getOption.getOrElse((Long.MinValue, Nil))
+            var maxTs = storedMax
             val arrivals = rows.map { case (doc, sig, ts, _, _) =>
               if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
               (doc, sig)
             }
-            val (seen, out) = screen(arrivals,
-              state.getOption.getOrElse(Nil), maxHamming, stateCap)
-            state.update(seen)
+            val (seen, out) = screen(arrivals, stored, maxHamming, stateCap)
+            state.update((maxTs, seen))
             // the API requires a deadline strictly past the current
             // watermark; the max() also covers all-null timestamps
             state.setTimeoutTimestamp(

@@ -87,21 +87,23 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"event_type filter not applied at partition level:\n$p")
     assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
       s"day range filter not applied at partition level:\n$p")
-    // the pruned scan must read strictly fewer directories than exist:
-    // 5 event types × ~30 days were written; 'click' × 14 days survive
-    val scanned = spark.read.parquet(graft.sources.Tables.scratchPartitionedPath)
-      .where(org.apache.spark.sql.functions.col("event_type") === "click" &&
-        org.apache.spark.sql.functions.col("day").between("d20240108", "d20240121"))
-      .queryExecution.executedPlan.collectLeaves()
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount }
-    val total = spark.read.parquet(graft.sources.Tables.scratchPartitionedPath)
-      .queryExecution.executedPlan.collectLeaves()
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount }
-    assert(scanned.nonEmpty && total.nonEmpty)
-    assert(scanned.head == 14, s"expected 14 pruned directories, got $scanned")
-    assert(scanned.head < total.head,
-      s"pruning read all ${total.head} directories")
+    // the pruned scan must read exactly the directories that match the
+    // filter — expected count derived from the written data, not
+    // hard-coded, so a regenerated fixture can't break the guard
+    import org.apache.spark.sql.functions.col
+    val path = graft.sources.Tables.scratchPartitionedPath
+    val filter = col("event_type") === "click" &&
+      col("day").between("d20240108", "d20240121")
+    def partitionCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }.head
+    val scanned = partitionCount(spark.read.parquet(path).where(filter))
+    val total = partitionCount(spark.read.parquet(path))
+    val expected = spark.read.parquet(path).where(filter)
+      .select("event_type", "day").distinct().count()
+    assert(scanned.toLong == expected,
+      s"expected $expected pruned directories, got $scanned")
+    assert(scanned < total, s"pruning read all $total directories")
   }
 }

@@ -162,6 +162,39 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("null and all-space text screen nothing (batch parity) instead of crashing") {
+    val root = Files.createTempDirectory("sneardupnull").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val spark0 = spark; import spark0.implicits._
+    Seq(
+      (1L, "alpha beta gamma", new java.sql.Timestamp(1000000L)),
+      (2L, null: String, new java.sql.Timestamp(1001000L)),
+      (3L, "   ", new java.sql.Timestamp(1002000L)),
+      (4L, "alpha beta gamma", new java.sql.Timestamp(1003000L)))
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def run(ds: org.apache.spark.sql.Dataset[StreamingNearDup.NearDupPair],
+        tag: String): Set[(Long, Long)] = {
+      val out = s"$root/out_$tag"
+      val q = ds.writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // both entry points: the flatMap path (pairs) and the UDF path
+    // (pairsEvicting) must drop token-less docs like the batch
+    // operators do — not NPE, and not fingerprint an empty token bag
+    assert(run(StreamingNearDup.pairs(stream, "doc_id", "text"), "nt")
+      === Set((1L, 4L)))
+    assert(run(StreamingNearDup.pairsEvicting(stream, "doc_id", "text", "ts",
+      "0 seconds", java.time.Duration.ofDays(1)), "ev") === Set((1L, 4L)))
+  }
+
   test("stateful streaming pairs match the batch banded join across micro-batches") {
     val root = Files.createTempDirectory("sneardup").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
