@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitmapAndCount, FloatDotProduct, RollingHashMin, SortedIntersectCount, WordShingles}
+import graft.expressions.{BitmapAndCount, FloatDotProduct, Md5HexSlices, Md5Nibbles, RollingHashMin, SortedIntersectCount, WordShingles}
 
 /** Session extensions: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too.
@@ -14,6 +14,14 @@ import graft.expressions.{BitmapAndCount, FloatDotProduct, RollingHashMin, Sorte
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, build: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$name(x) takes exactly 1 argument")
+      build(children.head)
+    })
 
   private def binary(name: String, build: (Expression, Expression) => Expression) = (
     new FunctionIdentifier(name),
@@ -31,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("bitmap_and_count", BitmapAndCount.apply))
     ext.injectFunction(binary("rolling_hash_min", RollingHashMin.apply))
     ext.injectFunction(binary("word_shingles", WordShingles.apply))
+    ext.injectFunction(unary("md5_nibbles", Md5Nibbles.apply))
+    ext.injectFunction(unary("md5_hex_slices", Md5HexSlices.apply))
   }
 }

@@ -28,6 +28,23 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("md5_nibbles and md5_hex_slices callable from SQL once registered") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_nibbles",
+      exprs => graft.expressions.Md5Nibbles(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_hex_slices",
+      exprs => graft.expressions.Md5HexSlices(exprs.head),
+      "scala_udf")
+    val r = spark.sql(
+      "SELECT md5_nibbles('abc')[0] AS n0, md5_hex_slices('abc')[0] AS s0," +
+        " substring(md5('abc'), 1, 8) AS ref").head()
+    assert(r.getAs[String]("s0") === r.getAs[String]("ref"))
+    assert(r.getAs[Int]("n0") ===
+      Integer.parseInt(r.getAs[String]("ref").substring(0, 1), 16))
+  }
+
   test("float_dot and rolling_hash_min callable from SQL once registered") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot",
