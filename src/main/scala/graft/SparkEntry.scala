@@ -327,6 +327,60 @@ object SparkEntry {
           sum(scaledLong(col("value"), 2)).as("cents"),
           min("event_id").as("min_event"))
     }),
+    "q69_bucketed_join" -> ((s, dir) => {
+      // co-located join via bucketed layout UNDER THE ORACLE GATE: at
+      // 100 TB the fact-fact join (lineitem ⋈ orders) is the recurring
+      // shuffle — writing both sides bucketed by the join key pays that
+      // shuffle ONCE at ingest, then every subsequent join (and any
+      // aggregation keyed on the same column) consumes the bucket
+      // layout directly: the whole read-join-aggregate pipeline below
+      // plans ZERO exchanges (PlanPropertiesSpec guards it). The
+      // repartition before each write aligns task == bucket (same
+      // murmur3 pmod as the bucket spec), so every bucket is exactly
+      // one sorted file and the scan keeps the sortBy order — no
+      // re-sort under the join either. DuckDB reads the bucketed
+      // output as plain parquet (bucketing is only file layout).
+      val base = Tables.scratchBucketedBase
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      def writeBucketed(df: DataFrame, table: String, sub: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/$sub"), true)
+        df.repartition(8, col(key))
+          .write.bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$sub").saveAsTable(table)
+      }
+      writeBucketed(tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_q69_li", "li", "l_orderkey")
+      writeBucketed(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus"),
+        "graft_q69_ord", "ord", "o_orderkey")
+      // hint("merge") pins the sort-merge strategy (a broadcast join
+      // would be legal at test SF but wouldn't exercise co-location)
+      s.table("graft_q69_li").hint("merge")
+        .join(s.table("graft_q69_ord").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          // 4-dp grid → exact long units (hard rule 9's exact variant)
+          sum(scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .as("revenue"))
+    }),
+    "q70_session_window" -> ((s, dir) => {
+      // native session windows (the Structured-Streaming-shared
+      // sessionizer) under the oracle gate: session_window merges
+      // events whose [ts, ts+gap) windows overlap — a new session
+      // starts iff the gap STRICTLY exceeds 30 min (verified: two
+      // events exactly 30 min apart merge), i.e. the same boundary as
+      // q36's lag/cumsum formulation, which is how the DuckDB twin
+      // re-derives the sessions. sess_end = last event ts + gap.
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sess"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sess.start").as("sess_start"),
+          col("sess.end").as("sess_end"), col("n_events"))
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1343,6 +1397,35 @@ object SparkEntry {
          |                  hive_partitioning = 1)
          |WHERE event_type = 'click' AND day >= 'd20240108' AND day <= 'd20240121'
          |GROUP BY day""".stripMargin,
+    "q69_bucketed_join" ->
+      // Twin over the bucketed scratch layout the Spark query just
+      // wrote — bucket files are ordinary parquet; the co-location is
+      // invisible to DuckDB, which re-joins the same bytes.
+      s"""SELECT o_orderkey, o_orderstatus, count(*)::BIGINT AS n_items,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT))
+         |       AS BIGINT) AS revenue
+         |FROM read_parquet('${Tables.scratchBucketedBase}/li/*.parquet') l
+         |JOIN read_parquet('${Tables.scratchBucketedBase}/ord/*.parquet') o
+         |  ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
+    "q70_session_window" ->
+      // session_window re-derived via lag/cumsum: new session iff the
+      // gap STRICTLY exceeds 30 min (session_window merges at exactly
+      // the gap — boundary pinned by SessionizeSpec); end = last + gap
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (SELECT user_id, ts, SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |  FROM f)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sess_idx""".stripMargin,
     "q67_tfidf" ->
       s"""WITH toks AS ($toksCte),
          |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -83,6 +83,11 @@ object ScaleProbe {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "sess_idx").count().count()
       },
+      // native session_window twin of the lag/cumsum probe above:
+      // same sessions, one exchange + sort-merge sessions vs two
+      // window passes — the scale comparison between the formulations
+      "sess_window" -> (ev => graft.streaming.Sessionize
+        .sessions(ev, "user_id", "ts", "30 minutes").count()),
       "asof_join" -> (ev => graft.operators.AsOfJoin.asOf(
         ev.where(col("event_type") === "purchase"),
         ev.where(col("event_type") === "click"),

@@ -81,6 +81,24 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("q69 bucketed join + keyed agg run with ZERO exchanges over bucketed scans") {
+    val p = executedPlan("q69_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected the pinned merge join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed co-location failed — the join or agg shuffled:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan did not use buckets:\n$p")
+    // note: the per-bucket Sorts under the join are LOCAL (the
+    // no-Exchange assertion above rules out any network sort) — Spark
+    // ignores bucket sortBy order by default since SPARK-28595; the
+    // win that matters at 100 TB is the eliminated shuffle
+  }
+
+  test("q70 session windows aggregate over a single exchange") {
+    val p = executedPlan("q70_session_window")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one session shuffle:\n$p")
+  }
+
   test("q68 scan prunes partitions: filters land in PartitionFilters, files shrink") {
     val p = executedPlan("q68_partition_prune")
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r.findFirstIn(p).isDefined,

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Sessionize
+
+/** Gap sessionization via native session_window: boundary semantics
+  * (pinned — q70's DuckDB twin depends on them), batch parity with the
+  * q36 lag/cumsum formulation on real data, and streaming replay
+  * parity including a session that spans micro-batches. */
+class SessionizeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("events exactly gap apart merge; strictly beyond gap split") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:30:00")), // exactly 30 min: merges
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:30:01"))  // 30 min + 1 s: splits
+    ).toDF("user_id", "ts")
+    val got = Sessionize.sessions(df, "user_id", "ts", "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 2L),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), 1L),
+      (2L, ts("2024-01-01 00:30:01"), ts("2024-01-01 01:00:01"), 1L)))
+  }
+
+  test("batch session_window equals the lag/cumsum sessionizer on real events") {
+    val viaWindow = SparkEntry.queries("q70_session_window")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+      .toSet
+    // q36's formulation: same strict-gap boundary; end = last ts + gap
+    val viaLag = SparkEntry.queries("q36_sessionize")(spark, sf0001)
+      .select(col("user_id"), col("start_ts"),
+        (col("end_ts") + expr("INTERVAL 30 MINUTES")).as("sess_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+      .toSet
+    assert(viaWindow.nonEmpty)
+    assert(viaWindow === viaLag)
+  }
+
+  test("streaming sessions match batch, including one spanning micro-batches") {
+    val root = Files.createTempDirectory("sess").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")))
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 00:20:00")), // continues batch-1 session
+      (1L, ts("2024-01-01 01:00:00")), // 40-min gap: new session
+      (999L, ts("2024-01-11 00:00:00"))) // sentinel: drives watermark
+    batch1.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(in)
+    batch2.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = s"$root/out"
+    val q = Sessionize.sessions(stream, "user_id", "ts", "30 minutes",
+        watermarkDelay = Some("10 minutes"))
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .where(col("user_id") =!= 999L) // sentinel session may still be open
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batchRef = Sessionize.sessions(
+        (batch1 ++ batch2).toDF("user_id", "ts")
+          .where(col("user_id") =!= 999L),
+        "user_id", "ts", "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(batchRef.exists { case (u, s0, _, n) =>
+      u == 1L && s0 == ts("2024-01-01 00:00:00") && n == 3L
+    }, s"expected the cross-batch session in the batch reference: $batchRef")
+    assert(got === batchRef)
+  }
+}
