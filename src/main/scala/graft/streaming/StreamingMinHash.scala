@@ -20,10 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: at-least-once per pair (once per agreeing band), exactly
   * like [[StreamingNearDup.pairs]] — compact downstream with
-  * `dropDuplicates(doc_a, doc_b)`. State bound: `stateCap` (FIFO per
-  * bucket); for watermark-driven eviction apply the
-  * [[StreamingNearDup.pairsEvicting]] construction — the state/timeout
-  * mechanics are identical, only the fingerprint differs.
+  * `dropDuplicates(doc_a, doc_b)`. State bounds: `stateCap` (FIFO per
+  * bucket) and [[pairsEvicting]]'s watermark-driven timeout eviction
+  * (the [[StreamingNearDup.pairsEvicting]] construction — identical
+  * state/timeout mechanics, only the fingerprint differs).
   *
   * Scale: state per bucket is its member list of fixed-width
   * signatures (nHashes × 8 hex chars); banding keeps buckets small
@@ -81,6 +81,34 @@ object StreamingMinHash {
     sig
   }
 
+  /** Screen arrivals against a bucket's stored signatures: emit an
+    * estimated pair per (arrival, stored) signature agreement ≥
+    * `minAgree`, then prepend arrivals FIFO-capped. Shared by [[pairs]]
+    * and [[pairsEvicting]]. */
+  private def screen(arrivals: Iterator[(Long, Seq[String])],
+      stored: List[(Long, Seq[String])], nHashes: Int, minAgree: Int,
+      stateCap: Int): (List[(Long, Seq[String])], List[EstimatedPair]) = {
+    var seen = stored
+    val out = List.newBuilder[EstimatedPair]
+    arrivals.foreach { case (doc, sig) =>
+      seen.foreach { case (d0, s0) =>
+        if (d0 != doc) {
+          var agree = 0
+          var i = 0
+          while (i < nHashes) {
+            if (sig(i) == s0(i)) agree += 1
+            i += 1
+          }
+          if (agree >= minAgree)
+            out += EstimatedPair(math.min(d0, doc), math.max(d0, doc),
+              agree, agree.toDouble / nHashes)
+        }
+      }
+      seen = ((doc, sig) :: seen).take(stateCap)
+    }
+    (seen, out.result())
+  }
+
   /** Estimated-Jaccard near-dup pairs over a STREAMING frame of
     * (idCol: long-castable, textCol: string). Append-mode output; see
     * class doc for the at-least-once contract. `minAgree` filters
@@ -110,27 +138,87 @@ object StreamingMinHash {
       .groupByKey { case (band, bv, _, _) => (band, bv) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, String), rows: Iterator[(Int, String, Long, Array[String])],
-            state: GroupState[List[(Long, Array[String])]]) => {
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[EstimatedPair]
-          rows.foreach { case (_, _, doc, sig) =>
-            seen.foreach { case (d0, s0) =>
-              if (d0 != doc) {
-                var agree = 0
-                var i = 0
-                while (i < sig.length) {
-                  if (sig(i) == s0(i)) agree += 1
-                  i += 1
-                }
-                if (agree >= minAgree)
-                  out += EstimatedPair(math.min(d0, doc), math.max(d0, doc),
-                    agree, agree.toDouble / nHashes)
-              }
-            }
-            seen = ((doc, sig) :: seen).take(stateCap)
-          }
+            state: GroupState[List[(Long, Seq[String])]]) => {
+          val (seen, out) = screen(
+            rows.map { case (_, _, doc, sig) => (doc, sig.toSeq) },
+            state.getOption.getOrElse(Nil), nHashes, minAgree, stateCap)
           state.update(seen)
-          out.result().iterator
+          out.iterator
+        })
+  }
+
+  /** [[pairs]] with WATERMARK-DRIVEN STATE EVICTION — the
+    * [[StreamingNearDup.pairsEvicting]] construction with the MinHash
+    * signature in place of the 64-bit fingerprint; see that method's
+    * scaladoc for the deadline/monotonicity/late-row semantics (all
+    * identical): each bucket's timeout deadline is the max event time
+    * in its history (carried in state, so out-of-order arrivals never
+    * move it backwards) + `evictAfter`; once the watermark (`tsCol`
+    * minus `watermarkDelay`) passes it in a trigger where the bucket is
+    * idle, the bucket's state drops wholesale. Memory is bounded by
+    * arrival rate over the eviction window, not stream length; pairs
+    * whose members are further apart in event time than `evictAfter`
+    * are missed — the recency trade, enforced. `stateCap` composes
+    * (FIFO bound within the window). */
+  def pairsEvicting(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String, evictAfter: java.time.Duration,
+      k: Int = 2, nHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 0, stateCap: Int = Int.MaxValue): Dataset[EstimatedPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nHashes % bandSize == 0, "bandSize must divide nHashes")
+    require(evictAfter.toMillis > 0, s"evictAfter must be positive: $evictAfter")
+    val nBands = nHashes / bandSize
+    val evictMs = evictAfter.toMillis
+    // banding stays in DataFrame expressions (signature via a scalar
+    // UDF of the shared pure function): a typed flatMap here would
+    // mint fresh output attributes and drop the event-time watermark
+    // tag the EventTimeTimeout checker requires (same reasoning as
+    // StreamingNearDup.pairsEvicting)
+    val sigUdf = udf((text: String) =>
+      Option(signature(text, k, nHashes)).map(_.toSeq))
+    val bandStructs = (0 until nBands).map { b =>
+      val keys = (b * bandSize until (b + 1) * bandSize).map(i => col("sig")(i))
+      struct(lit(b).as("band"), concat_ws("|", keys: _*).as("bv"))
+    }
+    docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      // null text tokenizes to nothing in the batch operators; a doc
+      // with fewer than k tokens has no signature (null from the UDF)
+      .where(col("text").isNotNull)
+      .withWatermark("__ts", watermarkDelay)
+      .withColumn("sig", sigUdf(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc"), col("sig"), col("__ts"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("__ts"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .as[(Long, Seq[String], java.sql.Timestamp, Int, String)]
+      .groupByKey { case (_, _, _, band, bv) => (band, bv) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String),
+            rows: Iterator[(Long, Seq[String], java.sql.Timestamp, Int, String)],
+            state: GroupState[(Long, List[(Long, Seq[String])])]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (storedMax, stored) =
+              state.getOption.getOrElse((Long.MinValue, List.empty[(Long, Seq[String])]))
+            var maxTs = storedMax
+            val arrivals = rows.map { case (doc, sig, ts, _, _) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              (doc, sig)
+            }
+            val (seen, out) = screen(arrivals, stored, nHashes, minAgree, stateCap)
+            state.update((maxTs, seen))
+            // deadline must sit strictly past the current watermark;
+            // the max() also covers all-null timestamps
+            state.setTimeoutTimestamp(
+              math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
         })
   }
 }

@@ -104,4 +104,105 @@ class StreamingMinHashSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.subsetOf(Set((1L, 2L), (2L, 3L), (1L, 3L))), got.toString)
     assert(pairs.size === 2, s"expected exactly one evicted pair, got $got")
   }
+
+  test("event-time timeout evicts idle bucket state; within-window pairs still surface") {
+    val root = Files.createTempDirectory("sminhashevict").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark; import spark0.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    // same five-batch script as StreamingNearDupSpec's eviction test
+    // (explicit mtimes pin event-time batch order):
+    //   b1 doc1 @10s   b2 doc2 @30s (pair 1-2, within 60s window)
+    //   b3/b4 noise past the deadline (arrival re-arms, so eviction
+    //   needs a trigger in which the stale bucket is idle)
+    //   b5 doc3 @2002s (identical text, state gone: NO pair)
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", ts(10000L))),
+      Seq((2L, "alpha beta gamma", ts(30000L))),
+      Seq((90L, "zz yy xx ww", ts(2000000L))),
+      Seq((91L, "qq rr ss tt", ts(2001000L))),
+      Seq((3L, "alpha beta gamma", ts(2002000L))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val dir = new java.io.File(in)
+      val before = dir.listFiles().map(_.getName).toSet
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      dir.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(1000000L + i * 60000L)))
+    }
+
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def runToSet(pairs: org.apache.spark.sql.Dataset[StreamingMinHash.EstimatedPair],
+        tag: String): Set[(Long, Long)] = {
+      val out = s"$root/out_$tag"
+      val q = pairs.writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // control: without eviction the same input yields all three pairs
+    val unbounded = runToSet(
+      StreamingMinHash.pairs(stream, "doc_id", "text",
+        k = 2, nHashes = 16, bandSize = 4), "nt")
+    assert(unbounded === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // evicting: the cross-batch within-window pair survives; doc3's
+    // pairs are gone BECAUSE the bucket state was evicted (the control
+    // proves the pairs exist for this input)
+    val evicted = runToSet(
+      StreamingMinHash.pairsEvicting(stream, "doc_id", "text", "ts",
+        watermarkDelay = "0 seconds",
+        evictAfter = java.time.Duration.ofSeconds(60),
+        k = 2, nHashes = 16, bandSize = 4), "ev")
+    assert(evicted === Set((1L, 2L)))
+  }
+
+  test("pairsEvicting with a window wider than the stream equals pairs() on real docs") {
+    // parity property: eviction must be the ONLY semantic difference —
+    // with the eviction window wider than the fixture's event-time
+    // span, the evicting operator reduces to the unbounded one
+    val root = Files.createTempDirectory("sminhashevpar").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 120)
+      // synthetic event time: one doc per second (~2 min span << 1-day
+      // window), offset past epoch 0 so no row ties the initial
+      // watermark (a tie would be dropped as late — watermark
+      // semantics, not eviction)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id") + 1000L).as("ts"))
+    docs.where(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(in)
+    docs.where(col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def runToSet(pairs: org.apache.spark.sql.Dataset[StreamingMinHash.EstimatedPair],
+        tag: String): Set[(Long, Long, Long)] = {
+      val out = s"$root/out_$tag"
+      val q = pairs.writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+        .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val plain = runToSet(StreamingMinHash.pairs(
+      stream.select("doc_id", "text"), "doc_id", "text",
+      k = 2, nHashes = 16, bandSize = 4), "plain")
+    val evict = runToSet(StreamingMinHash.pairsEvicting(
+      stream, "doc_id", "text", "ts", watermarkDelay = "0 seconds",
+      evictAfter = java.time.Duration.ofDays(1),
+      k = 2, nHashes = 16, bandSize = 4), "evict")
+    assert(plain.nonEmpty, "fixture should contain candidate pairs")
+    assert(evict === plain)
+  }
 }
