@@ -381,6 +381,18 @@ object SparkEntry {
         .select(col("user_id"), col("sess.start").as("sess_start"),
           col("sess.end").as("sess_end"), col("n_events"))
     }),
+    "q71_hash_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment (Splits.hashSplit):
+      // a pure function of doc_id — stable across re-runs, partition
+      // counts and engines; the oracle re-derives every label from
+      // the same md5 arithmetic. Zero-shuffle projection + one agg.
+      Splits.hashSplit(tbl(s, dir, "documents"), "doc_id", "s42",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1426,6 +1438,21 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS sess_start,
         |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*)::BIGINT AS n_events
         |FROM s GROUP BY user_id, sess_idx""".stripMargin,
+    "q71_hash_split" ->
+      // the split label re-derived from the same md5 arithmetic:
+      // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100
+      s"""WITH toks AS ($toksCte),
+         |b AS (SELECT doc_id, len(t) AS n_toks,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM toks),
+         |l AS (SELECT doc_id, n_toks,
+         |    CASE WHEN bucket < 90 THEN 'train'
+         |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT split, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM l GROUP BY split""".stripMargin,
     "q67_tfidf" ->
       s"""WITH toks AS ($toksCte),
          |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the train/val/test assignment a
+  * training-data pipeline runs over every corpus snapshot.
+  *
+  * Why hash-based rather than `randomSplit`: the assignment must be a
+  * PURE FUNCTION of the row id — stable across re-runs, Spark
+  * versions, partition counts and row order — so that (a) a document
+  * never migrates between train and eval as the corpus grows, and
+  * (b) the split is reproducible from the id alone by any engine
+  * (the DuckDB oracle re-derives it byte-for-byte from the same md5
+  * arithmetic). `randomSplit` satisfies neither: it is seeded per
+  * partition, so a repartition reshuffles the assignment.
+  *
+  * 100 TB shape: a zero-shuffle, codegen'd projection (md5 + substring
+  * + conv per row); filters on the label column push into the scan of
+  * a split-partitioned layout when the corpus is written
+  * `partitionBy("split")` (the q68 directory-pruning story applied to
+  * the training/eval read paths).
+  */
+object Splits {
+
+  /** 0..99 hash bucket for a row id: first 8 hex chars (32 bits) of
+    * `md5(id || ":" || salt)`, read as an integer, mod 100. The salt
+    * decorrelates independent splits over the same ids (changing it
+    * re-deals every assignment). */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Adds `bucket` (0..99) and `split` (label) columns. `splits` are
+    * (label, percent) pairs summing to 100, assigned by cumulative
+    * bucket ranges in order — e.g. Seq(("train", 90), ("val", 5),
+    * ("test", 5)) puts buckets 0-89 in train, 90-94 in val, 95-99 in
+    * test. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split percents must be positive: $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    val bucket = hashBucket(col(idCol), salt)
+    val uppers = splits.map(_._2).scanLeft(0)(_ + _).tail // cumulative
+    val label = splits.zip(uppers).init
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(bucket < hi, name))(_.when(bucket < hi, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("bucket", bucket).withColumn("split", label)
+  }
+}
