@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * Media travels as opaque `binary` columns plus typed metadata; the
   * Spark-side plumbing — schema, batched per-partition decode, feature
-  * extraction shape, frame sampling — is real and tested, while the
+  * extraction shape, resize, frame sampling — is real and tested, while the
   * codec itself is a STUB: this container has no image/audio libraries,
   * so `decode` parses a deterministic fake header (`Multimodal.MAGIC`,
   * kind, width, height, frame count) instead of calling libjpeg/ffmpeg.
@@ -42,6 +42,7 @@ object Multimodal {
   final case class Decoded(id: Long, meta: MediaMeta)
   final case class Features(id: Long, embedding: Array[Float])
   final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
+  final case class Resized(id: Long, width: Int, height: Int, content: Array[Byte])
 
   /** Build a fake media blob (test/data-gen helper): header + payload. */
   def encodeFake(kind: String, width: Int, height: Int, nFrames: Int,
@@ -106,6 +107,50 @@ object Multimodal {
             }
           }
           Features(id, v)
+        }
+      }
+  }
+
+  /** STUB resize: nearest-neighbor over the payload viewed as a
+    * height×width one-byte-per-pixel grid (a real impl calls the
+    * codec's scaler over decoded pixels — same operator shape: one
+    * codec per partition, rows streamed). The result is RE-ENCODED as
+    * a valid blob with the new dimensions, so resized output flows
+    * through the same decode/features/ANN pipeline unchanged —
+    * the thumbnail/normalize step of a multimodal training corpus.
+    * Non-image and invalid blobs are dropped (quarantine them upstream
+    * via [[decode]]'s valid flag). */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): Dataset[Resized] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive: ${outW}x$outH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val d = decodeOne(id, bytes)
+        val w = d.meta.width; val h = d.meta.height
+        if (!d.meta.valid || d.meta.kind != "image" || w <= 0 || h <= 0)
+          Iterator.empty
+        else {
+          val payload = bytes.drop(HeaderLen)
+          val out = new Array[Byte](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val py = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val px = (x.toLong * w / outW).toInt
+              val idx = py * w + px
+              // fake corpus payloads may be shorter than w*h — missing
+              // pixels read as 0 rather than failing the whole blob
+              out(y * outW + x) = if (idx < payload.length) payload(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          Iterator.single(
+            Resized(id, outW, outH, encodeFake("image", outW, outH, d.meta.nFrames, out)))
         }
       }
   }

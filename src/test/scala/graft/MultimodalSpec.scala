@@ -45,4 +45,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.map(_.frameIdx).sorted.toSeq === Seq(0, 2, 4))
     assert(frames.forall(_.frame.length === 32))
   }
+
+  test("resize maps nearest-neighbor pixels and skips non-images") {
+    // 4x4 gradient: pixel (y,x) = y*4+x; 2x2 nearest-neighbor picks
+    // source pixels (0,0) (0,2) (2,0) (2,2) -> bytes 0, 2, 8, 10
+    val px = Array.tabulate[Byte](16)(_.toByte)
+    val df = Seq(
+        (1L, Multimodal.encodeFake("image", 4, 4, 1, px)),
+        (2L, Multimodal.encodeFake("audio", 4, 4, 1, px)),
+        (3L, Array[Byte](1, 2)))
+      .toDF("media_id", "content")
+    val out = Multimodal.resize(df, "media_id", "content", 2, 2).collect()
+    assert(out.map(_.id).toSeq === Seq(1L))
+    val r = out.head
+    assert((r.width, r.height) === (2, 2))
+    assert(r.content.drop(Multimodal.HeaderLen).toSeq === Seq[Byte](0, 2, 8, 10))
+  }
+
+  test("resized blobs flow back through decode with the new dimensions") {
+    val images = corpus.where(col("media_id") % 3 === 0) // fakeCorpus kind cycle
+    val n = images.count()
+    assert(n > 0)
+    val resized = Multimodal.resize(images, "media_id", "content", 8, 6)
+      .toDF().withColumnRenamed("content", "c")
+    val meta = Multimodal.decode(resized, "id", "c").collect()
+    assert(meta.length.toLong === n)
+    assert(meta.forall(d => d.meta.valid && d.meta.kind == "image" &&
+      d.meta.width == 8 && d.meta.height == 6))
+  }
 }
