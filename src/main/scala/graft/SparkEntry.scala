@@ -381,6 +381,36 @@ object SparkEntry {
         .select(col("user_id"), col("sess.start").as("sess_start"),
           col("sess.end").as("sess_end"), col("n_events"))
     }),
+    "q72_langid_ngram" -> ((s, dir) => {
+      // character-n-gram-profile language ID (q21's word-marker twin,
+      // Cavnar–Trenkle-style) in the RELATIONAL shape that scales:
+      // trigrams evaluated ONCE per doc (explode), profile joined
+      // broadcast (vocab-sized), argmax via max-count with a
+      // deterministic min(lang) tiebreak (hard rule 4) — docs with no
+      // profile hit fall back to the lexicographically first language
+      // (every language ties at zero). A per-row score-column
+      // formulation would re-evaluate the trigram extraction once per
+      // language (Catalyst inlines aliased projections).
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val defaultLang = langMarkers.keys.min
+      val tri = docs.select(col("doc_id"),
+        explode(TextFunctions.charTrigrams(col("text"))).as("g"))
+      val prof = TextFunctions.trigramProfile(langMarkers).toDF("lang_p", "g")
+      val scores = tri.join(broadcast(prof), "g")
+        .groupBy("doc_id", "lang_p").agg(count(lit(1)).as("cnt"))
+      val best = scores.groupBy("doc_id").agg(max("cnt").as("mx"))
+      val guess = scores.as("sc")
+        .join(best.as("b"), col("sc.doc_id") === col("b.doc_id") &&
+          col("sc.cnt") === col("b.mx"))
+        .groupBy(col("sc.doc_id").as("doc_id"))
+        .agg(min("lang_p").as("g_raw"))
+      docs.select("doc_id", "lang")
+        .join(guess, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("g_raw"), lit(defaultLang)).as("guess"),
+          (col("lang") === coalesce(col("g_raw"), lit(defaultLang))).as("correct"))
+    }),
     "q71_hash_split" -> ((s, dir) => {
       // deterministic train/val/test assignment (Splits.hashSplit):
       // a pure function of doc_id — stable across re-runs, partition
@@ -844,6 +874,31 @@ object SparkEntry {
        |FROM scores""".stripMargin
   }
 
+  /** q72's trigram-profile twin: profiles generated by the SAME
+    * `TextFunctions.trigramProfile` call the Spark broadcast side
+    * uses, emitted as VALUES literals; same argmax + min(lang)
+    * tiebreak + default-language fallback. */
+  private def langIdNgramSql: String = {
+    val values = TextFunctions.trigramProfile(langMarkers)
+      .map { case (l, g) => s"('$l', '$g')" }.mkString(", ")
+    val dflt = langMarkers.keys.min
+    s"""WITH toks AS ($toksCte),
+       |tri AS (SELECT doc_id, unnest(list_distinct(flatten(list_transform(
+       |    list_filter(t, w -> len(w) >= 3), w ->
+       |    list_transform(generate_series(1, len(w) - 2), i -> substr(w, i, 3)))))) AS g
+       |  FROM toks),
+       |prof AS (SELECT * FROM (VALUES $values) v(lang_p, g)),
+       |scores AS (SELECT doc_id, lang_p, count(*) AS cnt
+       |  FROM tri JOIN prof USING (g) GROUP BY doc_id, lang_p),
+       |best AS (SELECT doc_id, max(cnt) AS mx FROM scores GROUP BY doc_id),
+       |g2 AS (SELECT s.doc_id, min(s.lang_p) AS guess
+       |  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.cnt = b.mx
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id, d.lang, coalesce(g2.guess, '$dflt') AS guess,
+       |  d.lang = coalesce(g2.guess, '$dflt') AS correct
+       |FROM documents d LEFT JOIN g2 ON d.doc_id = g2.doc_id""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket as DuckDB SQL over a DOUBLE[] column —
     * generated from the SAME `Similarity.planeSigns` the Spark plan
     * uses, so buckets agree bit-for-bit (each float→double product is
@@ -1108,6 +1163,7 @@ object SparkEntry {
          |  n_chars
          |FROM toks""".stripMargin,
     "q21_lang_id" -> langIdSql,
+    "q72_langid_ngram" -> langIdNgramSql,
     "q41_rolling_24h" ->
       """SELECT user_id, event_id, ts,
         |  count(*) OVER w AS n_24h,

@@ -26,6 +26,28 @@ object TextFunctions {
     size(array_distinct(tokens(text))).cast("double") /
       greatest(size(tokens(text)), lit(1)).cast("double")
 
+  /** Distinct character trigrams of every ≥3-char token — the unit of
+    * n-gram-profile language ID (Cavnar–Trenkle '94 reduced to fixed
+    * profiles). The length filter keeps `sequence` bounds valid
+    * (Spark's sequence(1, 0) counts DOWN, not empty); lambda vars only
+    * inside the lambdas, so nothing re-evaluates per element (see
+    * [[shinglesDeclarative]]'s note). */
+  def charTrigrams(text: Column): Column = {
+    val toks3 = filter(tokens(text), t => length(t) >= 3)
+    array_distinct(flatten(transform(toks3, t =>
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))))
+  }
+
+  /** (language, trigram) profile rows derived from the marker-word
+    * table — the SAME generator feeds the Spark broadcast side and the
+    * DuckDB oracle's VALUES literal, so both engines score against
+    * identical profiles. */
+  def trigramProfile(markers: Map[String, Seq[String]]): Seq[(String, String)] =
+    markers.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
+      words.flatMap(w => (0 to w.length - 3).map(i => w.substring(i, i + 3)))
+        .distinct.sorted.map(lang -> _)
+    }
+
   /** Word k-shingles as strings ("a b c"), the unit for MinHash /
     * Jaccard near-dup detection. Native single-pass codegen expression
     * (`WordShingles`); byte-identical to `shinglesDeclarative`, which
