@@ -411,6 +411,18 @@ object SparkEntry {
           coalesce(col("g_raw"), lit(defaultLang)).as("guess"),
           (col("lang") === coalesce(col("g_raw"), lit(defaultLang))).as("correct"))
     }),
+    "q73_minhash_screen" -> ((s, dir) => {
+      // incremental ingest screen: the newest fifth of the corpus
+      // screened against the rest via cross-side banded collisions
+      // only — the admit-a-batch-into-100TB shape. The id-boundary
+      // split makes the oracle exact: the symmetric estimator's pairs
+      // restricted to doc_a < 400 <= doc_b are precisely the cross
+      // pairs this operator emits.
+      val docs = tbl(s, dir, "documents")
+      Dedup.minhashScreen(
+        docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4)
+    }),
     "q71_hash_split" -> ((s, dir) => {
       // deterministic train/val/test assignment (Splits.hashSplit):
       // a pure function of doc_id — stable across re-runs, partition
@@ -1453,6 +1465,11 @@ object SparkEntry {
     "q54_simhash_pairs" -> simhashPairsSql,
     "q63_simhash64_pairs" -> simhash64PairsSql,
     "q66_minhash_estimate" -> minhashEstimateSql,
+    "q73_minhash_screen" ->
+      // the symmetric estimator restricted to cross pairs at the id
+      // boundary — exactly the screen's candidate set (see the query)
+      s"""SELECT * FROM ($minhashEstimateSql)
+         |WHERE doc_a < 400 AND doc_b >= 400""".stripMargin,
     "q68_partition_prune" ->
       // Twin over the hive-partitioned scratch layout the Spark query
       // just wrote (read_parquet hive_partitioning re-derives the

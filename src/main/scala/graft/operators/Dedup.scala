@@ -110,6 +110,20 @@ object Dedup {
       .where(col("bucket_size") > 1)
   }
 
+  /** (doc, band, bucket) rows from a signature frame — one row per
+    * LSH band, bucket = md5 over the band's signature slice. Shared by
+    * [[minhashJaccardEstimate]] and [[minhashScreen]]. */
+  private def bandedBuckets(sigs: DataFrame, idCol: String,
+      nHashes: Int, bandSize: Int): DataFrame = {
+    val bandStructs = (0 until nHashes / bandSize).map { b =>
+      val keys = (b * bandSize until (b + 1) * bandSize).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", keys: _*)).as("bucket"))
+    }
+    sigs
+      .select(col(idCol).as("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** MinHash Jaccard ESTIMATOR: for LSH-banded candidate pairs,
     * estimate J(A,B) as the fraction of agreeing signature components
     * (P[min-hash collision] = J, Broder '97 — the estimator behind
@@ -125,13 +139,7 @@ object Dedup {
     require(nHashes % bandSize == 0, "bandSize must divide nHashes")
     val sigs = minhashSignatures(docs, idCol, textCol, k, nHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until nHashes / bandSize).map { b =>
-      val keys = (b * bandSize until (b + 1) * bandSize).map(i => col(s"s$i"))
-      struct(lit(b).as("band"), md5(concat_ws("|", keys: _*)).as("bucket"))
-    }
-    val banded = sigs
-      .select(col(idCol).as("doc"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(sigs, idCol, nHashes, bandSize)
     // NOTE: candidates may repeat (a near-identical pair collides in
     // up to ALL nHashes/bandSize bands), and the dedup belongs HERE,
     // before the signature joins — the distinct shuffles narrow
@@ -152,6 +160,44 @@ object Dedup {
       cands
         .join(sigs.as("sa"), col("doc_a") === col(s"sa.$idCol"))
         .join(sigs.as("sb"), col("doc_b") === col(s"sb.$idCol"))
+        .select(col("doc_a"), col("doc_b"),
+          agree.cast("long").as("n_agree"),
+          (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+    }
+  }
+
+  /** INCREMENTAL INGEST SCREEN: estimated-Jaccard candidates of
+    * `incoming` documents against a STATIC `corpus` — the production
+    * shape for admitting a new batch into a 100 TB training corpus
+    * without re-running corpus×corpus dedup (reference capability
+    * anchor: ingest-side screening atop
+    * `marketdb-core/src/main/scala/com/ergodicity/marketdb/core/MarketDB.scala:139-168`).
+    * Candidates come from banded-bucket collisions BETWEEN the sides
+    * (never within one side), so cost scales with incoming×density,
+    * not corpus²; the incoming banded keys and the candidate set are
+    * broadcast (a new batch is small next to the corpus), so the
+    * corpus-side signature frame is never shuffled. Id spaces must be
+    * disjoint (they identify the sides in the output). Output:
+    * (doc_a = corpus id, doc_b = incoming id, n_agree, est_jaccard) —
+    * exactly [[minhashJaccardEstimate]] over the union restricted to
+    * cross pairs, which is how the oracle checks it (q73). */
+  def minhashScreen(corpus: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, k: Int, nHashes: Int, bandSize: Int): DataFrame = {
+    require(nHashes % bandSize == 0, "bandSize must divide nHashes")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigC = minhashSignatures(corpus, idCol, textCol, k, nHashes).persist(lvl)
+    val sigN = minhashSignatures(incoming, idCol, textCol, k, nHashes).persist(lvl)
+    val cands = bandedBuckets(sigC, idCol, nHashes, bandSize).as("a")
+      .join(broadcast(bandedBuckets(sigN, idCol, nHashes, bandSize)).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val agree = (0 until nHashes).map(i =>
+      when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
+    releasingAfter(sigC, sigN) {
+      broadcast(cands)
+        .join(sigC.as("sa"), col("doc_a") === col(s"sa.$idCol"))
+        .join(broadcast(sigN.as("sb")), col("doc_b") === col(s"sb.$idCol"))
         .select(col("doc_a"), col("doc_b"),
           agree.cast("long").as("n_agree"),
           (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))

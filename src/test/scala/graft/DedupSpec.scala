@@ -78,6 +78,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "fixture should contain some similar pairs")
   }
 
+  test("minhashScreen equals the symmetric estimator restricted to cross pairs") {
+    val real = graft.sources.Tables.load(spark, sf0001, "documents")
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("doc_a"), col("doc_b"), col("n_agree").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sym = toSet(Dedup
+      .minhashJaccardEstimate(real, "doc_id", "text", k = 2, nHashes = 16, bandSize = 4)
+      .where(col("doc_a") < 400 && col("doc_b") >= 400))
+    val scr = toSet(Dedup.minhashScreen(
+      real.where(col("doc_id") < 400), real.where(col("doc_id") >= 400),
+      "doc_id", "text", k = 2, nHashes = 16, bandSize = 4))
+    assert(sym.nonEmpty, "fixture should contain cross-side candidates")
+    assert(scr === sym)
+  }
+
   test("jaccardPairs surfaces exact and near duplicates above threshold") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
