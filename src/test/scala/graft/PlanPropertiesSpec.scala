@@ -99,6 +99,19 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one session shuffle:\n$p")
   }
 
+  test("q72 trigram langid joins the profile via broadcast, never sort-merge") {
+    val p = executedPlan("q72_langid_ngram")
+    assert(p.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q73 ingest screen broadcasts the incoming side, never sort-merge") {
+    val p = executedPlan("q73_minhash_screen")
+    assert(p.contains("BroadcastHashJoin"), s"screen joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffled despite broadcast screen:\n$p")
+  }
+
   test("q68 scan prunes partitions: filters land in PartitionFilters, files shrink") {
     val p = executedPlan("q68_partition_prune")
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r.findFirstIn(p).isDefined,
