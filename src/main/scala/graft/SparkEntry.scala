@@ -399,12 +399,14 @@ object SparkEntry {
       val prof = TextFunctions.trigramProfile(langMarkers).toDF("lang_p", "g")
       val scores = tri.join(broadcast(prof), "g")
         .groupBy("doc_id", "lang_p").agg(count(lit(1)).as("cnt"))
-      val best = scores.groupBy("doc_id").agg(max("cnt").as("mx"))
-      val guess = scores.as("sc")
-        .join(best.as("b"), col("sc.doc_id") === col("b.doc_id") &&
-          col("sc.cnt") === col("b.mx"))
-        .groupBy(col("sc.doc_id").as("doc_id"))
-        .agg(min("lang_p").as("g_raw"))
+      // argmax as a window over the one scores lineage (a
+      // groupBy-max + join-back would re-run the explode/join subtree
+      // per consumer, q67's note); the window and the groupBy share
+      // the doc_id partitioning — no extra exchange
+      val guess = scores
+        .withColumn("mx", max("cnt").over(Window.partitionBy("doc_id")))
+        .where(col("cnt") === col("mx"))
+        .groupBy("doc_id").agg(min("lang_p").as("g_raw"))
       docs.select("doc_id", "lang")
         .join(guess, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
