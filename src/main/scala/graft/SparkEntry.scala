@@ -794,15 +794,26 @@ object SparkEntry {
     }),
     "q58_multimodal_pipeline" -> ((s, dir) => {
       // full multimodal pipeline: decode -> quarantine invalids ->
-      // feature-extract -> ANN top-3 per query blob (stub codec, real
-      // operator shapes; rows-only driver check like q38)
+      // resize-normalize images to a canonical 16x10 -> feature-extract
+      // -> ANN top-3 per query blob (stub codec, real operator shapes;
+      // rows-only driver check like q38)
       val corpus = Multimodal.fakeCorpus(s, 120)
       val decoded = Multimodal.decode(corpus, "media_id", "content")
       val validIds = decoded.where(col("meta.valid")).select(col("id"))
-      val feats = Multimodal.features(
-        corpus.join(validIds, corpus("media_id") === validIds("id"))
-          .select("media_id", "content"),
-        "media_id", "content", dim = 16)
+      val valid = corpus.join(validIds, corpus("media_id") === validIds("id"))
+        .select("media_id", "content")
+      val imageIds = decoded
+        .where(col("meta.valid") && col("meta.kind") === "image")
+        .select(col("id"))
+      val resizedImages = Multimodal.resize(
+          valid.join(imageIds, valid("media_id") === imageIds("id"))
+            .select("media_id", "content"),
+          "media_id", "content", 16, 10)
+        .select(col("id").as("media_id"), col("content"))
+      val normalized = valid
+        .join(imageIds, valid("media_id") === imageIds("id"), "left_anti")
+        .unionByName(resizedImages)
+      val feats = Multimodal.features(normalized, "media_id", "content", dim = 16)
         .select(col("id").as("vec_id"), col("embedding"))
       Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
         "vec_id", "embedding", k = 3)

@@ -106,7 +106,14 @@ object ScaleProbe {
       "jaccard" -> (d => graft.operators.Dedup
         .jaccardPairs(d, "doc_id", "text", k = 2, threshold = 0.8).count()),
       "simhash64" -> (d => graft.operators.Dedup
-        .simhashNearDup64(d, "doc_id", "text", maxHamming = 3).count()))
+        .simhashNearDup64(d, "doc_id", "text", maxHamming = 3).count()),
+      // incremental ingest screen: per replica, newest fifth of ids
+      // screened against the rest — corpus and incoming both grow
+      // with the multiplier, cross-side density stays within-replica
+      "screen" -> (d => graft.operators.Dedup.minhashScreen(
+        d.where(col("doc_id") % 1000000L < 400),
+        d.where(col("doc_id") % 1000000L >= 400),
+        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4).count()))
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       "ann_mprobe" -> (e => graft.operators.Similarity.annTopKMultiProbe(
         embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
