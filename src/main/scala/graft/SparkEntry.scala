@@ -425,6 +425,20 @@ object SparkEntry {
         docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
         "doc_id", "text", k = 2, nHashes = 16, bandSize = 4)
     }),
+    "q74_token_topk" -> ((s, dir) => {
+      // corpus vocabulary heavy hitters, exact: explode -> two-phase
+      // hash agg (the shuffle carries (token, partial count), never
+      // raw text) -> TakeOrderedAndProject (per-partition top-k heaps
+      // merged on the driver, NO global sort — the only scalable
+      // top-k shape). Tie at the boundary broken by token
+      // (hard rule 4). The streaming twin is
+      // StreamingHeavyHitters (Misra-Gries, spec-bounded).
+      tbl(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(100)
+    }),
     "q71_hash_split" -> ((s, dir) => {
       // deterministic train/val/test assignment (Splits.hashSplit):
       // a pure function of doc_id — stable across re-runs, partition
@@ -1189,6 +1203,11 @@ object SparkEntry {
          |FROM toks""".stripMargin,
     "q21_lang_id" -> langIdSql,
     "q72_langid_ngram" -> langIdNgramSql,
+    "q74_token_topk" ->
+      s"""WITH toks AS ($toksCte),
+         |t2 AS (SELECT unnest(t) AS tok FROM toks)
+         |SELECT tok, count(*)::BIGINT AS n FROM t2 GROUP BY tok
+         |ORDER BY n DESC, tok LIMIT 100""".stripMargin,
     "q41_rolling_24h" ->
       """SELECT user_id, event_id, ts,
         |  count(*) OVER w AS n_24h,
