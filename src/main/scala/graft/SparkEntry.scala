@@ -649,6 +649,17 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64)
     }),
+    "q75_embed_screen" -> ((s, dir) => {
+      // embedding-side ingest screen: newest fifth of the vectors
+      // checked against the rest — cross-side bucket collisions only,
+      // incoming side broadcast (q73's pattern for vector columns);
+      // id-boundary split makes the oracle the symmetric near-dup
+      // restricted to id_a < 400 <= id_b
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.cosineScreen(
+        emb.where(col("vec_id") < 400), emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64)
+    }),
     "q45_stats_agg" -> ((s, dir) => {
       // Moments are rounded identically on both engines: Spark merges
       // per-partition co-moments in partition order while DuckDB folds a
@@ -1412,6 +1423,9 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(lower(text))""".stripMargin,
     "q44_embed_near_dup" -> embedNearDupSql,
+    "q75_embed_screen" ->
+      s"""SELECT * FROM ($embedNearDupSql)
+         |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
     "q45_stats_agg" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 9) AS qty_price_corr,
         |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,

@@ -89,6 +89,30 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** INCREMENTAL INGEST SCREEN, embedding side — [[Dedup.minhashScreen]]'s
+    * twin for vector columns: incoming vectors checked for near-dups
+    * against a STATIC corpus via cross-side LSH-bucket collisions only
+    * (never within a side), cosine-verified at `threshold`. The
+    * incoming bucketed frame broadcasts (a new batch is small next to
+    * the corpus), so the corpus is never shuffled; plane literals are
+    * the same deterministic [[planeSigns]] both the symmetric operator
+    * and the DuckDB twin use. Id spaces must be disjoint. Output:
+    * (id_a = corpus id, id_b = incoming id, cosine) — the symmetric
+    * [[cosineNearDupPairs]] over the union restricted to cross pairs,
+    * which is how q75's oracle checks it. */
+  def cosineScreen(corpus: DataFrame, incoming: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nBits: Int, dim: Int): DataFrame = {
+    def bucketed(df: DataFrame) = withNorm(
+      lshBucket(df, vecCol, nBits, dim)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket")),
+      "v", "n")
+    bucketed(corpus).as("a")
+      .join(broadcast(bucketed(incoming)).as("b"), col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
     * vector to its nearest centroid; queries probe only the `nProbe`
     * nearest cells and re-rank exactly inside them. The quantizer is

@@ -56,6 +56,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf === ivf2)
   }
 
+  test("cosineScreen equals the symmetric near-dup restricted to cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sym = toSet(Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.3, nBits = 4, dim = 64)
+      .where(col("id_a") < 400 && col("id_b") >= 400))
+    val scr = toSet(Similarity.cosineScreen(
+      emb.where(col("vec_id") < 400), emb.where(col("vec_id") >= 400),
+      "vec_id", "embedding", 0.3, nBits = 4, dim = 64))
+    assert(sym.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(scr === sym)
+  }
+
   test("ann lsh co-buckets identical vectors and finds them") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val ann = Similarity.annTopK(dup, vecs.union(dup.toDF("vec_id", "embedding")),
