@@ -432,7 +432,8 @@ object SparkEntry {
       // merged on the driver, NO global sort — the only scalable
       // top-k shape). Tie at the boundary broken by token
       // (hard rule 4). The streaming twin is
-      // StreamingHeavyHitters (Misra-Gries, spec-bounded).
+      // StreamingHeavyHitters (Space-Saving: overestimates only,
+      // true <= est <= true + err, spec-bounded).
       tbl(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
@@ -827,8 +828,12 @@ object SparkEntry {
       val validIds = decoded.where(col("meta.valid")).select(col("id"))
       val valid = corpus.join(validIds, corpus("media_id") === validIds("id"))
         .select("media_id", "content")
+      // only images resize will actually emit (positive dims) take the
+      // resize path — a valid-but-degenerate header must flow through
+      // unresized rather than silently losing its embedding
       val imageIds = decoded
-        .where(col("meta.valid") && col("meta.kind") === "image")
+        .where(col("meta.valid") && col("meta.kind") === "image" &&
+          col("meta.width") > 0 && col("meta.height") > 0)
         .select(col("id"))
       val resizedImages = Multimodal.resize(
           valid.join(imageIds, valid("media_id") === imageIds("id"))

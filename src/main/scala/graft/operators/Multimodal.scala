@@ -123,6 +123,7 @@ object Multimodal {
   def resize(df: DataFrame, idCol: String, binCol: String,
       outW: Int, outH: Int): Dataset[Resized] = {
     require(outW > 0 && outH > 0, s"target dims must be positive: ${outW}x$outH")
+    require(outW.toLong * outH <= Int.MaxValue, "target pixel count overflows")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
@@ -141,10 +142,14 @@ object Multimodal {
             var x = 0
             while (x < outW) {
               val px = (x.toLong * w / outW).toInt
-              val idx = py * w + px
-              // fake corpus payloads may be shorter than w*h — missing
-              // pixels read as 0 rather than failing the whole blob
-              out(y * outW + x) = if (idx < payload.length) payload(idx) else 0
+              // Long: a well-formed header may declare w*h past Int
+              // range — Int math would wrap negative, slip past the
+              // bound check and throw (the codec contract is
+              // never-throw). Missing pixels (payload shorter than
+              // w*h) read as 0 rather than failing the whole blob.
+              val idx = py.toLong * w + px
+              out(y * outW + x) =
+                if (idx < payload.length) payload(idx.toInt) else 0
               x += 1
             }
             y += 1
@@ -184,8 +189,13 @@ object Multimodal {
     * expressions instead of `mapPartitions` — the whole parse stays inside
     * WholeStageCodegen and is SQL-expressible, which puts it under the
     * DuckDB oracle gate (both engines slice the same parquet bytes).
-    * Semantics match `decodeOne` exactly: bad magic / short blob / unknown
-    * kind ⇒ kind="unknown", dims 0, valid=false (F5 quarantine).
+    * Semantics match `decodeOne` for every blob with dims < 2³¹ (all
+    * generated corpora): bad magic / short blob / unknown kind ⇒
+    * kind="unknown", dims 0, valid=false (F5 quarantine). The one
+    * deliberate divergence: dim fields here decode UNSIGNED into long
+    * (oracle totality, see the comment below) while the stub
+    * `decodeOne` reads signed `getInt` — a ≥ 2³¹ field differs
+    * between the paths; a real codec would reject such headers.
     * The `mapPartitions` path in [[decode]] stays as the shape a real
     * pixel codec needs; this is the scale path for metadata-only queries.
     */

@@ -35,14 +35,6 @@ object StreamingMinHash {
   final case class EstimatedPair(
       doc_a: Long, doc_b: Long, n_agree: Int, est_jaccard: Double)
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
-
   /** Pure-Scala twin of `Dedup.minhashSignatures`'s expression
     * pipeline (lowercase space tokens → word k-shingles → per shingle
     * one md5 per 4-component group, sliced into 8-hex components →
@@ -62,7 +54,7 @@ object StreamingMinHash {
       val sh = toks.slice(i, i + k).mkString(" ")
       var g = 0
       while (g < nGroups) {
-        val h = md5hex(sh + g.toString)
+        val h = Md5Hex(sh + g.toString)
         var j = 0
         while (j < 4) {
           val idx = g * 4 + j
@@ -155,11 +147,15 @@ object StreamingMinHash {
     * in its history (carried in state, so out-of-order arrivals never
     * move it backwards) + `evictAfter`; once the watermark (`tsCol`
     * minus `watermarkDelay`) passes it in a trigger where the bucket is
-    * idle, the bucket's state drops wholesale. Memory is bounded by
-    * arrival rate over the eviction window, not stream length; pairs
-    * whose members are further apart in event time than `evictAfter`
-    * are missed — the recency trade, enforced. `stateCap` composes
-    * (FIFO bound within the window). */
+    * idle, the bucket's state drops wholesale — and because a HOT
+    * bucket never reaches the idle timeout, the window is ALSO
+    * enforced per member on every invocation (members more than
+    * `evictAfter` behind the bucket's max event time are pruned
+    * before screening). Memory is bounded by arrival rate over the
+    * eviction window, not stream length; pairs whose members are
+    * further apart in event time than `evictAfter` are missed — the
+    * recency trade, enforced for idle AND hot buckets. `stateCap`
+    * composes (FIFO bound within the window). */
   def pairsEvicting(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermarkDelay: String, evictAfter: java.time.Duration,
       k: Int = 2, nHashes: Int = 16, bandSize: Int = 4,
@@ -199,25 +195,49 @@ object StreamingMinHash {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, String),
             rows: Iterator[(Long, Seq[String], java.sql.Timestamp, Int, String)],
-            state: GroupState[(Long, List[(Long, Seq[String])])]) => {
+            state: GroupState[(Long, List[(Long, Seq[String], Long)])]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val (storedMax, stored) =
-              state.getOption.getOrElse((Long.MinValue, List.empty[(Long, Seq[String])]))
+            val (storedMax, stored) = state.getOption
+              .getOrElse((Long.MinValue, List.empty[(Long, Seq[String], Long)]))
+            val arrivals = rows.toList
             var maxTs = storedMax
-            val arrivals = rows.map { case (doc, sig, ts, _, _) =>
+            arrivals.foreach { case (_, _, ts, _, _) =>
               if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
-              (doc, sig)
             }
-            val (seen, out) = screen(arrivals, stored, nHashes, minAgree, stateCap)
+            // AGE PRUNE per invocation — hot buckets never reach the
+            // idle timeout; see StreamingNearDup.pairsEvicting
+            val cutoff =
+              if (maxTs == Long.MinValue) Long.MinValue else maxTs - evictMs
+            var seen = stored.filter(_._3 >= cutoff)
+            val out = List.newBuilder[EstimatedPair]
+            arrivals.foreach { case (doc, sig, ts, _, _) =>
+              val t = if (ts == null) maxTs else ts.getTime
+              if (t >= cutoff) {
+                seen.foreach { case (d0, s0, _) =>
+                  if (d0 != doc) {
+                    var agree = 0
+                    var i = 0
+                    while (i < nHashes) {
+                      if (sig(i) == s0(i)) agree += 1
+                      i += 1
+                    }
+                    if (agree >= minAgree)
+                      out += EstimatedPair(math.min(d0, doc), math.max(d0, doc),
+                        agree, agree.toDouble / nHashes)
+                  }
+                }
+                seen = ((doc, sig, t) :: seen).take(stateCap)
+              }
+            }
             state.update((maxTs, seen))
             // deadline must sit strictly past the current watermark;
             // the max() also covers all-null timestamps
             state.setTimeoutTimestamp(
               math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            out.result().iterator
           }
         })
   }

@@ -36,14 +36,6 @@ object StreamingNearDup {
 
   final case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
-
   /** Pure-Scala twin of `Dedup.simhash64`'s expression pipeline
     * (lowercase, split on spaces, drop empties, md5 per token, 64
     * positional nibble-bit votes) — `StreamingNearDupSpec` asserts
@@ -55,7 +47,7 @@ object StreamingNearDup {
     // on e.g. tr-TR hosts ("INDEX" -> dotless-i "ındex")
     text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { tok =>
       if (tok.nonEmpty) {
-        val h = md5hex(tok)
+        val h = Md5Hex(tok)
         var b = 0
         while (b < 64) {
           val nib = Character.digit(h.charAt(b / 4), 16)
@@ -145,13 +137,21 @@ object StreamingNearDup {
     * + `evictAfter` on every
     * arrival, and once the query watermark (from `tsCol` minus
     * `watermarkDelay`) passes it, the bucket's state is dropped
-    * wholesale. Memory is thereby bounded by the arrival RATE over the
-    * eviction window rather than by stream length; pairs whose members
-    * are further apart in event time than `evictAfter` are missed —
-    * the recency trade named in the class doc, now enforced rather
-    * than promised. `stateCap` composes (FIFO bound within the
-    * window). Uses `EventTimeTimeout`, so eviction is deterministic
-    * under replay (driven by data, not wall clock).
+    * wholesale. The idle timeout alone cannot bound a HOT bucket
+    * (data every trigger always re-arms first), so the window is ALSO
+    * enforced per member on every invocation: members more than
+    * `evictAfter` behind the bucket's max observed event time are
+    * pruned before screening (and an arrival that far behind screens
+    * nothing; a null event time retains for a full window). Memory is
+    * thereby bounded by the arrival RATE over the eviction window
+    * rather than by stream length; pairs whose members are further
+    * apart in event time than `evictAfter` (measured against the
+    * bucket's max event time) are missed — the recency trade named in
+    * the class doc, enforced for idle AND hot buckets
+    * (`StreamingNearDupSpec`'s hot-bucket test). `stateCap` composes
+    * (FIFO bound within the window). Uses `EventTimeTimeout`, so
+    * eviction is deterministic under replay (driven by data, not wall
+    * clock).
     *
     * Timeouts fire for a bucket on the first trigger AFTER the
     * watermark passes its deadline in which the bucket receives no
@@ -198,7 +198,7 @@ object StreamingNearDup {
       .groupByKey { case (_, _, _, band, bv) => (band, bv) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
-            state: GroupState[(Long, List[(Long, Long)])]) => {
+            state: GroupState[(Long, List[(Long, Long, Long)])]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -207,19 +207,45 @@ object StreamingNearDup {
             // the deadline is monotone: an out-of-order (late-but-
             // valid) arrival must not move the deadline backwards and
             // evict earlier than the documented bound
-            val (storedMax, stored) = state.getOption.getOrElse((Long.MinValue, Nil))
+            val (storedMax, stored) =
+              state.getOption.getOrElse((Long.MinValue, List.empty[(Long, Long, Long)]))
+            val arrivals = rows.toList
             var maxTs = storedMax
-            val arrivals = rows.map { case (doc, sig, ts, _, _) =>
+            arrivals.foreach { case (_, _, ts, _, _) =>
               if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
-              (doc, sig)
             }
-            val (seen, out) = screen(arrivals, stored, maxHamming, stateCap)
+            // AGE PRUNE on every invocation: a HOT bucket (data every
+            // trigger) never reaches the idle timeout, so the window
+            // bound must be enforced per-member here — members older
+            // than evictAfter behind the bucket's max event time drop,
+            // and an arrival that far behind screens nothing. This is
+            // what makes the class-doc claims true for hot buckets:
+            // state is bounded by the arrival rate over the window and
+            // wider-than-window pairs are missed, by construction.
+            val cutoff =
+              if (maxTs == Long.MinValue) Long.MinValue else maxTs - evictMs
+            var seen = stored.filter(_._3 >= cutoff)
+            val out = List.newBuilder[NearDupPair]
+            arrivals.foreach { case (doc, sig, ts, _, _) =>
+              // null event time: retain for a full window from now
+              val t = if (ts == null) maxTs else ts.getTime
+              if (t >= cutoff) {
+                seen.foreach { case (d0, s0, _) =>
+                  if (d0 != doc) {
+                    val ham = java.lang.Long.bitCount(s0 ^ sig)
+                    if (ham <= maxHamming)
+                      out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
+                  }
+                }
+                seen = ((doc, sig, t) :: seen).take(stateCap)
+              }
+            }
             state.update((maxTs, seen))
             // the API requires a deadline strictly past the current
             // watermark; the max() also covers all-null timestamps
             state.setTimeoutTimestamp(
               math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            out.result().iterator
           }
         })
   }

@@ -123,6 +123,51 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(evicted === Set((1L, 2L)))
   }
 
+  test("hot bucket: per-member age pruning enforces the window without an idle trigger") {
+    val root = Files.createTempDirectory("sneardhot").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark; import spark0.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    // every batch hits the SAME bucket (identical text), so the idle
+    // timeout never fires — the window bound must come from the
+    // per-member prune: doc1@10s ~ doc2@50s pair (40s < 60s window);
+    // doc3@200s is 150s past doc2, so both members are pruned on its
+    // arrival and it pairs with NOTHING
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", ts(10000L))),
+      Seq((2L, "alpha beta gamma", ts(50000L))),
+      Seq((3L, "alpha beta gamma", ts(200000L))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val dir = new java.io.File(in)
+      val before = dir.listFiles().map(_.getName).toSet
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      dir.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(1000000L + i * 60000L)))
+    }
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def runToSet(tag: String, evict: Boolean): Set[(Long, Long)] = {
+      val ds = if (evict)
+        StreamingNearDup.pairsEvicting(stream, "doc_id", "text", "ts",
+          watermarkDelay = "0 seconds",
+          evictAfter = java.time.Duration.ofSeconds(60), maxHamming = 3)
+      else StreamingNearDup.pairs(stream, "doc_id", "text", maxHamming = 3)
+      val out = s"$root/out_$tag"
+      val q = ds.writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(runToSet("nt", evict = false) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(runToSet("ev", evict = true) === Set((1L, 2L)))
+  }
+
   test("pairsEvicting with a window wider than the stream equals pairs() on real docs") {
     // parity property: eviction must be the ONLY semantic difference —
     // with an eviction window wider than the fixture's event-time span,
