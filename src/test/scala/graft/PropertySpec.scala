@@ -151,4 +151,28 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(bad === 0)
   }
+
+  test("hashSplit bucket equals an independent pure-Java md5 for arbitrary ids") {
+    // engine-independence: the Column expression (md5/substring/conv)
+    // must agree with a from-scratch MessageDigest recomputation for
+    // any long id, including negatives — the property that lets any
+    // engine (DuckDB oracle included) re-derive the assignment
+    def reference(id: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val idsGen = Gen.listOfN(200, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    samples(idsGen, 4).foreach { ids =>
+      val got = graft.operators.Splits
+        .hashSplit(ids.distinct.toDF("id"), "id", "s42",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.distinct.foreach { id =>
+        assert(got(id) === reference(id, "s42"), s"id $id")
+      }
+    }
+  }
 }
