@@ -821,9 +821,20 @@ object SparkEntry {
     "q58_multimodal_pipeline" -> ((s, dir) => {
       // full multimodal pipeline: decode -> quarantine invalids ->
       // resize-normalize images to a canonical 16x10 -> feature-extract
-      // -> ANN top-3 per query blob (stub codec, real operator shapes;
-      // rows-only driver check like q38)
-      val corpus = Multimodal.fakeCorpus(s, 120)
+      // -> ANN top-3 per query blob (stub codec, real operator shapes).
+      // FULLY ORACLED end-to-end via the q38 scratch-parquet trick: the
+      // input corpus (rejects + a degenerate image included) is written
+      // to parquet and DuckDB re-derives every stage from the same
+      // bytes — header decode via hex slicing, nearest-neighbor resize
+      // via generate_series byte arithmetic, the float32 pseudo-
+      // embedding via a list_reduce fold with per-step FLOAT casts
+      // (bit-equal to Java float accumulation), and cosine in double
+      // via list_dot_product (same index-order accumulation as
+      // FloatDotProduct — the q26 precedent).
+      val path = Multimodal.scratchPipelinePath
+      Multimodal.pipelineCorpus(s).repartition(2)
+        .write.mode("overwrite").parquet(path)
+      val corpus = s.read.parquet(path)
       val decoded = Multimodal.decode(corpus, "media_id", "content")
       val validIds = decoded.where(col("meta.valid")).select(col("id"))
       val valid = corpus.join(validIds, corpus("media_id") === validIds("id"))
@@ -847,6 +858,31 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("embedding"))
       Similarity.cosineTopK(feats.where(col("vec_id") < 5), feats,
         "vec_id", "embedding", k = 3)
+    }),
+    "q76_resize_oracle" -> ((s, dir) => {
+      // resize stage in isolation, byte-exact under the oracle: every
+      // resizable image's re-encoded 16x10 blob compared as its full
+      // hex string (header + nearest-neighbor payload) — DuckDB rebuilds
+      // the identical string from the source bytes with generate_series
+      // index arithmetic. q58 verifies resize only through the
+      // embeddings it feeds; this pins the bytes themselves.
+      val path = Multimodal.scratchResizePath
+      Multimodal.pipelineCorpus(s).repartition(2)
+        .write.mode("overwrite").parquet(path)
+      val corpus = s.read.parquet(path)
+      val decoded = Multimodal.decode(corpus, "media_id", "content")
+      val imageIds = decoded
+        .where(col("meta.valid") && col("meta.kind") === "image" &&
+          col("meta.width") > 0 && col("meta.height") > 0)
+        .select(col("id"))
+      Multimodal.resize(
+          corpus.join(imageIds, corpus("media_id") === imageIds("id"))
+            .select("media_id", "content"),
+          "media_id", "content", 16, 10)
+        .select(col("id").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          hex(col("content")).as("blob_hex"))
     }),
     "q65_merge_limit" -> ((s, dir) => {
       // tied merge + limit: the custom SortedMergeUnion with explicit
@@ -1262,6 +1298,99 @@ object SparkEntry {
          |  sum(byte_size)::BIGINT AS total_bytes,
          |  sum(width)::BIGINT::DOUBLE / count(*) AS avg_width
          |FROM m GROUP BY kind""".stripMargin,
+    "q58_multimodal_pipeline" ->
+      // End-to-end twin of the whole multimodal pipeline over the
+      // scratch parquet q58 just wrote. Stage parity, bit-for-bit:
+      //  * decode/quarantine — hex-string header slicing (q38 pattern);
+      //  * resize — nearest-neighbor source index rebuilt per output
+      //    pixel k (y=k//16, x=k%16; py=y*h//10, px=x*w//16) with
+      //    string_agg(.. ORDER BY k) re-assembling the new blob hex,
+      //    out-of-payload pixels reading '00' (Multimodal.resize:150);
+      //  * features — the float32 accumulator v[c] += b/255.0f is
+      //    replayed exactly: per component c = p % 16, the byte stream
+      //    in position order folds through list_reduce with a FLOAT
+      //    cast after every add (DuckDB FLOAT ops are IEEE binary32,
+      //    same as Java float — verified bit-equal vs numpy float32);
+      //  * cosine — list_dot_product over DOUBLE[] accumulates in index
+      //    order exactly like FloatDotProduct (q26/q35 precedent), and
+      //    the norm product divides identically, so the raw doubles
+      //    hash-match with no rounding.
+      s"""WITH raw AS (
+         |  SELECT media_id, content, hex(content) AS hx,
+         |    octet_length(content) AS len
+         |  FROM read_parquet('${operators.Multimodal.scratchPipelinePath}/*.parquet')),
+         |dec AS (
+         |  SELECT media_id, hx, len,
+         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
+         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
+         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code,
+         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,7,8))::BIGINT END AS w,
+         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
+         |  FROM raw),
+         |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2),
+         |resz AS (
+         |  SELECT media_id,
+         |    '475200' || '00000010' || '0000000A' || substr(hx, 23, 8) ||
+         |    string_agg(
+         |      CASE WHEN (((k//16) * h) // 10) * w + ((k%16) * w) // 16 < len - 15
+         |           THEN substr(hx, 31 + ((((k//16) * h) // 10) * w + ((k%16) * w) // 16)*2, 2)
+         |           ELSE '00' END, '' ORDER BY k) AS hx2
+         |  FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
+         |        FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
+         |  GROUP BY media_id, hx),
+         |normalized AS (
+         |  SELECT media_id, hx FROM valid WHERE NOT (kind_code = 0 AND w > 0 AND h > 0)
+         |  UNION ALL SELECT media_id, hx2 AS hx FROM resz),
+         |bytes AS (
+         |  SELECT media_id, unnest(range(0, length(hx)//2)) AS p, hx FROM normalized),
+         |comp AS (
+         |  SELECT media_id, p % 16 AS c,
+         |    list(CAST(('0x' || substr(hx, p*2+1, 2))::INT::FLOAT / 255.0::FLOAT AS FLOAT)
+         |         ORDER BY p) AS xs
+         |  FROM bytes GROUP BY media_id, p % 16),
+         |compv AS (
+         |  SELECT media_id, c,
+         |    list_reduce(list_prepend(0.0::FLOAT, xs), (a,x) -> CAST(a + x AS FLOAT))::DOUBLE AS val
+         |  FROM comp),
+         |emb AS (SELECT media_id, list(val ORDER BY c) AS v FROM compv GROUP BY media_id),
+         |q AS (SELECT media_id AS query_id, v AS qv FROM emb WHERE media_id < 5),
+         |c AS (SELECT media_id AS cand_id, v AS cv FROM emb),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    list_dot_product(qv, cv)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+         |  FROM c, q WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, cosine, rank FROM (
+         |  SELECT query_id, cand_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "q76_resize_oracle" ->
+      // Byte-exact twin of Multimodal.resize over the scratch parquet
+      // q76 just wrote: the full re-encoded blob hex (uppercase on both
+      // engines) rebuilt from source bytes — same decode + index math
+      // as q58's resz CTE, compared as the whole string.
+      s"""WITH raw AS (
+         |  SELECT media_id, content, hex(content) AS hx,
+         |    octet_length(content) AS len
+         |  FROM read_parquet('${operators.Multimodal.scratchResizePath}/*.parquet')),
+         |dec AS (
+         |  SELECT media_id, hx, len,
+         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
+         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
+         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code,
+         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,7,8))::BIGINT END AS w,
+         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
+         |  FROM raw),
+         |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2)
+         |SELECT media_id, 16::BIGINT AS width, 10::BIGINT AS height,
+         |  '475200' || '00000010' || '0000000A' || substr(hx, 23, 8) ||
+         |  string_agg(
+         |    CASE WHEN (((k//16) * h) // 10) * w + ((k%16) * w) // 16 < len - 15
+         |         THEN substr(hx, 31 + ((((k//16) * h) // 10) * w + ((k%16) * w) // 16)*2, 2)
+         |         ELSE '00' END, '' ORDER BY k) AS blob_hex
+         |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
+         |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
+         |GROUP BY media_id, hx""".stripMargin,
     "q39_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,

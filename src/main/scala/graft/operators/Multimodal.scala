@@ -31,6 +31,12 @@ object Multimodal {
     * absolute location (content is sf-independent and deterministic). */
   val scratchCorpusPath: String = "/tmp/graft_q38_media"
 
+  /** Scratch paths for the q58/q76 parquet-backed pipeline corpora
+    * (same trick as [[scratchCorpusPath]]; each query writes its own
+    * path so the two stay independent under any execution order). */
+  val scratchPipelinePath: String = "/tmp/graft_q58_media"
+  val scratchResizePath: String = "/tmp/graft_q76_media"
+
   final case class MediaMeta(
       kind: String, // image | audio | video
       width: Int,
@@ -261,5 +267,18 @@ object Multimodal {
       (n + 2L, badMagic),
       (n + 3L, badKind)).toDF("media_id", "content")
     fakeCorpus(spark, n).unionAll(rejects)
+  }
+
+  /** The q58/q76 pipeline input: [[fakeCorpusWithRejects]] plus one
+    * valid-but-degenerate image (width 0) — it must survive quarantine
+    * yet skip the resize path, flowing through to feature extraction
+    * unresized. Every decode/quarantine/resize branch is exercised by
+    * exactly this corpus, all of it under the DuckDB oracle gate. */
+  def pipelineCorpus(spark: SparkSession, n: Int = 120): DataFrame = {
+    import spark.implicits._
+    val degenerate = Seq(
+      (n + 4L, encodeFake("image", 0, 5, 1, Array.fill[Byte](16)(3))))
+      .toDF("media_id", "content")
+    fakeCorpusWithRejects(spark, n).unionAll(degenerate)
   }
 }
