@@ -35,16 +35,45 @@ object IngestPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
 
+  /** Network micro-batch source: newline-delimited records over a TCP
+    * socket — the wire shape of the reference's Kestrel queue consumer
+    * (`MarketLoader.scala:27-56`). Socket offsets are not replayable
+    * (at-most-once at the source), which is exactly why the sink below
+    * is idempotent: a queue redelivering in at-least-once mode lands on
+    * the same compacted row. Kafka (replayable offsets) swaps in by
+    * changing this one format string; everything downstream is
+    * source-agnostic. */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Parse newline-delimited CSV wire records into typed event rows.
+    * `timeCol` arrives as epoch millis on the wire. Malformed lines
+    * parse to all-null rows (PERMISSIVE) and are quarantined by the
+    * id-null filter — the F5 guard at the network edge. */
+  def parseCsvEvents(lines: DataFrame, schema: StructType, idCol: String,
+      timeCol: String): DataFrame = {
+    val wireSchema = StructType(schema.fields.map(f =>
+      if (f.name == timeCol) f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    lines
+      .select(from_csv(col("value"), wireSchema, Map("mode" -> "PERMISSIVE")).as("r"))
+      .select(col("r.*"))
+      .withColumn(timeCol, timestamp_millis(col(timeCol)))
+      .where(col(idCol).isNotNull)
+  }
+
   /** Start the idempotent append sink: per micro-batch, drop in-batch
     * duplicate event ids (keeping the earliest by `timeCol`) and append
     * partitioned by event date — the layout that makes the 100 TB
     * table partition-prunable on time, like the reference's
     * time-bucketed row keys (`model/Trade.scala:22-30`). */
   def startIngest(stream: DataFrame, outDir: String, checkpointDir: String,
-      idCol: String, timeCol: String): StreamingQuery =
+      idCol: String, timeCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // deterministic in-batch dedup: earliest event wins (not
