@@ -24,10 +24,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order, so the summary is deterministic for a given batch split);
   * the evicted count is carried as the new entry's `err`.
   *
-  * Emission: after each micro-batch a shard re-emits its CURRENT
-  * summary (append mode, at-least-once like the other streaming
-  * operators' contract) — estimates are monotone nondecreasing, so
-  * downstream keeps max(est) per token. State per shard is bounded by
+  * Emission: after each micro-batch a shard emits only the summary
+  * entries whose (est, err) CHANGED in that batch — at most the
+  * batch's distinct-token count, never the whole summary (append
+  * mode, at-least-once like the other streaming operators' contract).
+  * Estimates are monotone nondecreasing while an entry is resident,
+  * so downstream keeps max(est) per token and sees exactly the same
+  * final values a full re-emission would produce; an evicted entry is
+  * simply never re-emitted (no retraction — its last emission already
+  * carried its final estimate). State per shard is bounded by
   * `capacity` regardless of stream length — no watermark needed
   * (unlike the pair operators, the summary never grows with history).
   *
@@ -79,13 +84,19 @@ object StreamingHeavyHitters {
           val weights = scala.collection.mutable.Map.empty[String, Long]
           rows.foreach { case (t, w) =>
             weights(t) = weights.getOrElse(t, 0L) + w }
+          val prev = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
           val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
-          state.getOption.foreach(m ++= _)
+          m ++= prev
           weights.toSeq.sortBy(_._1).foreach { case (t, w) =>
             add(m, t, w, capacity)
           }
           state.update(m.toMap)
-          m.iterator.map { case (t, (c, e)) => TokenCount(shard, t, c, e) }
+          // changed-only emission: entries identical to last batch carry
+          // no new information (downstream keeps max(est)) — output per
+          // trigger is bounded by the batch's distinct tokens, not by
+          // `capacity` (sink traffic at production trigger rates)
+          m.iterator.filter { case (t, ce) => !prev.get(t).contains(ce) }
+            .map { case (t, (c, e)) => TokenCount(shard, t, c, e) }
             .toList.iterator
         })
   }

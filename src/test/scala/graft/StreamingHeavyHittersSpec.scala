@@ -69,4 +69,38 @@ class StreamingHeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains("hot"), s"hot token evicted: $got")
     assert(got("hot")._1 >= 30L)
   }
+
+  test("emission is bounded by the batch's distinct tokens, results unchanged") {
+    val root = Files.createTempDirectory("shhemit").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    // batch 1 populates a wide summary; batch 2 arrives with ONE token —
+    // a full re-emission would replay the whole summary, changed-only
+    // emission must produce at most one row
+    val wide = (0 until 50).map(i => f"w$i%02d").mkString(" ")
+    Seq(wide).toDF("text").coalesce(1).write.mode("append").parquet(in)
+    Seq("w07").toDF("text").coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val perBatch = scala.collection.concurrent.TrieMap.empty[Long, Array[(String, Long, Long)]]
+    val q = StreamingHeavyHitters.tokenCounts(stream, "text", shards = 1, capacity = 4096)
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingHeavyHitters.TokenCount], id: Long) =>
+        perBatch(id) = batch.collect().map(tc => (tc.token, tc.est, tc.err))
+      }
+      .start()
+    q.awaitTermination()
+
+    val sizes = perBatch.toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes === Seq(50, 1),
+      s"per-batch emissions must track distinct arrivals, got $sizes")
+    assert(perBatch.maxBy(_._1)._2.toSeq === Seq(("w07", 2L, 0L)))
+    // downstream max(est) per token equals the exact batch counts
+    val finalEst = perBatch.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = ("w07" -> 2L) +: (0 until 50).filter(_ != 7).map(i => f"w$i%02d" -> 1L)
+    assert(finalEst === want.toMap)
+  }
 }
