@@ -41,12 +41,25 @@ object TextFunctions {
   /** (language, trigram) profile rows derived from the marker-word
     * table — the SAME generator feeds the Spark broadcast side and the
     * DuckDB oracle's VALUES literal, so both engines score against
-    * identical profiles. */
-  def trigramProfile(markers: Map[String, Seq[String]]): Seq[(String, String)] =
+    * identical profiles.
+    *
+    * Marker words must be BMP-only: this generator slices with
+    * `String.substring` (UTF-16 code units) while [[charTrigrams]] and
+    * the DuckDB `substr` slice CHARACTERS — a supplementary-plane
+    * marker (outside the BMP, two code units per char) would make the
+    * three trigram generators silently diverge, so it is rejected
+    * here by construction. */
+  def trigramProfile(markers: Map[String, Seq[String]]): Seq[(String, String)] = {
+    markers.valuesIterator.flatten.foreach { w =>
+      require(w.length == w.codePointCount(0, w.length),
+        s"marker word '$w' contains non-BMP characters; " +
+          "UTF-16 slicing would diverge from character-based trigrams")
+    }
     markers.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
       words.flatMap(w => (0 to w.length - 3).map(i => w.substring(i, i + 3)))
         .distinct.sorted.map(lang -> _)
     }
+  }
 
   /** Word k-shingles as strings ("a b c"), the unit for MinHash /
     * Jaccard near-dup detection. Native single-pass codegen expression

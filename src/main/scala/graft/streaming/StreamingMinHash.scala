@@ -73,33 +73,25 @@ object StreamingMinHash {
     sig
   }
 
-  /** Screen arrivals against a bucket's stored signatures: emit an
-    * estimated pair per (arrival, stored) signature agreement ≥
-    * `minAgree`, then prepend arrivals FIFO-capped. Shared by [[pairs]]
-    * and [[pairsEvicting]]. */
-  private def screen(arrivals: Iterator[(Long, Seq[String])],
-      stored: List[(Long, Seq[String])], nHashes: Int, minAgree: Int,
-      stateCap: Int): (List[(Long, Seq[String])], List[EstimatedPair]) = {
-    var seen = stored
-    val out = List.newBuilder[EstimatedPair]
-    arrivals.foreach { case (doc, sig) =>
-      seen.foreach { case (d0, s0) =>
-        if (d0 != doc) {
-          var agree = 0
-          var i = 0
-          while (i < nHashes) {
-            if (sig(i) == s0(i)) agree += 1
-            i += 1
-          }
-          if (agree >= minAgree)
-            out += EstimatedPair(math.min(d0, doc), math.max(d0, doc),
-              agree, agree.toDouble / nHashes)
-        }
+  /** The agreement comparator both [[pairs]] and [[pairsEvicting]]
+    * feed the shared [[BucketScreen]] machines: emit the Broder
+    * estimate when ≥ `minAgree` signature components agree (self-pairs
+    * never emit). */
+  private def agreeCompare(nHashes: Int, minAgree: Int)(
+      d0: Long, s0: Seq[String], doc: Long, sig: Seq[String]): Option[EstimatedPair] =
+    if (d0 == doc) None
+    else {
+      var agree = 0
+      var i = 0
+      while (i < nHashes) {
+        if (sig(i) == s0(i)) agree += 1
+        i += 1
       }
-      seen = ((doc, sig) :: seen).take(stateCap)
+      if (agree >= minAgree)
+        Some(EstimatedPair(math.min(d0, doc), math.max(d0, doc),
+          agree, agree.toDouble / nHashes))
+      else None
     }
-    (seen, out.result())
-  }
 
   /** Estimated-Jaccard near-dup pairs over a STREAMING frame of
     * (idCol: long-castable, textCol: string). Append-mode output; see
@@ -131,9 +123,10 @@ object StreamingMinHash {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, String), rows: Iterator[(Int, String, Long, Array[String])],
             state: GroupState[List[(Long, Seq[String])]]) => {
-          val (seen, out) = screen(
+          val (seen, out) = BucketScreen.screen(
             rows.map { case (_, _, doc, sig) => (doc, sig.toSeq) },
-            state.getOption.getOrElse(Nil), nHashes, minAgree, stateCap)
+            state.getOption.getOrElse(Nil), stateCap,
+            agreeCompare(nHashes, minAgree))
           state.update(seen)
           out.iterator
         })
@@ -195,50 +188,10 @@ object StreamingMinHash {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, String),
             rows: Iterator[(Long, Seq[String], java.sql.Timestamp, Int, String)],
-            state: GroupState[(Long, List[(Long, Seq[String], Long)])]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val (storedMax, stored) = state.getOption
-              .getOrElse((Long.MinValue, List.empty[(Long, Seq[String], Long)]))
-            val arrivals = rows.toList
-            var maxTs = storedMax
-            arrivals.foreach { case (_, _, ts, _, _) =>
-              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
-            }
-            // AGE PRUNE per invocation — hot buckets never reach the
-            // idle timeout; see StreamingNearDup.pairsEvicting
-            val cutoff =
-              if (maxTs == Long.MinValue) Long.MinValue else maxTs - evictMs
-            var seen = stored.filter(_._3 >= cutoff)
-            val out = List.newBuilder[EstimatedPair]
-            arrivals.foreach { case (doc, sig, ts, _, _) =>
-              val t = if (ts == null) maxTs else ts.getTime
-              if (t >= cutoff) {
-                seen.foreach { case (d0, s0, _) =>
-                  if (d0 != doc) {
-                    var agree = 0
-                    var i = 0
-                    while (i < nHashes) {
-                      if (sig(i) == s0(i)) agree += 1
-                      i += 1
-                    }
-                    if (agree >= minAgree)
-                      out += EstimatedPair(math.min(d0, doc), math.max(d0, doc),
-                        agree, agree.toDouble / nHashes)
-                  }
-                }
-                seen = ((doc, sig, t) :: seen).take(stateCap)
-              }
-            }
-            state.update((maxTs, seen))
-            // deadline must sit strictly past the current watermark;
-            // the max() also covers all-null timestamps
-            state.setTimeoutTimestamp(
-              math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
-          }
-        })
+            state: GroupState[(Long, List[(Long, Seq[String], Long)])]) =>
+          // the one shared eviction machine — see BucketScreen
+          BucketScreen.evictingStep(
+            rows.map { case (doc, sig, ts, _, _) => (doc, sig, ts) }.toList,
+            state, evictMs, stateCap, agreeCompare(nHashes, minAgree)))
   }
 }

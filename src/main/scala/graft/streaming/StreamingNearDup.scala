@@ -65,27 +65,18 @@ object StreamingNearDup {
     sig
   }
 
-  /** One bucket's screening step, shared by [[pairs]] and
-    * [[pairsEvicting]]: compare each arriving (doc, sig) against the
-    * stored signatures, emit pairs within `maxHamming`, and prepend the
-    * arrival to the state (most-recent-first, trimmed to `stateCap`). */
-  private def screen(arrivals: Iterator[(Long, Long)],
-      stored: List[(Long, Long)], maxHamming: Int, stateCap: Int)
-      : (List[(Long, Long)], List[NearDupPair]) = {
-    var seen = stored
-    val out = List.newBuilder[NearDupPair]
-    arrivals.foreach { case (doc, sig) =>
-      seen.foreach { case (d0, s0) =>
-        if (d0 != doc) {
-          val ham = java.lang.Long.bitCount(s0 ^ sig)
-          if (ham <= maxHamming)
-            out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
-        }
-      }
-      seen = ((doc, sig) :: seen).take(stateCap)
+  /** The Hamming comparator both [[pairs]] and [[pairsEvicting]] feed
+    * the shared [[BucketScreen]] machines: emit when the fingerprints
+    * differ in at most `maxHamming` bits (self-pairs never emit). */
+  private def hammingCompare(maxHamming: Int)(
+      d0: Long, s0: Long, doc: Long, sig: Long): Option[NearDupPair] =
+    if (d0 == doc) None
+    else {
+      val ham = java.lang.Long.bitCount(s0 ^ sig)
+      if (ham <= maxHamming)
+        Some(NearDupPair(math.min(d0, doc), math.max(d0, doc), ham))
+      else None
     }
-    (seen, out.result())
-  }
 
   /** Near-dup pairs over a STREAMING frame of (idCol: long-castable,
     * textCol: string). Append-mode output; see class doc for the
@@ -122,9 +113,9 @@ object StreamingNearDup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
             state: GroupState[List[(Long, Long)]]) => {
-          val (seen, out) = screen(
+          val (seen, out) = BucketScreen.screen(
             rows.map { case (_, _, doc, sig) => (doc, sig) },
-            state.getOption.getOrElse(Nil), maxHamming, stateCap)
+            state.getOption.getOrElse(Nil), stateCap, hammingCompare(maxHamming))
           state.update(seen)
           out.iterator
         })
@@ -198,55 +189,11 @@ object StreamingNearDup {
       .groupByKey { case (_, _, _, band, bv) => (band, bv) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
-            state: GroupState[(Long, List[(Long, Long, Long)])]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            // the bucket's max event time is CARRIED IN THE STATE so
-            // the deadline is monotone: an out-of-order (late-but-
-            // valid) arrival must not move the deadline backwards and
-            // evict earlier than the documented bound
-            val (storedMax, stored) =
-              state.getOption.getOrElse((Long.MinValue, List.empty[(Long, Long, Long)]))
-            val arrivals = rows.toList
-            var maxTs = storedMax
-            arrivals.foreach { case (_, _, ts, _, _) =>
-              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
-            }
-            // AGE PRUNE on every invocation: a HOT bucket (data every
-            // trigger) never reaches the idle timeout, so the window
-            // bound must be enforced per-member here — members older
-            // than evictAfter behind the bucket's max event time drop,
-            // and an arrival that far behind screens nothing. This is
-            // what makes the class-doc claims true for hot buckets:
-            // state is bounded by the arrival rate over the window and
-            // wider-than-window pairs are missed, by construction.
-            val cutoff =
-              if (maxTs == Long.MinValue) Long.MinValue else maxTs - evictMs
-            var seen = stored.filter(_._3 >= cutoff)
-            val out = List.newBuilder[NearDupPair]
-            arrivals.foreach { case (doc, sig, ts, _, _) =>
-              // null event time: retain for a full window from now
-              val t = if (ts == null) maxTs else ts.getTime
-              if (t >= cutoff) {
-                seen.foreach { case (d0, s0, _) =>
-                  if (d0 != doc) {
-                    val ham = java.lang.Long.bitCount(s0 ^ sig)
-                    if (ham <= maxHamming)
-                      out += NearDupPair(math.min(d0, doc), math.max(d0, doc), ham)
-                  }
-                }
-                seen = ((doc, sig, t) :: seen).take(stateCap)
-              }
-            }
-            state.update((maxTs, seen))
-            // the API requires a deadline strictly past the current
-            // watermark; the max() also covers all-null timestamps
-            state.setTimeoutTimestamp(
-              math.max(maxTs + evictMs, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
-          }
-        })
+            state: GroupState[(Long, List[(Long, Long, Long)])]) =>
+          // deadline monotonicity, hot-bucket age prune, null-ts and
+          // late-row handling all live in the ONE shared machine
+          BucketScreen.evictingStep(
+            rows.map { case (doc, sig, ts, _, _) => (doc, sig, ts) }.toList,
+            state, evictMs, stateCap, hammingCompare(maxHamming)))
   }
 }
