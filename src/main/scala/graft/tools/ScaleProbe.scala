@@ -113,11 +113,28 @@ object ScaleProbe {
       "screen" -> (d => graft.operators.Dedup.minhashScreen(
         d.where(col("doc_id") % 1000000L < 400),
         d.where(col("doc_id") % 1000000L >= 400),
+        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4).count()),
+      // ingest screen at FIXED incoming-batch size (100 docs) against a
+      // GROWING corpus — the q73 claim under test: cost = one linear
+      // corpus signature scan + incoming×density collisions, corpus
+      // never shuffled. Replica prefixing keeps cross-side density
+      // constant, so superlinear growth here would falsify the claim.
+      "screen_corpus" -> (d => graft.operators.Dedup.minhashScreen(
+        d.where(col("doc_id") % 1000000L < 4900),
+        docsBase.where(col("doc_id") >= 4900),
         "doc_id", "text", k = 2, nHashes = 16, bandSize = 4).count()))
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       "ann_mprobe" -> (e => graft.operators.Similarity.annTopKMultiProbe(
         embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 5, nBits = 8, dim = 64, nProbe = 3).count()))
+        k = 5, nBits = 8, dim = 64, nProbe = 3).count()),
+      // q75's embedding screen, fixed incoming (100 vectors) vs growing
+      // corpus. Replica vectors are identical (ids shifted), so each
+      // incoming vector's matches repeat per replica: collisions grow
+      // linearly with the corpus — wall must stay ~linear too.
+      "escreen_corpus" -> (e => graft.operators.Similarity.cosineScreen(
+        e.where(col("vec_id") % 1000000L < 1900),
+        embBase.where(col("vec_id") >= 1900),
+        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64).count()))
 
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
     def run(name: String, f: DataFrame => Long, mk: Int => DataFrame): Unit =
