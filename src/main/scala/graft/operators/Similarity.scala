@@ -124,34 +124,37 @@ object Similarity {
     *
     * At corpus scale: centroid count ~ sqrt(n) keeps cells balanced;
     * the candidate join shuffles by cell id instead of cross-joining. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
-      sampleSize: Int = 2000, iters: Int = 5): DataFrame = {
-    import org.apache.spark.sql.Row
-    // 1. bounded deterministic sample -> driver k-means
-    val sample: Array[Array[Float]] = candidates
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+  /** Nearest centroid by squared L2, ties → lowest index — the ONE
+    * assignment rule every quantizer path and spec shares. */
+  private[graft] def nearestCentroid(v: Array[Float],
+      centroids: Array[Array[Float]]): Int = {
+    val dim = v.length
+    var best = 0; var bestD = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Driver-side Lloyd iterations over a materialized sample —
+    * [[ivfTopK]]'s routing-table quantizer (deterministic: seeded by
+    * the first `nCentroids` sample vectors, double sums in sample
+    * order, fixed iteration count). */
+  private[graft] def lloyd(sample: Array[Array[Float]], nCentroids: Int,
+      iters: Int): Array[Array[Float]] = {
     require(sample.length >= nCentroids, "sample smaller than centroid count")
     var centroids: Array[Array[Float]] = sample.take(nCentroids).map(_.clone())
     val dim = centroids.head.length
-    def sqDist(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
-      s
-    }
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCentroids)(new Array[Double](dim))
       val counts = new Array[Long](nCentroids)
       sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < nCentroids) {
-          val d = sqDist(v, centroids(j))
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
+        val best = nearestCentroid(v, centroids)
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
@@ -161,6 +164,107 @@ object Similarity {
         else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
       }.toArray
     }
+    centroids
+  }
+
+  /** DISTRIBUTED Lloyd iterations — the 100 TB quantizer path: at
+    * billions of vectors you want ~sqrt(n) ≫ 2000 centroids trained on
+    * a sample far bigger than a driver collect, so assignment and the
+    * per-cell sums run on the executors (one pass per iteration, no
+    * shuffle — partials merge on the driver, whose size is
+    * nCentroids × dim, independent of data).
+    *
+    * Determinism is BY CONSTRUCTION, partitioning-independent:
+    *  - the sample is a pure hash predicate of the id (md5, the
+    *    [[graft.operators.Splits]] trick) — same set under any layout;
+    *  - seeding = first `nCentroids` sampled vectors by id (a bounded
+    *    driver collect, like the driver path);
+    *  - per-cell component sums accumulate EXACTLY (BigDecimal — float
+    *    inputs are exact rationals), so the merged total is the same
+    *    number whatever the partition count or merge order; the single
+    *    rounding to double happens once, on the exact sum. Double
+    *    accumulation here would drift with partition boundaries and
+    *    flip borderline assignments run-to-run — the quantizer would
+    *    stop being a reproducible routing table. Exact arithmetic
+    *    costs ~2× the flops of a double fold on the SAMPLE only, the
+    *    price of run-to-run identical cells.
+    *
+    * Parity with [[lloyd]] is approximate by nature (the driver path
+    * folds doubles in sample order); `IvfQuantizerSpec` pins both the
+    * cross-partitioning bit-equality and the driver-path closeness. */
+  def quantizeDistributed(candidates: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5, sampleOneIn: Int = 1): Array[Array[Float]] = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1: $sampleOneIn")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val sampled = candidates
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(sampleOneIn)) === 0)
+      .as[(Long, Array[Float])]
+    val seed: Array[Array[Float]] = sampled.orderBy(col("id"))
+      .limit(nCentroids).collect().map(_._2)
+    require(seed.length >= nCentroids, "sample smaller than centroid count")
+    var centroids = seed.map(_.clone())
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val zeroSums = () => Array.fill(bc.value.length, dim)(java.math.BigDecimal.ZERO)
+      val (sums, counts) = sampled.rdd
+        .mapPartitions { it =>
+          val cs = bc.value
+          val s = Array.fill(cs.length, dim)(java.math.BigDecimal.ZERO)
+          val n = new Array[Long](cs.length)
+          it.foreach { case (_, v) =>
+            val best = nearestCentroid(v, cs)
+            n(best) += 1
+            var i = 0
+            while (i < dim) {
+              // BigDecimal(double-of-float) is the float's exact value
+              s(best)(i) = s(best)(i).add(new java.math.BigDecimal(v(i).toDouble))
+              i += 1
+            }
+          }
+          Iterator.single((s, n))
+        }
+        .fold((zeroSums(), new Array[Long](centroids.length))) { case ((sa, na), (sb, nb)) =>
+          var j = 0
+          while (j < sa.length) {
+            na(j) += nb(j)
+            var i = 0
+            while (i < dim) { sa(j)(i) = sa(j)(i).add(sb(j)(i)); i += 1 }
+            j += 1
+          }
+          (sa, na)
+        }
+      bc.destroy()
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        // one rounding, applied to the EXACT sum: partition-independent
+        else Array.tabulate(dim)(i => (sums(j)(i).doubleValue() / counts(j)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      sampleSize: Int = 2000, iters: Int = 5): DataFrame = {
+    // 1. bounded deterministic sample -> driver k-means
+    val sample: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    ivfTopKWithCentroids(queries, candidates, idCol, vecCol, k,
+      lloyd(sample, nCentroids, iters), nProbe)
+  }
+
+  /** [[ivfTopK]] with an externally-trained quantizer (e.g.
+    * [[quantizeDistributed]]); the probe/re-rank machinery is identical
+    * — centroids become plan literals either way. */
+  def ivfTopKWithCentroids(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
     // 2. cell assignment as an expression: argmin ||v||^2-2v.c+||c||^2
     //    == argmin (||c||^2 - 2 v.c); ties -> lowest cell id
     def cellScores(vec: org.apache.spark.sql.Column) =
