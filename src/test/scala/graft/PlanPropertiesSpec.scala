@@ -137,4 +137,19 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"expected $expected pruned directories, got $scanned")
     assert(scanned < total, s"pruning read all $total directories")
   }
+
+  test("q58 multimodal pipeline joins via broadcast and reuses the corpus scan") {
+    val p = executedPlan("q58_multimodal_pipeline")
+    assert(p.contains("BroadcastHashJoin"), s"id joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // decode/quarantine/resize branches must share the scratch scan,
+    // not re-read it per consumer
+    assert(p.contains("ReusedExchange"), s"corpus subtree not reused:\n$p")
+  }
+
+  test("q76 resize oracle is one broadcast join, no extra shuffles") {
+    val p = executedPlan("q76_resize_oracle")
+    assert(p.contains("BroadcastHashJoin"), s"image-id join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
 }
