@@ -884,6 +884,31 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q77_text_scrub" -> ((s, dir) => {
+      // normalize/scrub cleanup stage (runs before dedup in a corpus
+      // pipeline) under the oracle: the text is deterministically
+      // "dirtied" identically on both engines (mixed-case contact
+      // email, URL, an NFC-DECOMPOSED e+U+0301, whitespace runs), then
+      // NFC (custom codegen NfcNormalize) -> lower -> mask -> collapse.
+      // Mask counts are taken pre-masking on the normalized text; int
+      // sizes cast to long (hard rule 5).
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("  Contact USER"), col("doc_id").cast("string"),
+            lit("@Example.COM now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" see https://graft.example.com/docs?id=1 page")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          // "e" + U+0301 COMBINING ACUTE (decomposed): NFC must precompose
+          lit(" café   bar")).otherwise(lit("")))
+      val norm = lower(TextFunctions.nfc(raw))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.scrub(raw).as("clean"),
+        size(regexp_extract_all(norm, lit(TextFunctions.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(norm, lit(TextFunctions.UrlRe), lit(0)))
+          .cast("long").as("n_urls"))
+    }),
     "q65_merge_limit" -> ((s, dir) => {
       // tied merge + limit: the custom SortedMergeUnion with explicit
       // tiebreak columns — the pushed per-child top-n sorts by
@@ -1391,6 +1416,33 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q77_text_scrub" ->
+      // Same deterministic dirtying (chr(769) = U+0301 combining
+      // acute, decomposed), same NFC->lower->mask->collapse chain; the
+      // shared EmailRe/UrlRe constants are interpolated so both
+      // engines mask identical spans (Java regex and RE2 agree on
+      // this pattern subset).
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN '  Contact USER' || doc_id::VARCHAR || '@Example.COM now'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN ' see https://graft.example.com/docs?id=1 page'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN ' cafe' || chr(769) || '   bar'
+         |         ELSE '' END AS raw
+         |  FROM documents),
+         |n AS (SELECT doc_id, lower(nfc_normalize(raw)) AS t FROM d)
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextFunctions.EmailRe}', '<email>', 'g'),
+         |    '${TextFunctions.UrlRe}', '<url>', 'g'),
+         |    '\\s+', ' ', 'g')) AS clean,
+         |  len(regexp_extract_all(t, '${TextFunctions.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t, '${TextFunctions.UrlRe}'))::BIGINT AS n_urls
+         |FROM n""".stripMargin,
     "q39_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,

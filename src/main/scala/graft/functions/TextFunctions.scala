@@ -126,6 +126,30 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** Regexes shared by [[scrub]] and its DuckDB oracle twin — kept in
+    * the COMMON Java-regex/RE2 subset (no lookaround, no \x0B-class
+    * differences in practice on corpus text), so both engines mask the
+    * same spans. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Unicode NFC normalization (custom codegen expression — Spark has
+    * no built-in; see [[graft.expressions.NfcNormalize]]). */
+  def nfc(text: Column): Column = graft.expressions.NfcNormalize(text)
+
+  /** Corpus text cleanup — the normalize/scrub stage that runs BEFORE
+    * dedup and fingerprinting in a training pipeline (decomposed
+    * Unicode, case, contact strings and URLs otherwise make
+    * near-identical documents hash apart): NFC → lowercase → mask
+    * emails/URLs → collapse whitespace runs → trim. Pure codegen
+    * column expressions; one scan, no shuffle, no UDF. */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(nfc(text)), EmailRe, "<email>"),
+        UrlRe, "<url>"),
+      "\\s+", " "))
+
   /** Composite quality score in [0,1]: length saturation, low
     * punctuation, vocabulary diversity. Weights fixed; oracle mirrors
     * the same arithmetic. */

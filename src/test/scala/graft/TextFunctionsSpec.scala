@@ -1,12 +1,29 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** trigramProfile generator invariants — it feeds BOTH the Spark
-  * broadcast side and the DuckDB oracle literal of q72, so its
-  * alignment guarantees are load-bearing for the oracle. */
-class TextFunctionsSpec extends AnyFunSuite {
+/** trigramProfile generator invariants (it feeds BOTH the Spark
+  * broadcast side and the DuckDB oracle literal of q72) and the
+  * NFC/scrub cleanup stage (q77). */
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("nfc precomposes decomposed sequences; scrub masks and collapses") {
+    val decomposed = "cafe\u0301" // e + U+0301 COMBINING ACUTE
+    val precomposed = "caf\u00e9"
+    val got = Seq(
+      (1L, s"  A $decomposed Email to USER@Example.COM and https://x.io/a?b=1  now"),
+      (2L, "plain text"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.scrub(col("t")).as("clean"),
+        TextFunctions.nfc(lit(decomposed)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._2 === precomposed, "NFC must precompose e+combining-acute")
+    assert(got(1L)._1 === s"a $precomposed email to <email> and <url> now")
+    assert(got(2L)._1 === "plain text")
+  }
 
   test("trigramProfile emits per-language sorted distinct trigrams") {
     val got = TextFunctions.trigramProfile(
