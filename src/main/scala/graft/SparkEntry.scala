@@ -452,6 +452,27 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }),
+    "q78_stratified_sample" -> ((s, dir) => {
+      // deterministic data-MIXTURE sampling (Splits.stratifiedSample):
+      // per-stratum keep rates as a pure function of event_id — the
+      // "50% web, 100% code" composition step of a training mix,
+      // stable across re-runs/partitioning/engines (df.sample is
+      // none of these). signup is absent from the map -> dropped.
+      // Zero-shuffle codegen filter; the oracle re-derives membership
+      // from the same md5 arithmetic.
+      Splits.stratifiedSample(tbl(s, dir, "events"), "event_type",
+          "event_id", "mix1",
+          Map("click" -> 50, "view" -> 10, "purchase" -> 100, "error" -> 25))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+    }),
+    "q79_sequence_pack" -> ((s, dir) => {
+      // concat-and-chunk sequence packing (Packing.concatChunk):
+      // md5-sharded, doc-id-ordered token spans cut every 512 tokens —
+      // per-shard window over integer running sums, no global sort.
+      Packing.concatChunk(tbl(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), seqLen = 512, shards = 8,
+        salt = "p1")
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1743,6 +1764,29 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS sess_start,
         |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*)::BIGINT AS n_events
         |FROM s GROUP BY user_id, sess_idx""".stripMargin,
+    "q78_stratified_sample" ->
+      // mixture membership re-derived from the q71 md5 arithmetic:
+      // keep iff bucket(event_id, ':mix1') < the stratum's percent
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR || ':mix1'), 1, 8))::BIGINT % 100 <
+        |  CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 10
+        |       WHEN 'purchase' THEN 100 WHEN 'error' THEN 25 ELSE 0 END""".stripMargin,
+    "q79_sequence_pack" ->
+      // spans re-derived with the same shard deal (md5 mod 8), the
+      // same doc-id-ordered exclusive running sum, and BIGINT floor
+      // division (both sides non-negative, so Spark's div == //)
+      s"""WITH toks AS ($toksCte),
+         |d AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':p1'), 1, 8))::BIGINT % 8 AS shard
+         |  FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+         |  FROM d)
+         |SELECT doc_id, n_tokens, shard, tok_start,
+         |  tok_start // 512 AS first_bin,
+         |  (tok_start + n_tokens - 1) // 512 AS last_bin
+         |FROM c""".stripMargin,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

@@ -23,13 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** 0..99 hash bucket for a row id: first 8 hex chars (32 bits) of
-    * `md5(id || ":" || salt)`, read as an integer, mod 100. The salt
-    * decorrelates independent splits over the same ids (changing it
+  /** 0..n-1 hash shard for a row id: first 8 hex chars (32 bits) of
+    * `md5(id || ":" || salt)`, read as an integer, mod n. The salt
+    * decorrelates independent deals over the same ids (changing it
     * re-deals every assignment). */
-  def hashBucket(id: Column, salt: String): Column =
+  def hashShard(id: Column, salt: String, n: Int): Column =
     pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
-      .cast("long"), lit(100L))
+      .cast("long"), lit(n.toLong))
+
+  /** 0..99 hash bucket for a row id (the percent-granularity shard). */
+  def hashBucket(id: Column, salt: String): Column = hashShard(id, salt, 100)
+
+  /** DETERMINISTIC STRATIFIED SAMPLE — the data-MIXTURE operator: keep
+    * each row iff its hash bucket falls below its stratum's percent
+    * (e.g. "50% of web, 100% of code, 10% of logs" when composing a
+    * training mix). Like [[hashSplit]], membership is a pure function
+    * of the id: re-runs, repartitions and engines agree, and a kept
+    * row STAYS kept as the corpus grows — `df.sample` guarantees
+    * none of that. Strata absent from `percents` drop entirely.
+    *
+    * 100 TB shape: zero-shuffle codegen filter on the scan — the
+    * mixture never materializes an intermediate. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      salt: String, percents: Map[String, Int]): DataFrame = {
+    require(percents.nonEmpty && percents.values.forall(p => p >= 0 && p <= 100),
+      s"stratum percents must be in [0,100]: $percents")
+    val ordered = percents.toSeq.sortBy(_._1)
+    val pct = ordered.tail
+      .foldLeft(when(col(strataCol) === ordered.head._1, lit(ordered.head._2))) {
+        case (acc, (k, p)) => acc.when(col(strataCol) === k, lit(p))
+      }.otherwise(lit(0))
+    df.where(hashBucket(col(idCol), salt) < pct)
+  }
 
   /** Adds `bucket` (0..99) and `split` (label) columns. `splits` are
     * (label, percent) pairs summing to 100, assigned by cumulative

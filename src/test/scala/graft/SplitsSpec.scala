@@ -50,6 +50,27 @@ class SplitsSpec extends AnyFunSuite with SparkTestBase {
       "independent salts should reassign a nontrivial fraction")
   }
 
+  test("stratified sample keeps per-stratum rates, absent strata drop, membership stable") {
+    val rows = (0L until 6000L).map(i => (i, Seq("web", "code", "logs")(i.toInt % 3)))
+      .toDF("id", "kind")
+    val mix = Map("web" -> 50, "code" -> 100)
+    def keep(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Splits.stratifiedSample(df, "kind", "id", "mix", mix)
+        .select("id").as[Long].collect().toSet
+    val a = keep(rows.repartition(1))
+    val b = keep(rows.repartition(16, col("id")))
+    assert(a === b, "membership must be a pure function of id")
+    val byKind = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = a.groupBy(byKind).view.mapValues(_.size).toMap
+    assert(!counts.contains("logs"), "absent stratum must drop entirely")
+    assert(counts("code") === 2000, "100% stratum keeps every row")
+    assert(math.abs(counts("web") - 1000) < 150, s"~50% of web expected: $counts")
+    // growing the corpus never evicts a kept row
+    val grown = keep(((0L until 9000L).map(i => (i, Seq("web", "code", "logs")(i.toInt % 3)))
+      .toDF("id", "kind")))
+    assert(a.subsetOf(grown))
+  }
+
   test("percent validation") {
     val ids = (0L until 10L).toDF("id")
     intercept[IllegalArgumentException] {
