@@ -473,6 +473,17 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), seqLen = 512, shards = 8,
         salt = "p1")
     }),
+    "q80_decontaminate" -> ((s, dir) => {
+      // exact-overlap decontamination (Dedup.decontaminate): train
+      // docs sharing any distinct 4-shingle with the doc_id%97==0
+      // "benchmark" slice are flagged with shared-shingle evidence —
+      // the eval side broadcasts, the corpus is never shuffled
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", k = 4)
+    }),
     "q66_minhash_estimate" -> ((s, dir) => {
       // Broder minhash estimator over LSH-banded candidates: the
       // verification-free scale path (fixed-width signatures, no
@@ -1787,6 +1798,18 @@ object SparkEntry {
          |  tok_start // 512 AS first_bin,
          |  (tok_start + n_tokens - 1) // 512 AS last_bin
          |FROM c""".stripMargin,
+    "q80_decontaminate" ->
+      // same distinct 4-shingle explode on both sides, same %97 split
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+         |  FROM toks),
+         |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0)
+         |SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+         |FROM tr JOIN ev USING (s)
+         |GROUP BY train_id, eval_id""".stripMargin,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

@@ -424,4 +424,33 @@ object Dedup {
         .dropDuplicates("doc_a", "doc_b")
     }
   }
+
+  /** DECONTAMINATION — exact word k-gram overlap between a training
+    * corpus and an evaluation/benchmark set: every train doc sharing
+    * at least one distinct k-shingle with an eval doc is flagged, with
+    * the shared-shingle count as evidence. A training pipeline runs
+    * this before every release so benchmark text cannot leak into the
+    * training set; unlike the PROBABILISTIC screens ([[minhashScreen]],
+    * near-dup banding) this is EXACT — contamination policy wants no
+    * false negatives at any similarity level, including a single
+    * verbatim quote inside an otherwise-unrelated document, which no
+    * whole-document similarity measure catches.
+    *
+    * 100 TB shape: the eval side is tiny by definition (benchmarks),
+    * so its distinct exploded shingles BROADCAST; the train corpus
+    * streams through one explode + broadcast-hash join + partial
+    * count — never shuffled beyond the final (train_id, eval_id)
+    * aggregation on matches only. Output: (train_id, eval_id,
+    * n_shared), one row per contaminated pair. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def sh(df: DataFrame, name: String) = df.select(
+      col(idCol).cast("long").as(name),
+      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+    sh(train, "train_id")
+      .join(broadcast(sh(eval, "eval_id")), "s")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

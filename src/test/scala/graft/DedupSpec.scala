@@ -101,4 +101,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 === 1.0)
     assert(keys.contains((1L, 2L)), "near-dup pair missing")
   }
+
+  test("decontaminate flags a single verbatim quote with exact shared counts") {
+    val eval = Seq((1000L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // one embedded 4-gram quote inside an otherwise-unrelated doc —
+      // the case whole-document similarity measures miss
+      (1L, "completely unrelated words surround alpha beta gamma delta and more filler"),
+      (2L, "nothing shared at all in this one"),
+      (3L, "alpha beta gamma delta epsilon")) // full copy: both shingles shared
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .decontaminate(train, eval, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1000L, 1L), (3L, 1000L, 2L)))
+  }
 }
