@@ -152,4 +152,24 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"image-id join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
+
+  test("q78 mixture sample is a zero-exchange codegen filter") {
+    val p = executedPlan("q78_stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen:\n$p")
+  }
+
+  test("q79 sequence packing runs one shard exchange, no global sort") {
+    val p = executedPlan("q79_sequence_pack")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly the shard window shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort would funnel the corpus:\n$p")
+  }
+
+  test("q80 decontamination broadcasts the eval side, corpus never shuffle-joined") {
+    val p = executedPlan("q80_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into the join:\n$p")
+  }
 }
