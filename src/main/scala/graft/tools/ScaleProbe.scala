@@ -122,7 +122,19 @@ object ScaleProbe {
       "screen_corpus" -> (d => graft.operators.Dedup.minhashScreen(
         d.where(col("doc_id") % 1000000L < 4900),
         docsBase.where(col("doc_id") >= 4900),
-        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4).count()))
+        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4).count()),
+      // sequence packing: one shard window over the whole corpus —
+      // must stay linear (no global sort to degenerate into)
+      "pack" -> (d => graft.operators.Packing.concatChunk(d, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        seqLen = 512, shards = 8, salt = "p1").count()),
+      // decontamination at FIXED eval size: corpus explode grows
+      // linearly, the broadcast eval side and match count do not
+      // (prefixed replicas share no shingles with the base eval docs)
+      "decontam" -> (d => graft.operators.Dedup.decontaminate(
+        d.where(pmod(col("doc_id"), lit(97L)) =!= 0),
+        docsBase.where(pmod(col("doc_id"), lit(97L)) === 0),
+        "doc_id", "text", k = 4).count()))
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       "ann_mprobe" -> (e => graft.operators.Similarity.annTopKMultiProbe(
         embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
