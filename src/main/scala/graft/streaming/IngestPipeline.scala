@@ -94,4 +94,31 @@ object IngestPipeline {
   def compact(spark: SparkSession, dir: String, idCol: String,
       orderCols: Seq[String]): DataFrame =
     graft.operators.Dedup.firstByKey(spark.read.parquet(dir), Seq(idCol), orderCols)
+
+  /** INGEST-TIME DECONTAMINATION — the streaming twin of
+    * `Dedup.decontaminate` (q80): every arriving document is checked
+    * for exact word k-shingle overlap against a STATIC eval/benchmark
+    * set, appending (train_id, eval_id, n_shared) rows as data
+    * arrives instead of in a pre-release batch sweep. Runs the batch
+    * operator per micro-batch (the checkpointed `foreachBatch`
+    * pattern of [[startIngest]]): a document's shingles are all in
+    * the batch it arrives in, so per-batch aggregation equals the
+    * global batch answer exactly — no cross-batch state, no
+    * watermark, exactly one output row per contaminated pair. The
+    * static eval side broadcasts into every micro-batch (benchmarks
+    * are small by definition). */
+  def startDecontaminate(stream: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .decontaminate(batch, evalSet, idCol, textCol, k)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }
