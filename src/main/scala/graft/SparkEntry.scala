@@ -916,6 +916,22 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q81_frame_sample" -> ((s, dir) => {
+      // video frame sampling under the oracle (the q58/q76 scratch
+      // trick): every 2nd fixed-size frame of each valid video blob,
+      // one row per sampled frame, the frame bytes compared as hex —
+      // DuckDB re-derives frame boundaries with integer division over
+      // the same parquet bytes. Partial tail frames are dropped on
+      // both engines (nFrames = payload // frameBytes).
+      val path = Multimodal.scratchFramesPath
+      Multimodal.pipelineCorpus(s).repartition(2)
+        .write.mode("overwrite").parquet(path)
+      Multimodal.sampleFrames(s.read.parquet(path), "media_id", "content",
+          frameBytes = 16, stride = 2)
+        .select(col("id").as("media_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+    }),
     "q77_text_scrub" -> ((s, dir) => {
       // normalize/scrub cleanup stage (runs before dedup in a corpus
       // pipeline) under the oracle: the text is deterministically
@@ -1448,6 +1464,26 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q81_frame_sample" ->
+      // frame boundaries re-derived with BIGINT floor division over
+      // the same hex bytes: nFrames = (len-15) // 16, indices
+      // 0,2,4,... , frame f = 32 hex chars at offset 30 + f*32
+      s"""WITH raw AS (
+         |  SELECT media_id, content, hex(content) AS hx,
+         |    octet_length(content) AS len
+         |  FROM read_parquet('${operators.Multimodal.scratchFramesPath}/*.parquet')),
+         |dec AS (
+         |  SELECT media_id, hx, len,
+         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
+         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
+         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code
+         |  FROM raw),
+         |v AS (SELECT media_id, hx, (len - 15) // 16 AS nf
+         |  FROM dec WHERE magic_ok AND kind_code = 2),
+         |f AS (SELECT media_id, hx, unnest(range(0, nf, 2)) AS frame_idx FROM v)
+         |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+         |  substr(hx, 31 + frame_idx * 32, 32) AS frame_hex
+         |FROM f""".stripMargin,
     "q77_text_scrub" ->
       // Same deterministic dirtying (chr(769) = U+0301 combining
       // acute, decomposed), same NFC->lower->mask->collapse chain; the

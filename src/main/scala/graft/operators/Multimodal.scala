@@ -36,6 +36,7 @@ object Multimodal {
     * path so the two stay independent under any execution order). */
   val scratchPipelinePath: String = "/tmp/graft_q58_media"
   val scratchResizePath: String = "/tmp/graft_q76_media"
+  val scratchFramesPath: String = "/tmp/graft_q81_media"
 
   final case class MediaMeta(
       kind: String, // image | audio | video
