@@ -172,4 +172,9 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled into the join:\n$p")
   }
+
+  test("q81 frame sampling is a zero-exchange scan + flatMap") {
+    val p = executedPlan("q81_frame_sample")
+    assert(!p.contains("Exchange"), s"frame explode must not shuffle:\n$p")
+  }
 }
