@@ -185,9 +185,12 @@ object Similarity {
     *    rounding to double happens once, on the exact sum. Double
     *    accumulation here would drift with partition boundaries and
     *    flip borderline assignments run-to-run — the quantizer would
-    *    stop being a reproducible routing table. Exact arithmetic
-    *    costs ~2× the flops of a double fold on the SAMPLE only, the
-    *    price of run-to-run identical cells.
+    *    stop being a reproducible routing table. Exact arithmetic is
+    *    MUCH slower per add than a double fold (a BigDecimal
+    *    allocation + arbitrary-precision add per component, roughly
+    *    an order of magnitude plus GC pressure) — but it is paid on
+    *    the SAMPLE only, once per iteration, which is the price of
+    *    run-to-run identical cells; size `sampleOneIn` accordingly.
     *
     * Parity with [[lloyd]] is approximate by nature (the driver path
     * folds doubles in sample order); `IvfQuantizerSpec` pins both the
@@ -197,54 +200,61 @@ object Similarity {
     require(sampleOneIn >= 1, s"sampleOneIn must be >= 1: $sampleOneIn")
     val spark = candidates.sparkSession
     import spark.implicits._
+    // persisted: the seed collect plus every Lloyd iteration re-reads
+    // this frame (iters+1 actions) — without the cache the source
+    // table would be re-scanned per pass (CLAUDE.md multi-consumer
+    // convention, as in jaccardPairs)
     val sampled = candidates
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .where(pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(sampleOneIn)) === 0)
       .as[(Long, Array[Float])]
-    val seed: Array[Array[Float]] = sampled.orderBy(col("id"))
-      .limit(nCentroids).collect().map(_._2)
-    require(seed.length >= nCentroids, "sample smaller than centroid count")
-    var centroids = seed.map(_.clone())
-    val dim = centroids.head.length
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val zeroSums = () => Array.fill(bc.value.length, dim)(java.math.BigDecimal.ZERO)
-      val (sums, counts) = sampled.rdd
-        .mapPartitions { it =>
-          val cs = bc.value
-          val s = Array.fill(cs.length, dim)(java.math.BigDecimal.ZERO)
-          val n = new Array[Long](cs.length)
-          it.foreach { case (_, v) =>
-            val best = nearestCentroid(v, cs)
-            n(best) += 1
-            var i = 0
-            while (i < dim) {
-              // BigDecimal(double-of-float) is the float's exact value
-              s(best)(i) = s(best)(i).add(new java.math.BigDecimal(v(i).toDouble))
-              i += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed: Array[Array[Float]] = sampled.orderBy(col("id"))
+        .limit(nCentroids).collect().map(_._2)
+      require(seed.length >= nCentroids, "sample smaller than centroid count")
+      var centroids = seed.map(_.clone())
+      val dim = centroids.head.length
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val zeroSums = () => Array.fill(bc.value.length, dim)(java.math.BigDecimal.ZERO)
+        val (sums, counts) = sampled.rdd
+          .mapPartitions { it =>
+            val cs = bc.value
+            val s = Array.fill(cs.length, dim)(java.math.BigDecimal.ZERO)
+            val n = new Array[Long](cs.length)
+            it.foreach { case (_, v) =>
+              val best = nearestCentroid(v, cs)
+              n(best) += 1
+              var i = 0
+              while (i < dim) {
+                // BigDecimal(double-of-float) is the float's exact value
+                s(best)(i) = s(best)(i).add(new java.math.BigDecimal(v(i).toDouble))
+                i += 1
+              }
             }
+            Iterator.single((s, n))
           }
-          Iterator.single((s, n))
-        }
-        .fold((zeroSums(), new Array[Long](centroids.length))) { case ((sa, na), (sb, nb)) =>
-          var j = 0
-          while (j < sa.length) {
-            na(j) += nb(j)
-            var i = 0
-            while (i < dim) { sa(j)(i) = sa(j)(i).add(sb(j)(i)); i += 1 }
-            j += 1
+          .fold((zeroSums(), new Array[Long](centroids.length))) { case ((sa, na), (sb, nb)) =>
+            var j = 0
+            while (j < sa.length) {
+              na(j) += nb(j)
+              var i = 0
+              while (i < dim) { sa(j)(i) = sa(j)(i).add(sb(j)(i)); i += 1 }
+              j += 1
+            }
+            (sa, na)
           }
-          (sa, na)
-        }
-      bc.destroy()
-      centroids = centroids.indices.map { j =>
-        if (counts(j) == 0) centroids(j)
-        // one rounding, applied to the EXACT sum: partition-independent
-        else Array.tabulate(dim)(i => (sums(j)(i).doubleValue() / counts(j)).toFloat)
-      }.toArray
-    }
-    centroids
+        bc.destroy()
+        centroids = centroids.indices.map { j =>
+          if (counts(j) == 0) centroids(j)
+          // one rounding, applied to the EXACT sum: partition-independent
+          else Array.tabulate(dim)(i => (sums(j)(i).doubleValue() / counts(j)).toFloat)
+        }.toArray
+      }
+      centroids
+    } finally sampled.unpersist()
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,

@@ -104,9 +104,14 @@ object IngestPipeline {
     * pattern of [[startIngest]]): a document's shingles are all in
     * the batch it arrives in, so per-batch aggregation equals the
     * global batch answer exactly — no cross-batch state, no
-    * watermark, exactly one output row per contaminated pair. The
-    * static eval side broadcasts into every micro-batch (benchmarks
-    * are small by definition). */
+    * watermark. Delivery is AT-LEAST-ONCE like every sink in this
+    * file (a replayed batch or a redelivered document appends the
+    * same deterministic (train_id, eval_id, n_shared) rows again);
+    * compact downstream with
+    * `spark.read.parquet(outDir).dropDuplicates("train_id", "eval_id")`
+    * — duplicates are bit-identical rows, the [[compact]] story for
+    * pair output. The static eval side broadcasts into every
+    * micro-batch (benchmarks are small by definition). */
   def startDecontaminate(stream: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, k: Int, outDir: String,
       checkpointDir: String,
