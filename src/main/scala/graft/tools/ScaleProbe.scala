@@ -146,7 +146,12 @@ object ScaleProbe {
       "escreen_corpus" -> (e => graft.operators.Similarity.cosineScreen(
         e.where(col("vec_id") % 1000000L < 1900),
         embBase.where(col("vec_id") >= 1900),
-        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64).count()))
+        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64).count()),
+      // distributed quantizer: 5 Lloyd passes + seed over the persisted
+      // sample — wall must stay linear in corpus (the exact BigDecimal
+      // fold is the dominant per-row cost, by design; see scaladoc)
+      "quantize" -> (e => graft.operators.Similarity.quantizeDistributed(
+        e, "vec_id", "embedding", nCentroids = 16).length.toLong))
 
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
     def run(name: String, f: DataFrame => Long, mk: Int => DataFrame): Unit =
