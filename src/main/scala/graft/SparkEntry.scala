@@ -916,6 +916,22 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q82_rts_csv_parse" -> ((s, dir) => {
+      // the RTS archive parse (S4/F2/F5) under the oracle: the golden
+      // fixture is written to scratch and both engines re-parse the
+      // SAME bytes — Spark via the declarative csv reader +
+      // try_cast/try_to_timestamp, DuckDB via read_csv + TRY_CAST +
+      // try_strptime ('%g' = milliseconds, matching SSS). Valid AND
+      // quarantined rows ship with their reject reasons; time is cast
+      // NTZ so both engines compare the same wall-clock (UTC session).
+      val path = graft.sources.RtsCsv.writeGoldenFixture()
+      graft.sources.RtsCsv.parse(graft.sources.RtsCsv.readRaw(s, Seq(path)))
+        .select(col("market"), col("security"),
+          col("tradeId").as("trade_id"), col("price"),
+          col("amount").cast("long").as("amount"),
+          col("time").cast("timestamp_ntz").as("time"),
+          col("nosystem"), col("reject_reason"))
+    }),
     "q81_frame_sample" -> ((s, dir) => {
       // video frame sampling under the oracle (the q58/q76 scratch
       // trick): every 2nd fixed-size frame of each valid video blob,
@@ -1464,6 +1480,27 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q82_rts_csv_parse" ->
+      // same bytes, DuckDB's own CSV reader and cast/strptime chain
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('${sources.RtsCsv.scratchCsvDir}/*.csv',
+         |    header = true, delim = ';', all_varchar = true)
+         |  WHERE contract IS NOT NULL OR trade_id IS NOT NULL),
+         |p AS (SELECT
+         |  'RTS' AS market, contract AS security,
+         |  TRY_CAST(trade_id AS BIGINT) AS trade_id,
+         |  TRY_CAST(price AS DOUBLE) AS price,
+         |  TRY_CAST(amount AS BIGINT) AS amount,
+         |  try_strptime(dat_time, '%Y-%m-%d %H:%M:%S.%g') AS "time",
+         |  (Nosystem = '1') AS nosystem
+         |  FROM raw)
+         |SELECT market, security, trade_id, price, amount, "time", nosystem,
+         |  CASE WHEN security IS NULL THEN 'missing security'
+         |       WHEN trade_id IS NULL THEN 'bad trade_id'
+         |       WHEN price IS NULL THEN 'bad price'
+         |       WHEN amount IS NULL THEN 'bad amount'
+         |       WHEN "time" IS NULL THEN 'bad dat_time' END AS reject_reason
+         |FROM p""".stripMargin,
     "q81_frame_sample" ->
       // frame boundaries re-derived with BIGINT floor division over
       // the same hex bytes: nFrames = (len-15) // 16, indices

@@ -20,6 +20,31 @@ import graft.model.Schemas
   */
 object RtsCsv {
 
+  /** Fixed scratch dir + deterministic golden fixture (the RtsCsvSpec
+    * matrix: 60 valid rows + a bad-price and a bad-time reject) — q82
+    * writes it here and BOTH engines re-parse the same bytes, putting
+    * the CSV parse semantics themselves (double/long try_cast,
+    * millisecond timestamp format, quarantine reasons) under the
+    * DuckDB oracle gate. */
+  val scratchCsvDir: String = "/tmp/graft_q82_rts"
+
+  def writeGoldenFixture(): String = {
+    val rows = (0 until 60).map { i =>
+      f"RIH2;RTS-3.12;${157000 + i}%d.00000;${1 + i % 5}%d;2012-02-01 10:${i / 60}%02d:${i % 60}%02d.00${i % 10}%d;${497757776L + i}%d;${if (i % 7 == 0) 1 else 0}%d"
+    }
+    val bad = Seq(
+      "RIH2;RTS-3.12;not_a_price;1;2012-02-01 10:00:00.000;999000001;0",
+      "RIH2;RTS-3.12;157000.00000;1;garbage-time;999000002;0")
+    val content =
+      ("code;contract;price;amount;dat_time;trade_id;Nosystem" +: (rows ++ bad))
+        .mkString("\n")
+    val dir = new java.io.File(scratchCsvDir)
+    dir.mkdirs()
+    val f = new java.io.File(dir, "120201ft.csv")
+    java.nio.file.Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
   /** Raw read: header/blank filtering via the csv reader options. */
   def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read

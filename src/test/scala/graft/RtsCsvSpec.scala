@@ -11,21 +11,9 @@ import graft.sources.RtsCsv
   * `code;contract;price;amount;dat_time;trade_id;Nosystem`. */
 class RtsCsvSpec extends AnyFunSuite with SparkTestBase {
 
-  private def writeFixture(): String = {
-    val dir = Files.createTempDirectory("rts").toFile
-    val rows = (0 until 60).map { i =>
-      f"RIH2;RTS-3.12;${157000 + i}%d.00000;${1 + i % 5}%d;2012-02-01 10:${i / 60}%02d:${i % 60}%02d.00${i % 10}%d;${497757776L + i}%d;${i % 7 == 0}"
-        .replace("true", "1").replace("false", "0")
-    }
-    val bad = Seq(
-      "RIH2;RTS-3.12;not_a_price;1;2012-02-01 10:00:00.000;999000001;0",
-      "RIH2;RTS-3.12;157000.00000;1;garbage-time;999000002;0")
-    val content = ("code;contract;price;amount;dat_time;trade_id;Nosystem" +: (rows ++ bad))
-      .mkString("\n")
-    val f = new java.io.File(dir, "120201ft.csv")
-    Files.writeString(f.toPath, content)
-    f.getAbsolutePath
-  }
+  // the ONE golden fixture generator — shared with q82's oracle, so
+  // the spec matrix and the cross-engine parse check cannot drift
+  private def writeFixture(): String = RtsCsv.writeGoldenFixture()
 
   test("parses 60 valid trades, quarantines 2 rejects") {
     val path = writeFixture()
