@@ -916,6 +916,31 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q83_corpus_pipeline" -> ((s, dir) => {
+      // END-TO-END pipeline composition under ONE oracle — the stages
+      // users actually chain: dirty corpus (q77's deterministic email
+      // injection) -> scrub -> EXACT DEDUP ON THE CLEANED TEXT (docs
+      // differing only in contact strings collapse once masked — the
+      // reason scrub runs before dedup) -> deterministic split ->
+      // per-split corpus stats, duplicates attributed to their
+      // keeper's split.
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("  Contact USER"), col("doc_id").cast("string"),
+            lit("@Example.COM now"))).otherwise(lit("")))
+      val cleaned = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.scrub(raw).as("clean"))
+      val keepers = cleaned
+        .groupBy(md5(col("clean")).as("clean_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+      Splits.hashSplit(keepers.join(cleaned, "doc_id"), "doc_id", "s42",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("clean")).cast("long")).as("n_tokens"),
+          (sum(col("n_copies")) - count(lit(1))).as("dupes_removed"))
+    }),
     "q82_rts_csv_parse" -> ((s, dir) => {
       // the RTS archive parse (S4/F2/F5) under the oracle: the golden
       // fixture is written to scratch and both engines re-parse the
@@ -1480,6 +1505,32 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q83_corpus_pipeline" ->
+      // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
+      // keeper) -> md5 split label -> per-split stats
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN '  Contact USER' || doc_id::VARCHAR || '@Example.COM now'
+         |         ELSE '' END AS raw
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(raw)),
+         |      '${TextFunctions.EmailRe}', '<email>', 'g'),
+         |      '${TextFunctions.UrlRe}', '<url>', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM d),
+         |k AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |  FROM c GROUP BY md5(clean)),
+         |l AS (SELECT k.doc_id, k.n_copies, c.clean,
+         |    CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+         |         WHEN ('0x' || substr(md5(k.doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM k JOIN c ON k.doc_id = c.doc_id)
+         |SELECT split, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(len(list_filter(string_split(clean, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+         |  (sum(n_copies) - count(*))::BIGINT AS dupes_removed
+         |FROM l GROUP BY split""".stripMargin,
     "q82_rts_csv_parse" ->
       // same bytes, DuckDB's own CSV reader and cast/strptime chain
       s"""WITH raw AS (
