@@ -1058,6 +1058,35 @@ object SparkEntry {
 
   // ── DuckDB oracle SQL (identical aliases; see class doc) ──────────
 
+  /** Shared DuckDB CTE prefix for the media scratch corpora: hex view,
+    * header decode, quarantine — q58/q76/q81 interpolate it with their
+    * own scratch path, so the decode twin can never drift between
+    * them (it mirrors Multimodal.decodeOne / decodeMetaExpr). */
+  private def mediaDecodeCte(path: String): String =
+    s"""raw AS (
+       |  SELECT media_id, content, hex(content) AS hx,
+       |    octet_length(content) AS len
+       |  FROM read_parquet('$path/*.parquet')),
+       |dec AS (
+       |  SELECT media_id, hx, len,
+       |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
+       |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
+       |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code,
+       |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,7,8))::BIGINT END AS w,
+       |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
+       |  FROM raw),
+       |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2)""".stripMargin
+
+  /** Nearest-neighbor 16x10 resize blob hex, shared by q58 and q76:
+    * re-encoded header + string_agg of source bytes at the rebuilt
+    * per-pixel index (Multimodal.resize's exact arithmetic). */
+  private val resizeHexSql: String =
+    """'475200' || '00000010' || '0000000A' || substr(hx, 23, 8) ||
+      |  string_agg(
+      |    CASE WHEN (((k//16) * h) // 10) * w + ((k%16) * w) // 16 < len - 15
+      |         THEN substr(hx, 31 + ((((k//16) * h) // 10) * w + ((k%16) * w) // 16)*2, 2)
+      |         ELSE '00' END, '' ORDER BY k)""".stripMargin
+
   private val toksCte =
     "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
 
@@ -1429,26 +1458,9 @@ object SparkEntry {
       //    order exactly like FloatDotProduct (q26/q35 precedent), and
       //    the norm product divides identically, so the raw doubles
       //    hash-match with no rounding.
-      s"""WITH raw AS (
-         |  SELECT media_id, content, hex(content) AS hx,
-         |    octet_length(content) AS len
-         |  FROM read_parquet('${operators.Multimodal.scratchPipelinePath}/*.parquet')),
-         |dec AS (
-         |  SELECT media_id, hx, len,
-         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
-         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
-         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code,
-         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,7,8))::BIGINT END AS w,
-         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
-         |  FROM raw),
-         |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2),
+      s"""WITH ${mediaDecodeCte(operators.Multimodal.scratchPipelinePath)},
          |resz AS (
-         |  SELECT media_id,
-         |    '475200' || '00000010' || '0000000A' || substr(hx, 23, 8) ||
-         |    string_agg(
-         |      CASE WHEN (((k//16) * h) // 10) * w + ((k%16) * w) // 16 < len - 15
-         |           THEN substr(hx, 31 + ((((k//16) * h) // 10) * w + ((k%16) * w) // 16)*2, 2)
-         |           ELSE '00' END, '' ORDER BY k) AS hx2
+         |  SELECT media_id, $resizeHexSql AS hx2
          |  FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |        FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |  GROUP BY media_id, hx),
@@ -1483,25 +1495,9 @@ object SparkEntry {
       // q76 just wrote: the full re-encoded blob hex (uppercase on both
       // engines) rebuilt from source bytes — same decode + index math
       // as q58's resz CTE, compared as the whole string.
-      s"""WITH raw AS (
-         |  SELECT media_id, content, hex(content) AS hx,
-         |    octet_length(content) AS len
-         |  FROM read_parquet('${operators.Multimodal.scratchResizePath}/*.parquet')),
-         |dec AS (
-         |  SELECT media_id, hx, len,
-         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
-         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
-         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code,
-         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,7,8))::BIGINT END AS w,
-         |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
-         |  FROM raw),
-         |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2)
+      s"""WITH ${mediaDecodeCte(operators.Multimodal.scratchResizePath)}
          |SELECT media_id, 16::BIGINT AS width, 10::BIGINT AS height,
-         |  '475200' || '00000010' || '0000000A' || substr(hx, 23, 8) ||
-         |  string_agg(
-         |    CASE WHEN (((k//16) * h) // 10) * w + ((k%16) * w) // 16 < len - 15
-         |         THEN substr(hx, 31 + ((((k//16) * h) // 10) * w + ((k%16) * w) // 16)*2, 2)
-         |         ELSE '00' END, '' ORDER BY k) AS blob_hex
+         |  $resizeHexSql AS blob_hex
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
@@ -1556,18 +1552,9 @@ object SparkEntry {
       // frame boundaries re-derived with BIGINT floor division over
       // the same hex bytes: nFrames = (len-15) // 16, indices
       // 0,2,4,... , frame f = 32 hex chars at offset 30 + f*32
-      s"""WITH raw AS (
-         |  SELECT media_id, content, hex(content) AS hx,
-         |    octet_length(content) AS len
-         |  FROM read_parquet('${operators.Multimodal.scratchFramesPath}/*.parquet')),
-         |dec AS (
-         |  SELECT media_id, hx, len,
-         |    (content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752') AS magic_ok,
-         |    CASE WHEN content IS NOT NULL AND len >= 15 AND substr(hx,1,4) = '4752'
-         |         THEN ('0x' || substr(hx,5,2))::INT END AS kind_code
-         |  FROM raw),
+      s"""WITH ${mediaDecodeCte(operators.Multimodal.scratchFramesPath)},
          |v AS (SELECT media_id, hx, (len - 15) // 16 AS nf
-         |  FROM dec WHERE magic_ok AND kind_code = 2),
+         |  FROM valid WHERE kind_code = 2),
          |f AS (SELECT media_id, hx, unnest(range(0, nf, 2)) AS frame_idx FROM v)
          |SELECT media_id, frame_idx::BIGINT AS frame_idx,
          |  substr(hx, 31 + frame_idx * 32, 32) AS frame_hex
