@@ -177,4 +177,15 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     val p = executedPlan("q81_frame_sample")
     assert(!p.contains("Exchange"), s"frame explode must not shuffle:\n$p")
   }
+
+  test("q82 csv parse is a zero-exchange codegen scan") {
+    val p = executedPlan("q82_rts_csv_parse")
+    assert(!p.contains("Exchange"), s"parse must not shuffle:\n$p")
+  }
+
+  test("q83 composed pipeline joins keepers via broadcast, no nested loop") {
+    val p = executedPlan("q83_corpus_pipeline")
+    assert(p.contains("BroadcastHashJoin"), s"keeper join not broadcast:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
