@@ -916,6 +916,23 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q84_char_entropy" -> ((s, dir) => {
+      // character-entropy quality signal — the standard gibberish /
+      // encoded-blob filter of a web-corpus pipeline: H = -sum_c p_c
+      // log2 p_c over each doc's characters. Per-char terms are
+      // bit-identical on both engines; only the SUM order differs, so
+      // H is rounded at 9 dp (hard rule 9; H is in [0, ~6.6] for
+      // text, the boundary sits ~1e6 ulps above the noise).
+      val chars = tbl(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("double").as("len"),
+          explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+      chars.groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
+            .as("entropy"))
+    }),
     "q83_corpus_pipeline" -> ((s, dir) => {
       // END-TO-END pipeline composition under ONE oracle — the stages
       // users actually chain: dirty corpus (q77's deterministic email
@@ -1501,6 +1518,18 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q84_char_entropy" ->
+      // same per-char probability terms, same 9-dp rounding of the
+      // order-sensitive sum
+      """WITH ch AS (
+        |  SELECT doc_id, length(text)::DOUBLE AS len,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, len, ch, count(*) AS n
+        |  FROM ch GROUP BY doc_id, len, ch)
+        |SELECT doc_id, count(*)::BIGINT AS n_distinct_chars,
+        |  round(-sum((n / len) * log2(n / len)), 9) AS entropy
+        |FROM f GROUP BY doc_id""".stripMargin,
     "q83_corpus_pipeline" ->
       // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
       // keeper) -> md5 split label -> per-split stats
