@@ -916,6 +916,28 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q85_resample_ffill" -> ((s, dir) => {
+      // regular-grid RESAMPLING with forward fill — the TSDB
+      // downsample/align operation (chart feeds, feature grids): per
+      // user an hourly grid spanning their activity, each point
+      // carrying the last event value at or before it. Composed from
+      // existing pieces: grid explode (sequence) + AsOfJoin — resample
+      // IS an as-of join against a generated axis. Right side
+      // pre-deduped per (user, ts) with a max_by(event_id) winner
+      // (hard rule 4, q29's rationale); grid points before a user's
+      // first event carry nulls on both engines (ASOF LEFT JOIN).
+      val ev = tbl(s, dir, "events").where(col("user_id") < 5)
+      val dedup = ev.groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+            .as("grid_ts"))
+      AsOfJoin.asOf(grid, dedup, Seq("user_id"), "grid_ts", "ts",
+          Seq("ts" -> "src_ts", "value" -> "value"))
+        .select("user_id", "grid_ts", "src_ts", "value")
+    }),
     "q84_char_entropy" -> ((s, dir) => {
       // character-entropy quality signal — the standard gibberish /
       // encoded-blob filter of a web-corpus pipeline: H = -sum_c p_c
@@ -1518,6 +1540,18 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q85_resample_ffill" ->
+      // same grid (generate_series is end-inclusive like sequence),
+      // same pre-dedup, DuckDB's native ASOF LEFT JOIN as the fill
+      """WITH e AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE user_id < 5 GROUP BY user_id, ts),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', min(ts)), max(ts),
+        |      INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM events WHERE user_id < 5 GROUP BY user_id)
+        |SELECT g.user_id, g.grid_ts, e.ts AS src_ts, e.value
+        |FROM g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
     "q84_char_entropy" ->
       // same per-char probability terms, same 9-dp rounding of the
       // order-sensitive sum
