@@ -929,14 +929,22 @@ object SparkEntry {
       val ev = tbl(s, dir, "events").where(col("user_id") < 5)
       val dedup = ev.groupBy("user_id", "ts")
         .agg(max_by(col("value"), col("event_id")).as("value"))
-      val grid = ev.groupBy("user_id")
-        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
-        .select(col("user_id"),
-          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
-            .as("grid_ts"))
-      AsOfJoin.asOf(grid, dedup, Seq("user_id"), "grid_ts", "ts",
-          Seq("ts" -> "src_ts", "value" -> "value"))
+      Resample.ffill(Resample.grid(ev, "user_id", "ts", "hour", "1 hour"),
+          dedup, "user_id", "ts", "value")
         .select("user_id", "grid_ts", "src_ts", "value")
+    }),
+    "q86_resample_lerp" -> ((s, dir) => {
+      // linear interpolation on the same grid: one backward + one
+      // forward as-of, then a fixed per-row lerp over exact integer
+      // micros — bit-equal across engines with NO rounding (ratio and
+      // multiply-add are single deterministic double ops). Exactly-on-
+      // a-point and one-sided grid points degrade to the neighbor.
+      val ev = tbl(s, dir, "events").where(col("user_id") < 5)
+      val dedup = ev.groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      Resample.lerp(Resample.grid(ev, "user_id", "ts", "hour", "1 hour"),
+          dedup, "user_id", "ts", "value")
+        .select("user_id", "grid_ts", "prev_ts", "next_ts", "value")
     }),
     "q84_char_entropy" -> ((s, dir) => {
       // character-entropy quality signal — the standard gibberish /
@@ -1552,6 +1560,30 @@ object SparkEntry {
         |SELECT g.user_id, g.grid_ts, e.ts AS src_ts, e.value
         |FROM g ASOF LEFT JOIN e
         |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
+    "q86_resample_lerp" ->
+      // backward + forward ASOF, then the identical per-row lerp op
+      // sequence over epoch micros — raw doubles, no rounding
+      """WITH e AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE user_id < 5 GROUP BY user_id, ts),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', min(ts)), max(ts),
+        |      INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM events WHERE user_id < 5 GROUP BY user_id),
+        |p AS (SELECT g.user_id, g.grid_ts, e.ts AS prev_ts, e.value AS prev_v
+        |  FROM g ASOF LEFT JOIN e
+        |    ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
+        |b AS (SELECT p.user_id, p.grid_ts, p.prev_ts, p.prev_v,
+        |    e.ts AS next_ts, e.value AS next_v
+        |  FROM p ASOF LEFT JOIN e
+        |    ON p.user_id = e.user_id AND p.grid_ts <= e.ts)
+        |SELECT user_id, grid_ts, prev_ts, next_ts,
+        |  CASE WHEN prev_ts IS NULL THEN next_v
+        |       WHEN next_ts IS NULL OR next_ts = prev_ts THEN prev_v
+        |       ELSE prev_v + (next_v - prev_v) *
+        |         ((epoch_us(grid_ts) - epoch_us(prev_ts))::DOUBLE
+        |           / (epoch_us(next_ts) - epoch_us(prev_ts))::DOUBLE)
+        |  END AS value
+        |FROM b""".stripMargin,
     "q84_char_entropy" ->
       // same per-char probability terms, same 9-dp rounding of the
       // order-sensitive sum
