@@ -916,6 +916,31 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q87_twap" -> ((s, dir) => {
+      // TWAP per (user, day) — q31's sibling with TIME weights: each
+      // observation weighted by how long it remained current (seconds
+      // until the next event in the day; the day's last event carries
+      // no weight). Exact arithmetic throughout: integer-cent value ×
+      // integer-second duration sums (both associativity-free), ONE
+      // double division sequence at the end — no rounding needed.
+      // Whole-second truncation of the duration is deterministic on
+      // both engines (floor of a positive integer division).
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      tbl(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        // integer `div`, NOT `/`: Spark's / on longs returns double
+        .withColumn("dur_us", lead(us, 1).over(w) - us)
+        .withColumn("dur_sec", expr("dur_us div 1000000"))
+        .where(col("dur_sec").isNotNull)
+        .groupBy("user_id", "day")
+        .agg(
+          (sum(scaledLong(col("value"), 2) * col("dur_sec")).cast("double")
+            / sum(col("dur_sec")).cast("double") / lit(100.0)).as("twap"),
+          sum(col("dur_sec")).as("active_sec"),
+          count(lit(1)).as("n_weighted"))
+    }),
     "q85_resample_ffill" -> ((s, dir) => {
       // regular-grid RESAMPLING with forward fill — the TSDB
       // downsample/align operation (chart feeds, feature grids): per
@@ -1548,6 +1573,20 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q87_twap" ->
+      // same window, same integer-second truncation, same fixed
+      // division sequence over exact integer sums
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |       ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS dur_sec
+        |  FROM events)
+        |SELECT user_id, day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT) * dur_sec) AS DOUBLE)
+        |    / CAST(sum(dur_sec) AS DOUBLE) / 100.0 AS twap,
+        |  CAST(sum(dur_sec) AS BIGINT) AS active_sec,
+        |  count(*)::BIGINT AS n_weighted
+        |FROM d WHERE dur_sec IS NOT NULL
+        |GROUP BY user_id, day""".stripMargin,
     "q85_resample_ffill" ->
       // same grid (generate_series is end-inclusive like sequence),
       // same pre-dedup, DuckDB's native ASOF LEFT JOIN as the fill
