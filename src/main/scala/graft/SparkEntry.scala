@@ -978,6 +978,10 @@ object SparkEntry {
       // bit-identical on both engines; only the SUM order differs, so
       // H is rounded at 9 dp (hard rule 9; H is in [0, ~6.6] for
       // text, the boundary sits ~1e6 ulps above the noise).
+      // BMP note (the q77 caveat's sibling): Spark's regex char split
+      // cuts UTF-16 code units while DuckDB splits code points — the
+      // corpus is ASCII (verified), where both agree; a supplementary-
+      // plane corpus would need a codepoint-based splitter.
       val chars = tbl(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).cast("double").as("len"),
           explode(split(col("text"), "")).as("ch"))
