@@ -986,11 +986,16 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).cast("double").as("len"),
           explode(split(col("text"), "")).as("ch"))
         .where(col("ch") =!= "")
+      // + 0.0 on BOTH engines: a uniform-character doc yields -0.0
+      // (every term is +0.0, negated) — Spark's round normalizes the
+      // sign, DuckDB's preserves it, and the driver hash is byte-exact
+      // on doubles; adding +0.0 canonicalizes signed zero identically
+      // (x + 0.0 == x for every other value)
       chars.groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_distinct_chars"),
-          round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
-            .as("entropy"))
+          (round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
+            + lit(0.0)).as("entropy"))
     }),
     "q83_corpus_pipeline" -> ((s, dir) => {
       // END-TO-END pipeline composition under ONE oracle — the stages
@@ -1004,13 +1009,18 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit("  Contact USER"), col("doc_id").cast("string"),
             lit("@Example.COM now"))).otherwise(lit("")))
+      // keeper selection via windows, NOT agg + self-join: the join
+      // formulation re-evaluates the whole NFC/regex scrub lineage on
+      // the probe side (CLAUDE.md's multi-consumer note) — two window
+      // functions over ONE hash exchange evaluate it once
       val cleaned = tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.scrub(raw).as("clean"))
+      val byHash = Window.partitionBy(md5(col("clean")))
       val keepers = cleaned
-        .groupBy(md5(col("clean")).as("clean_hash"))
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-        .select("doc_id", "n_copies")
-      Splits.hashSplit(keepers.join(cleaned, "doc_id"), "doc_id", "s42",
+        .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
+        .withColumn("n_copies", count(lit(1)).over(byHash).cast("long"))
+        .where(col("rn") === 1)
+      Splits.hashSplit(keepers, "doc_id", "s42",
           Seq(("train", 90), ("val", 5), ("test", 5)))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
@@ -1637,7 +1647,7 @@ object SparkEntry {
         |f AS (SELECT doc_id, len, ch, count(*) AS n
         |  FROM ch GROUP BY doc_id, len, ch)
         |SELECT doc_id, count(*)::BIGINT AS n_distinct_chars,
-        |  round(-sum((n / len) * log2(n / len)), 9) AS entropy
+        |  round(-sum((n / len) * log2(n / len)), 9) + 0.0 AS entropy
         |FROM f GROUP BY doc_id""".stripMargin,
     "q83_corpus_pipeline" ->
       // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
@@ -1654,13 +1664,15 @@ object SparkEntry {
          |      '${TextFunctions.UrlRe}', '<url>', 'g'),
          |      '\\s+', ' ', 'g')) AS clean
          |  FROM d),
-         |k AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-         |  FROM c GROUP BY md5(clean)),
-         |l AS (SELECT k.doc_id, k.n_copies, c.clean,
-         |    CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 90 THEN 'train'
-         |         WHEN ('0x' || substr(md5(k.doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+         |k AS (SELECT doc_id, clean,
+         |    row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY md5(clean)) AS n_copies
+         |  FROM c),
+         |l AS (SELECT doc_id, n_copies, clean,
+         |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+         |         WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT % 100 < 95 THEN 'val'
          |         ELSE 'test' END AS split
-         |  FROM k JOIN c ON k.doc_id = c.doc_id)
+         |  FROM k WHERE rn = 1)
          |SELECT split, count(*)::BIGINT AS n_docs,
          |  CAST(sum(len(list_filter(string_split(clean, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
          |  (sum(n_copies) - count(*))::BIGINT AS dupes_removed
@@ -1675,7 +1687,7 @@ object SparkEntry {
          |  'RTS' AS market, contract AS security,
          |  TRY_CAST(trade_id AS BIGINT) AS trade_id,
          |  TRY_CAST(price AS DOUBLE) AS price,
-         |  TRY_CAST(amount AS BIGINT) AS amount,
+         |  TRY_CAST(amount AS INT)::BIGINT AS amount,
          |  try_strptime(dat_time, '%Y-%m-%d %H:%M:%S.%g') AS "time",
          |  (Nosystem = '1') AS nosystem
          |  FROM raw)

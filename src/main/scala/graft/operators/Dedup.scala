@@ -443,14 +443,26 @@ object Dedup {
     * aggregation on matches only. Output: (train_id, eval_id,
     * n_shared), one row per contaminated pair. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
+      textCol: String, k: Int): DataFrame =
+    decontaminateAgainst(train,
+      shingleSet(eval, idCol, textCol, k, "eval_id"), idCol, textCol, k)
+
+  /** Distinct exploded word k-shingles of a frame, id aliased to
+    * `name` — the broadcastable eval side of [[decontaminate]].
+    * Exposed so long-lived consumers (the streaming screen) can derive
+    * and persist it ONCE instead of per micro-batch. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int,
+      name: String): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    def sh(df: DataFrame, name: String) = df.select(
-      col(idCol).cast("long").as(name),
+    df.select(col(idCol).cast("long").as(name),
       explode(array_distinct(shingles(col(textCol), k))).as("s"))
-    sh(train, "train_id")
-      .join(broadcast(sh(eval, "eval_id")), "s")
+  }
+
+  /** [[decontaminate]] against a PREBUILT (eval_id, s) shingle frame. */
+  def decontaminateAgainst(train: DataFrame, evalShingles: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame =
+    shingleSet(train, idCol, textCol, k, "train_id")
+      .join(broadcast(evalShingles), "s")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
-  }
 }

@@ -44,23 +44,38 @@ object Resample {
     * observation, or one-sided (before first / after last), degrade to
     * the available neighbor. The lerp arithmetic is a fixed per-row op
     * sequence over exact integer micros — bit-equal across engines, no
-    * rounding needed. Output: grid columns + (prev_ts, next_ts, value). */
+    * rounding needed. Output: grid columns + (prev_ts, next_ts, value).
+    *
+    * `points` is consumed TWICE (both as-of unions); its lineage is
+    * persisted MEMORY_AND_DISK for the duration of the call through a
+    * derived alias (never the caller's own frame, so a caller persist
+    * is untouched), materialized eagerly, and released — the CLAUDE.md
+    * multi-consumer convention. The returned frame stays persisted
+    * (caller-owned — unpersist when done). */
   def lerp(grid: DataFrame, points: DataFrame, keyCol: String,
       tsCol: String, valCol: String): DataFrame = {
-    val withPrev = AsOfJoin.asOf(grid, points, Seq(keyCol), "grid_ts", tsCol,
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // identity projection: a DISTINCT plan node, so persist/unpersist
+    // here can never clobber a caller-side cache of `points`
+    val pts = points.select(points.columns.map(col): _*).persist(lvl)
+    val withPrev = AsOfJoin.asOf(grid, pts, Seq(keyCol), "grid_ts", tsCol,
       Seq(tsCol -> "prev_ts", valCol -> "prev_v"))
-    val both = AsOfJoin.asOf(withPrev, points, Seq(keyCol), "grid_ts", tsCol,
+    val both = AsOfJoin.asOf(withPrev, pts, Seq(keyCol), "grid_ts", tsCol,
       Seq(tsCol -> "next_ts", valCol -> "next_v"), forward = true)
     val g = unix_micros(col("grid_ts").cast("timestamp"))
     val p = unix_micros(col("prev_ts").cast("timestamp"))
     val n = unix_micros(col("next_ts").cast("timestamp"))
     val ratio = (g - p).cast("double") / (n - p).cast("double")
-    both
+    val result = both
       .withColumn("value",
         when(col("prev_ts").isNull, col("next_v"))
           .when(col("next_ts").isNull || col("next_ts") === col("prev_ts"),
             col("prev_v"))
           .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * ratio))
       .drop("prev_v", "next_v")
+      .persist(lvl)
+    result.count() // materialize while pts is cached
+    pts.unpersist()
+    result
   }
 }

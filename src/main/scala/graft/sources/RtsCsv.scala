@@ -40,6 +40,11 @@ object RtsCsv {
         .mkString("\n")
     val dir = new java.io.File(scratchCsvDir)
     dir.mkdirs()
+    // the oracle globs *.csv here while Spark reads the one returned
+    // path — clear stale files so both sides see the same bytes (the
+    // q58/q76 scratch parquet gets this for free from mode(overwrite))
+    Option(dir.listFiles()).foreach(_.filter(_.getName.endsWith(".csv"))
+      .foreach(_.delete()))
     val f = new java.io.File(dir, "120201ft.csv")
     java.nio.file.Files.writeString(f.toPath, content)
     f.getAbsolutePath

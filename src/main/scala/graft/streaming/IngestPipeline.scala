@@ -115,15 +115,38 @@ object IngestPipeline {
   def startDecontaminate(stream: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, k: Int, outDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the static side is derived ONCE and cached for the stream's
+    // life (released on query stop via the listener below): without
+    // this every micro-batch re-scans the eval set and re-runs its
+    // shingle explode before re-broadcasting
+    val evalShingles = graft.operators.Dedup
+      .shingleSet(evalSet, idCol, textCol, k, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Dedup
-          .decontaminate(batch, evalSet, idCol, textCol, k)
+          .decontaminateAgainst(batch, evalShingles, idCol, textCol, k)
           .write.mode("append").parquet(outDir)
       }
       .start()
+    val spark = evalSet.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            evalShingles.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
+  }
 }

@@ -183,9 +183,12 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"parse must not shuffle:\n$p")
   }
 
-  test("q83 composed pipeline joins keepers via broadcast, no nested loop") {
+  test("q83 composed pipeline scans documents ONCE — no keeper self-join") {
     val p = executedPlan("q83_corpus_pipeline")
-    assert(p.contains("BroadcastHashJoin"), s"keeper join not broadcast:\n$p")
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // window-based keeper selection: the scrub lineage must not be
+    // re-evaluated by a join probe side
+    assert(!p.contains("Join"), s"keeper selection regressed to a self-join:\n$p")
+    assert(p.split("Scan parquet").length == 2,
+      s"expected exactly one documents scan:\n$p")
   }
 }
