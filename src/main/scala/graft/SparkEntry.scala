@@ -974,28 +974,66 @@ object SparkEntry {
     "q84_char_entropy" -> ((s, dir) => {
       // character-entropy quality signal — the standard gibberish /
       // encoded-blob filter of a web-corpus pipeline: H = -sum_c p_c
-      // log2 p_c over each doc's characters. Per-char terms are
+      // log2 p_c over each doc's CODE POINTS. Per-char terms are
       // bit-identical on both engines; only the SUM order differs, so
       // H is rounded at 9 dp (hard rule 9; H is in [0, ~6.6] for
       // text, the boundary sits ~1e6 ulps above the noise).
-      // BMP note (the q77 caveat's sibling): Spark's regex char split
-      // cuts UTF-16 code units while DuckDB splits code points — the
-      // corpus is ASCII (verified), where both agree; a supplementary-
-      // plane corpus would need a codepoint-based splitter.
-      val chars = tbl(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).cast("double").as("len"),
-          explode(split(col("text"), "")).as("ch"))
-        .where(col("ch") =!= "")
+      // `CharCounts` (native one-pass codepoint histogram) makes the
+      // char unit a code point on BOTH engines by construction —
+      // DuckDB's string_split('') and length() already count code
+      // points — and emits one row per DISTINCT char, not per char
+      // (q91 re-runs this exact shape on a supplementary-plane
+      // corpus; Spark's `length` is UTF8String.numChars = code
+      // points, so `len` needs no change).
       // + 0.0 on BOTH engines: a uniform-character doc yields -0.0
       // (every term is +0.0, negated) — Spark's round normalizes the
       // sign, DuckDB's preserves it, and the driver hash is byte-exact
       // on doubles; adding +0.0 canonicalizes signed zero identically
       // (x + 0.0 == x for every other value)
-      chars.groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("double").as("len"),
+          explode(graft.expressions.CharCounts(col("text"))).as(Seq("ch", "n")))
+        .groupBy("doc_id", "len")
         .agg(count(lit(1)).as("n_distinct_chars"),
           (round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
             + lit(0.0)).as("entropy"))
+        .select("doc_id", "n_distinct_chars", "entropy")
+    }),
+    "q91_unicode_planes" -> ((s, dir) => {
+      // the supplementary-plane gate for the whole text family: the
+      // corpus is deterministically salted with non-BMP code points
+      // (emoji U+1F600/U+1F680/U+1F916, CJK ext B U+20000/U+20001 —
+      // all TWO UTF-16 units each) plus a decomposed e+U+0301, written
+      // to scratch parquet, and BOTH engines re-derive codepoint
+      // length, the q84 entropy shape (CharCounts) and the q72
+      // char-trigram count from the same bytes. Before CharCounts /
+      // codepoint substr, Spark's UTF-16 splits would shear every
+      // emoji into two lone surrogates here — this entry is what
+      // proves the caveat is retired by construction, not by an
+      // ASCII-only corpus.
+      val path = TextFunctions.scratchUnicodePath
+      val salted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" 😀😀🚀 emoji")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" 𠀀𠀁𠀀")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" 🤖bots🤖 café")).otherwise(lit("")))
+      tbl(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), salted.as("text"))
+        .write.mode("overwrite").parquet(path)
+      val src = s.read.parquet(path)
+      src.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_cp"),
+          length(col("text")).cast("double").as("len"),
+          size(TextFunctions.charTrigrams(col("text"))).cast("long")
+            .as("n_trigrams"),
+          explode(graft.expressions.CharCounts(col("text"))).as(Seq("ch", "n")))
+        .groupBy("doc_id", "n_cp", "len", "n_trigrams")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          (round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
+            + lit(0.0)).as("entropy"))
+        .select("doc_id", "n_cp", "n_trigrams", "n_distinct_chars", "entropy")
     }),
     "q83_corpus_pipeline" -> ((s, dir) => {
       // END-TO-END pipeline composition under ONE oracle — the stages
@@ -1649,6 +1687,33 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_distinct_chars,
         |  round(-sum((n / len) * log2(n / len)), 9) + 0.0 AS entropy
         |FROM f GROUP BY doc_id""".stripMargin,
+    "q91_unicode_planes" ->
+      // Re-derives codepoint length, entropy, and the q72 trigram
+      // count from the SAME scratch parquet bytes the Spark query just
+      // salted with supplementary-plane text — DuckDB's length /
+      // string_split('') / substr are all codepoint-based, which is
+      // exactly what CharCounts and UTF8String.substringSQL give Spark.
+      s"""WITH src AS (SELECT doc_id, text
+         |  FROM read_parquet('${functions.TextFunctions.scratchUnicodePath}/*.parquet')),
+         |tri AS (SELECT doc_id, list_distinct(flatten(list_transform(
+         |    list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+         |      w -> len(w) >= 3),
+         |    w -> list_transform(generate_series(1, len(w) - 2),
+         |      i -> substr(w, i, 3))))) AS gs
+         |  FROM src),
+         |ch AS (SELECT doc_id, length(text)::DOUBLE AS len,
+         |    unnest(string_split(text, '')) AS ch
+         |  FROM src),
+         |f AS (SELECT doc_id, len, ch, count(*) AS n
+         |  FROM ch GROUP BY doc_id, len, ch),
+         |ent AS (SELECT doc_id, count(*)::BIGINT AS n_distinct_chars,
+         |    round(-sum((n / len) * log2(n / len)), 9) + 0.0 AS entropy
+         |  FROM f GROUP BY doc_id)
+         |SELECT s.doc_id, length(s.text)::BIGINT AS n_cp,
+         |  len(t.gs)::BIGINT AS n_trigrams,
+         |  e.n_distinct_chars, e.entropy
+         |FROM src s JOIN tri t ON s.doc_id = t.doc_id
+         |JOIN ent e ON s.doc_id = e.doc_id""".stripMargin,
     "q83_corpus_pipeline" ->
       // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
       // keeper) -> md5 split label -> per-split stats

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Fixed scratch path for q91's supplementary-plane corpus — fixed
+    * because `oracleSql` is a static string (same trade as
+    * `Tables.scratchPartitionedPath`). */
+  val scratchUnicodePath: String = "/tmp/graft_q91_unicode"
+
   /** Whitespace tokenizer: lowercase, split on runs of whitespace,
     * empties dropped. (BPE-ish regex token counting is `tokenCount`.) */
   def tokens(text: Column): Column =
@@ -43,21 +48,17 @@ object TextFunctions {
     * DuckDB oracle's VALUES literal, so both engines score against
     * identical profiles.
     *
-    * Marker words must be BMP-only: this generator slices with
-    * `String.substring` (UTF-16 code units) while [[charTrigrams]] and
-    * the DuckDB `substr` slice CHARACTERS — a supplementary-plane
-    * marker (outside the BMP, two code units per char) would make the
-    * three trigram generators silently diverge, so it is rejected
-    * here by construction. */
+    * Slices CODE POINTS, matching [[charTrigrams]] (Spark `substr` =
+    * `UTF8String.substringSQL`, code points) and DuckDB's `substr`
+    * (characters) — a supplementary-plane marker word (emoji, CJK
+    * ext B) produces the same trigrams in all three generators by
+    * construction. */
   def trigramProfile(markers: Map[String, Seq[String]]): Seq[(String, String)] = {
-    markers.valuesIterator.flatten.foreach { w =>
-      require(w.length == w.codePointCount(0, w.length),
-        s"marker word '$w' contains non-BMP characters; " +
-          "UTF-16 slicing would diverge from character-based trigrams")
-    }
     markers.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
-      words.flatMap(w => (0 to w.length - 3).map(i => w.substring(i, i + 3)))
-        .distinct.sorted.map(lang -> _)
+      words.flatMap { w =>
+        val cps = w.codePoints().toArray
+        (0 to cps.length - 3).map(i => new String(cps, i, 3))
+      }.distinct.sorted.map(lang -> _)
     }
   }
 

@@ -1,32 +1,44 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 
-/** Ad-hoc investigation sandbox (rewritten per investigation). */
+/** Ad-hoc investigation sandbox (rewritten per investigation).
+  * Current use: run a SUBSET of SparkEntry.queries + dump their oracle
+  * SQL, for fast per-query oracle iteration without the full Verify
+  * pass. Usage: Scratch <sfDir> <outDir> q84 q91 ... */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val wanted = args.drop(2).toSet
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-
-    // session_window boundary: two events exactly `gap` apart — one
-    // session (merge at equality) or two (strict overlap)?
-    val df = Seq(
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // exactly 30m later
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:29:59"))  // inside the gap
-    ).toDF("user_id", "ts")
-    val sess = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sess"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), col("sess.start"), col("sess.end"), col("n"))
-      .orderBy("user_id", "start")
-    sess.show(false)
-    println("user1 sessions = " + sess.where(col("user_id") === 1).count())
+    new java.io.File(outDir).mkdirs()
+    val names = graft.SparkEntry.queries.keys
+      .filter(n => wanted.exists(n.startsWith)).toSeq.sorted
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"[scratch] $name done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => names.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

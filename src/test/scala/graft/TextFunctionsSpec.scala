@@ -34,13 +34,12 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       "en" -> "der", "en" -> "ord", "en" -> "rde"))
   }
 
-  test("trigramProfile rejects non-BMP marker words") {
-    // U+1D49C (MATHEMATICAL SCRIPT CAPITAL A) is two UTF-16 code units:
-    // substring-slicing it diverges from character trigrams
-    val nonBmp = new String(Character.toChars(0x1D49C)) + "abc"
-    val ex = intercept[IllegalArgumentException] {
-      TextFunctions.trigramProfile(Map("xx" -> Seq(nonBmp)))
-    }
-    assert(ex.getMessage.contains("non-BMP"))
+  test("trigramProfile slices code points on non-BMP marker words") {
+    // U+1D49C (MATHEMATICAL SCRIPT CAPITAL A) is two UTF-16 code units;
+    // the generator slices code points, so it counts as ONE character —
+    // matching charTrigrams (UTF8String.substringSQL) and DuckDB substr
+    val a = new String(Character.toChars(0x1D49C))
+    val got = TextFunctions.trigramProfile(Map("xx" -> Seq(a + "abc")))
+    assert(got === Seq("xx" -> "abc", "xx" -> (a + "ab")))
   }
 }
