@@ -1035,6 +1035,83 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_cp", "n_trigrams", "n_distinct_chars", "entropy")
     }),
+    // ── streaming family under the oracle (AvailableNow replay) ─────
+    "q88_stream_ingest" -> ((s, dir) => {
+      // THE STREAMING INGEST PATH ITSELF under the DuckDB oracle: a
+      // deterministic arrival log (base slice + in-batch duplicates +
+      // a cross-batch redelivery) is written to scratch parquet, the
+      // REAL `IngestPipeline` micro-batch pipeline replays it with
+      // Trigger.AvailableNow (maxFilesPerTrigger=1 → one micro-batch
+      // per arrival file), and the compacted table is returned. The
+      // oracle re-derives the end state from the same arrival bytes
+      // with the min-rule (earliest (ts, value) per event_id wins) —
+      // the reference's idempotent qualifier-overwrite semantics
+      // (`install/create_tables.sh:37`, `MarketLoader.scala:119`).
+      // Batch boundaries don't affect the answer (min is commutative
+      // across batches: in-batch dedup + compaction = global min),
+      // which is exactly the at-least-once + idempotent-sink contract.
+      val base = graft.streaming.IngestPipeline.scratchIngestBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      // stale checkpoints would make AvailableNow a no-op: full reset
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events").where(col("user_id") < 20)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      // arrival file 1: base slice + IN-batch duplicates (ids%5==0
+      // redelivered 2h later, value bumped — lose inside one batch)
+      val dup5 = ev.where(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOURS"))
+        .withColumn("value", col("value") + lit(1000.0))
+      ev.unionByName(dup5).coalesce(1).write.mode("append").parquet(in)
+      // arrival file 2: CROSS-batch redelivery (ids%3==0, 1h later) —
+      // lands in the append-only table, compaction must retire it
+      ev.where(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("value", col("value") + lit(500.0))
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.IngestPipeline.startIngest(
+        graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+        out, ckpt, "event_id", "ts")
+      q.awaitTermination()
+      graft.streaming.IngestPipeline.compact(s, out, "event_id",
+        Seq("ts", "value"))
+    }),
+    "q89_stream_heavy_hitters" -> ((s, dir) => {
+      // STREAMING FREQUENCY ANALYSIS under the oracle: the shard-
+      // partitioned Space-Saving summary replays a 3-batch document
+      // stream; with capacity ≥ per-shard distinct tokens the
+      // estimates are EXACT and err = 0, so DuckDB's plain token
+      // count over the same arrival bytes is the precise end state.
+      // Emission is changed-only and monotone (class contract), so
+      // max(est) per token across emitted snapshots IS the final
+      // summary value — the downstream-consumer contract, gated here.
+      val base = graft.streaming.StreamingHeavyHitters.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "text")
+      docs.where(col("doc_id") < 200)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.where(col("doc_id") >= 350)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingHeavyHitters.tokenCounts(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "text", shards = 8, capacity = 1 << 16)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).groupBy("token")
+        .agg(max("est").as("n"), max("err").as("err"))
+    }),
     "q83_corpus_pipeline" -> ((s, dir) => {
       // END-TO-END pipeline composition under ONE oracle — the stages
       // users actually chain: dirty corpus (q77's deterministic email
@@ -1714,6 +1791,30 @@ object SparkEntry {
          |  e.n_distinct_chars, e.entropy
          |FROM src s JOIN tri t ON s.doc_id = t.doc_id
          |JOIN ent e ON s.doc_id = e.doc_id""".stripMargin,
+    "q88_stream_ingest" ->
+      // End state of the streaming ingest+compact pipeline, re-derived
+      // from the same arrival parquet: earliest (ts, value) per
+      // event_id wins; __date is the hive partition the winner landed
+      // in. Independent of micro-batch boundaries by construction.
+      s"""WITH arr AS (SELECT * FROM
+         |    read_parquet('${graft.streaming.IngestPipeline.scratchIngestBase}/in/*.parquet')),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY event_id ORDER BY ts, value) AS rn
+         |  FROM arr)
+         |SELECT event_id, user_id, event_type, value, ts,
+         |  CAST(ts AS DATE) AS __date
+         |FROM r WHERE rn = 1""".stripMargin,
+    "q89_stream_heavy_hitters" ->
+      // Exact token counts over the same arrival bytes: with ample
+      // capacity the Space-Saving summary is exact (err = 0), so the
+      // streaming operator's final estimates equal the batch counts.
+      s"""WITH arr AS (SELECT * FROM
+         |    read_parquet('${graft.streaming.StreamingHeavyHitters.scratchBase}/in/*.parquet')),
+         |t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS token
+         |  FROM arr)
+         |SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS err
+         |FROM t GROUP BY token""".stripMargin,
     "q83_corpus_pipeline" ->
       // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
       // keeper) -> md5 split label -> per-split stats

@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.StructType
   */
 object IngestPipeline {
 
+  /** Fixed scratch base for q88's oracled AvailableNow ingest replay
+    * (`in/`, `out/`, `ckpt/` sub-dirs) — fixed because `oracleSql` is
+    * a static string (same trade as `Tables.scratchPartitionedPath`). */
+  val scratchIngestBase: String = "/tmp/graft_q88_ingest"
+
   /** File-based micro-batch source of event rows (the test rig and the
     * bulk-load path share it; Kafka swaps in by changing the format). */
   def fileSource(spark: SparkSession, schema: StructType, inDir: String,

@@ -43,6 +43,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingHeavyHitters {
 
+  /** Fixed scratch base for q89's oracled AvailableNow replay (`in/`,
+    * `out/`, `ckpt/` sub-dirs) — same fixed-path trade as q88. */
+  val scratchBase: String = "/tmp/graft_q89_hh"
+
   final case class TokenCount(shard: Int, token: String, est: Long, err: Long)
 
   /** One Space-Saving fold step: `w` arrivals of `t`. */
