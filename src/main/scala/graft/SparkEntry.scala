@@ -473,6 +473,17 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), seqLen = 512, shards = 8,
         salt = "p1")
     }),
+    "q92_pack_bins" -> ((s, dir) => {
+      // the consumer-side inverse of q79: per training bin, the
+      // ordered (doc, doc_off, len) slices that fill it — proves the
+      // cut arithmetic from the loader's side (slices tile every bin).
+      // Same integer math, no shuffle beyond q79's one exchange.
+      Packing.binSlices(
+        Packing.concatChunk(tbl(s, dir, "documents"), "doc_id",
+          TextFunctions.tokenCount(col("text")), seqLen = 512, shards = 8,
+          salt = "p1"),
+        "doc_id", seqLen = 512)
+    }),
     "q80_decontaminate" -> ((s, dir) => {
       // exact-overlap decontamination (Dedup.decontaminate): train
       // docs sharing any distinct 4-shingle with the doc_id%97==0
@@ -1034,6 +1045,28 @@ object SparkEntry {
           (round(-sum((col("n") / col("len")) * log2(col("n") / col("len"))), 9)
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_cp", "n_trigrams", "n_distinct_chars", "entropy")
+    }),
+    "q90_ivf_distributed" -> ((s, dir) => {
+      // THE 100 TB ANN ROUTING PATH end-to-end under the oracle: the
+      // distributed quantizer (executor-side Lloyd, exact BigDecimal
+      // cell sums — bit-identical centroids under ANY partitioning,
+      // `IvfQuantizerSpec`) trains on the full embeddings table, the
+      // centroids land in scratch parquet, and `ivfTopKWithCentroids`
+      // routes + re-ranks with them. DuckDB re-derives assignment,
+      // probes and the exact cosine top-k from the SAME centroid bytes
+      // (q40's SQL shape) — every float→double step is exact and both
+      // engines fold dot products in index order, so the gate is
+      // hash-exact, not approximate.
+      val path = Similarity.scratchCentroidsPath
+      val emb = tbl(s, dir, "embeddings")
+      val centroids = Similarity.quantizeDistributed(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3)
+      import s.implicits._
+      centroids.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Similarity.ivfTopKWithCentroids(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, centroids, nProbe = 4)
     }),
     // ── streaming family under the oracle (AvailableNow replay) ─────
     "q88_stream_ingest" -> ((s, dir) => {
@@ -1815,6 +1848,39 @@ object SparkEntry {
          |  FROM arr)
          |SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS err
          |FROM t GROUP BY token""".stripMargin,
+    "q90_ivf_distributed" ->
+      // q40's assignment/probe/re-rank SQL, with the coarse quantizer
+      // read from the scratch centroids the distributed Lloyd pass
+      // just wrote (instead of iters=0 seed vectors) — same exact
+      // index-order double folds on both engines.
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cells AS (SELECT cell, cv::DOUBLE[] AS cv,
+         |    list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) AS c2
+         |  FROM read_parquet('${operators.Similarity.scratchCentroidsPath}/*.parquet')),
+         |dist AS (SELECT b.vec_id, c.cell,
+         |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+         |  FROM base b CROSS JOIN cells c),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist
+         |  WHERE vec_id < 10) WHERE rn <= 4),
+         |c AS (SELECT b.vec_id AS cand_id, b.v AS cv2,
+         |    sqrt(list_dot_product(b.v, b.v)) AS cn, a.cell
+         |  FROM base b JOIN assign a USING (vec_id)),
+         |q AS (SELECT b.vec_id AS query_id, b.v AS qv,
+         |    sqrt(list_dot_product(b.v, b.v)) AS qn, p.cell
+         |  FROM base b JOIN probes p ON b.vec_id = p.vec_id),
+         |scored AS (SELECT query_id, cand_id,
+         |    list_dot_product(qv, cv2) / (qn * cn) AS cosine
+         |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, cosine, rank FROM (
+         |  SELECT query_id, cand_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q83_corpus_pipeline" ->
       // the same chain as CTEs: dirty -> scrub -> md5 dedup (min-id
       // keeper) -> md5 split label -> per-split stats
@@ -2225,6 +2291,31 @@ object SparkEntry {
          |  tok_start // 512 AS first_bin,
          |  (tok_start + n_tokens - 1) // 512 AS last_bin
          |FROM c""".stripMargin,
+    "q92_pack_bins" ->
+      // q79's span CTE + generate_series over first_bin..last_bin;
+      // slice bounds by integer max/min against the bin walls
+      s"""WITH toks AS ($toksCte),
+         |d AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':p1'), 1, 8))::BIGINT % 8 AS shard
+         |  FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+         |  FROM d),
+         |b AS (SELECT doc_id, n_tokens, shard, tok_start,
+         |    unnest(generate_series(tok_start // 512,
+         |      (tok_start + n_tokens - 1) // 512)) AS bin_id
+         |  FROM c),
+         |sl AS (SELECT shard, bin_id, doc_id,
+         |    greatest(bin_id * 512, tok_start) AS s,
+         |    least((bin_id + 1) * 512, tok_start + n_tokens) AS e,
+         |    tok_start
+         |  FROM b)
+         |SELECT shard, bin_id, doc_id,
+         |  (s - bin_id * 512)::BIGINT AS bin_off,
+         |  (s - tok_start)::BIGINT AS doc_off,
+         |  (e - s)::BIGINT AS len
+         |FROM sl""".stripMargin,
     "q80_decontaminate" ->
       // same distinct 4-shingle explode on both sides, same %97 split
       s"""WITH toks AS ($toksCte),

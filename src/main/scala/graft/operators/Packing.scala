@@ -46,4 +46,31 @@ object Packing {
       .withColumn("first_bin", expr(s"tok_start div $seqLen"))
       .withColumn("last_bin", expr(s"(tok_start + n_tokens - 1) div $seqLen"))
   }
+
+  /** The CONSUMER-side inverse of [[concatChunk]]: per training bin,
+    * the ordered document slices that fill it — what a loader actually
+    * reads to materialize sequence `bin_id` of a shard. For each doc
+    * span intersecting a bin: `bin_off` is the slice's position inside
+    * the bin, `doc_off` the position inside the document, `len` the
+    * slice length; slices tile each bin exactly (sum(len) = seqLen for
+    * every bin but a shard's last — `PackingSpec` pins it).
+    *
+    * 100 TB shape: one `explode(sequence(first_bin, last_bin))` per
+    * doc — ≈ n_tokens/seqLen + 1 rows, pipelined in codegen after
+    * [[concatChunk]]'s single exchange; all arithmetic stays integer
+    * and NO new shuffle or window is added (bin_off is derived, not
+    * ranked — consumers order by it for free). */
+  def binSlices(spans: DataFrame, idCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    spans
+      .withColumn("bin_id", explode(sequence(col("first_bin"), col("last_bin"))))
+      .withColumn("slice_start",
+        greatest(col("bin_id") * seqLen, col("tok_start")))
+      .withColumn("slice_end",
+        least((col("bin_id") + 1) * seqLen, col("tok_start") + col("n_tokens")))
+      .select(col("shard"), col("bin_id"), col(idCol),
+        (col("slice_start") - col("bin_id") * seqLen).as("bin_off"),
+        (col("slice_start") - col("tok_start")).as("doc_off"),
+        (col("slice_end") - col("slice_start")).as("len"))
+  }
 }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fixed scratch path for q90's distributed-quantizer centroids
+    * (`(cell, cv)` rows; the oracle re-derives assignment + top-k from
+    * the same parquet) — fixed because `oracleSql` is a static string,
+    * same trade as `Tables.scratchPartitionedPath`. */
+  val scratchCentroidsPath: String = "/tmp/graft_q90_centroids"
+
   /** Dot product as double, via the native codegen expression
     * (same index-order accumulation as the interpreted
     * aggregate(zip_with(...)) formulation — bit-equal results). */

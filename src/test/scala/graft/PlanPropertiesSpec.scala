@@ -167,6 +167,14 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"global sort would funnel the corpus:\n$p")
   }
 
+  test("q92 bin slices add NO exchange beyond q79's shard window shuffle") {
+    val p = executedPlan("q92_pack_bins")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly the shard window shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort would funnel the corpus:\n$p")
+  }
+
   test("q80 decontamination broadcasts the eval side, corpus never shuffle-joined") {
     val p = executedPlan("q80_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
