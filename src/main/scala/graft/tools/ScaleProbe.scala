@@ -60,6 +60,18 @@ object ScaleProbe {
         embBase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
       }.reduce(_ unionByName _)
 
+    /** Span scaling for the resample family: replicas shift TIME by a
+      * full base-span (31 days) and KEEP the key set — each series gets
+      * mult× longer, so the generated grid (span × keys / step) is the
+      * axis that grows. `scaled`'s key-shifted union would grow rows
+      * but not per-key span, missing resample's real blowup dimension
+      * (grid output can exceed input when series are sparse). */
+    def scaledSpan(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        base.withColumn("ts", col("ts") + expr(s"interval ${i * 31} days"))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      }.reduce(_ unionByName _)
+
     def time(f: => Long): (Double, Long) = {
       def once = { val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n) }
       val a = once; val b = once
@@ -98,7 +110,21 @@ object ScaleProbe {
         ev.where(col("event_type") === "view")).count()),
       "dedup_first" -> (ev => graft.operators.Dedup.firstByKey(
         ev.withColumn("day", to_date(col("ts"))),
-        Seq("user_id", "event_type", "day"), Seq("ts", "event_id")).count())
+        Seq("user_id", "event_type", "day"), Seq("ts", "event_id")).count()),
+      // q87's TWAP shape: one window exchange + map-side partial agg —
+      // must track the sessionize/window family linearly
+      "twap" -> { ev =>
+        val w = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts").cast("timestamp"))
+        ev.withColumn("day", to_date(col("ts")))
+          .withColumn("dur_us", lead(us, 1).over(w) - us)
+          .withColumn("dur_sec", expr("dur_us div 1000000"))
+          .where(col("dur_sec").isNotNull)
+          .groupBy("user_id", "day")
+          .agg(sum(col("dur_sec")).as("active_sec"), count(lit(1)).as("n"))
+          .count()
+      }
     )
 
     // corpus/embedding operators scale over their own tables
@@ -134,7 +160,16 @@ object ScaleProbe {
       "decontam" -> (d => graft.operators.Dedup.decontaminate(
         d.where(pmod(col("doc_id"), lit(97L)) =!= 0),
         docsBase.where(pmod(col("doc_id"), lit(97L)) === 0),
-        "doc_id", "text", k = 4).count()))
+        "doc_id", "text", k = 4).count()),
+      // q84's entropy shape: CharCounts histogram explode (one row per
+      // DISTINCT char per doc) + two-phase agg — scan-bound, linear
+      "entropy" -> (d => d
+        .select(col("doc_id"), length(col("text")).cast("double").as("len"),
+          explode(graft.expressions.CharCounts(col("text"))).as(Seq("ch", "n")))
+        .groupBy("doc_id", "len")
+        .agg(count(lit(1)).as("ndc"),
+          (-sum((col("n") / col("len")) * log2(col("n") / col("len")))).as("h"))
+        .count()))
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       "ann_mprobe" -> (e => graft.operators.Similarity.annTopKMultiProbe(
         embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
@@ -153,6 +188,30 @@ object ScaleProbe {
       "quantize" -> (e => graft.operators.Similarity.quantizeDistributed(
         e, "vec_id", "embedding", nCentroids = 16).length.toLong))
 
+    // resample family probes over SPAN-scaled events (grid rows grow
+    // with span × keys — the one operator whose output can exceed its
+    // input; the rows column is the GRID size, watch it vs wall)
+    val spanOps: Seq[(String, DataFrame => Long)] = Seq(
+      "resample_ff" -> { ev =>
+        val e = ev.where(col("user_id") < 50)
+        val dedup = e.groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        graft.operators.Resample.ffill(
+          graft.operators.Resample.grid(e, "user_id", "ts", "hour", "1 hour"),
+          dedup, "user_id", "ts", "value").count()
+      },
+      "resample_lerp" -> { ev =>
+        val e = ev.where(col("user_id") < 50)
+        val dedup = e.groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        val r = graft.operators.Resample.lerp(
+          graft.operators.Resample.grid(e, "user_id", "ts", "hour", "1 hour"),
+          dedup, "user_id", "ts", "value")
+        val n = r.count()
+        r.unpersist() // probe owns the returned cache (lerp contract)
+        n
+      })
+
     println(f"[probe] ${"op"}%-12s ${"mult"}%4s ${"rows"}%10s ${"sec"}%8s")
     def run(name: String, f: DataFrame => Long, mk: Int => DataFrame): Unit =
       if (opFilter.forall(name.contains)) mults.foreach { m =>
@@ -162,6 +221,7 @@ object ScaleProbe {
     ops.foreach { case (n, f) => run(n, f, scaled) }
     docOps.foreach { case (n, f) => run(n, f, scaledDocs) }
     embOps.foreach { case (n, f) => run(n, f, scaledEmb) }
+    spanOps.foreach { case (n, f) => run(n, f, scaledSpan) }
     spark.stop()
   }
 }
