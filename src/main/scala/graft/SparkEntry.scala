@@ -1010,6 +1010,33 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q94_repetition_signals" -> ((s, dir) => {
+      // Gopher-style repetition quality filters (Rae et al. '21 §A1.1
+      // — the standard web-corpus gibberish/boilerplate screens),
+      // token-level for these single-line docs: coverage of the most
+      // frequent 2-gram, fraction of 2-gram instances that are
+      // duplicates, and the repeated-token fraction. The signal is
+      // purely doc-local, so it's ONE native expression pass inside
+      // codegen — a ZERO-exchange scan (plan-guarded), not an
+      // explode+groupBy (which also re-evaluates the interpreted
+      // size/array_distinct HOFs per exploded row — see
+      // RepetitionStats scaladoc). Every ratio is ONE double division
+      // of exactly-representable integer counts — bit-equal across
+      // engines, no rounding needed (hard rule 9's exact-arithmetic
+      // variant). Docs under 2 tokens have no 2-grams and are
+      // screened out (null stats) identically on both sides.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expressions.RepetitionStats(col("text"), lit(2)).as("r"))
+        .where(col("r").isNotNull)
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          ((col("r.mx") * 2).cast("double") / col("r.n_tokens").cast("double"))
+            .as("top2_frac"),
+          (col("r.dup").cast("double") / col("r.tot").cast("double"))
+            .as("dup2_frac"),
+          ((col("r.n_tokens") - col("r.n_dtoks")).cast("double")
+            / col("r.n_tokens").cast("double")).as("dup_tok_frac"))
+    }),
     "q91_unicode_planes" -> ((s, dir) => {
       // the supplementary-plane gate for the whole text family: the
       // corpus is deterministically salted with non-BMP code points
@@ -1110,6 +1137,76 @@ object SparkEntry {
       q.awaitTermination()
       graft.streaming.IngestPipeline.compact(s, out, "event_id",
         Seq("ts", "value"))
+    }),
+    "q93_stream_decontaminate" -> ((s, dir) => {
+      // INGEST-TIME DECONTAMINATION under the oracle, cross-gating
+      // streaming == batch: the q80 train slice arrives as a 2-batch
+      // stream, `startDecontaminate` screens each micro-batch against
+      // the broadcast eval shingle set, and the oracle is q80's SQL
+      // VERBATIM — a train doc's shingles all live in the batch it
+      // arrives in, so the appended per-batch answers union to the
+      // global batch answer exactly (operator scaladoc). The
+      // dropDuplicates is the documented at-least-once compaction
+      // step (duplicate appends are bit-identical rows).
+      val base = graft.streaming.IngestPipeline.scratchDecontamBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+      val train = docs.where(pmod(col("doc_id"), lit(97L)) =!= 0)
+        .select("doc_id", "text")
+      train.where(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      train.where(col("doc_id") >= 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.IngestPipeline.startDecontaminate(
+        graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+        docs.where(pmod(col("doc_id"), lit(97L)) === 0),
+        "doc_id", "text", k = 4, out, ckpt)
+      q.awaitTermination()
+      s.read.parquet(out).dropDuplicates("train_id", "eval_id")
+    }),
+    "q95_stream_bars" -> ((s, dir) => {
+      // STREAMING OHLC BARS under the oracle: `LiveBars` folds a
+      // 2-batch tick replay per (user, hour) bucket, emitting the
+      // RUNNING bar each batch (Append of amendments — the documented
+      // contract); `n` grows with every amendment, so keep-last ==
+      // max-by-n, and the final bars equal the batch OHLC DuckDB
+      // computes over the same arrival bytes. Ticks are pre-deduped
+      // per (user, ts) — with unique timestamps inside each bucket the
+      // open/close tie rules can't depend on batch boundaries (hard
+      // rule 4 applied to the stream).
+      val base = graft.streaming.LiveBars.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ticks = tbl(s, dir, "events").where(col("user_id") < 30)
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      ticks.where(dayofmonth(col("ts")) <= 15)
+        .coalesce(1).write.mode("append").parquet(in)
+      ticks.where(dayofmonth(col("ts")) > 15)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.LiveBars.bars(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "user_id", "ts", "value", widthMs = 3600000L)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).groupBy("key", "bucket")
+        .agg(max_by(
+          struct(col("open"), col("high"), col("low"), col("close"),
+            col("n")), col("n")).as("b"))
+        .select(col("key"), col("bucket").cast("timestamp_ntz").as("bucket"),
+          col("b.open").as("open"), col("b.high").as("high"),
+          col("b.low").as("low"), col("b.close").as("close"),
+          col("b.n").as("n"))
     }),
     "q89_stream_heavy_hitters" -> ((s, dir) => {
       // STREAMING FREQUENCY ANALYSIS under the oracle: the shard-
@@ -1346,6 +1443,21 @@ object SparkEntry {
     * `TextFunctions.trigramProfile` call the Spark broadcast side
     * uses, emitted as VALUES literals; same argmax + min(lang)
     * tiebreak + default-language fallback. */
+  /** q80's decontamination oracle — also q93's (the streaming replay
+    * screens the same train slice; per-batch union == batch answer).
+    * Same distinct 4-shingle explode on both sides, same %97 split. */
+  private def decontaminateSql: String =
+    s"""WITH toks AS ($toksCte),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(t) - 3),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+       |  FROM toks),
+       |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0)
+       |SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+       |FROM tr JOIN ev USING (s)
+       |GROUP BY train_id, eval_id""".stripMargin
+
   private def langIdNgramSql: String = {
     val values = TextFunctions.trigramProfile(langMarkers)
       .map { case (l, g) => s"('$l', '$g')" }.mkString(", ")
@@ -1848,6 +1960,20 @@ object SparkEntry {
          |  FROM arr)
          |SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS err
          |FROM t GROUP BY token""".stripMargin,
+    "q95_stream_bars" ->
+      // batch OHLC per (user, hour) from the same arrival bytes:
+      // unique ts per bucket makes min_by/max_by deterministic; no
+      // sums, so doubles are selection-exact (no rounding needed)
+      s"""WITH arr AS (SELECT * FROM
+         |    read_parquet('${graft.streaming.LiveBars.scratchBase}/in/*.parquet')),
+         |b AS (SELECT user_id::VARCHAR AS key,
+         |    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket,
+         |    ts, value
+         |  FROM arr)
+         |SELECT key, bucket, min_by(value, ts) AS open, max(value) AS high,
+         |  min(value) AS low, max_by(value, ts) AS close,
+         |  count(*)::BIGINT AS n
+         |FROM b GROUP BY key, bucket""".stripMargin,
     "q90_ivf_distributed" ->
       // q40's assignment/probe/re-rank SQL, with the coarse quantizer
       // read from the scratch centroids the distributed Lloyd pass
@@ -2316,18 +2442,29 @@ object SparkEntry {
          |  (s - tok_start)::BIGINT AS doc_off,
          |  (e - s)::BIGINT AS len
          |FROM sl""".stripMargin,
-    "q80_decontaminate" ->
-      // same distinct 4-shingle explode on both sides, same %97 split
+    "q94_repetition_signals" ->
+      // same non-distinct 2-gram explode; each ratio is one division
+      // of exact integer counts — no rounding on either engine
       s"""WITH toks AS ($toksCte),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(t) - 3),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
-         |  FROM toks),
-         |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0),
-         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0)
-         |SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
-         |FROM tr JOIN ev USING (s)
-         |GROUP BY train_id, eval_id""".stripMargin,
+         |g AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         |    len(list_distinct(t))::BIGINT AS n_dtoks,
+         |    unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |pg AS (SELECT doc_id, n_tokens, n_dtoks, g, count(*) AS c
+         |  FROM g GROUP BY doc_id, n_tokens, n_dtoks, g)
+         |SELECT doc_id, n_tokens,
+         |  (max(c) * 2)::DOUBLE / n_tokens::DOUBLE AS top2_frac,
+         |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+         |    / sum(c)::DOUBLE AS dup2_frac,
+         |  (n_tokens - n_dtoks)::DOUBLE / n_tokens::DOUBLE AS dup_tok_frac
+         |FROM pg GROUP BY doc_id, n_tokens, n_dtoks""".stripMargin,
+    "q80_decontaminate" -> decontaminateSql,
+    // q93 re-runs the SAME screen as a 2-batch stream over the same
+    // train docs — per-batch answers union to the batch answer exactly
+    // (each train doc's shingles arrive together), so the oracle is
+    // q80's SQL verbatim: streaming == batch, gated by the driver.
+    "q93_stream_decontaminate" -> decontaminateSql,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

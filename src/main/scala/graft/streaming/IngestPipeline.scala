@@ -31,6 +31,10 @@ object IngestPipeline {
     * a static string (same trade as `Tables.scratchPartitionedPath`). */
   val scratchIngestBase: String = "/tmp/graft_q88_ingest"
 
+  /** Fixed scratch base for q93's oracled streaming-decontamination
+    * replay — same fixed-path trade as [[scratchIngestBase]]. */
+  val scratchDecontamBase: String = "/tmp/graft_q93_decon"
+
   /** File-based micro-batch source of event rows (the test rig and the
     * bulk-load path share it; Kafka swaps in by changing the format). */
   def fileSource(spark: SparkSession, schema: StructType, inDir: String,

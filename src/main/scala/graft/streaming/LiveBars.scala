@@ -17,6 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object LiveBars {
 
+  /** Fixed scratch base for q95's oracled AvailableNow replay (`in/`,
+    * `out/`, `ckpt/` sub-dirs) — same fixed-path trade as q88. */
+  val scratchBase: String = "/tmp/graft_q95_bars"
+
   final case class Tick(key: String, ts: Timestamp, price: Double)
   final case class BarState(
       open: Double, high: Double, low: Double, close: Double,

@@ -167,6 +167,12 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"global sort would funnel the corpus:\n$p")
   }
 
+  test("q94 repetition signals are a zero-exchange codegen scan") {
+    val p = executedPlan("q94_repetition_signals")
+    assert(!p.contains("Exchange"), s"doc-local signal must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"native expression, not explode:\n$p")
+  }
+
   test("q92 bin slices add NO exchange beyond q79's shard window shuffle") {
     val p = executedPlan("q92_pack_bins")
     assert(p.split("Exchange hashpartitioning").length == 2,
