@@ -1010,6 +1010,35 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q96_near_dup_clusters" -> ((s, dir) => {
+      // PAIRS → CLUSTERS: the step every near-dup family feeds — q63's
+      // simhash pairs become dedup groups via distributed connected
+      // components (large-star/small-star contraction, O(log n) rounds
+      // at any diameter; see Components scaladoc), then every doc gets
+      // (cluster_id = component min, cluster_size, is_keeper) with
+      // singletons clustering to themselves. The fixpoint is unique,
+      // so the labeling is deterministic under any partitioning — what
+      // lets DuckDB re-derive it by recursive min-reachability over
+      // the same pair SQL.
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      val lab = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      // materialize BEFORE releasing the operator-owned caches (the
+      // label frame is a localCheckpoint — dropping its blocks while
+      // `out` is still lazy would strand the lineage)
+      val out = lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+        .localCheckpoint()
+      pairs.unpersist(); comp.unpersist()
+      out
+    }),
     "q94_repetition_signals" -> ((s, dir) => {
       // Gopher-style repetition quality filters (Rae et al. '21 §A1.1
       // — the standard web-corpus gibberish/boilerplate screens),
@@ -2442,6 +2471,27 @@ object SparkEntry {
          |  (s - tok_start)::BIGINT AS doc_off,
          |  (e - s)::BIGINT AS len
          |FROM sl""".stripMargin,
+    "q96_near_dup_clusters" ->
+      // components re-derived by recursive min-reachability over the
+      // SAME pair SQL as q63: reach accumulates (node, reachable node)
+      // pairs to a fixpoint (recursive UNION is distinct, so it
+      // terminates), cluster = min reachable; singletons label
+      // themselves via the LEFT join
+      s"""WITH RECURSIVE pairs AS ($simhash64PairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT u, u FROM e
+         |  UNION
+         |  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n),
+         |comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+         |sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
+         |  l.doc_id = l.cluster_id AS is_keeper
+         |FROM lab l JOIN sz USING (cluster_id)""".stripMargin,
     "q94_repetition_signals" ->
       // same non-distinct 2-gram explode; each ratio is one division
       // of exact integer counts — no rounding on either engine

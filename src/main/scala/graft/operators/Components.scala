@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering step that turns
+  * near-dup PAIRS (q25/q54/q63/q44 output) into dedup CLUSTERS, so a
+  * corpus pipeline can keep one canonical document per group of
+  * mutual near-duplicates (cluster id = the component's minimum doc
+  * id, the same keeper rule as q43's exact dedup).
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR contractions
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — each round is two {aggregate + join} passes over the
+  * edge set, and the edge set contracts toward one star per
+  * component in O(log n) rounds REGARDLESS of graph diameter. The
+  * obvious alternative (per-node min-label propagation) needs
+  * O(diameter) rounds — fine for the dense, tiny-diameter clusters
+  * banding produces, but a single long chain in a 100 TB corpus
+  * would stall it; star contraction is the shape that cannot.
+  *
+  * Both star steps are expressed as one neighbor-min aggregate joined
+  * back to the (symmetrized) edges — no collect_list of neighbor
+  * arrays, so a hub node with millions of neighbors costs a shuffle
+  * group, not an executor-memory array.
+  *
+  * The fixpoint (stars (v, min-of-component)) is UNIQUE, so results
+  * are deterministic under any partitioning or iteration overshoot —
+  * the property that lets the DuckDB oracle re-derive components by
+  * recursive min-reachability (q96).
+  *
+  * The operator is eager (driver-side iteration to a fixpoint,
+  * CLAUDE.md multi-consumer convention): each round's edge set is
+  * persisted MEMORY_AND_DISK, the previous round's unpersisted, and
+  * the returned label frame stays persisted (caller-owned).
+  */
+object Components {
+
+  /** Connected components over an edge list. Returns one row per
+    * node that appears in `edges`: (node, component), component =
+    * the minimum node id in the connected component. Nodes with no
+    * edges don't appear (LEFT-join + coalesce on the caller side —
+    * a doc with no near-dup pair is its own singleton cluster). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Each round MUST cut lineage (localCheckpoint), not merely cache:
+    // persisted-only iteration stacks the full join/agg plan per round
+    // and the analyzer/optimizer cost grows exponentially — the
+    // standard iterative-DataFrame trap (GraphFrames checkpoints the
+    // same way). localCheckpoint trades fault-tolerance of the
+    // intermediate for speed; on a production cluster with a
+    // checkpoint dir configured, swap for reliable checkpoint().
+    var e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // order-independent edge-set fingerprint: count + XOR of per-edge
+    // hashes (bit_xor never overflows, unlike a SUM under ANSI mode)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // small-star(u): over edges directed larger→smaller (v ≤ u):
+    //   m = min(N≤(u) ∪ {u}); emit (v, m) for v ∈ N≤(u) and (u, m).
+    // Both re-canonicalized (u < v, no self-loops, distinct).
+    def canon(df: DataFrame): DataFrame = df
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("u").as("n"), col("v").as("nb"))
+        .unionByName(cur.select(col("v").as("n"), col("u").as("nb")))
+      val mins = sym.groupBy("n").agg(min(col("nb")).as("mn"))
+        .select(col("n"), least(col("mn"), col("n")).as("m"))
+      canon(sym.join(mins, "n")
+        .where(col("nb") > col("n"))
+        .select(col("nb").as("x"), col("m").as("y")))
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // canonical (u < v): the larger endpoint is v, its ≤-neighbors
+      // are the u's — group by v
+      val mins = cur.groupBy("v").agg(min(col("u")).as("m"))
+      val leaves = cur.join(mins, "v")
+        .select(col("u").as("x"), col("m").as("y"))
+      val centers = mins.select(col("v").as("x"), col("m").as("y"))
+      canon(leaves.unionByName(centers))
+    }
+
+    var prev = checksum(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cs = checksum(next)
+      e.unpersist()
+      e = next
+      converged = cs == prev
+      prev = cs
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are stars (v, component-min): labels = leaves + centers
+    val labels = e.select(col("v").as("node"), col("u").as("component"))
+      .unionByName(e.select(col("u").as("node"), col("u").as("component")))
+      .distinct()
+      .localCheckpoint() // eager; also detaches from e's blocks
+    e.unpersist()
+    labels
+  }
+}
