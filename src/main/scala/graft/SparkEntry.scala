@@ -1010,6 +1010,57 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q98_pii_scrub" -> ((s, dir) => {
+      // the FULL PII cleanup pass a public-corpus release runs (q77's
+      // scrub + phone + IPv4 masks): deterministic dirtying on both
+      // engines, fixed mask order (email/URL before phone/IP — an URL
+      // carries digit runs the IP pattern would bite into), counts
+      // taken pre-masking on the normalized text (ints → long).
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("  Contact USER"), col("doc_id").cast("string"),
+            lit("@Example.COM now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call (555) 123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+            lit(" today"))).otherwise(lit("")))
+      val norm = lower(TextFunctions.nfc(raw))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.scrubPii(raw).as("clean"),
+        size(regexp_extract_all(norm, lit(TextFunctions.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(norm, lit(TextFunctions.Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"))
+    }),
+    "q97_domain_cap" -> ((s, dir) => {
+      // per-domain frequency-cap sampling — the C4/RefinedWeb-style
+      // guard against one host dominating the corpus: extract each
+      // doc's (injected, deterministic) URL host, count docs per
+      // domain, and keep at most 12 per domain chosen by md5 hash
+      // order (a deterministic "random" subsample both engines rank
+      // identically; doc_id tiebreak, hard rule 4). Two window
+      // functions over ONE domain exchange — no self-join (the q83
+      // keeper trick).
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" see https://h"), pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(".example.com/p?id="), col("doc_id").cast("string")))
+        .otherwise(lit(""))
+      val w = Window.partitionBy("domain")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(concat(col("text"), url),
+            "https?://([a-z0-9.-]+)", 1).as("domain"))
+        .where(col("domain") =!= "")
+        .withColumn("n_domain_docs", count(lit(1)).over(w).cast("long"))
+        .withColumn("rk", row_number().over(
+          w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .select(col("doc_id"), col("domain"), col("n_domain_docs"),
+          (col("rk") <= 12).as("kept"))
+    }),
     "q96_near_dup_clusters" -> ((s, dir) => {
       // PAIRS → CLUSTERS: the step every near-dup family feeds — q63's
       // simhash pairs become dedup groups via distributed connected
@@ -2471,6 +2522,52 @@ object SparkEntry {
          |  (s - tok_start)::BIGINT AS doc_off,
          |  (e - s)::BIGINT AS len
          |FROM sl""".stripMargin,
+    "q98_pii_scrub" ->
+      // same dirtying, same mask chain with the shared regex constants
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN '  Contact USER' || doc_id::VARCHAR || '@Example.COM now'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' call (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |         THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+         |           || ((doc_id * 7) % 256)::VARCHAR || ' today'
+         |         ELSE '' END AS raw
+         |  FROM documents),
+         |n AS (SELECT doc_id, lower(nfc_normalize(raw)) AS t FROM d)
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextFunctions.EmailRe}', '<email>', 'g'),
+         |    '${TextFunctions.UrlRe}', '<url>', 'g'),
+         |    '${TextFunctions.PhoneRe}', '<phone>', 'g'),
+         |    '${TextFunctions.Ipv4Re}', '<ip>', 'g'),
+         |    '\\s+', ' ', 'g')) AS clean,
+         |  len(regexp_extract_all(t, '${TextFunctions.PhoneRe}'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(t, '${TextFunctions.Ipv4Re}'))::BIGINT AS n_ips
+         |FROM n""".stripMargin,
+    "q97_domain_cap" ->
+      // same injected URLs, same host regex, same md5-order cap rank
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' see https://h' || (doc_id % 10)::VARCHAR
+        |           || '.example.com/p?id=' || doc_id::VARCHAR
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    regexp_extract(t, 'https?://([a-z0-9.-]+)', 1) AS domain
+        |  FROM d),
+        |r AS (SELECT doc_id, domain,
+        |    count(*) OVER (PARTITION BY domain) AS n_domain_docs,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM h WHERE domain <> '')
+        |SELECT doc_id, domain, n_domain_docs::BIGINT AS n_domain_docs,
+        |  rk <= 12 AS kept
+        |FROM r""".stripMargin,
     "q96_near_dup_clusters" ->
       // components re-derived by recursive min-reachability over the
       // SAME pair SQL as q63: reach accumulates (node, reachable node)

@@ -134,6 +134,13 @@ object TextFunctions {
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val UrlRe = "https?://[^\\s]+"
 
+  /** PII extension of the shared-regex set (q98): North-American-style
+    * phone numbers and IPv4 literals. Same Java-regex/RE2 common
+    * subset discipline; `\\b` word boundaries behave identically on
+    * digit/non-digit edges in both engines. */
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   /** Unicode NFC normalization (custom codegen expression — Spark has
     * no built-in; see [[graft.expressions.NfcNormalize]]). */
   def nfc(text: Column): Column = graft.expressions.NfcNormalize(text)
@@ -149,6 +156,21 @@ object TextFunctions {
       regexp_replace(
         regexp_replace(lower(nfc(text)), EmailRe, "<email>"),
         UrlRe, "<url>"),
+      "\\s+", " "))
+
+  /** [[scrub]] plus the PII masks (phone, IPv4) — the full cleanup a
+    * public-corpus release pipeline runs. Order matters and is fixed:
+    * email/URL first (an URL may contain digit runs an IP pattern
+    * would bite into), then phone, then IP, then whitespace collapse. */
+  def scrubPii(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(nfc(text)), EmailRe, "<email>"),
+            UrlRe, "<url>"),
+          PhoneRe, "<phone>"),
+        Ipv4Re, "<ip>"),
       "\\s+", " "))
 
   /** Composite quality score in [0,1]: length saturation, low

@@ -161,6 +161,18 @@ object ScaleProbe {
         d.where(pmod(col("doc_id"), lit(97L)) =!= 0),
         docsBase.where(pmod(col("doc_id"), lit(97L)) === 0),
         "doc_id", "text", k = 4).count()),
+      // q96's clustering: simhash pairs (within-replica by prefixing)
+      // → star-contraction components; rounds stay ~constant (cluster
+      // diameter doesn't grow with corpus), cost tracks edges+nodes
+      "components" -> { d =>
+        val pairs = graft.operators.Dedup.simhashNearDup64(
+          d, "doc_id", "text", maxHamming = 3)
+        val comp = graft.operators.Components.connectedComponents(
+          pairs, "doc_a", "doc_b")
+        val n = comp.count()
+        pairs.unpersist(); comp.unpersist()
+        n
+      },
       // q84's entropy shape: CharCounts histogram explode (one row per
       // DISTINCT char per doc) + two-phase agg — scan-bound, linear
       "entropy" -> (d => d

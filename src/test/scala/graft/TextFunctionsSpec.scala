@@ -25,6 +25,21 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L)._1 === "plain text")
   }
 
+  test("scrubPii masks phones and IPs after emails/URLs, in order") {
+    val got = Seq(
+      (1L, "Call (555) 123-4567 or mail A@B.COM from 10.0.12.7 ok"),
+      // the URL's digit runs must survive as <url>, not be bitten by
+      // the IP mask (mask-order contract)
+      (2L, "see https://x.io/1.2.3.4/p and 192.168.0.1"),
+      (3L, "no pii here"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.scrubPii(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "call <phone> or mail <email> from <ip> ok")
+    assert(got(2L) === "see <url> and <ip>")
+    assert(got(3L) === "no pii here")
+  }
+
   test("trigramProfile emits per-language sorted distinct trigrams") {
     val got = TextFunctions.trigramProfile(
       Map("en" -> Seq("order", "or"), "de" -> Seq("abcd")))
