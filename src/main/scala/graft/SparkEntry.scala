@@ -1010,6 +1010,21 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q99_bloom_decontaminate" -> ((s, dir) => {
+      // q80's decontamination in the TOO-BIG-TO-BROADCAST regime: a
+      // Bloom filter over the eval shingle hashes pre-filters the
+      // train explode before a SHUFFLE join (pinned sort-merge — the
+      // shape the operator models); the exact join kills the filter's
+      // false positives, so the answer is bit-equal to q80 and the
+      // oracle is the same SQL. The 100 TB claim under gate: the
+      // shuffle carries ~fpp × train shingles + true matches, never
+      // the whole explode, and the filter broadcasts at ANY eval size.
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.where(pmod(col("doc_id"), lit(97L)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97L)) === 0),
+        "doc_id", "text", k = 4)
+    }),
     "q98_pii_scrub" -> ((s, dir) => {
       // the FULL PII cleanup pass a public-corpus release runs (q77's
       // scrub + phone + IPv4 masks): deterministic dirtying on both
@@ -2612,6 +2627,10 @@ object SparkEntry {
     // (each train doc's shingles arrive together), so the oracle is
     // q80's SQL verbatim: streaming == batch, gated by the driver.
     "q93_stream_decontaminate" -> decontaminateSql,
+    // q99 is q80 with a Bloom pre-filter + shuffle join: false
+    // positives die in the exact join, so the answer — and the
+    // oracle — are identical. Bloom prefilter == exact, gated.
+    "q99_bloom_decontaminate" -> decontaminateSql,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

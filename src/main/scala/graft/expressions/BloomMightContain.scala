@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Bloom-filter membership probe as a codegen expression — the
+  * shuffle-side pre-filter for joins whose build side outgrows the
+  * broadcast budget (SCALE.md's ~7 M-doc bound for the
+  * decontamination eval set): the filter itself is KBs–MBs at any
+  * eval size, so it always broadcasts (shipped into generated code as
+  * a reference object), and it cuts the probe side to near-matches
+  * BEFORE the join's exchange. False positives are removed by the
+  * exact join that follows — results stay bit-equal to the
+  * broadcast-join formulation (q99 gates that against q80's oracle).
+  *
+  * Layout: `numBits = bits.length * 64` (power of two), probe hashes
+  * by Kirsch–Mitzenmacher double hashing (h1 + i·h2 over the 64-bit
+  * input hash) — deterministic, engine-independent, no per-row
+  * allocation. Input is the value's xxhash64 (build and probe sides
+  * must hash identically — [[BloomMightContain.build]] consumes the
+  * same hashes).
+  */
+case class BloomMightContain(child: Expression, bits: Array[Long],
+    numHashes: Int) extends UnaryExpression {
+
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    s"bits.length must be a power of two: ${bits.length}")
+  require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomMightContain.contains(bits, numHashes, input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.BloomMightContain.contains($ref, $numHashes, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // bits arrays are fat; keep equality by reference identity semantics
+  // out of trouble in plan comparison by comparing content
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomMightContain =>
+      b.child == child && b.numHashes == numHashes &&
+        java.util.Arrays.equals(b.bits, bits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + numHashes) + java.util.Arrays.hashCode(bits)
+}
+
+object BloomMightContain {
+
+  /** Build the bit array over pre-hashed items (xxhash64 values).
+    * `bitsPerItem` ≈ 16 gives fpp ≈ 4e-4 at optimal numHashes. */
+  def build(hashes: Iterator[Long], n: Long, bitsPerItem: Int = 16)
+      : (Array[Long], Int) = {
+    require(n > 0, "empty build side — skip the filter instead")
+    val targetBits = math.max(64L, n * bitsPerItem)
+    val words = java.lang.Long.highestOneBit(
+      math.max(1L, (targetBits + 63) / 64) * 2 - 1).toInt
+    val bits = new Array[Long](words)
+    val numHashes = math.max(1,
+      math.round(0.6931471805599453 * words * 64L / n).toInt)
+    hashes.foreach(h => add(bits, numHashes, h))
+    (bits, numHashes)
+  }
+
+  private def add(bits: Array[Long], numHashes: Int, hash: Long): Unit = {
+    val mask = bits.length * 64 - 1
+    val h1 = hash
+    val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L // odd, full-period
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h1 + i * h2) & mask.toLong).toInt
+      bits(idx >>> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  /** Called from interpreted eval and generated code. */
+  def contains(bits: Array[Long], numHashes: Int, hash: Long): Boolean = {
+    val mask = bits.length * 64 - 1
+    val h1 = hash
+    val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h1 + i * h2) & mask.toLong).toInt
+      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  import org.apache.spark.sql.graft.Bridge
+  def apply(hashCol: Column, bits: Array[Long], numHashes: Int): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(hashCol), bits, numHashes))
+}

