@@ -1010,6 +1010,19 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q100_bm25_retrieval" -> ((s, dir) => {
+      // sparse lexical retrieval — BM25 ranked search as an
+      // inverted-index posting-list join (Retrieval.bm25TopK): the
+      // corpus becomes (term, doc, tf) postings once, df rides a
+      // window over the same lineage, N/avgdl stay in-plan as a 1-row
+      // broadcast, and the (always small) query side broadcasts into
+      // a term equi-join. Doc-as-query retrieval here: every %101 doc
+      // searches for its 5 nearest neighbors by BM25, self excluded.
+      val docs = tbl(s, dir, "documents")
+      Retrieval.bm25TopK(
+        docs.where(pmod(col("doc_id"), lit(101L)) === 0), docs,
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q99_bloom_decontaminate" -> ((s, dir) => {
       // q80's decontamination in the TOO-BIG-TO-BROADCAST regime: a
       // Bloom filter over the eval shingle hashes pre-filters the
@@ -2631,6 +2644,31 @@ object SparkEntry {
     // positives die in the exact join, so the answer — and the
     // oracle — are identical. Bloom prefilter == exact, gated.
     "q99_bloom_decontaminate" -> decontaminateSql,
+    "q100_bm25_retrieval" ->
+      // same inverted-index derivation: postings + df + corpus stats
+      // from ONE tokenize, Lucene-variant idf, identical round(·,6)
+      // on the per-(query,cand) sum (rule 9), (score desc, cand_id)
+      // rank with rank <= 5; %101 docs as queries, self excluded.
+      s"""WITH toks AS ($toksCte),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
+         |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
+         |    unnest(t) AS term FROM toks),
+         |tfc AS (SELECT cand_id, term, dl, count(*) AS tf
+         |  FROM terms GROUP BY cand_id, term, dl),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+         |  FROM toks WHERE doc_id % 101 = 0),
+         |scored AS (SELECT query_id, cand_id,
+         |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
+         |  FROM tfc JOIN dfc USING (term) JOIN q USING (term), stats s
+         |  WHERE query_id <> cand_id
+         |  GROUP BY query_id, cand_id)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT query_id, cand_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

@@ -198,6 +198,16 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("q100 BM25 broadcasts the query side into the postings join") {
+    val p = executedPlan("q100_bm25_retrieval")
+    // query terms and the 1-row stats frame both arrive broadcast; the
+    // corpus postings frame is never on the build side of anything
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"postings join must not shuffle the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
+  }
+
   test("q94 repetition signals are a zero-exchange codegen scan") {
     val p = executedPlan("q94_repetition_signals")
     assert(!p.contains("Exchange"), s"doc-local signal must not shuffle:\n$p")

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 retrieval: exact scores vs a hand-rolled reference on a tiny
+  * corpus, plus the ranking-contract properties (k bound, tiebreak,
+  * self exclusion). */
+class RetrievalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the lazy dog"),
+    (3L, "quick quick fox jumps"),
+    (4L, "a dog barks at the fox"),
+    (5L, "lorem ipsum dolor")).toDF("doc_id", "text")
+
+  /** Reference BM25 (Lucene idf variant), straight from the formula. */
+  private def reference(query: String, k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Double] = {
+    val docs = Map(
+      1L -> "the quick brown fox", 2L -> "the lazy dog",
+      3L -> "quick quick fox jumps", 4L -> "a dog barks at the fox",
+      5L -> "lorem ipsum dolor").map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq
+    }
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val qTerms = query.split(" ").distinct
+    docs.flatMap { case (id, toks) =>
+      val score = qTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = docs.values.count(_.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+        }
+      }.sum
+      if (score > 0) Some(id -> math.rint(score * 1e6) / 1e6) else None
+    }
+  }
+
+  test("scores match the formula exactly on a tiny corpus") {
+    val queries = Seq((100L, "quick fox"), (200L, "lazy dog")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(queries, corpus, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = reference("quick fox").map { case (d, s) => (100L, d) -> s } ++
+      reference("lazy dog").map { case (d, s) => (200L, d) -> s }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (key, s) =>
+      assert(math.abs(got(key) - s) < 1e-9, s"$key: ${got(key)} vs $s")
+    }
+  }
+
+  test("rank is dense 1..min(k, matches) ordered by (score desc, id)") {
+    val queries = Seq((100L, "the fox")).toDF("doc_id", "text")
+    val rows = Retrieval.bm25TopK(queries, corpus, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(3)).toSeq === Seq(1L, 2L))
+    assert(rows(0).getDouble(2) >= rows(1).getDouble(2))
+  }
+
+  test("excludeSelf drops the query document before ranking") {
+    val got = Retrieval.bm25TopK(
+      corpus.where(col("doc_id") === 3), corpus,
+      "doc_id", "text", k = 5, excludeSelf = true).collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("repeated query terms count once") {
+    val q1 = Seq((1L, "fox")).toDF("doc_id", "text")
+    val q2 = Seq((1L, "fox fox fox")).toDF("doc_id", "text")
+    val a = Retrieval.bm25TopK(q1, corpus, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val b = Retrieval.bm25TopK(q2, corpus, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+}
