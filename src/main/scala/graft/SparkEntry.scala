@@ -1010,6 +1010,26 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q101_semdedup" -> ((s, dir) => {
+      // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): quantize the
+      // embedding space with the distributed Lloyd pass (bit-identical
+      // centroids under any partitioning), then within each cell drop
+      // every vector with a higher-priority cosine>=tau neighbor,
+      // priority = closest-to-centroid (tie: id). Centroids land in
+      // scratch parquet (own path — q101 never depends on q90), and
+      // DuckDB re-derives assignment, priorities and the dropped set
+      // from the same bytes — every float→double step exact, no
+      // rounding anywhere.
+      val path = Similarity.scratchSemCentroidsPath
+      val emb = tbl(s, dir, "embeddings")
+      val centroids = Similarity.quantizeDistributed(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3)
+      import s.implicits._
+      centroids.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Similarity.semDedup(emb, "vec_id", "embedding", centroids, tau = 0.3)
+    }),
     "q100_bm25_retrieval" -> ((s, dir) => {
       // sparse lexical retrieval — BM25 ranked search as an
       // inverted-index posting-list join (Retrieval.bm25TopK): the
@@ -2644,6 +2664,33 @@ object SparkEntry {
     // positives die in the exact join, so the answer — and the
     // oracle — are identical. Bloom prefilter == exact, gated.
     "q99_bloom_decontaminate" -> decontaminateSql,
+    "q101_semdedup" ->
+      // assignment re-derived from the scratch centroid bytes (q90's
+      // argmin shape, keeping d as the priority), then the dropped set
+      // = vectors with a higher-priority cosine>=0.3 neighbor in the
+      // same cell; all doubles bit-exact (index-order folds), the
+      // boolean falls out of a left join.
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cells AS (SELECT cell, cv::DOUBLE[] AS cv,
+         |    list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) AS c2
+         |  FROM read_parquet('${operators.Similarity.scratchSemCentroidsPath}/*.parquet')),
+         |dist AS (SELECT b.vec_id, c.cell,
+         |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+         |  FROM base b CROSS JOIN cells c),
+         |assign AS (SELECT vec_id, cell, d AS cd FROM (
+         |  SELECT vec_id, cell, d, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cell, a.cd, b.v,
+         |    sqrt(list_dot_product(b.v, b.v)) AS nrm
+         |  FROM assign a JOIN base b USING (vec_id)),
+         |dropped AS (SELECT DISTINCT y.vec_id
+         |  FROM m y JOIN m x ON y.cell = x.cell
+         |   AND (x.cd < y.cd OR (x.cd = y.cd AND x.vec_id < y.vec_id))
+         |   AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.3)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.cd,
+         |  d.vec_id IS NULL AS kept
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin,
     "q100_bm25_retrieval" ->
       // same inverted-index derivation: postings + df + corpus stats
       // from ONE tokenize, Lucene-variant idf, identical round(·,6)

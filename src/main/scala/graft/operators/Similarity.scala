@@ -278,21 +278,29 @@ object Similarity {
   /** [[ivfTopK]] with an externally-trained quantizer (e.g.
     * [[quantizeDistributed]]); the probe/re-rank machinery is identical
     * — centroids become plan literals either way. */
+  /** Per-cell `(d, cell)` structs for quantizer assignment: argmin
+    * ||v||²-2v.c+||c||² == argmin (||c||² - 2 v.c), ties → lowest cell
+    * id (struct compare is field-order lexicographic). Centroids are
+    * plan literals; ||c||² is folded in index order on the driver —
+    * the same double fold DuckDB's `list_dot_product(cv, cv)` runs, so
+    * oracles re-derive d bit-exactly. Shared by every quantizer
+    * consumer ([[ivfTopKWithCentroids]], [[semDedup]]). */
+  private[graft] def cellScores(vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]) =
+    centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((lit(c2) - lit(2.0) * graft.expressions.FloatDotProduct(
+        vec, typedLit(c))).as("d"), lit(j).as("cell"))
+    }
+
   def ivfTopKWithCentroids(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
-    // 2. cell assignment as an expression: argmin ||v||^2-2v.c+||c||^2
-    //    == argmin (||c||^2 - 2 v.c); ties -> lowest cell id
-    def cellScores(vec: org.apache.spark.sql.Column) =
-      centroids.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x.toDouble * x).sum
-        struct((lit(c2) - lit(2.0) * graft.expressions.FloatDotProduct(
-          vec, typedLit(c))).as("d"), lit(j).as("cell"))
-      }
+    // 2. cell assignment via the shared cellScores expression
     def nearestCell(vec: org.apache.spark.sql.Column) =
-      array_min(array(cellScores(vec): _*)).getField("cell")
+      array_min(array(cellScores(vec, centroids): _*)).getField("cell")
     def probeCells(vec: org.apache.spark.sql.Column, p: Int) =
-      transform(slice(array_sort(array(cellScores(vec): _*)), 1, p),
+      transform(slice(array_sort(array(cellScores(vec, centroids): _*)), 1, p),
         s => s.getField("cell"))
 
     val c = withNorm(candidates.select(col(idCol).as("cand_id"),
@@ -384,5 +392,58 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Fixed scratch path for q101's SemDeDup centroids — separate from
+    * [[scratchCentroidsPath]] so q101 never depends on q90 having run
+    * (catalog queries must be order-independent). */
+  val scratchSemCentroidsPath: String = "/tmp/graft_q101_centroids"
+
+  /** SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then drop every vector that has a near-duplicate
+    * (cosine >= `tau`) of HIGHER PRIORITY within its cluster, where
+    * priority = (distance to centroid asc, id asc) — the deterministic
+    * "keep the most central exemplar" rule. Comparisons never cross
+    * cluster walls (that is SemDeDup's approximation, and its cost
+    * bound: pairs are Σ cell² instead of n²).
+    *
+    * Output: one row per vector — `(vec_id, cell, cd, kept)` with `cd`
+    * the centroid distance surrogate ||c||²-2v·c (bit-exact across
+    * engines — same index-order double folds as q90, so the oracle
+    * needs no rounding).
+    *
+    * 100 TB shape: assignment is a codegen scan against centroid
+    * literals (the [[quantizeDistributed]] output — nCentroids ~
+    * sqrt(n) keeps cells balanced); the within-cell pair join shuffles
+    * both sides once on the cell id; the assignment lineage has three
+    * consumers (both join sides + the final label join), so it is
+    * persisted inside the operator and the result is materialized
+    * before release (CLAUDE.md eager-operator convention — the
+    * returned frame is checkpointed, caller need not manage caches).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], tau: Double): DataFrame = {
+    val assigned = withNorm(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("v")), "v", "nrm")
+      .withColumn("sc", array_min(array(cellScores(col("v"), centroids): _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("sc").getField("cell").cast("long").as("cell"),
+        col("sc").getField("d").as("cd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val u = assigned.select(col("cell"), col("vec_id").as("uid"),
+        col("v").as("uv"), col("nrm").as("un"), col("cd").as("ucd"))
+      val dropped = assigned.join(u, Seq("cell"))
+        .where(col("ucd") < col("cd") ||
+          (col("ucd") === col("cd") && col("uid") < col("vec_id")))
+        .where(dot(col("uv"), col("v")) / (col("un") * col("nrm")) >= tau)
+        .select("vec_id").distinct()
+      assigned
+        .join(dropped.withColumn("k0", lit(false)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("cd"),
+          coalesce(col("k0"), lit(true)).as("kept"))
+        .localCheckpoint() // materialize before releasing the cache
+    } finally assigned.unpersist()
   }
 }

@@ -198,6 +198,31 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("q101 semdedup assignment is codegen, pair join never cartesian") {
+    // operator materializes eagerly (checkpointed); audit the
+    // re-derived pre-checkpoint pipeline like the q99 guard
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    val centroids = graft.operators.Similarity.quantizeDistributed(
+      emb, "vec_id", "embedding", nCentroids = 16, iters = 3)
+    val assigned = graft.operators.Similarity.withNorm(
+        emb.select(col("vec_id"), col("embedding").as("v")), "v", "nrm")
+      .withColumn("sc", array_min(array(
+        graft.operators.Similarity.cellScores(col("v"), centroids): _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("sc").getField("cell").cast("long").as("cell"),
+        col("sc").getField("d").as("cd"))
+    val u = assigned.select(col("cell"), col("vec_id").as("uid"),
+      col("v").as("uv"), col("nrm").as("un"), col("cd").as("ucd"))
+    val p = assigned.join(u, Seq("cell"))
+      .where(col("ucd") < col("cd"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pair join must stay cell-local:\n${p.take(2000)}")
+    assert(!p.contains("BatchEval"),
+      s"assignment must stay in codegen, no python/UDF eval:\n${p.take(2000)}")
+  }
+
   test("q100 BM25 broadcasts the query side into the postings join") {
     val p = executedPlan("q100_bm25_retrieval")
     // query terms and the 1-row stats frame both arrive broadcast; the
