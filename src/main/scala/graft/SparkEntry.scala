@@ -1010,6 +1010,19 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q102_dsir_sampling" -> ((s, dir) => {
+      // DSIR importance sampling (Xie et al. 2023): raw docs scored by
+      // a hashed-bigram log-likelihood ratio against a target-domain
+      // sample (%13 docs), selection shard-parallel (md5 deal — a
+      // global rank would funnel the corpus through one partition).
+      // One hash exchange for the (doc,bucket) counts, the 256-row
+      // log-ratio table broadcasts, same md5 buckets on both engines.
+      val docs = tbl(s, dir, "documents")
+      Importance.dsirWeights(
+        docs.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(13L)) === 0),
+        "doc_id", "text")
+    }),
     "q101_semdedup" -> ((s, dir) => {
       // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): quantize the
       // embedding space with the distributed Lloyd pass (bit-identical
@@ -2664,6 +2677,46 @@ object SparkEntry {
     // positives die in the exact join, so the answer — and the
     // oracle — are identical. Bloom prefilter == exact, gated.
     "q99_bloom_decontaminate" -> decontaminateSql,
+    "q102_dsir_sampling" ->
+      // same hashed-bigram models: md5-slice buckets, Laplace-smoothed
+      // target/raw distributions over a 0..255 spine, identical
+      // round(·,4) on the per-doc log-ratio sum (rule 9), md5 shard
+      // deal + (weight desc, doc_id) ranks, selected = top quarter
+      // per shard under integer floor semantics.
+      s"""WITH toks AS ($toksCte),
+         |big AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+         |  FROM toks),
+         |b AS (SELECT doc_id,
+         |    ('0x' || substr(md5(s || ':dsir'), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM big),
+         |tgt AS (SELECT bucket, count(*) AS tc FROM b
+         |  WHERE doc_id % 13 = 0 GROUP BY bucket),
+         |rawc AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+         |  WHERE doc_id % 13 <> 0 GROUP BY doc_id, bucket),
+         |rb AS (SELECT bucket, sum(cnt) AS rc FROM rawc GROUP BY bucket),
+         |tots AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt)::DOUBLE AS ttot,
+         |    (SELECT coalesce(sum(rc), 0) FROM rb)::DOUBLE AS rtot),
+         |spine AS (SELECT unnest(generate_series(0, 255))::BIGINT AS bucket),
+         |lr AS (SELECT spine.bucket,
+         |    ln((coalesce(tc, 0) + 1.0) / (ttot + 256.0))
+         |      - ln((coalesce(rc, 0) + 1.0) / (rtot + 256.0)) AS lr
+         |  FROM spine LEFT JOIN tgt USING (bucket)
+         |    LEFT JOIN rb USING (bucket), tots),
+         |pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |    round(sum(cnt * lr), 4) AS weight
+         |  FROM rawc JOIN lr USING (bucket) GROUP BY doc_id),
+         |sh AS (SELECT doc_id, n_feats, weight,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':dsir:shard'), 1, 8))::BIGINT % 32 AS shard
+         |  FROM pd),
+         |rk AS (SELECT doc_id, n_feats, weight, shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY shard ORDER BY weight DESC, doc_id) AS BIGINT) AS shard_rank,
+         |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_n
+         |  FROM sh)
+         |SELECT doc_id, n_feats, weight, shard, shard_rank, shard_n,
+         |  shard_rank * 4 <= shard_n AS selected
+         |FROM rk""".stripMargin,
     "q101_semdedup" ->
       // assignment re-derived from the scratch centroid bytes (q90's
       // argmin shape, keeping d as the priority), then the dropped set

@@ -198,6 +198,28 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("q102 DSIR joins the log-ratio table broadcast, corpus never built") {
+    // eager operator — audit the re-derived weight pipeline: the
+    // (doc,bucket) counts frame joins a broadcast 256-row table and
+    // is never on the build side of anything
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val counts = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("s"))
+      .select(col("doc_id"),
+        graft.operators.Splits.hashShard(col("s"), "dsir", 256).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val lrTbl = spark.range(256).select(col("id").as("bucket"),
+      (col("id") * 0.01).as("lr"))
+    val p = counts.join(broadcast(lrTbl), "bucket")
+      .groupBy("doc_id").agg(round(sum(col("cnt") * col("lr")), 4).as("weight"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"log-ratio not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must never shuffle for the lr join:\n$p")
+  }
+
   test("q101 semdedup assignment is codegen, pair join never cartesian") {
     // operator materializes eagerly (checkpointed); audit the
     // re-derived pre-checkpoint pipeline like the q99 guard
