@@ -173,6 +173,23 @@ object ScaleProbe {
         pairs.unpersist(); comp.unpersist()
         n
       },
+      // q100's BM25 at FIXED query set (base %101 docs) vs growing
+      // corpus: the postings build is the linear term; replica token
+      // prefixing keeps match lists within-replica, so the broadcast
+      // query join must not pick up a corpus-sized term
+      "bm25" -> (d => graft.operators.Retrieval.bm25TopK(
+        docsBase.where(pmod(col("doc_id"), lit(101L)) === 0), d,
+        "doc_id", "text", k = 5).count()),
+      // q102's DSIR at FIXED target sample vs growing raw corpus: one
+      // (doc,bucket) hash exchange + broadcast 256-row model + 32-way
+      // shard windows — nothing may grow faster than the explode
+      "dsir" -> (d => {
+        val out = graft.operators.Importance.dsirWeights(
+          d.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+          docsBase.where(pmod(col("doc_id"), lit(13L)) === 0),
+          "doc_id", "text")
+        val n = out.count(); out.unpersist(); n
+      }),
       // q84's entropy shape: CharCounts histogram explode (one row per
       // DISTINCT char per doc) + two-phase agg — scan-bound, linear
       "entropy" -> (d => d
@@ -198,7 +215,26 @@ object ScaleProbe {
       // sample — wall must stay linear in corpus (the exact BigDecimal
       // fold is the dominant per-row cost, by design; see scaladoc)
       "quantize" -> (e => graft.operators.Similarity.quantizeDistributed(
-        e, "vec_id", "embedding", nCentroids = 16).length.toLong))
+        e, "vec_id", "embedding", nCentroids = 16).length.toLong),
+      // q101's SemDeDup under the DEPLOYMENT POLICY (fixed ~32-vector
+      // cell occupancy: nCentroids grows with the corpus, as SCALE.md
+      // prescribes) — cells stay constant-sized, so the within-cell
+      // pair join must track the corpus linearly; a fixed quantizer
+      // would measure the policy violation (cell² blowup), not the
+      // operator
+      "semdedup" -> (e => {
+        val total = e.count()
+        val nc = math.max(16, (total / 32L).toInt)
+        // training on a BOUNDED sample (~2000 vectors at any mult) —
+        // the 100 TB recipe; what remains and must be watched is the
+        // n×nc assignment term (see SCALE.md's two-level-routing note)
+        val cents = graft.operators.Similarity.quantizeDistributed(
+          e, "vec_id", "embedding", nCentroids = nc, iters = 3,
+          sampleOneIn = math.max(1, (total / 2000L).toInt))
+        val out = graft.operators.Similarity.semDedup(
+          e, "vec_id", "embedding", cents, tau = 0.3)
+        val n = out.count(); out.unpersist(); n
+      }))
 
     // resample family probes over SPAN-scaled events (grid rows grow
     // with span × keys — the one operator whose output can exceed its
