@@ -1010,6 +1010,32 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q104_gopher_rules" -> ((s, dir) => {
+      // Gopher rule-based quality gate (Rae et al. 2021): fixed-order
+      // rules with a per-doc quarantine reason; thresholds chosen to
+      // split this corpus on every rule. Zero-exchange codegen scan —
+      // exact integer/single-division arithmetic, no rounding.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.gopherRules(col("text"),
+          Seq("the", "a", "of", "to", "and"),
+          minTokens = 20L, maxTokens = 90L,
+          minMeanLen = 4.25, maxMeanLen = 4.75,
+          minStopHits = 2L, minDistinctRatio = 0.35).as("g"))
+        .select(col("doc_id"), col("g.n_tokens").as("n_tokens"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.distinct_ratio").as("distinct_ratio"),
+          col("g.reason").as("reason"),
+          (col("g.reason") === "pass").as("pass"))
+    }),
+    "q103_repeated_spans" -> ((s, dir) => {
+      // intra-corpus exact-substring dedup (Lee et al. 2022): 4-gram
+      // occurrences counted corpus-wide on ONE posexplode lineage
+      // (window over the shingle, q67 trick), positions of repeated
+      // 4-grams merged into maximal spans per doc via gaps-and-islands
+      // — two exchanges, no self-join, no suffix sort.
+      Dedup.repeatedSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 4)
+    }),
     "q102_dsir_sampling" -> ((s, dir) => {
       // DSIR importance sampling (Xie et al. 2023): raw docs scored by
       // a hashed-bigram log-likelihood ratio against a target-domain
@@ -2677,6 +2703,49 @@ object SparkEntry {
     // positives die in the exact join, so the answer — and the
     // oracle — are identical. Bloom prefilter == exact, gated.
     "q99_bloom_decontaminate" -> decontaminateSql,
+    "q104_gopher_rules" ->
+      // identical arithmetic: exact ints, two single divisions, same
+      // fixed rule order for the reason label.
+      s"""WITH toks AS ($toksCte),
+         |m AS (SELECT doc_id,
+         |    len(t)::BIGINT AS n_tokens,
+         |    len(array_to_string(t, ''))::DOUBLE / greatest(len(t), 1)::DOUBLE AS mean_word_len,
+         |    len(list_filter(t, x -> list_contains(['the','a','of','to','and'], x)))::BIGINT AS stop_hits,
+         |    len(list_distinct(t))::DOUBLE / greatest(len(t), 1)::DOUBLE AS distinct_ratio
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, mean_word_len, stop_hits, distinct_ratio,
+         |  CASE WHEN n_tokens < 20 OR n_tokens > 90 THEN 'word_count'
+         |       WHEN mean_word_len < 4.25 OR mean_word_len > 4.75 THEN 'word_length'
+         |       WHEN stop_hits < 2 THEN 'stopwords'
+         |       WHEN distinct_ratio < 0.35 THEN 'repetition'
+         |       ELSE 'pass' END AS reason,
+         |  (CASE WHEN n_tokens < 20 OR n_tokens > 90 THEN 'word_count'
+         |       WHEN mean_word_len < 4.25 OR mean_word_len > 4.75 THEN 'word_length'
+         |       WHEN stop_hits < 2 THEN 'stopwords'
+         |       WHEN distinct_ratio < 0.35 THEN 'repetition'
+         |       ELSE 'pass' END) = 'pass' AS pass
+         |FROM m""".stripMargin,
+    "q103_repeated_spans" ->
+      // same derivation: positional 4-grams, corpus-wide occurrence
+      // window, islands by pos - row_number; end_tok = last marked
+      // position + 3 (the k-1 tail of the final shingle).
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 3),
+         |    i -> struct_pack(pos := i,
+         |      s := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS e
+         |  FROM toks),
+         |p AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sh),
+         |m AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS occ FROM p)
+         |  WHERE occ > 1),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM m)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |  CAST(max(pos) + 3 AS BIGINT) AS end_tok,
+         |  count(*)::BIGINT AS n_dup_shingles
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q102_dsir_sampling" ->
       // same hashed-bigram models: md5-slice buckets, Laplace-smoothed
       // target/raw distributions over a 0..255 spine, identical

@@ -173,6 +173,39 @@ object TextFunctions {
         Ipv4Re, "<ip>"),
       "\\s+", " "))
 
+  /** Gopher-style quality-rule gate (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A — the rule-based filter every
+    * corpus release runs before model-based scoring): token-count
+    * bounds, mean-word-length bounds, minimum stopword evidence,
+    * minimum vocabulary diversity. `reason` is the FIRST failing rule
+    * in that fixed order ('pass' when all hold) — the quarantine
+    * label a release pipeline reports per rejected doc.
+    *
+    * All arithmetic is exact-integer or a single IEEE division
+    * (mean_word_len = len(array_join(toks,""))/n — total token chars
+    * without a non-codegen fold), so both engines compare thresholds
+    * on identical doubles: no rounding, and the struct stays inside
+    * whole-stage codegen. */
+  def gopherRules(text: Column, stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long,
+      minMeanLen: Double, maxMeanLen: Double,
+      minStopHits: Long, minDistinctRatio: Double): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val nSafe = greatest(n, lit(1L)).cast("double")
+    val meanLen = length(array_join(toks, "")).cast("double") / nSafe
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val dRatio = size(array_distinct(toks)).cast("double") / nSafe
+    val reason = when(n < minTokens || n > maxTokens, "word_count")
+      .when(meanLen < minMeanLen || meanLen > maxMeanLen, "word_length")
+      .when(stopHits < minStopHits, "stopwords")
+      .when(dRatio < minDistinctRatio, "repetition")
+      .otherwise("pass")
+    struct(n.as("n_tokens"), meanLen.as("mean_word_len"),
+      stopHits.as("stop_hits"), dRatio.as("distinct_ratio"),
+      reason.as("reason"))
+  }
+
   /** Composite quality score in [0,1]: length saturation, low
     * punctuation, vocabulary diversity. Weights fixed; oracle mirrors
     * the same arithmetic. */

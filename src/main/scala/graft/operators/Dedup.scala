@@ -466,6 +466,45 @@ object Dedup {
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
 
+  /** REPEATED-SPAN DETECTION — intra-corpus exact-substring dedup in
+    * the sense of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), re-expressed for a
+    * distributed pass: a token k-gram occurring MORE THAN ONCE in the
+    * corpus (within- or cross-document) marks all its occurrences, and
+    * runs of marked positions merge into maximal per-document spans
+    * (gaps-and-islands) — the deletable boilerplate. Suffix-array
+    * maximality is approximated at k-gram granularity: every k-window
+    * of a reported span repeats SOMEWHERE, though the span need not
+    * repeat contiguously — the standard bound a distributed pass
+    * computes without a global suffix sort.
+    *
+    * Output: `(doc_id, start_tok, end_tok, n_dup_shingles)`, 1-based
+    * inclusive token positions (span covers end_tok-start_tok+1
+    * tokens; a span of exactly k tokens is one duplicated k-gram).
+    *
+    * 100 TB shape: ONE posexplode lineage — occurrence counts ride a
+    * window over the shingle key (the q67 df trick: groupBy+join
+    * would re-run the explode subtree), the islands merge is a second
+    * window over (doc, pos). Two exchanges total, no self-join. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val marked = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("p0", "s")))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("s")))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), (col("p0") + 1).as("pos"))
+    val islands = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("grp", col("pos") - row_number().over(islands))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + lit(k - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_dup_shingles"))
+      .select("doc_id", "start_tok", "end_tok", "n_dup_shingles")
+  }
+
   /** [[decontaminate]] for the regime where the eval shingle frame is
     * too big to broadcast (SCALE.md bounds it at ~7 M docs): a Bloom
     * filter over the eval shingle hashes — KBs–MBs at ANY eval size —

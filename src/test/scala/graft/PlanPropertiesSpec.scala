@@ -198,6 +198,20 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("q103 repeated spans: two window exchanges, never a self-join") {
+    val p = executedPlan("q103_repeated_spans")
+    assert(!p.contains("Join"), s"one-lineage window formulation only:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (shingle + doc windows):\n$p")
+  }
+
+  test("q104 gopher rules are a zero-exchange codegen scan") {
+    val p = executedPlan("q104_gopher_rules")
+    assert(!p.contains("Exchange"), s"doc-local rules must not shuffle:\n$p")
+    // this toString renders whole-stage-codegen stages as "*(n)"
+    assert(p.contains("*("), s"rules must stay codegen:\n$p")
+  }
+
   test("q102 DSIR joins the log-ratio table broadcast, corpus never built") {
     // eager operator — audit the re-derived weight pipeline: the
     // (doc,bucket) counts frame joins a broadcast 256-row table and

@@ -40,6 +40,37 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) === "no pii here")
   }
 
+  test("gopherRules fires each rule and reports the FIRST failure") {
+    import spark.implicits._
+    def run(docs: Seq[(Long, String)]) = docs.toDF("id", "t")
+      .select(col("id"), TextFunctions.gopherRules(col("t"),
+        Seq("the", "a"), minTokens = 3L, maxTokens = 8L,
+        minMeanLen = 2.0, maxMeanLen = 5.0,
+        minStopHits = 1L, minDistinctRatio = 0.5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val got = run(Seq(
+      (1L, "the cat sat on mat"),            // all rules hold
+      (2L, "too short"),                     // word_count (2 < 3)
+      (3L, "the xx yy zz aa bb cc dd ee"),   // word_count (9 > 8)
+      (4L, "a b c d"),                       // word_length (1.0 < 2.0)
+      (5L, "cat dog bird fish"),             // stopwords (0 hits)
+      (6L, "the cat cat cat cat cat"),       // repetition (2/6 < 0.5)
+      // word_count fails AND stopwords fails -> first rule wins
+      (7L, "xx yy")))
+    assert(got(1L).getAs[String]("reason") === "pass")
+    assert(got(2L).getAs[String]("reason") === "word_count")
+    assert(got(3L).getAs[String]("reason") === "word_count")
+    assert(got(4L).getAs[String]("reason") === "word_length")
+    assert(got(5L).getAs[String]("reason") === "stopwords")
+    assert(got(6L).getAs[String]("reason") === "repetition")
+    assert(got(7L).getAs[String]("reason") === "word_count")
+    // measures are exact: 5 tokens, (3+3+3+2+3)/5 chars, 1 stop hit
+    assert(got(1L).getAs[Long]("n_tokens") === 5L)
+    assert(got(1L).getAs[Double]("mean_word_len") === 14.0 / 5.0)
+    assert(got(1L).getAs[Long]("stop_hits") === 1L)
+    assert(got(1L).getAs[Double]("distinct_ratio") === 1.0)
+  }
+
   test("trigramProfile emits per-language sorted distinct trigrams") {
     val got = TextFunctions.trigramProfile(
       Map("en" -> Seq("order", "or"), "de" -> Seq("abcd")))
