@@ -173,6 +173,11 @@ object ScaleProbe {
         pairs.unpersist(); comp.unpersist()
         n
       },
+      // q103's repeated spans: corpus-wide 4-gram occurrence window +
+      // islands merge — replica prefixing keeps repeats within-replica
+      // so marked positions (and spans) grow linearly with the corpus
+      "spans" -> (d => graft.operators.Dedup.repeatedSpans(
+        d, "doc_id", "text", k = 4).count()),
       // q100's BM25 at FIXED query set (base %101 docs) vs growing
       // corpus: the postings build is the linear term; replica token
       // prefixing keeps match lists within-replica, so the broadcast
