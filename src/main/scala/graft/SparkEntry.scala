@@ -1010,6 +1010,19 @@ object SparkEntry {
             + lit(0.0)).as("entropy"))
         .select("doc_id", "n_distinct_chars", "entropy")
     }),
+    "q105_ccnet_perplexity" -> ((s, dir) => {
+      // CCNet perplexity filter (Wenzek et al. 2020): docs scored by
+      // log-perplexity under a hashed-bigram LM trained on the target
+      // slice (%13 docs), then head/middle/tail terciles computed
+      // SHARD-PARALLEL (a global ntile would funnel the corpus through
+      // one ranking partition). One hash exchange for (doc,bucket)
+      // counts, the 256-row LM broadcasts, integer tercile math.
+      val docs = tbl(s, dir, "documents")
+      Importance.ccnetPerplexity(
+        docs.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(13L)) === 0),
+        "doc_id", "text")
+    }),
     "q104_gopher_rules" -> ((s, dir) => {
       // Gopher rule-based quality gate (Rae et al. 2021): fixed-order
       // rules with a per-doc quarantine reason; thresholds chosen to
@@ -2703,6 +2716,48 @@ object SparkEntry {
     // positives die in the exact join, so the answer — and the
     // oracle — are identical. Bloom prefilter == exact, gated.
     "q99_bloom_decontaminate" -> decontaminateSql,
+    "q105_ccnet_perplexity" ->
+      // same hashed-bigram target LM (md5 buckets, Laplace smoothing
+      // over a 0..255 spine), identical round(·,4) on the per-doc nll
+      // sum (rule 9) so the log_ppl division sees identical operands —
+      // and NO round after the division (its exact decimal half-ties,
+      // e.g. 215.7653/40, break round-half parity; the raw quotient is
+      // bit-identical by IEEE). md5 shard deal, explicit integer
+      // tercile arithmetic (no ntile remainder conventions to match).
+      s"""WITH toks AS ($toksCte),
+         |big AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+         |  FROM toks),
+         |b AS (SELECT doc_id,
+         |    ('0x' || substr(md5(s || ':ccnet'), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM big),
+         |tgt AS (SELECT bucket, count(*) AS tc FROM b
+         |  WHERE doc_id % 13 = 0 GROUP BY bucket),
+         |tots AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tgt)::DOUBLE AS ttot),
+         |spine AS (SELECT unnest(generate_series(0, 255))::BIGINT AS bucket),
+         |lm AS (SELECT spine.bucket,
+         |    ln((coalesce(tc, 0) + 1.0) / (ttot + 256.0)) AS lnp
+         |  FROM spine LEFT JOIN tgt USING (bucket), tots),
+         |rawc AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+         |  WHERE doc_id % 13 <> 0 GROUP BY doc_id, bucket),
+         |pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |    round(-sum(cnt * lnp), 4) AS nll
+         |  FROM rawc JOIN lm USING (bucket) GROUP BY doc_id),
+         |p2 AS (SELECT doc_id, n_feats, nll, nll / n_feats AS log_ppl
+         |  FROM pd),
+         |sh AS (SELECT doc_id, n_feats, nll, log_ppl,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':ccnet:shard'), 1, 8))::BIGINT % 32 AS shard
+         |  FROM p2),
+         |rk AS (SELECT doc_id, n_feats, nll, log_ppl, shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY shard ORDER BY log_ppl, doc_id) AS BIGINT) AS shard_rank,
+         |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_n
+         |  FROM sh)
+         |SELECT doc_id, n_feats, nll, log_ppl, shard, shard_rank, shard_n,
+         |  CAST((shard_rank - 1) * 3 // shard_n + 1 AS BIGINT) AS tercile,
+         |  CASE (shard_rank - 1) * 3 // shard_n + 1
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+         |FROM rk""".stripMargin,
     "q104_gopher_rules" ->
       // identical arithmetic: exact ints, two single divisions, same
       // fixed rule order for the reason label.

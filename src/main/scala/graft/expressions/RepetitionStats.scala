@@ -38,6 +38,12 @@ case class RepetitionStats(left: Expression, right: Expression)
 
   override def dataType: DataType = RepetitionStats.schema
   override def nullIntolerant: Boolean = true
+  // null for docs with fewer than k tokens EVEN when inputs are
+  // non-null — without this override, non-nullable children make
+  // nullSafeCodeGen skip the isNull declaration our template assigns
+  // (Janino "isNull_1 is not an rvalue" → silent interpreter fallback)
+  // and the plan wrongly advertises a non-nullable output.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(text: Any, kAny: Any): Any =
     RepetitionStats.stats(text.asInstanceOf[UTF8String],

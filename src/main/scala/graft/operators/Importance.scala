@@ -88,4 +88,75 @@ object Importance {
         .localCheckpoint() // materialize before releasing the cache
     } finally rawCounts.unpersist()
   }
+
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document by its perplexity under a
+    * language model trained on a high-quality target sample, then split
+    * the corpus into head / middle / tail terciles — the published
+    * recipe for grading web text by LM fit before pretraining.
+    *
+    * The KenLM 5-gram model of the paper is replaced by the same
+    * engine-portable hashed-bigram unigram-over-buckets model as
+    * [[dsirWeights]] (Laplace-smoothed target distribution only — CCNet
+    * scores against the quality model alone, there is no raw-side
+    * model). A document's `nll` is `−Σ count(doc, b) · ln p_target(b)`,
+    * rounded at 4 (hard rule 9: double sum merged in partition order);
+    * `log_ppl = nll / n_feats` is the length-normalized log-perplexity,
+    * deliberately NOT re-rounded: a single IEEE division of identical
+    * operands is already bit-deterministic across engines, whereas
+    * rounding it would hit exact decimal half-boundaries (nll has 4
+    * decimals, n_feats divides powers of 10 often) where the engines'
+    * tie-breaking differs.
+    *
+    * Terciles are SHARD-PARALLEL, like [[dsirWeights]]'s selection: a
+    * global `ntile(3)` would funnel the corpus through one ranking
+    * partition, and at corpus cardinalities the within-shard tercile
+    * boundary converges to the global one. The tercile is explicit
+    * integer arithmetic over (rank, shard size) — `(rank−1)·3 div n +
+    * 1` — rather than `ntile`, so both engines agree by construction
+    * instead of by matching ntile remainder conventions.
+    *
+    * 100 TB shape: one hash exchange for the per-(doc, bucket) counts
+    * (partial aggs map-side), the `nBuckets`-row LM always broadcasts,
+    * and the ranking window shuffles per-doc rows once on the shard
+    * key. Documents with fewer than two tokens carry no bigrams and
+    * are absent from the output (same on both engines). */
+  def ccnetPerplexity(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 256, salt: String = "ccnet",
+      nShards: Int = 32): DataFrame = {
+    require(nBuckets >= 2 && nShards >= 1,
+      s"bad config: nBuckets=$nBuckets nShards=$nShards")
+    val spark = raw.sparkSession
+    def buckets(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("s"))
+      .select(col("doc_id"), Splits.hashShard(col("s"), salt, nBuckets).as("bucket"))
+    val tCounts = buckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val tTot = tCounts.agg(coalesce(sum("tc"), lit(0L)).cast("double").as("ttot"))
+    val smooth = lit(nBuckets.toDouble)
+    val lm = spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(tCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("ttot") + smooth))
+          .as("lnp"))
+    val perDoc = buckets(raw)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lm), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_feats"),
+        round(-sum(col("cnt") * col("lnp")), 4).as("nll"))
+      .withColumn("log_ppl", col("nll") / col("n_feats"))
+    val rankW = Window.partitionBy("shard").orderBy(col("log_ppl"), col("doc_id"))
+    perDoc
+      .withColumn("shard", Splits.hashShard(col("doc_id"), salt + ":shard", nShards))
+      .withColumn("shard_rank", row_number().over(rankW).cast("long"))
+      .withColumn("shard_n",
+        count(lit(1)).over(Window.partitionBy("shard")).cast("long"))
+      .withColumn("tercile",
+        expr("(shard_rank - 1) * 3 div shard_n + 1").cast("long"))
+      .withColumn("band",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+  }
 }

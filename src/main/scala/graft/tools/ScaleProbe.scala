@@ -195,6 +195,13 @@ object ScaleProbe {
           "doc_id", "text")
         val n = out.count(); out.unpersist(); n
       }),
+      // q105's CCNet filter at FIXED target sample vs growing raw
+      // corpus: same (doc,bucket) explode as dsir plus the tercile
+      // shard windows — must track the dsir trend (no extra exchange)
+      "ccnet" -> (d => graft.operators.Importance.ccnetPerplexity(
+        d.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+        docsBase.where(pmod(col("doc_id"), lit(13L)) === 0),
+        "doc_id", "text").count()),
       // q84's entropy shape: CharCounts histogram explode (one row per
       // DISTINCT char per doc) + two-phase agg — scan-bound, linear
       "entropy" -> (d => d

@@ -72,6 +72,55 @@ class ImportanceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ccnet: target-like documents get lower perplexity") {
+    val out = Importance.ccnetPerplexity(raw, target, "doc_id", "text",
+      nBuckets = 64, nShards = 1)
+    val p = out.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val physP = physics.indices.map(i => p(i.toLong))
+    val cookP = cooking.indices.map(i => p(100L + i))
+    // lower log-perplexity = better fit to the target LM
+    assert(physP.sum / physP.size < cookP.sum / cookP.size,
+      s"physics docs must have lower mean log_ppl: $physP vs $cookP")
+    assert(physP.min < cookP.min, s"best-fit doc not target-like: $physP vs $cookP")
+  }
+
+  test("ccnet: terciles are contiguous rank bands with integer-floor sizes") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val out = Importance.ccnetPerplexity(
+      docs.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(13L)) === 0),
+      "doc_id", "text")
+    val rows = out.select("shard", "shard_rank", "shard_n", "tercile", "band")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+      val n = rs.head.getLong(2)
+      assert(rs.length.toLong == n, s"shard_n wrong in shard $shard")
+      rs.foreach { r =>
+        val expected = (r.getLong(1) - 1) * 3 / n + 1
+        assert(r.getLong(3) == expected, s"tercile wrong in shard $shard: $r")
+        val band = Seq("head", "middle", "tail")(expected.toInt - 1)
+        assert(r.getString(4) == band, s"band wrong in shard $shard: $r")
+      }
+      // contiguity: max rank of tercile t < min rank of tercile t+1
+      val byT = rs.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(1)))
+      byT.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(byT(a).max < byT(b).min)
+        case _ =>
+      }
+    }
+  }
+
+  test("ccnet: scores and bands are stable under repartitioning") {
+    val a = Importance.ccnetPerplexity(raw, target, "doc_id", "text",
+      nBuckets = 64, nShards = 2)
+    val b = Importance.ccnetPerplexity(raw.repartition(7), target.repartition(3),
+      "doc_id", "text", nBuckets = 64, nShards = 2)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(8))).toMap
+    assert(m(a) === m(b))
+  }
+
   test("weights are stable under repartitioning") {
     val a = Importance.dsirWeights(raw, target, "doc_id", "text",
       nBuckets = 64, nShards = 2)
