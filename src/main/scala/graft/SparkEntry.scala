@@ -214,6 +214,24 @@ object SparkEntry {
         .limit(100)
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
+    "q106_uid_decode" -> ((s, dir) => {
+      // the FULL UID lifecycle under one oracle (SURVEY §2 J2/A-row
+      // upgrade): build a dictionary from half the corpus, extend it
+      // with the rest (existing ids immutable, new ids dense after the
+      // old max — the reference's no-renumber guarantee), encode the
+      // facts, aggregate per uid, then REVERSE-decode the uid-only
+      // aggregate back to names. Dict always broadcasts (tiny dim);
+      // the fact side is never shuffled by the joins.
+      val ev = tbl(s, dir, "events")
+      val dict = UidDictionary.extend(
+        UidDictionary.build(ev.where(pmod(col("user_id"), lit(2L)) === 0),
+          "event_type"),
+        ev.where(pmod(col("user_id"), lit(2L)) =!= 0), "event_type")
+      val agg = UidDictionary.encode(ev, dict, "event_type", "uid")
+        .groupBy("uid").agg(count(lit(1)).as("n"))
+      UidDictionary.decode(agg, dict, "uid", "event_type_name")
+        .select("uid", "event_type_name", "n")
+    }),
     // ── corpus pipeline: text analysis ──────────────────────────────
     "q20_token_stats" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -927,6 +945,44 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q108_realized_vol" -> ((s, dir) => {
+      // realized volatility per (user, day): sqrt of the sum of
+      // squared log returns over consecutive observations (realized
+      // variance, Andersen & Bollerslev 1998). ln is last-ulp noisy
+      // across engines and the sum merges in partition order → round
+      // the VARIANCE at 4 (rule 9); sqrt of the pinned sum is then
+      // one deterministic IEEE op. One window exchange + map-side
+      // partial agg; zero-value prints (6 rows at sf0.1) are dropped
+      // before the log on both engines.
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .where(col("value") > 0)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("prev", lag("value", 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("r", log(col("value") / col("prev")))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_ret"),
+          round(sum(col("r") * col("r")), 4).as("realized_var"))
+        .withColumn("realized_vol", sqrt(col("realized_var")))
+    }),
+    "q109_max_drawdown" -> ((s, dir) => {
+      // maximum drawdown per user: running peak via cumulative-max
+      // window, per-row drawdown = value/peak − 1 (exact parquet
+      // doubles through one IEEE division — bit-identical on both
+      // engines), max drawdown = min over those (order-free; no
+      // rounding anywhere). One window exchange reused by the agg.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .where(col("value") > 0)
+        .withColumn("peak", max("value").over(w))
+        .withColumn("dd", col("value") / col("peak") - lit(1.0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"), max("value").as("high"),
+          min(col("dd")).as("max_drawdown"))
+    }),
     "q87_twap" -> ((s, dir) => {
       // TWAP per (user, day) — q31's sibling with TIME weights: each
       // observation weighted by how long it remained current (seconds
@@ -1081,6 +1137,24 @@ object SparkEntry {
         .toDF("cell", "cv")
         .coalesce(1).write.mode("overwrite").parquet(path)
       Similarity.semDedup(emb, "vec_id", "embedding", centroids, tau = 0.3)
+    }),
+    "q107_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval (sparse + dense): BM25 top-20 and cosine
+      // top-20 for the same %101 queries, fused by Reciprocal Rank
+      // Fusion (Retrieval.rrfFuse). The fusion never touches the
+      // corpus — it joins two ≤ q·k rank frames and re-ranks; every
+      // score term is 1/(60+rank), bit-deterministic unrounded.
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val bm = Retrieval.bm25TopK(
+        docs.where(pmod(col("doc_id"), lit(101L)) === 0), docs,
+        "doc_id", "text", k = 20, excludeSelf = true)
+      val cos = Similarity.cosineTopK(
+        emb.where(pmod(col("vec_id"), lit(101L)) === 0), emb,
+        "vec_id", "embedding", k = 20)
+      Retrieval.rrfFuse(Seq(
+        bm.select("query_id", "cand_id", "rank"),
+        cos.select("query_id", "cand_id", "rank")), k = 10)
     }),
     "q100_bm25_retrieval" -> ((s, dir) => {
       // sparse lexical retrieval — BM25 ranked search as an
@@ -1347,6 +1421,42 @@ object SparkEntry {
         "doc_id", "text", k = 4, out, ckpt)
       q.awaitTermination()
       s.read.parquet(out).dropDuplicates("train_id", "eval_id")
+    }),
+    "q110_stream_gaps" -> ((s, dir) => {
+      // STATEFUL GAP MONITOR under the oracle (SURVEY §2 T4): a
+      // 2-batch AvailableNow replay of the tick stream through
+      // GapMonitor.monitor — per-key state carries the last event
+      // time ACROSS the batch boundary, so the union of emitted gaps
+      // equals the batch lag-over-(ts, key) computation DuckDB runs
+      // on the same parquet bytes (batch 2's events are all later
+      // than batch 1's, so batch-transparency is exact, and the
+      // emitted timestamps are millisecond-floored — Timestamp
+      // .getTime — which the oracle mirrors with epoch_ms).
+      val base = graft.streaming.GapMonitor.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events").where(col("user_id") < 20)
+        .select("user_id", "ts")
+      ev.where(dayofmonth(col("ts")) <= 15)
+        .coalesce(1).write.mode("append").parquet(in)
+      ev.where(dayofmonth(col("ts")) > 15)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.GapMonitor.monitor(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "user_id", "ts", gapMs = 7200000L)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).select(col("key"),
+        col("prevTs").cast("timestamp_ntz").as("prev_ts"),
+        col("curTs").cast("timestamp_ntz").as("cur_ts"),
+        col("gapMs").as("gap_ms"))
     }),
     "q95_stream_bars" -> ((s, dir) => {
       // STREAMING OHLC BARS under the oracle: `LiveBars` folds a
@@ -1916,6 +2026,25 @@ object SparkEntry {
     "q30_sorted_limit" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+    "q106_uid_decode" ->
+      // same two-phase allocation: row_number over sorted distinct
+      // names (unique tiebreak by construction), fresh ids offset by
+      // the base max, anti-join keeps base ids immutable; decode is a
+      // left join back from the uid-only aggregate.
+      """WITH base AS (SELECT DISTINCT event_type AS name FROM events
+        |  WHERE user_id % 2 = 0),
+        |d0 AS (SELECT name, row_number() OVER (ORDER BY name) AS uid FROM base),
+        |mx AS (SELECT coalesce(max(uid), 0) AS m FROM d0),
+        |fresh AS (SELECT name, row_number() OVER (ORDER BY name) + m AS uid
+        |  FROM (SELECT DISTINCT event_type AS name FROM events
+        |        WHERE user_id % 2 <> 0
+        |          AND event_type NOT IN (SELECT name FROM base)), mx),
+        |dict AS (SELECT name, uid FROM d0 UNION ALL SELECT name, uid FROM fresh),
+        |agg AS (SELECT d.uid AS uid, count(*) AS n
+        |  FROM events e JOIN dict d ON e.event_type = d.name
+        |  GROUP BY d.uid)
+        |SELECT a.uid, d.name AS event_type_name, a.n
+        |FROM agg a LEFT JOIN dict d USING (uid)""".stripMargin,
     "q20_token_stats" ->
       s"""WITH toks AS ($toksCte)
          |SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
@@ -2027,6 +2156,29 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q108_realized_vol" ->
+      // same lag window with the event_id tiebreak, same round-then-
+      // sqrt sequence (the rounded variance pins the sqrt input)
+      """WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    ln(value / lag(value) OVER (
+        |      PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id)) AS r
+        |  FROM events WHERE value > 0)
+        |SELECT user_id, day, count(*)::BIGINT AS n_ret,
+        |  round(sum(r * r), 4) AS realized_var,
+        |  sqrt(round(sum(r * r), 4)) AS realized_vol
+        |FROM r WHERE r IS NOT NULL
+        |GROUP BY user_id, day""".stripMargin,
+    "q109_max_drawdown" ->
+      // same explicit ROWS frame for the running peak; the literal 1
+      // is cast to DOUBLE (a bare 1.0 is DECIMAL in DuckDB)
+      """WITH d AS (SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events WHERE value > 0)
+        |SELECT user_id, count(*)::BIGINT AS n_obs, max(value) AS high,
+        |  min(value / peak - 1.0::DOUBLE) AS max_drawdown
+        |FROM d GROUP BY user_id""".stripMargin,
     "q87_twap" ->
       // same window, same integer-second truncation, same fixed
       // division sequence over exact integer sums
@@ -2140,6 +2292,20 @@ object SparkEntry {
          |  FROM arr)
          |SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS err
          |FROM t GROUP BY token""".stripMargin,
+    "q110_stream_gaps" ->
+      // batch lag-over-(key, ms) gap detection from the same arrival
+      // bytes: epoch_ms mirrors Timestamp.getTime's millisecond floor,
+      // adjacent-diff pairs are tie-order-invariant (equal ms values
+      // yield identical pair multisets), threshold strict > 2 h.
+      s"""WITH arr AS (SELECT * FROM
+         |    read_parquet('${graft.streaming.GapMonitor.scratchBase}/in/*.parquet')),
+         |e AS (SELECT user_id::VARCHAR AS key, epoch_ms(ts) AS ms FROM arr),
+         |l AS (SELECT key, lag(ms) OVER (PARTITION BY key ORDER BY ms) AS prev_ms,
+         |    ms AS cur_ms FROM e)
+         |SELECT key, make_timestamp(prev_ms * 1000) AS prev_ts,
+         |  make_timestamp(cur_ms * 1000) AS cur_ts,
+         |  cur_ms - prev_ms AS gap_ms
+         |FROM l WHERE cur_ms - prev_ms > 7200000""".stripMargin,
     "q95_stream_bars" ->
       // batch OHLC per (user, hour) from the same arrival bytes:
       // unique ts per bucket makes min_by/max_by deterministic; no
@@ -2868,6 +3034,56 @@ object SparkEntry {
          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.cd,
          |  d.vec_id IS NULL AS kept
          |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin,
+    "q107_hybrid_rrf" ->
+      // q100's bm25 CTEs at k=20 + q26's cosine shape for the same
+      // %101 queries, then the RRF join: each reciprocal is cast to
+      // DOUBLE explicitly (a bare 1.0 literal is DECIMAL in DuckDB —
+      // decimal division would break parity), summed in the same
+      // fixed list order as the Spark fold, no rounding (single IEEE
+      // ops of identical operands), (score desc, cand_id) tiebreak.
+      s"""WITH toks AS ($toksCte),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
+         |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
+         |    unnest(t) AS term FROM toks),
+         |tfc AS (SELECT cand_id, term, dl, count(*) AS tf
+         |  FROM terms GROUP BY cand_id, term, dl),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+         |  FROM toks WHERE doc_id % 101 = 0),
+         |scored AS (SELECT query_id, cand_id,
+         |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
+         |  FROM tfc JOIN dfc USING (term) JOIN q USING (term), stats s
+         |  WHERE query_id <> cand_id
+         |  GROUP BY query_id, cand_id),
+         |bm AS (SELECT query_id, cand_id, rank FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 20),
+         |eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 101 = 0),
+         |ec AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |escored AS (SELECT query_id, cand_id,
+         |  list_dot_product(qv, cv)
+         |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+         |  FROM ec, eq WHERE query_id <> cand_id),
+         |cosl AS (SELECT query_id, cand_id, rank FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+         |  FROM escored) WHERE rank <= 20),
+         |fused AS (SELECT
+         |    coalesce(b.query_id, v.query_id) AS query_id,
+         |    coalesce(b.cand_id, v.cand_id) AS cand_id,
+         |    coalesce(1.0::DOUBLE / (60 + b.rank)::DOUBLE, 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + v.rank)::DOUBLE, 0.0::DOUBLE) AS rrf_score,
+         |    (b.rank IS NOT NULL)::BIGINT + (v.rank IS NOT NULL)::BIGINT AS n_lists
+         |  FROM bm b FULL OUTER JOIN cosl v
+         |    ON b.query_id = v.query_id AND b.cand_id = v.cand_id)
+         |SELECT query_id, cand_id, rrf_score, n_lists, rrf_rank FROM (
+         |  SELECT query_id, cand_id, rrf_score, n_lists, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS rrf_rank
+         |  FROM fused) WHERE rrf_rank <= 10""".stripMargin,
     "q100_bm25_retrieval" ->
       // same inverted-index derivation: postings + df + corpus stats
       // from ONE tokenize, Lucene-variant idf, identical round(·,6)

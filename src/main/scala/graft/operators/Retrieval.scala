@@ -78,4 +78,47 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttner, SIGIR 2009):
+    * merge ranked lists from heterogeneous retrievers — here typically
+    * sparse BM25 and dense cosine ANN, the standard hybrid-search
+    * combination — into one ranking by `Σ 1/(c + rank)`, which needs
+    * no score calibration across systems.
+    *
+    * Each input must carry `(query_id, cand_id, rank)` (the shape
+    * [[bm25TopK]] and `Similarity.cosineTopK`/ANN emit). A candidate
+    * absent from a list contributes 0 for it; `n_lists` counts the
+    * lists that retrieved the candidate. The fused score is a sum of
+    * at most `lists.size` reciprocals added in FIXED list order —
+    * every term is a single IEEE division of exact integers, so the
+    * whole score is bit-deterministic with no rounding required (and
+    * ties across candidates are real, hence the cand_id tiebreak —
+    * hard rule 4).
+    *
+    * 100 TB shape: inputs are already top-k-per-query frames (≤ q·k
+    * rows — the expensive corpus work happened inside the retrievers),
+    * so the fusion is a cheap (query_id, cand_id) equi-join chain plus
+    * one per-query rank window; nothing here touches the corpus. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k >= 1 && c >= 0,
+      s"bad config: ${lists.size} lists, k=$k, c=$c")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("cand_id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank"))).as(s"rrf_$i"))
+    }
+    val joined = tagged.reduce(
+      (a, b) => a.join(b, Seq("query_id", "cand_id"), "full_outer"))
+    val score = lists.indices
+      .map(i => coalesce(col(s"rrf_$i"), lit(0.0))).reduce(_ + _)
+    val nLists = lists.indices
+      .map(i => when(col(s"rrf_$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("cand_id"))
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("n_lists", nLists)
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .where(col("rrf_rank") <= k)
+      .select("query_id", "cand_id", "rrf_score", "n_lists", "rrf_rank")
+  }
 }

@@ -18,6 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object GapMonitor {
 
+  /** Scratch area for q110's AvailableNow replay (q95's pattern). */
+  val scratchBase: String = "/tmp/graft_q110_gaps"
+
   final case class KeyedEvent(key: String, ts: Timestamp)
   final case class SeriesState(lastTsMs: Long, count: Long)
   final case class Gap(key: String, prevTs: Timestamp, curTs: Timestamp, gapMs: Long)

@@ -252,6 +252,19 @@ object ScaleProbe {
     // with span × keys — the one operator whose output can exceed its
     // input; the rows column is the GRID size, watch it vs wall)
     val spanOps: Seq[(String, DataFrame => Long)] = Seq(
+      // q109's drawdown: unbounded-preceding cumulative-max frame over
+      // each key's WHOLE (growing) history + keyed agg — the running
+      // frame is O(1) per row, so span growth must stay linear
+      "drawdown" -> { ev =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.where(col("value") > 0)
+          .withColumn("peak", max("value").over(w))
+          .withColumn("dd", col("value") / col("peak") - lit(1.0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), min(col("dd")).as("mdd"))
+          .count()
+      },
       "resample_ff" -> { ev =>
         val e = ev.where(col("user_id") < 50)
         val dedup = e.groupBy("user_id", "ts")

@@ -73,6 +73,32 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(r => r.getLong(1) == 3L))
   }
 
+  test("rrfFuse: scores, membership counts and ranks on a known fusion") {
+    // query 9: list A ranks (1,2,3), list B ranks (2,1,4) — doc 2 is
+    // in both lists, docs 3 and 4 in one each
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L), (9L, 3L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val b = Seq((9L, 2L, 1L), (9L, 1L, 2L), (9L, 4L, 4L))
+      .toDF("query_id", "cand_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    def rr(r: Long) = 1.0 / (60.0 + r)
+    assert(got(1L) === ((rr(1) + rr(2), 2L, 1L)))
+    assert(got(2L) === ((rr(2) + rr(1), 2L, 2L))) // tie with doc 1 → cand_id tiebreak
+    assert(got(3L) === ((rr(3) + 0.0, 1L, 3L)))
+    assert(got(4L) === ((rr(4) + 0.0, 1L, 4L)))
+  }
+
+  test("rrfFuse: k bounds the output per query and queries stay separate") {
+    val a = (1L to 30L).map(i => (1L, i, i)).toDF("query_id", "cand_id", "rank")
+    val b = (1L to 30L).map(i => (2L, i, i)).toDF("query_id", "cand_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 7).collect()
+    val byQ = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQ === Map(1L -> 7, 2L -> 7))
+    assert(got.forall(r => r.getLong(4) <= 7))
+  }
+
   test("repeated query terms count once") {
     val q1 = Seq((1L, "fox")).toDF("doc_id", "text")
     val q2 = Seq((1L, "fox fox fox")).toDF("doc_id", "text")
