@@ -945,6 +945,36 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           hex(col("content")).as("blob_hex"))
     }),
+    "q111_price_trend" -> ((s, dir) => {
+      // per-user linear price drift: closed-form OLS over EXACT
+      // integer sums — seconds since the corpus epoch × integer cents
+      // keep every Σ a lossless long (nothing partition-order-noisy
+      // to round away); each long converts to double once
+      // (deterministic nearest) and slope/intercept fall out of a
+      // fixed single-op IEEE sequence, identical on both engines.
+      // One hash aggregate with map-side partials, no window. At
+      // multi-year spans re-origin x per key before summing (the
+      // bound that keeps Σx² a lossless long is span²·rows < 2^63).
+      val x = expr("unix_micros(cast(ts as timestamp)) div 1000000") -
+        lit(1704067200L) // 2024-01-01, the corpus epoch
+      tbl(s, dir, "events")
+        .select(col("user_id"), x.as("x"), scaledLong(col("value"), 2).as("y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("n") >= 2)
+        .withColumn("slope_cents_per_sec",
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("intercept_cents",
+          (col("sy").cast("double")
+            - col("slope_cents_per_sec") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .select("user_id", "n", "slope_cents_per_sec", "intercept_cents")
+    }),
     "q108_realized_vol" -> ((s, dir) => {
       // realized volatility per (user, day): sqrt of the sum of
       // squared log returns over consecutive observations (realized
@@ -1096,6 +1126,19 @@ object SparkEntry {
           col("g.distinct_ratio").as("distinct_ratio"),
           col("g.reason").as("reason"),
           (col("g.reason") === "pass").as("pass"))
+    }),
+    "q112_winnow_fingerprints" -> ((s, dir) => {
+      // WINNOWING (Schleimer, Wilkerson & Aiken, SIGMOD 2003): the
+      // full local fingerprinting algorithm behind MOSS — every
+      // window of 4 consecutive 3-gram hashes contributes its minimum
+      // (rightmost on ties, the paper's robust-winnowing rule, via a
+      // (hash, -pos) struct min), and the distinct selections are the
+      // doc's fingerprint set (density 2/(w+1)) with positions — the
+      // guarantee q42's single global min cannot give: any shared
+      // substring ≥ w+k-1 tokens shares a fingerprint. One posexplode
+      // lineage, one window exchange, distinct on the same keys.
+      Dedup.winnowFingerprints(tbl(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
     }),
     "q103_repeated_spans" -> ((s, dir) => {
       // intra-corpus exact-substring dedup (Lee et al. 2022): 4-gram
@@ -2156,6 +2199,28 @@ object SparkEntry {
          |FROM (SELECT media_id, hx, len, w, h, unnest(range(0, 160)) AS k
          |      FROM valid WHERE kind_code = 0 AND w > 0 AND h > 0)
          |GROUP BY media_id, hx""".stripMargin,
+    "q111_price_trend" ->
+      // same exact-integer sums (BIGINT-cast from HUGEINT — rule 5),
+      // same double-conversion points and operation order; the slope
+      // expression is repeated inside the intercept exactly as the
+      // Spark plan inlines it.
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY user_id HAVING count(*) >= 2)
+        |SELECT user_id, n,
+        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    AS slope_cents_per_sec,
+        |  (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |    * sx::DOUBLE) / n::DOUBLE AS intercept_cents
+        |FROM a""".stripMargin,
     "q108_realized_vol" ->
       // same lag window with the event_id tiebreak, same round-then-
       // sqrt sequence (the rounded variance pins the sqrt input)
@@ -2946,6 +3011,25 @@ object SparkEntry {
          |       WHEN distinct_ratio < 0.35 THEN 'repetition'
          |       ELSE 'pass' END) = 'pass' AS pass
          |FROM m""".stripMargin,
+    "q112_winnow_fingerprints" ->
+      // same positional 3-grams, the same (hash, -pos) struct min
+      // over a 4-wide ROWS frame (struct comparison is lexicographic
+      // on both engines), same incomplete-window drop and distinct.
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> struct_pack(pos := i - 1,
+         |      s := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS e
+         |  FROM toks),
+         |p AS (SELECT doc_id, CAST(e.pos AS BIGINT) AS pos, md5(e.s) AS h
+         |  FROM sh),
+         |m AS (SELECT doc_id, pos,
+         |    min(struct_pack(h := h, np := -pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+         |  FROM p)
+         |SELECT DISTINCT doc_id, -(sel.np) AS fp_pos, sel.h AS fp
+         |FROM m WHERE pos >= 3""".stripMargin,
     "q103_repeated_spans" ->
       // same derivation: positional 4-grams, corpus-wide occurrence
       // window, islands by pos - row_number; end_tok = last marked

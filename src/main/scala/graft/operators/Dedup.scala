@@ -505,6 +505,36 @@ object Dedup {
       .select("doc_id", "start_tok", "end_tok", "n_dup_shingles")
   }
 
+  /** WINNOWING (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    * fingerprinting algorithm): every window of `w` consecutive
+    * k-gram hashes contributes its minimum — rightmost on ties, the
+    * paper's robust-winnowing rule, encoded as a lexicographic
+    * `(hash, -pos)` struct min — and the distinct selections form the
+    * document's fingerprint set (expected density `2/(w+1)`).
+    * Guarantee (the one a single global min cannot give): any
+    * substring of at least `w + k − 1` shared tokens shares at least
+    * one fingerprint. Output: `(doc_id, fp_pos, fp)`.
+    *
+    * 100 TB shape: one posexplode lineage into one per-doc window
+    * exchange; the distinct reuses the same (doc) partitioning. The
+    * md5-hex hash keeps the hash family engine-portable (q42's
+    * rationale), so the DuckDB oracle replays the identical min. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad config: k=$k w=$w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    df
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("s")).as("h"))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .where(col("pos") >= w - 1)
+      .select(col("doc_id"), (-col("sel.np")).as("fp_pos"), col("sel.h").as("fp"))
+      .distinct()
+  }
+
   /** [[decontaminate]] for the regime where the eval shingle frame is
     * too big to broadcast (SCALE.md bounds it at ~7 M docs): a Bloom
     * filter over the eval shingle hashes — KBs–MBs at ANY eval size —

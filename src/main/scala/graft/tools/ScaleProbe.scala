@@ -178,6 +178,11 @@ object ScaleProbe {
       // so marked positions (and spans) grow linearly with the corpus
       "spans" -> (d => graft.operators.Dedup.repeatedSpans(
         d, "doc_id", "text", k = 4).count()),
+      // q112's winnowing: one posexplode into one per-doc window
+      // min + distinct — fingerprint count and wall must track the
+      // corpus linearly (selection density is a constant 2/(w+1))
+      "winnow" -> (d => graft.operators.Dedup.winnowFingerprints(
+        d, "doc_id", "text", k = 3, w = 4).count()),
       // q100's BM25 at FIXED query set (base %101 docs) vs growing
       // corpus: the postings build is the linear term; replica token
       // prefixing keeps match lists within-replica, so the broadcast
