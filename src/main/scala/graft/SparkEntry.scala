@@ -1465,6 +1465,101 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(out).dropDuplicates("train_id", "eval_id")
     }),
+    "q115_stream_embed" -> ((s, dir) => {
+      // STREAMING EMBEDDING SCREEN under the oracle (T2's vector
+      // fingerprint): 2-batch replay through the LSH-bucket state
+      // machine; one bucket per vector means exactly one emission per
+      // qualifying pair, the comparator replays FloatDotProduct's
+      // index-order fold bit-exactly, so the replay equals the batch
+      // cosineNearDupPairs answer — q44's SQL verbatim is the oracle.
+      val base = graft.streaming.StreamingEmbedScreen.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      emb.where(col("vec_id") < 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      emb.where(col("vec_id") >= 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingEmbedScreen.pairs(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).select("id_a", "id_b", "cosine")
+    }),
+    "q114_stream_minhash" -> ((s, dir) => {
+      // STREAMING MINHASH SCREEN under the oracle (T2's second
+      // fingerprint family): same 2-batch replay shape as q113 —
+      // banded signature buckets screen arrivals against all earlier
+      // members, canonical pairs + dropDuplicates == the batch Broder
+      // estimator's candidate set with identical n_agree/est_jaccard
+      // (exact rationals over 16), so q66's SQL verbatim is the
+      // oracle.
+      val base = graft.streaming.StreamingMinHash.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      docs.where(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.where(col("doc_id") >= 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingMinHash.pairs(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "doc_id", "text", k = 2, nHashes = 16, bandSize = 4)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long"),
+          col("est_jaccard"))
+    }),
+    "q113_stream_neardup" -> ((s, dir) => {
+      // STREAMING NEAR-DUP SCREEN under the oracle (SURVEY §2 T2): a
+      // 2-batch AvailableNow replay through StreamingNearDup.pairs —
+      // per-(band, value) bucket state screens every arrival against
+      // all earlier members (unbounded variant), pairs canonicalized
+      // (min, max), so the union of emissions after the per-band
+      // dropDuplicates equals Dedup.simhashNearDup64's batch answer
+      // on the same corpus — q63's SQL verbatim is the oracle, gating
+      // the stream-batch parity the specs pin, now via DuckDB.
+      val base = graft.streaming.StreamingNearDup.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      docs.where(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.where(col("doc_id") >= 250)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingNearDup.pairs(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "doc_id", "text", maxHamming = 3)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+    }),
     "q110_stream_gaps" -> ((s, dir) => {
       // STATEFUL GAP MONITOR under the oracle (SURVEY §2 T4): a
       // 2-batch AvailableNow replay of the tick stream through
@@ -2671,6 +2766,9 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(lower(text))""".stripMargin,
     "q44_embed_near_dup" -> embedNearDupSql,
+    // q115 is the STREAMING embed screen replayed to completion: one
+    // bucket per vector -> one emission per pair == the batch answer.
+    "q115_stream_embed" -> embedNearDupSql,
     "q75_embed_screen" ->
       s"""SELECT * FROM ($embedNearDupSql)
          |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
@@ -2758,7 +2856,14 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 0 AS fp FROM docs WHERE n = 0""".stripMargin,
     "q54_simhash_pairs" -> simhashPairsSql,
     "q63_simhash64_pairs" -> simhash64PairsSql,
+    // q113 is the STREAMING screen replayed to completion: canonical
+    // pairs + per-band dropDuplicates == the batch banded self-join,
+    // so q63's SQL verbatim gates stream-batch parity via DuckDB.
+    "q113_stream_neardup" -> simhash64PairsSql,
     "q66_minhash_estimate" -> minhashEstimateSql,
+    // q114 is the STREAMING minhash screen replayed to completion:
+    // canonical pairs + dropDuplicates == the batch Broder estimator.
+    "q114_stream_minhash" -> minhashEstimateSql,
     "q73_minhash_screen" ->
       // the symmetric estimator restricted to cross pairs at the id
       // boundary — exactly the screen's candidate set (see the query)

@@ -38,6 +38,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingEmbedScreen {
 
+  /** Scratch area for q115's AvailableNow replay (q95's pattern). */
+  val scratchBase: String = "/tmp/graft_q115_embed"
+
   final case class CosinePair(id_a: Long, id_b: Long, cosine: Double)
 
   /** Cosine comparator fed to [[BucketScreen]]: double accumulation in

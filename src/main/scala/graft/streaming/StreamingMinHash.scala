@@ -32,6 +32,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingMinHash {
 
+  /** Scratch area for q114's AvailableNow replay (q95's pattern). */
+  val scratchBase: String = "/tmp/graft_q114_minhash"
+
   final case class EstimatedPair(
       doc_a: Long, doc_b: Long, n_agree: Int, est_jaccard: Double)
 

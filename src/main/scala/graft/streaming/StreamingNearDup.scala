@@ -34,6 +34,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingNearDup {
 
+  /** Scratch area for q113's AvailableNow replay (q95's pattern). */
+  val scratchBase: String = "/tmp/graft_q113_neardup"
+
   final case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
 
   /** Pure-Scala twin of `Dedup.simhash64`'s expression pipeline
