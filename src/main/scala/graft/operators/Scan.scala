@@ -84,7 +84,9 @@ object Scan {
     val inSchema = arranged.schema
     val nOrder = order.length
     val xIdx = nOrder + 1
-    val outSchema = inSchema
+    // Summary rows fill the order/x slots with null, so the encoder
+    // schema must relax nullability the input may not have declared.
+    val outSchema = StructType(inSchema.fields.map(_.copy(nullable = true)))
       .add("__pid", IntegerType)
       .add("__y", DoubleType)
       .add("__decay", DoubleType)

@@ -16,23 +16,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
-    * timestamp type, so these are read as raw Long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to
-    * micros as TIMESTAMP_NTZ, exactly matching DuckDB's nanos→micros
-    * cast so oracle results align. */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Timestamp columns normalized to TIMESTAMP_NTZ micros regardless of
+    * the parquet physical encoding. Driver testdata has shipped
+    * `events.ts` as TIMESTAMP(NANOS) in some rounds (Spark has no nanos
+    * type — read as raw Long via `spark.sql.legacy.parquet.nanosAsLong`,
+    * truncated to micros like DuckDB's nanos→micros cast) and as plain
+    * TIMESTAMP(MICROS) in others; adapt to whatever the file declares so
+    * every downstream query sees one canonical TIMESTAMP_NTZ column. */
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    nanosCols.get(name) match {
+    tsCols.get(name) match {
       case None => spark.read.parquet(path)
       case Some(cols) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         cols.foldLeft(spark.read.parquet(path)) { (df, c) =>
-          df.withColumn(c,
-            org.apache.spark.sql.functions.expr(
-              s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+          import org.apache.spark.sql.functions.{col, expr}
+          import org.apache.spark.sql.types._
+          df.schema(c).dataType match {
+            case LongType => // TIMESTAMP(NANOS) read as raw nanos
+              df.withColumn(c,
+                expr(s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+            case TimestampNTZType => df
+            case TimestampType => // sessions pin UTC: re-tag, same instant
+              df.withColumn(c, col(c).cast(TimestampNTZType))
+            case other => sys.error(s"unexpected type for $name.$c: $other")
+          }
         }
     }
   }
