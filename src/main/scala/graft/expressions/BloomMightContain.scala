@@ -73,6 +73,42 @@ object BloomMightContain {
     (bits, numHashes)
   }
 
+  /** [[build]] without the driver-side hash stream: each partition
+    * folds its hashes into a LOCAL bitset (allocated executor-side —
+    * no fat zero value crosses the wire) and the bitsets are OR-merged
+    * up a tree, so the driver only ever receives the final KB–MB
+    * array. Insertion is idempotent and OR is commutative, so the
+    * result is bit-identical to a sequential [[build]] over the same
+    * distinct hashes under ANY partitioning — duplicates need no
+    * pre-`distinct()` (and skipping it saves that shuffle). `n` only
+    * sizes the array (an approx distinct count is fine); `maxBits`
+    * caps the array so the tree merge and the task-binary reference
+    * object stay bounded — past the cap fpp degrades gracefully and
+    * the exact join downstream keeps results identical. */
+  def buildDistributed(hashes: org.apache.spark.rdd.RDD[Long], n: Long,
+      bitsPerItem: Int = 16, maxBits: Long = 1L << 31): (Array[Long], Int) = {
+    require(n > 0, "empty build side — skip the filter instead")
+    val targetBits = math.min(maxBits, math.max(64L, n * bitsPerItem))
+    val words = java.lang.Long.highestOneBit(
+      math.max(1L, (targetBits + 63) / 64) * 2 - 1).toInt
+    // same sizing formula as [[build]] so the two paths stay
+    // bit-comparable below the cap
+    val numHashes = math.max(1,
+      math.round(0.6931471805599453 * words * 64L / n).toInt)
+    val bits = hashes
+      .mapPartitions { it =>
+        val acc = new Array[Long](words)
+        it.foreach(h => add(acc, numHashes, h))
+        Iterator.single(acc)
+      }
+      .treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }, depth = 2)
+    (bits, numHashes)
+  }
+
   private def add(bits: Array[Long], numHashes: Int, hash: Long): Unit = {
     val mask = bits.length * 64 - 1
     val h1 = hash

@@ -553,12 +553,17 @@ object Dedup {
     val evalShingles = shingleSet(eval, idCol, textCol, k, "eval_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // hashes only cross to the driver (8 B/shingle), never the text
-      val hashes = evalShingles.select(xxhash64(col("s"))).distinct()
-        .as[Long].collect()
+      // executor-side build: only the OR-merged bitset reaches the
+      // driver — never the hash stream (a collect is O(8 B/shingle)
+      // driver memory, which dies exactly in the too-big-to-broadcast
+      // regime this operator exists for). approx_count_distinct only
+      // sizes the array (deterministic: HLL merge is commutative).
+      val hashDs = evalShingles.select(xxhash64(col("s")).as("h"))
+      val n = math.max(1L,
+        hashDs.agg(approx_count_distinct(col("h"))).as[Long].head())
       val (bits, numHashes) =
-        graft.expressions.BloomMightContain.build(hashes.iterator,
-          hashes.length.toLong, bitsPerItem)
+        graft.expressions.BloomMightContain.buildDistributed(
+          hashDs.as[Long].rdd, n, bitsPerItem)
       // hint pins the shuffle join this operator models (AQE would
       // broadcast at test SF and hide the pre-filter's purpose)
       shingleSet(train, idCol, textCol, k, "train_id")

@@ -26,6 +26,23 @@ class BloomDecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(fp.toDouble / probes.length < 4e-3, s"fpp too high: $fp")
   }
 
+  test("distributed build is bit-identical to sequential under any partitioning") {
+    val rnd = new scala.util.Random(77)
+    val hashes = Array.fill(20000)(rnd.nextLong())
+    val distinct = hashes.distinct
+    val (seqBits, seqK) =
+      BloomMightContain.build(distinct.iterator, distinct.length.toLong)
+    for (parts <- Seq(1, 3, 32)) {
+      // duplicates included, shuffled order — insert is idempotent, OR commutes
+      val shuffled = rnd.shuffle((hashes ++ hashes.take(5000)).toSeq)
+      val rdd = spark.sparkContext.parallelize(shuffled, parts)
+      val (distBits, distK) =
+        BloomMightContain.buildDistributed(rdd, distinct.length.toLong)
+      assert(distK === seqK)
+      assert(java.util.Arrays.equals(distBits, seqBits), s"parts=$parts")
+    }
+  }
+
   test("matches the broadcast-join decontamination on real documents") {
     val docs = graft.sources.Tables.load(spark, sf0001, "documents")
     val train = docs.where(pmod(col("doc_id"), lit(97L)) =!= 0)
