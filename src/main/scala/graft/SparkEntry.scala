@@ -1465,6 +1465,57 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(out).dropDuplicates("train_id", "eval_id")
     }),
+    "q116_ewma_scan" -> ((s, dir) => {
+      // Per-user EWMA y_i = 0.2 x_i + 0.8 y_(i-1) via the two-phase
+      // parallel affine scan (Scan.linearRecurrence) — the distributed
+      // re-expression of a sequential fold (NO single-partition
+      // window). Seam composition re-associates double math at the
+      // ulp level, so output is rounded per hard rule 9: values are
+      // <= ~500 with composition noise ~1e-11 abs; d=4 puts the round
+      // boundary (5e-5) ~5e6x above it. Oracle replays the fold
+      // per-row with list_reduce over the rn-prefix.
+      Scan.linearRecurrence(tbl(s, dir, "events"), "user_id",
+          Seq(("ts", true), ("event_id", true)), "value", a = 0.2, b = 0.8)
+        .select(col("user_id"), col("event_id"),
+          round(col("y"), 4).as("ewma"))
+    }),
+    "q117_cumsum_scan" -> ((s, dir) => {
+      // GLOBAL running total (ONE logical sequence — no partition key
+      // to hide behind) through the same parallel scan with a constant
+      // key: range partitioning preserves global order, per-partition
+      // carries compose on the driver, so the 100 TB shape is two
+      // linear passes instead of a single-task window. Exact, no
+      // rounding: cents are integers (< 2^53 summed) under a = b = 1,
+      // and the final /100.0 is one deterministic IEEE op per row on
+      // an exact integer — identical bits on both engines.
+      tbl(s, dir, "events")
+        .withColumn("g", lit(1))
+        .withColumn("cents", round(col("value") * 100, 0))
+        .transform(df => Scan.linearRecurrence(df, "g",
+          Seq(("ts", true), ("event_id", true)), "cents", a = 1.0, b = 1.0))
+        .select(col("event_id"), (col("y") / 100.0).as("cum_value"))
+    }),
+    "q118_pq_ann" -> ((s, dir) => {
+      // Product-quantization ADC ANN: 8 subspaces x 16 codes over
+      // dim=64 — candidates scanned as 8-code rows, never as raw
+      // vectors. iters=0 keeps the codebooks a pure function of the
+      // first 16 vectors (the q40 trick), so the DuckDB oracle
+      // re-derives codes, distance tables and the j-ordered ADC folds
+      // bit-exactly; the trained path (iters>0) is spec-covered.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
+    }),
+    "q119_pq_refined" -> ((s, dir) => {
+      // ADC shortlist (top 50 by codes) -> exact L2 re-rank to top-5:
+      // the PQ accuracy path. Only shortlist rows ever read raw
+      // vectors; the oracle replays shortlist and re-rank with the
+      // same index-ordered double folds — bit-exact, no rounding.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopKRefined(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, shortlist = 50, m = 8, ksub = 16,
+        iters = 0)
+    }),
     "q115_stream_embed" -> ((s, dir) => {
       // STREAMING EMBEDDING SCREEN under the oracle (T2's vector
       // fingerprint): 2-batch replay through the LSH-bucket state
@@ -2761,6 +2812,100 @@ object SparkEntry {
         |  SELECT query_id, cand_id, cosine, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // EWMA replayed per-row: the rn-prefix of the per-user value list
+    // folded left with the same (0.2*x + 0.8*acc) op order Spark's
+    // scan uses; round(4) on both sides absorbs seam-composition ulps
+    "q116_ewma_scan" ->
+      """WITH ord AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |lists AS (SELECT user_id, list(value ORDER BY rn) AS xs
+        |  FROM ord GROUP BY user_id)
+        |SELECT o.user_id, o.event_id,
+        |  round(list_reduce(list_prepend(0.0, list_slice(l.xs, 1, o.rn)),
+        |    (acc, x) -> 0.2*x + 0.8*acc), 4) AS ewma
+        |FROM ord o JOIN lists l USING (user_id)""".stripMargin,
+    // exact integer-cent running total: any summation order is exact,
+    // so the windowed sum (segment tree) equals the scan's composed
+    // carries bit-for-bit; /100.0 is one IEEE op on an exact integer
+    "q117_cumsum_scan" ->
+      """SELECT event_id,
+        |  sum(round(value * 100)) OVER (ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cum_value
+        |FROM events""".stripMargin,
+    // PQ/ADC with the iters=0 codebooks (= subspace slices of the
+    // first 16 vectors): codes by argmin(||c||^2 - 2 v_j.c) with ties
+    // to the lowest code, ADC = j-ordered left fold of the per-query
+    // distance table — identical double folds on both engines
+    "q118_pq_ann" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cells AS (SELECT cb.vec_id AS code, js.j,
+        |    list_slice(cb.v, js.j*8+1, js.j*8+8) AS cv
+        |  FROM base cb CROSS JOIN js WHERE cb.vec_id < 16),
+        |cells2 AS (SELECT code, j, cv, list_dot_product(cv, cv) AS c2 FROM cells),
+        |enc AS (SELECT b.vec_id, c.j, c.code,
+        |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS d
+        |  FROM base b CROSS JOIN cells2 c),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT vec_id, j, code, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc)
+        |  WHERE rn = 1),
+        |qd AS (SELECT b.vec_id AS query_id, c.j, c.code,
+        |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS qdist
+        |  FROM base b CROSS JOIN cells2 c WHERE b.vec_id < 10),
+        |terms AS (SELECT qd.query_id, co.vec_id AS cand_id, qd.j, qd.qdist
+        |  FROM qd JOIN codes co ON qd.j = co.j AND qd.code = co.code
+        |  WHERE qd.query_id <> co.vec_id),
+        |adcs AS (SELECT query_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(qdist ORDER BY j)),
+        |      (a, x) -> a + x) AS adc
+        |  FROM terms GROUP BY query_id, cand_id)
+        |SELECT query_id, cand_id, adc, rank FROM (
+        |  SELECT query_id, cand_id, adc, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
+        |WHERE rank <= 5""".stripMargin,
+    // refined PQ: ADC shortlist (rank <= 50) then exact
+    // ||c||^2 - 2 q.c re-rank — every fold index-ordered on both
+    // engines, so no rounding anywhere
+    "q119_pq_refined" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cells AS (SELECT cb.vec_id AS code, js.j,
+        |    list_slice(cb.v, js.j*8+1, js.j*8+8) AS cv
+        |  FROM base cb CROSS JOIN js WHERE cb.vec_id < 16),
+        |cells2 AS (SELECT code, j, cv, list_dot_product(cv, cv) AS c2 FROM cells),
+        |enc AS (SELECT b.vec_id, c.j, c.code,
+        |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS d
+        |  FROM base b CROSS JOIN cells2 c),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT vec_id, j, code, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc)
+        |  WHERE rn = 1),
+        |qd AS (SELECT b.vec_id AS query_id, c.j, c.code,
+        |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS qdist
+        |  FROM base b CROSS JOIN cells2 c WHERE b.vec_id < 10),
+        |terms AS (SELECT qd.query_id, co.vec_id AS cand_id, qd.j, qd.qdist
+        |  FROM qd JOIN codes co ON qd.j = co.j AND qd.code = co.code
+        |  WHERE qd.query_id <> co.vec_id),
+        |adcs AS (SELECT query_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(qdist ORDER BY j)),
+        |      (a, x) -> a + x) AS adc
+        |  FROM terms GROUP BY query_id, cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, cand_id) AS rn FROM adcs)
+        |  WHERE rn <= 50),
+        |rerank AS (SELECT s.query_id, s.cand_id,
+        |    list_dot_product(cb.v, cb.v)
+        |      - 2*list_dot_product(qb.v, cb.v) AS d2
+        |  FROM short s
+        |  JOIN base cb ON s.cand_id = cb.vec_id
+        |  JOIN base qb ON s.query_id = qb.vec_id)
+        |SELECT query_id, cand_id, d2, rank FROM (
+        |  SELECT query_id, cand_id, d2, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d2, cand_id) AS rank FROM rerank)
+        |WHERE rank <= 5""".stripMargin,
     "q43_exact_dedup" ->
       """SELECT md5(lower(text)) AS text_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper_id

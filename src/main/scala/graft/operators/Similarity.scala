@@ -422,6 +422,123 @@ object Similarity {
     * before release (CLAUDE.md eager-operator convention — the
     * returned frame is checkpointed, caller need not manage caches).
     */
+  /** Product-quantization codebooks: the vector space is split into
+    * `m` contiguous subspaces of `dim/m` components and each subspace
+    * gets its own `ksub`-centroid quantizer, trained per subspace by
+    * the same deterministic [[lloyd]] (seed = first `ksub` sample
+    * subvectors by id, fixed iteration count). With `iters = 0` the
+    * codebook IS the first `ksub` sample vectors' slices — a pure
+    * function of the data that a SQL oracle can re-derive (the q40
+    * trick); `iters > 0` is the trained path, spec-covered. */
+  def pqCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleSize: Int = 2000, iters: Int = 0)
+      : Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(sample.nonEmpty && sample.head.length % m == 0,
+      s"dim ${sample.headOption.fold(0)(_.length)} not divisible by m=$m")
+    val d = sample.head.length / m
+    Array.tabulate(m) { j =>
+      lloyd(sample.map(_.slice(j * d, (j + 1) * d)), ksub, iters)
+    }
+  }
+
+  /** PQ asymmetric-distance top-k (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the memory-compressed
+    * ANN path: candidates are stored as `m` small codes (m bytes/vector
+    * at ksub <= 256) instead of `dim` floats, and each query scans the
+    * CODES with a per-query distance table, never touching the raw
+    * corpus vectors.
+    *
+    * - encode: per subspace j, code_j = argmin_c ||v_j - c||², computed
+    *   as argmin(||c||² - 2 v_j·c) with ties → lowest code (the shared
+    *   [[nearestCentroid]] rule, as a codegen expression over codebook
+    *   literals — one zero-shuffle scan over the corpus).
+    * - query: distance table dtab[j][c] = ||c||² - 2 q_j·c (m × ksub
+    *   doubles, built once per query row); ADC score of a candidate is
+    *   the j-ordered left fold Σ_j dtab[j][code_j] — rank-equivalent to
+    *   ||q - v̂||² (the constant ||q_j||² terms shift every candidate
+    *   equally).
+    * - top-k per query by (adc asc, cand_id) via window rank.
+    *
+    * 100 TB shape: queries (with their tables) broadcast; the candidate
+    * side is a linear scan of the code column — no shuffle, no
+    * per-candidate vector reads. Every double fold is index-ordered, so
+    * the DuckDB oracle re-derives codes, tables and ADC sums bit-exactly
+    * (q118) — no rounding needed. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int,
+      sampleSize: Int = 2000, iters: Int = 0): DataFrame = {
+    val codebooks = pqCodebooks(candidates, idCol, vecCol, m, ksub,
+      sampleSize, iters)
+    val d = codebooks.head.head.length
+    // subvectors are projected ONCE per (row, subspace) — inlining
+    // slice() into each of the ksub code candidates would re-slice
+    // per candidate (ksub× the allocations on the corpus scan)
+    def withSubvecs(df: DataFrame, vec: String): DataFrame =
+      (0 until m).foldLeft(df) { (acc, j) =>
+        acc.withColumn(s"__s$j", slice(col(vec), j * d + 1, d))
+      }
+    // (dist, code) structs per subspace — array_min = argmin with
+    // ties → lowest code (struct compare is field-order lexicographic)
+    def subScores(j: Int) =
+      codebooks(j).zipWithIndex.map { case (cb, ci) =>
+        val c2 = cb.map(x => x.toDouble * x).sum // index-order fold
+        struct((lit(c2) - lit(2.0) * dot(col(s"__s$j"), typedLit(cb)))
+          .as("dist"), lit(ci).as("code"))
+      }
+    val c = withSubvecs(
+        candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
+      .withColumn("codes", array((0 until m).map(j =>
+        array_min(array(subScores(j): _*)).getField("code")): _*))
+      .select("cand_id", "codes")
+    val q = withSubvecs(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
+      .withColumn("dtab", array((0 until m).map(j =>
+        array(subScores(j).map(_.getField("dist")): _*)): _*))
+      .select("query_id", "dtab")
+    // j-ordered left fold over attribute columns (not computed
+    // expressions — the capture-re-evaluation pitfall does not apply)
+    val adc = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** [[pqTopK]] + exact re-rank (IVFADC-with-refinement, Jégou 2011
+    * §V): the ADC pass shortlists `shortlist` candidates per query on
+    * codes alone, then ONLY those rows join back to their raw vectors
+    * for an exact L2 re-rank to top-k. The corpus-sized scan still
+    * never touches vectors — the exact pass reads `shortlist ×
+    * queries` vectors, not n. This is the accuracy path (ADC alone is
+    * deliberately lossy — spec'd recall floor); q118 gates the pure
+    * ADC ranking, whose folds the oracle replays bit-exactly. */
+  def pqTopKRefined(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, m: Int,
+      ksub: Int, sampleSize: Int = 2000, iters: Int = 0): DataFrame = {
+    val short = pqTopK(queries, candidates, idCol, vecCol, shortlist,
+      m, ksub, sampleSize, iters).select("query_id", "cand_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // exact d2 up to the per-query constant ||q||^2 — rank-equivalent
+    val d2 = (dot(col("cv"), col("cv")) -
+      lit(2.0) * dot(col("qv"), col("cv"))).as("d2")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    short.join(c, "cand_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"), d2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], tau: Double): DataFrame = {
     val assigned = withNorm(

@@ -111,6 +111,22 @@ object ScaleProbe {
       "dedup_first" -> (ev => graft.operators.Dedup.firstByKey(
         ev.withColumn("day", to_date(col("ts"))),
         Seq("user_id", "event_type", "day"), Seq("ts", "event_id")).count()),
+      // q116/q117's two-phase parallel affine scan: per-key EWMA (key
+      // count grows with the multiplier) and the constant-key GLOBAL
+      // cumsum — the single-logical-sequence worst case a naive
+      // one-partition window cannot survive. Cost must stay two linear
+      // passes + a (#keys + #partitions)-row driver compose.
+      "ewma_scan" -> { ev =>
+        val r = graft.operators.Scan.linearRecurrence(ev, "user_id",
+          Seq(("ts", true), ("event_id", true)), "value", a = 0.2, b = 0.8)
+        val n = r.count(); r.unpersist(); n
+      },
+      "cumsum_scan" -> { ev =>
+        val r = graft.operators.Scan.linearRecurrence(
+          ev.withColumn("g", lit(1)), "g",
+          Seq(("ts", true), ("event_id", true)), "value", a = 1.0, b = 1.0)
+        val n = r.count(); r.unpersist(); n
+      },
       // q87's TWAP shape: one window exchange + map-side partial agg —
       // must track the sessionize/window family linearly
       "twap" -> { ev =>
@@ -228,6 +244,13 @@ object ScaleProbe {
         e.where(col("vec_id") % 1000000L < 1900),
         embBase.where(col("vec_id") >= 1900),
         "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64).count()),
+      // q118's PQ/ADC at FIXED query set vs growing corpus: corpus cost
+      // is ONE zero-shuffle encode scan (codes from codebook literals)
+      // + the broadcast ADC scan over the code column — no vector
+      // reads, no shuffle; wall must stay linear
+      "pq_adc" -> (e => graft.operators.Similarity.pqTopK(
+        embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, iters = 0).count()),
       // distributed quantizer: 5 Lloyd passes + seed over the persisted
       // sample — wall must stay linear in corpus (the exact BigDecimal
       // fold is the dominant per-row cost, by design; see scaladoc)

@@ -56,6 +56,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf === ivf2)
   }
 
+  test("pq adc recalls exact L2 neighbors; trained codebooks cut quantization error") {
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    val queries = emb.where($"vec_id" < 5)
+    // exact L2 top-k baseline: d2 = ||c||^2 - 2 q.c (+ const ||q||^2)
+    val exact = {
+      import org.apache.spark.sql.functions._
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+      val d2 = graft.expressions.FloatDotProduct(col("cv"), col("cv")) -
+        lit(2.0) * graft.expressions.FloatDotProduct(col("qv"), col("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy(d2.asc, $"cand_id")
+      c.join(broadcast(q), $"query_id" =!= $"cand_id")
+        .withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    }
+    // pure ADC is deliberately lossy on unstructured vectors — the
+    // refined path (ADC shortlist -> exact re-rank) is the accuracy
+    // contract: shortlisting the top 10% by codes must recover most
+    // exact neighbors
+    val pq = Similarity.pqTopKRefined(queries, emb, "vec_id", "embedding",
+        k = 5, shortlist = 50, m = 8, ksub = 16, iters = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"refined PQ recall too low: $recall")
+    // determinism: second run identical
+    val pq2 = Similarity.pqTopKRefined(queries, emb, "vec_id", "embedding",
+        k = 5, shortlist = 50, m = 8, ksub = 16, iters = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(pq === pq2)
+    // Lloyd training reduces sample quantization error vs the raw seed
+    def sampleError(cbs: Array[Array[Array[Float]]]): Double = {
+      val sample = emb.orderBy($"vec_id").limit(200)
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val d = cbs.head.head.length
+      sample.map { v =>
+        cbs.zipWithIndex.map { case (cb, j) =>
+          val sub = v.slice(j * d, (j + 1) * d)
+          cb.map { c =>
+            sub.zip(c).map { case (a, b) => (a.toDouble - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val seed = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val trained = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3)
+    assert(sampleError(trained) < sampleError(seed),
+      "training did not reduce quantization error")
+  }
+
   test("cosineScreen equals the symmetric near-dup restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
