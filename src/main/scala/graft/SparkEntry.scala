@@ -1506,6 +1506,74 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q120_rolling_median" -> ((s, dir) => {
+      // Exact trailing-25-row median over integer cents: the type-7
+      // position 0.5*(n-1) is dyadic for n <= 25, so interpolation
+      // lands on .0/.5 exactly — both engines produce the identical
+      // double, no rounding (hard rule 9's exact-arithmetic variant).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-24, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100, 0))
+        .select(col("user_id"), col("event_id"),
+          (percentile(col("cents"), lit(0.5)).over(w) / 100.0).as("med"))
+    }),
+    "q121_winsorize" -> ((s, dir) => {
+      // Winsorized robust stats per event_type WITHOUT built-in
+      // percentile interpolation (whose near-integer positions are
+      // engine-sensitive): the clip bounds are k-th ORDER STATISTICS
+      // with k = ceil(p*n) computed identically on both engines —
+      // integer cents in, integer bounds out, exact integer sum of
+      // the clamped values, one deterministic division at the end.
+      val ev = tbl(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val wOrd = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val bounds = ranked
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(lit(0.05) * col("n")), col("cents")))
+            .as("lo_cents"),
+          max(when(col("rn") === ceil(lit(0.95) * col("n")), col("cents")))
+            .as("hi_cents"))
+      ev.join(bounds, "event_type")
+        .groupBy("event_type")
+        .agg(
+          (max(col("lo_cents")) / 100.0).as("lo"),
+          (max(col("hi_cents")) / 100.0).as("hi"),
+          (sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+            / count(lit(1)) / 100.0).as("wmean"),
+          count(lit(1)).as("n"))
+    }),
+    "q122_cooccurrence" -> ((s, dir) => {
+      // Event-type co-occurrence (market-basket over (user, day)
+      // baskets): distinct types per basket self-joined a < b — the
+      // join keys are the baskets, so pair cost is Σ basket_types²,
+      // never corpus². Exact counts; support = integer ratio of two
+      // exact longs (single deterministic division).
+      val baskets = tbl(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+      val a = baskets.select(col("user_id"), col("day"),
+        col("event_type").as("type_a"))
+      val b = baskets.select(col("user_id"), col("day"),
+        col("event_type").as("type_b"))
+      val nb = baskets.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_total")) // 1-row broadcast, q67 trick
+      a.join(b, Seq("user_id", "day"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_baskets"))
+        .crossJoin(broadcast(nb))
+        .select(col("type_a"), col("type_b"), col("n_baskets"),
+          (col("n_baskets") / col("n_total")).as("support"))
+    }),
     "q119_pq_refined" -> ((s, dir) => {
       // ADC shortlist (top 50 by codes) -> exact L2 re-rank to top-5:
       // the PQ accuracy path. Only shortlist rows ever read raw
@@ -2865,6 +2933,52 @@ object SparkEntry {
         |  SELECT query_id, cand_id, adc, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
+    // exact dyadic-position median over integer cents (n <= 25 ->
+    // type-7 interpolation lands on .0/.5 exactly on both engines)
+    "q120_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  quantile_cont(round(value * 100), 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) / 100.0 AS med
+        |FROM events""".stripMargin,
+    // clip bounds as k-th order statistics (k = ceil(p*n), identical
+    // double product + ceil on both engines) — no engine-internal
+    // percentile interpolation anywhere; integer sums, one division
+    "q121_winsorize" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ranked AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |bounds AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |      THEN cents END) AS lo_cents,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN cents END) AS hi_cents
+        |  FROM ranked GROUP BY event_type)
+        |SELECT e.event_type,
+        |  max(b.lo_cents) / 100.0 AS lo,
+        |  max(b.hi_cents) / 100.0 AS hi,
+        |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, e.cents)))
+        |    AS BIGINT) / count(*) / 100.0 AS wmean,
+        |  count(*) AS n
+        |FROM ev e JOIN bounds b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+    // market-basket co-occurrence over (user, day) baskets — exact
+    // counts; support = one BIGINT/BIGINT division on both engines
+    "q122_cooccurrence" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |    event_type FROM events),
+        |tot AS (SELECT count(*) AS n_total FROM
+        |  (SELECT DISTINCT user_id, day FROM baskets)),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM baskets a JOIN baskets b USING (user_id, day)
+        |  WHERE a.event_type < b.event_type)
+        |SELECT type_a, type_b, count(*) AS n_baskets,
+        |  count(*) / (SELECT n_total FROM tot) AS support
+        |FROM pairs GROUP BY type_a, type_b""".stripMargin,
     // refined PQ: ADC shortlist (rank <= 50) then exact
     // ||c||^2 - 2 q.c re-rank — every fold index-ordered on both
     // engines, so no rounding anywhere

@@ -307,4 +307,31 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.split("Scan parquet").length == 2,
       s"expected exactly one documents scan:\n$p")
   }
+
+  test("q117 global cumsum scan runs ONE range exchange + a broadcast carry join") {
+    val p = executedPlan("q117_cumsum_scan")
+    // the whole point of Scan.linearRecurrence: no single-partition
+    // window sort, one range repartition, carries arrive broadcast
+    assert(p.contains("Exchange rangepartitioning"), s"no range phase:\n$p")
+    assert(p.split("Exchange rangepartitioning").length == 2,
+      s"expected exactly one range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"carry join not broadcast:\n$p")
+    assert(!p.contains("Window"), s"scan degenerated to a window:\n$p")
+  }
+
+  test("q118 PQ encode scan joins the broadcast query tables, never sort-merge") {
+    val p = executedPlan("q118_pq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus codes must stream, not shuffle:\n$p")
+  }
+
+  test("q122 co-occurrence joins baskets on basket keys, total arrives broadcast") {
+    val p = executedPlan("q122_cooccurrence")
+    assert(!p.contains("CartesianProduct"),
+      s"pair join must stay basket-keyed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row total must arrive broadcast:\n$p")
+  }
 }
