@@ -1506,6 +1506,14 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q123_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer training over the documents corpus: 6 merge
+      // rules learned from the word histogram (the ONE corpus-sized
+      // shuffle — every iteration after it is vocabulary-sized).
+      // DuckDB replays training exactly: same histogram, same greedy
+      // left-to-right fold, same (cnt desc, l, r) argmax tiebreak.
+      Bpe.trainMerges(tbl(s, dir, "documents"), "text", k = 6)
+    }),
     "q120_rolling_median" -> ((s, dir) => {
       // Exact trailing-25-row median over integer cents: the type-7
       // position 0.5*(n-1) is dyadic for n <= 25, so interpolation
@@ -1967,6 +1975,42 @@ object SparkEntry {
 
   private val toksCte =
     "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
+
+  /** q123's oracle: k chained merge blocks generated from the same
+    * constants as [[graft.operators.Bpe.trainMerges]] — DuckDB
+    * re-trains BPE from scratch: word histogram, per-iteration pair
+    * counts (vocabulary-sized, like the Spark side), the (cnt desc,
+    * l, r) argmax, and the identical greedy left-to-right
+    * string-accumulator fold (chr(1) = Bpe.SEP). */
+  private def bpeSql(k: Int): String = {
+    val header =
+      """WITH words AS (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w),
+        |w0 AS (SELECT freq,
+        |    array_to_string(string_split(w, ''), chr(1)) AS syms FROM words)""".stripMargin
+    val blocks = (1 to k).map { i =>
+      s"""p$i AS (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(
+         |      generate_series(1, len(ls) - 1), i -> [ls[i], ls[i + 1]])) AS pr
+         |    FROM (SELECT freq, string_split(syms, chr(1)) AS ls
+         |      FROM w${i - 1}) t) u
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT freq, substr(list_reduce(
+         |    list_prepend('', string_split(w.syms, chr(1))),
+         |    (acc, x) -> CASE
+         |      WHEN right(acc, 1 + length(b.l)) = chr(1) || b.l AND x = b.r
+         |      THEN left(acc, length(acc) - 1 - length(b.l)) || chr(1) || b.l || b.r
+         |      ELSE acc || chr(1) || x END), 2) AS syms
+         |  FROM w${i - 1} w, b$i b)""".stripMargin
+    }
+    val union = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS it, l AS "left", r AS "right", cnt FROM b$i""")
+      .mkString("\n", "\nUNION ALL\n", "")
+    (header +: blocks).mkString(",\n") + union
+  }
 
   private def langIdSql: String = {
     val langs = langMarkers.keys.toSeq.sorted
@@ -2933,6 +2977,7 @@ object SparkEntry {
         |  SELECT query_id, cand_id, adc, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
+    "q123_bpe_train" -> bpeSql(6),
     // exact dyadic-position median over integer cents (n <= 25 ->
     // type-7 interpolation lands on .0/.5 exactly on both engines)
     "q120_rolling_median" ->

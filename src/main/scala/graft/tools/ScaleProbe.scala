@@ -199,6 +199,10 @@ object ScaleProbe {
       // corpus linearly (selection density is a constant 2/(w+1))
       "winnow" -> (d => graft.operators.Dedup.winnowFingerprints(
         d, "doc_id", "text", k = 3, w = 4).count()),
+      // q123's BPE training: ONE corpus-sized histogram shuffle, then
+      // 4 vocabulary-sized merge iterations — wall must track the
+      // histogram build (linear scan), not the corpus² anything
+      "bpe" -> (d => graft.operators.Bpe.trainMerges(d, "text", k = 4).count()),
       // q100's BM25 at FIXED query set (base %101 docs) vs growing
       // corpus: the postings build is the linear term; replica token
       // prefixing keeps match lists within-replica, so the broadcast
