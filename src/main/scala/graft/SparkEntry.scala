@@ -1506,6 +1506,55 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q125_stream_asof" -> ((s, dir) => {
+      // STREAMING AS-OF ENRICHMENT under the oracle: 2-batch
+      // AvailableNow replay split BY EVENT TIME (refs are never late
+      // across batches — the operator's documented exactness
+      // precondition), so the flatMapGroupsWithState carry equals the
+      // batch ASOF join and q29's SQL shape is the oracle. The ref
+      // side is pre-deduped per (user, ts) by max_by(value, event_id)
+      // so the stream's equal-ts tie rule never fires (one
+      // deterministic ref per instant on both engines).
+      val base = graft.streaming.StreamingAsOf.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+      val ref = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .withColumn("side", lit("ref"))
+        .select("user_id", "ts", "side", "value")
+      val probe = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit("probe").as("side"),
+          col("value"))
+      val all = ref.unionByName(probe)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      all.where(col("ts") < cut).coalesce(1).write.mode("append").parquet(in)
+      all.where(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingAsOf.enrich(
+          graft.streaming.IngestPipeline.fileSource(
+            s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+          "user_id", "ts", "side", "value", probe = "probe", ref = "ref")
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).select(col("key"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+        col("refTs").cast("timestamp_ntz").as("ref_ts"),
+        col("refValue").as("ref_value"))
+    }),
+    "q124_bpe_encode" -> ((s, dir) => {
+      // the trained tokenizer APPLIED: 6 learned merges rewrite the
+      // word histogram, and the final (token, cnt) table is the
+      // corpus token histogram — exact counts, the oracle replays
+      // training AND encoding from the same generated SQL
+      Bpe.encodeHistogram(tbl(s, dir, "documents"), "text", k = 6)
+    }),
     "q123_bpe_train" -> ((s, dir) => {
       // BPE tokenizer training over the documents corpus: 6 merge
       // rules learned from the word histogram (the ONE corpus-sized
@@ -2011,6 +2060,17 @@ object SparkEntry {
       .mkString("\n", "\nUNION ALL\n", "")
     (header +: blocks).mkString(",\n") + union
   }
+
+  /** q124's oracle: the same k merge blocks, then the token histogram
+    * of the fully-merged symbol strings (what a tokenizer consumer
+    * reads) — weighted by word frequency, exact counts. */
+  private def bpeEncodeSql(k: Int): String =
+    bpeSql(k).split("\nSELECT CAST\\(1 AS BIGINT\\)").head +
+      s"""
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(string_split(syms, chr(1))) AS token
+         |  FROM w$k) t
+         |GROUP BY token""".stripMargin
 
   private def langIdSql: String = {
     val langs = langMarkers.keys.toSeq.sorted
@@ -2978,6 +3038,17 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
     "q123_bpe_train" -> bpeSql(6),
+    "q124_bpe_encode" -> bpeEncodeSql(6),
+    // streaming as-of replayed to completion == the batch ASOF join
+    // (time-split batches keep refs never-late; ref side pre-deduped
+    // per (user, ts) identically on both engines)
+    "q125_stream_asof" ->
+      """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT CAST(p.user_id AS VARCHAR) AS key, p.ts, p.value,
+        |  c.ts AS ref_ts, c.value AS ref_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     // exact dyadic-position median over integer cents (n <= 25 ->
     // type-7 interpolation lands on .0/.5 exactly on both engines)
     "q120_rolling_median" ->

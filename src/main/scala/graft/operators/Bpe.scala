@@ -107,4 +107,26 @@ object Bpe {
     merges.toSeq.toDF("it", "left", "right", "cnt")
       .withColumn("it", col("it").cast("long"))
   }
+
+  /** Tokenize the corpus with the learned rules: train `k` merges,
+    * apply them in order to the word histogram, and emit the final
+    * (token, cnt) table — cnt weighted by word frequency, i.e. the
+    * corpus token histogram a tokenizer consumer sees. Same
+    * per-iteration cost shape as [[trainMerges]] (everything after
+    * the histogram shuffle is vocabulary-sized). */
+  def encodeHistogram(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = trainMerges(docs, textCol, k)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = wordHistogram(docs, textCol)
+      .withColumn("syms", array_join(split(col("w"), ""), SEP))
+    val encoded = rules.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("syms", applyMerge(col("syms"), l, r))
+    }
+    encoded
+      .select(col("freq"), explode(split(col("syms"), SEP)).as("token"))
+      .groupBy("token").agg(sum("freq").as("cnt"))
+  }
 }

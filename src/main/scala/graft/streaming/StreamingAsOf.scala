@@ -28,10 +28,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAsOf {
 
+  /** Fixed scratch base for q125's AvailableNow replay gate — same
+    * static-oracle-path trade as `Tables.scratchPartitionedPath`. */
+  val scratchBase: String = "/tmp/graft_q125_stream_asof"
+
   final case class In(key: String, ts: Timestamp, side: String, value: Double)
-  final case class RefState(tsMs: Long, value: Double)
+  /** Reference state carries MICROS — `Timestamp.getTime` alone is
+    * millis and silently truncates parquet micros (q125 caught this
+    * against the oracle). */
+  final case class RefState(tsUs: Long, value: Double)
   final case class Enriched(key: String, ts: Timestamp, value: Double,
       refTs: Timestamp, refValue: java.lang.Double)
+
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** @param probe "probe" side marker in `sideCol` (rows are emitted)
     * @param ref   reference side marker (rows update state)
@@ -61,22 +77,22 @@ object StreamingAsOf {
             // equal-ts ref ties order by value so the winner is
             // deterministic regardless of iterator order (hard rule 4)
             val ordered = rows.toArray.sortBy(e =>
-              (e.ts.getTime, if (e.side == ref) 0 else 1, e.value))
+              (micros(e.ts), if (e.side == ref) 0 else 1, e.value))
             var cur = state.getOption.orNull
             val out = Vector.newBuilder[Enriched]
             ordered.foreach { e =>
+              val us = micros(e.ts)
               if (e.side == ref) {
                 // keep the newest reference event; equal-ts ties resolve
                 // to the greatest value (matches the sort order above)
-                if (cur == null || e.ts.getTime > cur.tsMs ||
-                    (e.ts.getTime == cur.tsMs && e.value >= cur.value))
-                  cur = RefState(e.ts.getTime, e.value)
+                if (cur == null || us > cur.tsUs ||
+                    (us == cur.tsUs && e.value >= cur.value))
+                  cur = RefState(us, e.value)
               } else if (e.side == probe) {
                 // a stored ref newer than this probe (late probe) must
                 // not match: ASOF needs ref.ts <= probe.ts
-                if (cur != null && cur.tsMs <= e.ts.getTime)
-                  out += Enriched(key, e.ts, e.value,
-                    new Timestamp(cur.tsMs), cur.value)
+                if (cur != null && cur.tsUs <= us)
+                  out += Enriched(key, e.ts, e.value, toTs(cur.tsUs), cur.value)
                 else
                   out += Enriched(key, e.ts, e.value, null, null)
               }

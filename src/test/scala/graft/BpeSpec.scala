@@ -63,6 +63,34 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.head._2 === "a" && m.head._3 === "a")
   }
 
+  test("encode histogram equals reference tokenization of the corpus") {
+    val texts = Seq(
+      "low low low low low", "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val k = 5
+    val rules = refBpe(texts, k).map { case (_, l, r, _) => (l, r) }
+    val refCounts = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .foreach { w =>
+        var syms = w.map(_.toString).toVector
+        rules.foreach { case (l, r) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toVector
+        }
+        syms.foreach(t => refCounts(t) = refCounts.getOrElse(t, 0L) + 1L)
+      }
+    val got = Bpe.encodeHistogram(texts.toDF("text"), "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refCounts.toMap)
+  }
+
   test("matches the reference on real documents") {
     val docs = graft.sources.Tables.load(spark, sf0001, "documents")
     val texts = docs.select("text").as[String].collect().toSeq
