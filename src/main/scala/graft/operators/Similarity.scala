@@ -473,40 +473,24 @@ object Similarity {
       sampleSize: Int = 2000, iters: Int = 0): DataFrame = {
     val codebooks = pqCodebooks(candidates, idCol, vecCol, m, ksub,
       sampleSize, iters)
-    val d = codebooks.head.head.length
-    // subvectors are projected ONCE per (row, subspace) — inlining
-    // slice() into each of the ksub code candidates would re-slice
-    // per candidate (ksub× the allocations on the corpus scan)
-    def withSubvecs(df: DataFrame, vec: String): DataFrame =
-      (0 until m).foldLeft(df) { (acc, j) =>
-        acc.withColumn(s"__s$j", slice(col(vec), j * d + 1, d))
-      }
-    // (dist, code) structs per subspace — array_min = argmin with
-    // ties → lowest code (struct compare is field-order lexicographic)
-    def subScores(j: Int) =
-      codebooks(j).zipWithIndex.map { case (cb, ci) =>
-        val c2 = cb.map(x => x.toDouble * x).sum // index-order fold
-        struct((lit(c2) - lit(2.0) * dot(col(s"__s$j"), typedLit(cb)))
-          .as("dist"), lit(ci).as("code"))
-      }
-    val c = withSubvecs(
-        candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
-      .withColumn("codes", array((0 until m).map(j =>
-        array_min(array(subScores(j): _*)).getField("code")): _*))
+    // native codegen kernels (PqEncode/PqDistTable/PqAdc): the
+    // Column-API formulation (array_min over ksub structs per
+    // subspace, aggregate() ADC fold) evaluates interpreted and was
+    // ~8x the wall on the corpus scan; the kernel runs the SAME
+    // index-ordered arithmetic (bit-parity contract in Pq.scala), so
+    // the oracle is untouched
+    val kernel = new graft.expressions.PqKernel(codebooks)
+    val c = candidates
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("codes", graft.expressions.Pq.encode(col("cv"), kernel))
       .select("cand_id", "codes")
-    val q = withSubvecs(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
-      .withColumn("dtab", array((0 until m).map(j =>
-        array(subScores(j).map(_.getField("dist")): _*)): _*))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("dtab", graft.expressions.Pq.distTable(col("qv"), kernel))
       .select("query_id", "dtab")
-    // j-ordered left fold over attribute columns (not computed
-    // expressions — the capture-re-evaluation pitfall does not apply)
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
-        element_at(col("codes"), j + 1) + 1))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), adc.as("adc"))
+      .select(col("query_id"), col("cand_id"),
+        graft.expressions.Pq.adc(col("codes"), col("dtab"), kernel).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
