@@ -1506,6 +1506,64 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q126_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view -> click -> purchase: per user
+      // the FIRST view, the first click strictly after it, the first
+      // purchase strictly after that — min() timestamps are exact and
+      // deterministic, stage joins shuffle on the user key only.
+      val ev = tbl(s, dir, "events")
+      def stage(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = stage("click").join(v, "user_id")
+        .where(col("ts") > col("v_ts"))
+        .groupBy("user_id", "v_ts").agg(min("ts").as("c_ts"))
+      val p = stage("purchase").join(c, "user_id")
+        .where(col("ts") > col("c_ts"))
+        .groupBy("user_id", "v_ts", "c_ts").agg(min("ts").as("p_ts"))
+      v.join(c.select("user_id", "c_ts"), Seq("user_id"), "left")
+        .join(p.select("user_id", "p_ts"), Seq("user_id"), "left")
+        .select("user_id", "v_ts", "c_ts", "p_ts")
+    }),
+    "q127_cohort" -> ((s, dir) => {
+      // weekly cohort retention: cohort = ISO week of first activity;
+      // k = whole weeks since cohort week; exact distinct-user counts
+      // per (cohort_week, k) — the classic retention triangle.
+      val ev = tbl(s, dir, "events")
+      val weeks = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .withColumn("k",
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "k")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+    "q128_bigram_lm" -> ((s, dir) => {
+      // count-based bigram LM with add-1 smoothing: p(w2|w1) =
+      // (c2 + 1) / (c1 + V) — every term an exact integer, ONE
+      // deterministic division per row (rule 9's exact variant).
+      // The q123 word-order trick: per-doc token arrays, adjacent
+      // pairs via one projected transform.
+      val toks = tbl(s, dir, "documents")
+        .select(split(lower(col("text")), "[^a-z]+").as("ws"))
+        .select(filter(col("ws"), w => length(w) > 0).as("ws"))
+        .where(size(col("ws")) >= 2)
+      val pairs = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "j -> struct(ws[j] AS w1, ws[j + 1] AS w2))")).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val uni = pairs.groupBy("w1").agg(sum("c2").as("c1"))
+      val vocab = tbl(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) > 0)
+        .agg(count_distinct(col("w")).as("v"))
+      pairs.join(uni, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"), col("c2"),
+          ((col("c2") + lit(1)) / (col("c1") + col("v"))).as("p_smooth"))
+    }),
     "q125_stream_asof" -> ((s, dir) => {
       // STREAMING AS-OF ENRICHMENT under the oracle: 2-batch
       // AvailableNow replay split BY EVENT TIME (refs are never late
@@ -3039,6 +3097,52 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     "q123_bpe_train" -> bpeSql(6),
     "q124_bpe_encode" -> bpeEncodeSql(6),
+    // ordered min-timestamp funnel — exact timestamps, no rounding
+    "q126_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id, v.v_ts),
+        |p AS (SELECT e.user_id, c.v_ts, c.c_ts, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id, c.v_ts, c.c_ts)
+        |SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // ISO-week cohorts (both engines truncate to Monday); k and the
+    // distinct-user counts are exact integers
+    "q127_cohort" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week
+        |  FROM weeks GROUP BY user_id)
+        |SELECT c.cohort_week, CAST((w.wk - c.cohort_week) / 7 AS BIGINT) AS k,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY c.cohort_week, k""".stripMargin,
+    // add-1-smoothed bigram LM: every term an exact integer, one
+    // BIGINT/BIGINT division per row
+    "q128_bigram_lm" ->
+      """WITH toks AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'),
+        |    w -> length(w) > 0) AS ws FROM documents),
+        |pairs AS (SELECT pr[1] AS w1, pr[2] AS w2,
+        |    CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT unnest(list_transform(
+        |      generate_series(1, len(ws) - 1), j -> [ws[j], ws[j + 1]])) AS pr
+        |    FROM toks WHERE len(ws) >= 2) t
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM pairs GROUP BY w1),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) t WHERE length(w) > 0)
+        |SELECT p.w1, p.w2, p.c2,
+        |  (p.c2 + 1) / (u.c1 + (SELECT v FROM vocab)) AS p_smooth
+        |FROM pairs p JOIN uni u USING (w1)""".stripMargin,
     // streaming as-of replayed to completion == the batch ASOF join
     // (time-split batches keep refs never-late; ref side pre-deduped
     // per (user, ts) identically on both engines)
