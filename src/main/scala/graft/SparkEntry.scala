@@ -1506,6 +1506,25 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q129_asof_tolerance" -> ((s, dir) => {
+      // q29's as-of enrichment with a 1-hour staleness bound
+      // (merge_asof tolerance semantics): a click older than an hour
+      // is nulled on the SAME matched row, never replaced by an even
+      // older one. Freshness compares exact integer micros.
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.asOfWithin(
+          left = ev.where(col("event_type") === "purchase"),
+          right = clicks,
+          keyCols = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"),
+          tolUs = 3600L * 1000000L)
+        .select("event_id", "user_id", "ts", "value",
+          "last_click_ts", "last_click_value")
+    }),
     "q126_funnel" -> ((s, dir) => {
       // ordered conversion funnel view -> click -> purchase: per user
       // the FIRST view, the first click strictly after it, the first
@@ -3097,6 +3116,16 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     "q123_bpe_train" -> bpeSql(6),
     "q124_bpe_encode" -> bpeEncodeSql(6),
+    // ASOF with a staleness bound: the CASE guards null out matches
+    // older than 1 h on the SAME matched row (exact micros compare)
+    "q129_asof_tolerance" ->
+      """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS last_click_ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.value END AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     // ordered min-timestamp funnel — exact timestamps, no rounding
     "q126_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events

@@ -98,4 +98,30 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select((leftCols ++ rightVals.map(_._2)).map(col): _*)
   }
+
+  /** [[asOf]] with a staleness bound (pandas `merge_asof(tolerance=)`
+    * semantics): a match older than `tolUs` microseconds is nulled out
+    * field-by-field on the SAME matched row — a too-old match never
+    * falls back to an even older (thus also too-old) one. The
+    * freshness compare is exact integer micros on both engines, so
+    * the DuckDB oracle is the plain ASOF join wrapped in CASE
+    * staleness guards (q129). */
+  def asOfWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      tolUs: Long,
+      rightTie: Seq[String] = Nil): DataFrame = {
+    val tCol = "__asof_t"
+    val enriched = asOf(left, right, keyCols, leftTime, rightTime,
+      rightVals :+ (rightTime -> tCol), rightTie)
+    val fresh = unix_micros(col(tCol).cast("timestamp")) >=
+      unix_micros(col(leftTime).cast("timestamp")) - lit(tolUs)
+    rightVals.map(_._2).foldLeft(enriched) { (df, dst) =>
+      df.withColumn(dst, when(fresh, col(dst)))
+    }.drop(tCol)
+  }
 }

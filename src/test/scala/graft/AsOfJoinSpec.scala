@@ -37,6 +37,25 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(joined(3).getAs[Double]("last_px") === 200.0)
   }
 
+  test("tolerance nulls a stale match; it never falls back to an older row") {
+    val trades = Seq(
+      (1L, "A", ts(12)), // quote at 10 is 2s old -> within 5s tol
+      (2L, "A", ts(40)), // latest quote (30) is 10s old -> nulled,
+                         // NOT replaced by the even older quote at 10
+      (3L, "A", ts(33))  // quote at 30 is 3s old -> match
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(10), 100.0),
+      ("A", ts(30), 103.0)
+    ).toDF("sym", "qts", "px")
+    val joined = AsOfJoin.asOfWithin(trades, quotes, Seq("sym"), "ts", "qts",
+        Seq("px" -> "last_px"), tolUs = 5L * 1000000L)
+      .orderBy("trade_id").collect()
+    assert(joined(0).getAs[Double]("last_px") === 100.0)
+    assert(joined(1).isNullAt(joined(1).fieldIndex("last_px")))
+    assert(joined(2).getAs[Double]("last_px") === 103.0)
+  }
+
   test("a matched row's NULL field stays NULL (struct carry, not per-column)") {
     val trades = Seq((1L, "A", ts(40))).toDF("trade_id", "sym", "ts")
     val quotes = Seq(
