@@ -127,6 +127,32 @@ object ScaleProbe {
           Seq(("ts", true), ("event_id", true)), "value", a = 1.0, b = 1.0)
         val n = r.count(); r.unpersist(); n
       },
+      // q126's funnel: three filtered scans + user-keyed min-agg
+      // stage joins — key count grows with the multiplier, every
+      // shuffle is user-keyed, wall must stay linear
+      "funnel" -> { ev =>
+        def stage(t: String) = ev.where(col("event_type") === t)
+          .select(col("user_id"), col("ts"))
+        val v = stage("view").groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = stage("click").join(v, "user_id")
+          .where(col("ts") > col("v_ts"))
+          .groupBy("user_id", "v_ts").agg(min("ts").as("c_ts"))
+        val p = stage("purchase").join(c, "user_id")
+          .where(col("ts") > col("c_ts"))
+          .groupBy("user_id", "v_ts", "c_ts").agg(min("ts").as("p_ts"))
+        v.join(c.select("user_id", "c_ts"), Seq("user_id"), "left")
+          .join(p.select("user_id", "p_ts"), Seq("user_id"), "left").count()
+      },
+      // q127's cohort triangle: distinct (user, week) + min-week join
+      // + two-level count-distinct — all user-keyed aggregates
+      "cohort" -> { ev =>
+        val weeks = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+        val cohort = weeks.groupBy("user_id").agg(min("wk").as("cw"))
+        weeks.join(cohort, "user_id")
+          .withColumn("k", (datediff(col("wk"), col("cw")) / 7).cast("long"))
+          .groupBy("cw", "k").agg(count_distinct(col("user_id"))).count()
+      },
       // q87's TWAP shape: one window exchange + map-side partial agg —
       // must track the sessionize/window family linearly
       "twap" -> { ev =>
