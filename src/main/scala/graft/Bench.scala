@@ -52,9 +52,13 @@ object Bench {
     // keep the one-line JSON under ~2 KB so the harness's tail capture
     // holds the WHOLE line (round 7's full-name/full-precision line was
     // truncated head-first and never parsed): keys shrink to the
-    // numeric id (q01…q115 — unique by construction), values to ms.
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    // numeric id (q01…q129), values to seconds at ms precision.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      "duplicate numeric query ids would collide as JSON keys: " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(","))
+    val qs = shortKeys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators._
 import graft.functions.TextFunctions
+import graft.streaming.IngestPipeline.BatchWriter
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator from SURVEY.md §2 plus the corpus-pipeline operators, each
@@ -1420,13 +1421,13 @@ object SparkEntry {
       val dup5 = ev.where(pmod(col("event_id"), lit(5)) === 0)
         .withColumn("ts", col("ts") + expr("INTERVAL 2 HOURS"))
         .withColumn("value", col("value") + lit(1000.0))
-      ev.unionByName(dup5).coalesce(1).write.mode("append").parquet(in)
+      ev.unionByName(dup5).appendBatchTo(in, 0)
       // arrival file 2: CROSS-batch redelivery (ids%3==0, 1h later) —
       // lands in the append-only table, compaction must retire it
       ev.where(pmod(col("event_id"), lit(3)) === 0)
         .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
         .withColumn("value", col("value") + lit(500.0))
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.IngestPipeline.startIngest(
         graft.streaming.IngestPipeline.fileSource(
           s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1454,9 +1455,9 @@ object SparkEntry {
       val train = docs.where(pmod(col("doc_id"), lit(97L)) =!= 0)
         .select("doc_id", "text")
       train.where(col("doc_id") < 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       train.where(col("doc_id") >= 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.IngestPipeline.startDecontaminate(
         graft.streaming.IngestPipeline.fileSource(
           s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1608,8 +1609,8 @@ object SparkEntry {
           col("value"))
       val all = ref.unionByName(probe)
       val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-      all.where(col("ts") < cut).coalesce(1).write.mode("append").parquet(in)
-      all.where(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+      all.where(col("ts") < cut).appendBatchTo(in, 0)
+      all.where(col("ts") >= cut).appendBatchTo(in, 1)
       val q = graft.streaming.StreamingAsOf.enrich(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1732,9 +1733,9 @@ object SparkEntry {
       val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
       val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       emb.where(col("vec_id") < 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       emb.where(col("vec_id") >= 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.StreamingEmbedScreen.pairs(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1762,9 +1763,9 @@ object SparkEntry {
       val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       docs.where(col("doc_id") < 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       docs.where(col("doc_id") >= 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.StreamingMinHash.pairs(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1796,9 +1797,9 @@ object SparkEntry {
       val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       docs.where(col("doc_id") < 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       docs.where(col("doc_id") >= 250)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.StreamingNearDup.pairs(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1831,9 +1832,9 @@ object SparkEntry {
       val ev = tbl(s, dir, "events").where(col("user_id") < 20)
         .select("user_id", "ts")
       ev.where(dayofmonth(col("ts")) <= 15)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       ev.where(dayofmonth(col("ts")) > 15)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.GapMonitor.monitor(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1868,9 +1869,9 @@ object SparkEntry {
         .groupBy("user_id", "ts")
         .agg(max_by(col("value"), col("event_id")).as("value"))
       ticks.where(dayofmonth(col("ts")) <= 15)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       ticks.where(dayofmonth(col("ts")) > 15)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       val q = graft.streaming.LiveBars.bars(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -1906,11 +1907,11 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents").where(col("doc_id") < 500)
         .select("doc_id", "text")
       docs.where(col("doc_id") < 200)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 0)
       docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 1)
       docs.where(col("doc_id") >= 350)
-        .coalesce(1).write.mode("append").parquet(in)
+        .appendBatchTo(in, 2)
       val q = graft.streaming.StreamingHeavyHitters.tokenCounts(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
@@ -3035,8 +3036,9 @@ object SparkEntry {
     // float->double accumulation on both engines
     "q40_ivf_ann" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cells AS (SELECT vec_id AS cell, v AS cv,
-        |    list_dot_product(v, v) AS c2 FROM base WHERE vec_id < 16),
+        |cells AS (SELECT vec_id AS cell, v AS cv, list_dot_product(v, v) AS c2
+        |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        |    FROM base) WHERE rn <= 16),
         |dist AS (SELECT b.vec_id, c.cell,
         |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
         |  FROM base b CROSS JOIN cells c),
@@ -3089,9 +3091,11 @@ object SparkEntry {
     "q118_pq_ann" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cb AS (SELECT vec_id, v FROM (SELECT vec_id, v,
+        |    row_number() OVER (ORDER BY vec_id) AS rn FROM base) WHERE rn <= 16),
         |cells AS (SELECT cb.vec_id AS code, js.j,
         |    list_slice(cb.v, js.j*8+1, js.j*8+8) AS cv
-        |  FROM base cb CROSS JOIN js WHERE cb.vec_id < 16),
+        |  FROM cb CROSS JOIN js),
         |cells2 AS (SELECT code, j, cv, list_dot_product(cv, cv) AS c2 FROM cells),
         |enc AS (SELECT b.vec_id, c.j, c.code,
         |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS d
@@ -3234,9 +3238,11 @@ object SparkEntry {
     "q119_pq_refined" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cb AS (SELECT vec_id, v FROM (SELECT vec_id, v,
+        |    row_number() OVER (ORDER BY vec_id) AS rn FROM base) WHERE rn <= 16),
         |cells AS (SELECT cb.vec_id AS code, js.j,
         |    list_slice(cb.v, js.j*8+1, js.j*8+8) AS cv
-        |  FROM base cb CROSS JOIN js WHERE cb.vec_id < 16),
+        |  FROM cb CROSS JOIN js),
         |cells2 AS (SELECT code, j, cv, list_dot_product(cv, cv) AS c2 FROM cells),
         |enc AS (SELECT b.vec_id, c.j, c.code,
         |    c.c2 - 2*list_dot_product(list_slice(b.v, c.j*8+1, c.j*8+8), c.cv) AS d

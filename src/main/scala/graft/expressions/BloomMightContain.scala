@@ -84,9 +84,15 @@ object BloomMightContain {
     * sizes the array (an approx distinct count is fine); `maxBits`
     * caps the array so the tree merge and the task-binary reference
     * object stay bounded — past the cap fpp degrades gracefully and
-    * the exact join downstream keeps results identical. */
+    * the exact join downstream keeps results identical. The default
+    * cap (1<<27 bits = 16 MB) keeps the per-partition fold arrays,
+    * the tree-merge payloads, and the codegen reference object inside
+    * broadcast comfort; it holds 16 bits/item up to ~8 M distinct
+    * items, and fpp at the cap is still ~0.1% at 50 M items. Raise it
+    * deliberately (with executor memory to match) rather than by
+    * default — a 1<<31 cap would mean 256 MB per partition fold. */
   def buildDistributed(hashes: org.apache.spark.rdd.RDD[Long], n: Long,
-      bitsPerItem: Int = 16, maxBits: Long = 1L << 31): (Array[Long], Int) = {
+      bitsPerItem: Int = 16, maxBits: Long = 1L << 27): (Array[Long], Int) = {
     require(n > 0, "empty build side — skip the filter instead")
     val targetBits = math.min(maxBits, math.max(64L, n * bitsPerItem))
     val words = java.lang.Long.highestOneBit(

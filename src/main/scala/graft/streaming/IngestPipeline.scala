@@ -35,6 +35,37 @@ object IngestPipeline {
     * replay — same fixed-path trade as [[scratchIngestBase]]. */
   val scratchDecontamBase: String = "/tmp/graft_q93_decon"
 
+  /** Append `df` as ONE parquet file into `dir`, stamped with a
+    * strictly increasing modification time (`batchIdx` minutes past a
+    * fixed past epoch). FileStreamSource orders pending files by
+    * modification time; two sub-millisecond sequential writes can tie
+    * on mtime, and coalesced part files have random UUID names — so a
+    * maxFilesPerTrigger=1 replay could process "batch 2" first,
+    * flipping any order-sensitive state carry (streaming as-of keeps
+    * only the newest reference row). The stamp makes arrival order a
+    * property of the data, not the writer's clock. Stamp values sit
+    * in 2001 — far below any live mtime — so a second append
+    * recognizes already-stamped files and leaves them be; all stamps
+    * are minutes apart, far inside the source's maxFileAge window. */
+  def appendBatch(df: DataFrame, dir: String, batchIdx: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.coalesce(1).write.mode("append").parquet(dir)
+    val stampBase = 1000000000000L // 2001-09-09 << any live mtime
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getModificationTime > stampBase + 86400000L)
+        fs.setTimes(st.getPath, stampBase + batchIdx * 60000L, -1)
+    }
+  }
+
+  /** Chainable sugar for [[appendBatch]]:
+    * `df.appendBatchTo(in, 0)` (import `IngestPipeline.BatchWriter`). */
+  implicit class BatchWriter(private val df: DataFrame) extends AnyVal {
+    def appendBatchTo(dir: String, batchIdx: Int): Unit =
+      appendBatch(df, dir, batchIdx)
+  }
+
   /** File-based micro-batch source of event rows (the test rig and the
     * bulk-load path share it; Kafka swaps in by changing the format). */
   def fileSource(spark: SparkSession, schema: StructType, inDir: String,
