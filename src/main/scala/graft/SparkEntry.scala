@@ -1585,14 +1585,18 @@ object SparkEntry {
           ((col("c2") + lit(1)) / (col("c1") + col("v"))).as("p_smooth"))
     }),
     "q125_stream_asof" -> ((s, dir) => {
-      // STREAMING AS-OF ENRICHMENT under the oracle: 2-batch
-      // AvailableNow replay split BY EVENT TIME (refs are never late
-      // across batches — the operator's documented exactness
-      // precondition), so the flatMapGroupsWithState carry equals the
-      // batch ASOF join and q29's SQL shape is the oracle. The ref
-      // side is pre-deduped per (user, ts) by max_by(value, event_id)
-      // so the stream's equal-ts tie rule never fires (one
-      // deterministic ref per instant on both engines).
+      // STREAMING AS-OF ENRICHMENT under the oracle, with ADVERSARIAL
+      // LATE ARRIVAL: the reference rows of the last pre-cut day are
+      // withheld from batch 1 and arrive in batch 2 — AFTER the probes
+      // they must match. enrichExact's watermark-buffered probes (2-day
+      // delay covers the 1-day withholding) still produce exactly the
+      // batch ASOF join, so q29's SQL shape stays the oracle verbatim;
+      // the immediate-emit mode would mis-enrich every probe in the
+      // withheld window. A max-ts flush sentinel (batch 3) pushes the
+      // final watermark past the last probe so AvailableNow's closing
+      // timeout batch drains the buffer. The ref side is pre-deduped
+      // per (user, ts) by max_by(value, event_id) so the stream's
+      // equal-ts tie rule never fires.
       val base = graft.streaming.StreamingAsOf.scratchBase
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
@@ -1609,12 +1613,20 @@ object SparkEntry {
           col("value"))
       val all = ref.unionByName(probe)
       val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-      all.where(col("ts") < cut).appendBatchTo(in, 0)
-      all.where(col("ts") >= cut).appendBatchTo(in, 1)
-      val q = graft.streaming.StreamingAsOf.enrich(
+      val lateFrom = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+      val lateRef = col("side") === "ref" && col("ts") >= lateFrom
+      all.where(col("ts") < cut && !lateRef).appendBatchTo(in, 0)
+      all.where(col("ts") >= cut || (col("ts") < cut && lateRef))
+        .appendBatchTo(in, 1)
+      all.limit(1).select(col("user_id"),
+          lit("2024-02-15 00:00:00").cast("timestamp_ntz").as("ts"),
+          lit("flush").as("side"), lit(0.0).as("value"))
+        .appendBatchTo(in, 2)
+      val q = graft.streaming.StreamingAsOf.enrichExact(
           graft.streaming.IngestPipeline.fileSource(
             s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
-          "user_id", "ts", "side", "value", probe = "probe", ref = "ref")
+          "user_id", "ts", "side", "value", probe = "probe", ref = "ref",
+          delay = "2 days")
         .toDF()
         .writeStream.format("parquet").option("path", out)
         .outputMode("append")
