@@ -1507,6 +1507,26 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q130_ddsketch_quantiles" -> ((s, dir) => {
+      // Mergeable relative-error quantile sketch (DDSketch): per-group
+      // p50/p90/p99 of l_extendedprice from a bucket-count histogram —
+      // merge is count addition, so the state is a pure function of
+      // the multiset (partitioning-independent) and the shuffle moves
+      // one O(buckets) buffer per group instead of a per-group sort.
+      // Boundaries are Scala-generated literals on BOTH engines; the
+      // oracle answers by order statistic + comparison count (the
+      // bucket containing the r-th value is the first with cum >= r).
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.5, 0.9, 0.99)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.expressions.DdSketchAggregate(
+          col("l_extendedprice"), bounds, qs).as("ests"))
+        .select(col("l_returnflag"),
+          posexplode(col("ests")).as(Seq("qi", "est")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
     "q129_asof_tolerance" -> ((s, dir) => {
       // q29's as-of enrichment with a 1-hour staleness bound
       // (merge_asof tolerance semantics): a click older than an hour
@@ -2101,6 +2121,35 @@ object SparkEntry {
        |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
        |  FROM raw),
        |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2)""".stripMargin
+
+  /** q130's DuckDB twin: the DDSketch estimate for rank r equals the
+    * bucket representative of the r-th order statistic, so the SQL
+    * needs ONE bucketing (comparison count against the shared
+    * Scala-generated boundary literals) per (group, quantile), not a
+    * histogram replay. Rank rule and representative math are the
+    * identical double expressions as `DdSketchAggregate.eval`. */
+  private def ddSketchSql: String = {
+    val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+    val bl = graft.expressions.DdSketch.sqlList(bounds)
+    val nb = bounds.length
+    s"""WITH vals AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+       |n AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+       |qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+       |rk AS (SELECT g, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r
+       |  FROM n CROSS JOIN qs),
+       |ord AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn
+       |  FROM vals),
+       |xr AS (SELECT rk.g, rk.q, ord.x
+       |  FROM rk JOIN ord ON ord.g = rk.g AND ord.rn = rk.r),
+       |bl AS (SELECT $bl::DOUBLE[] AS bs),
+       |idx AS (SELECT g, q, len(list_filter(bs, b -> b <= x)) AS i
+       |  FROM xr CROSS JOIN bl)
+       |SELECT g AS l_returnflag, q,
+       |  CASE WHEN i <= 0 THEN bs[1]
+       |       WHEN i >= $nb THEN bs[$nb]
+       |       ELSE 2.0 * bs[i] * bs[i + 1] / (bs[i] + bs[i + 1]) END AS est
+       |FROM idx CROSS JOIN bl""".stripMargin
+  }
 
   /** Nearest-neighbor 16x10 resize blob hex, shared by q58 and q76:
     * re-encoded header + string_agg of source bytes at the rebuilt
@@ -3132,6 +3181,12 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     "q123_bpe_train" -> bpeSql(6),
     "q124_bpe_encode" -> bpeEncodeSql(6),
+    // DDSketch replay without the histogram: the sketch's rank-r
+    // answer is the bucket representative of the r-th order statistic
+    // (first bucket with cumulative count >= r in value order), and
+    // bucketing is pure <= comparisons against the shared
+    // Scala-generated boundary literals — no cross-engine log() ulps
+    "q130_ddsketch_quantiles" -> ddSketchSql,
     // ASOF with a staleness bound: the CASE guards null out matches
     // older than 1 h on the SAME matched row (exact micros compare)
     "q129_asof_tolerance" ->

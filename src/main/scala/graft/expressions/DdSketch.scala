@@ -1,0 +1,201 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+import scala.collection.mutable.LongMap
+
+/** Mergeable relative-error quantile sketch (DDSketch — Masson, Rim &
+  * Lee, "DDSketch: a fast and fully-mergeable quantile sketch with
+  * relative-error guarantees", VLDB 2019) — the 100 TB percentile
+  * path. Exact per-group percentiles (q39's `quantile_cont` twin) need
+  * a full per-group sort at scale; this sketch folds each value into a
+  * logarithmic bucket histogram, so the shuffle moves one
+  * O(buckets)-sized buffer per group and merge is bucket-count
+  * ADDITION — commutative, associative, and a pure function of the
+  * input multiset. Unlike GK/KLL (whose compactions depend on merge
+  * order), the sketch state is partitioning-INDEPENDENT: any plan
+  * shape yields bit-identical answers, which is what lets a DuckDB
+  * oracle replay it exactly (q130).
+  *
+  * Oracle-parity trick (the LSH-planes pattern): bucket boundaries are
+  * generated ONCE in Scala ([[DdSketch.boundaries]]) and emitted into
+  * the SQL as double literals, so bucketing is pure `<=` comparisons —
+  * no cross-engine `log()` ulp risk. The answer for rank r is the
+  * representative (harmonic mean of the edges) of the bucket containing the
+  * r-th order statistic, which SQL can find by order statistic +
+  * comparison count without replaying the histogram.
+  *
+  * Guarantee: for values inside [bounds.head, bounds.last], the
+  * estimate is within relative error alpha = (gamma-1)/(gamma+1) of
+  * the exact rank-r value. Values below/above the covered range clamp
+  * to the first/last bucket (estimates degrade gracefully; size the
+  * range generously — ~700 buckets cover 1..2e6 at alpha=0.01).
+  * Negative values mirror into a second store; zeros count separately
+  * (the standard DDSketch three-store layout).
+  */
+object DdSketch {
+
+  /** Strictly increasing bucket boundaries `lo * gamma^i` (successive
+    * multiplication — deterministic doubles), covering [lo, hi].
+    * gamma = (1+alpha)/(1-alpha). */
+  def boundaries(alpha: Double, lo: Double, hi: Double): Array[Double] = {
+    require(alpha > 0 && alpha < 1 && lo > 0 && hi > lo)
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val out = Array.newBuilder[Double]
+    var b = lo
+    while (b < hi) { out += b; b *= gamma }
+    out += b
+    out.result()
+  }
+
+  /** The boundary list as a DuckDB list literal — `Double.toString`
+    * round-trips to the identical IEEE double under DuckDB's
+    * correctly-rounded parse. */
+  def sqlList(bounds: Array[Double]): String =
+    bounds.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Number of boundaries <= x (0..n) — the bucket index. */
+  def bucketOf(bounds: Array[Double], x: Double): Int = {
+    val i = java.util.Arrays.binarySearch(bounds, x)
+    if (i >= 0) i + 1 else -i - 1
+  }
+
+  /** Bucket representative: harmonic mean of the enclosing boundaries
+    * `2*lo*hi/(lo+hi)` — the DDSketch representative, whose relative
+    * error is exactly alpha at BOTH edges (an arithmetic midpoint
+    * overshoots to (gamma-1)/2 at the low edge). Identical IEEE ops on
+    * both engines given identical boundary doubles. */
+  def rep(bounds: Array[Double], idx: Int): Double =
+    if (idx <= 0) bounds(0)
+    else if (idx >= bounds.length) bounds(bounds.length - 1)
+    else 2.0 * bounds(idx - 1) * bounds(idx) /
+      (bounds(idx - 1) + bounds(idx))
+
+  /** Mutable three-store buffer: zeros + positive/negative bucket
+    * histograms (key = bucket index of |x|). */
+  final class Buf(var zero: Long, val pos: LongMap[Long], val neg: LongMap[Long])
+}
+
+/** `array<double>` of the sketch's estimates at `quantiles` (rank rule
+  * r = max(1, ceil(q*n)), the same on both engines). */
+case class DdSketchAggregate(
+    child: Expression,
+    bounds: Array[Double],
+    quantiles: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdSketch.Buf] {
+
+  import DdSketch._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(0L, LongMap.empty, LongMap.empty)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (x == 0.0) buf.zero += 1
+      else if (x > 0.0) {
+        val k = bucketOf(bounds, x).toLong
+        buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
+      } else {
+        val k = bucketOf(bounds, -x).toLong
+        buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    a.zero += b.zero
+    b.pos.foreach { case (k, c) => a.pos.update(k, a.pos.getOrElse(k, 0L) + c) }
+    b.neg.foreach { case (k, c) => a.neg.update(k, a.neg.getOrElse(k, 0L) + c) }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val nNeg = buf.neg.values.sum
+    val n = nNeg + buf.zero + buf.pos.values.sum
+    val out = quantiles.map { q =>
+      if (n == 0L) Double.NaN
+      else {
+        val r = math.max(1L, math.ceil(q * n).toLong)
+        if (r <= nNeg) {
+          // ascending value order over negatives = DESCENDING |x| bucket
+          val ks = buf.neg.keys.toArray.sorted
+          var cum = 0L; var i = ks.length - 1; var ans = 0.0
+          var found = false
+          while (!found && i >= 0) {
+            cum += buf.neg(ks(i))
+            if (cum >= r) { ans = -rep(bounds, ks(i).toInt); found = true }
+            i -= 1
+          }
+          ans
+        } else if (r <= nNeg + buf.zero) 0.0
+        else {
+          val rr = r - nNeg - buf.zero
+          val ks = buf.pos.keys.toArray.sorted
+          var cum = 0L; var i = 0; var ans = 0.0
+          var found = false
+          while (!found && i < ks.length) {
+            cum += buf.pos(ks(i))
+            if (cum >= rr) { ans = rep(bounds, ks(i).toInt); found = true }
+            i += 1
+          }
+          ans
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 4 + buf.pos.size * 12 + 4 + buf.neg.size * 12)
+    bb.putLong(buf.zero)
+    def putMap(m: LongMap[Long]): Unit = {
+      bb.putInt(m.size)
+      m.foreach { case (k, c) => bb.putInt(k.toInt); bb.putLong(c) }
+    }
+    putMap(buf.pos); putMap(buf.neg)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val zero = bb.getLong
+    def getMap(): LongMap[Long] = {
+      val n = bb.getInt
+      val m = LongMap.empty[Long]
+      var i = 0
+      while (i < n) { m.update(bb.getInt.toLong, bb.getLong); i += 1 }
+      m
+    }
+    new Buf(zero, getMap(), getMap())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): DdSketchAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): DdSketchAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object DdSketchAggregate {
+  import org.apache.spark.sql.graft.Bridge
+  def apply(c: Column, bounds: Array[Double], quantiles: Array[Double]): Column =
+    Bridge.column(DdSketchAggregate(Bridge.expression(c), bounds, quantiles)
+      .toAggregateExpression())
+}

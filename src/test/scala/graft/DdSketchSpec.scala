@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.{DdSketch, DdSketchAggregate}
+
+/** DDSketch quantile aggregate: relative-error guarantee vs the exact
+  * order statistic, and bit-identical answers under any partitioning
+  * (the fully-mergeable property that makes it oracle-replayable). */
+class DdSketchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val alpha = 0.01
+  private val bounds = DdSketch.boundaries(alpha, 1e-3, 1e7)
+  private val qs = Array(0.01, 0.25, 0.5, 0.9, 0.99, 0.999)
+
+  private def exactRank(sorted: Array[Double], q: Double): Double = {
+    val r = math.max(1L, math.ceil(q * sorted.length).toLong)
+    sorted((r - 1).toInt)
+  }
+
+  test("estimates are within alpha relative error of the exact rank value") {
+    val rnd = new scala.util.Random(42)
+    // log-uniform over 8 decades — exercises many buckets
+    val vals = Array.fill(10000)(math.exp(
+      rnd.nextDouble() * (math.log(1e6) - math.log(1e-2)) + math.log(1e-2)))
+    val sorted = vals.sorted
+    val est = vals.toSeq.toDF("x")
+      .agg(DdSketchAggregate(col("x"), bounds, qs).as("e"))
+      .select(col("e")).as[Seq[Double]].head()
+    qs.zip(est).foreach { case (q, e) =>
+      val ex = exactRank(sorted, q)
+      assert(math.abs(e - ex) / ex <= alpha + 1e-12,
+        s"q=$q est=$e exact=$ex relerr=${math.abs(e - ex) / ex}")
+    }
+  }
+
+  test("answers are bit-identical under any partitioning (pure function of the multiset)") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(5000)(math.exp(rnd.nextDouble() * 10 - 2))
+    def run(parts: Int): Seq[Double] = vals.toDF("x")
+      .repartition(parts)
+      .agg(DdSketchAggregate(col("x"), bounds, qs).as("e"))
+      .select(col("e")).as[Seq[Double]].head()
+    val a = run(1); val b = run(13); val c = run(32)
+    assert(a.map(java.lang.Double.doubleToRawLongBits) ===
+      b.map(java.lang.Double.doubleToRawLongBits))
+    assert(a.map(java.lang.Double.doubleToRawLongBits) ===
+      c.map(java.lang.Double.doubleToRawLongBits))
+  }
+
+  test("three-store layout: negatives mirror, zeros sit between") {
+    val vals = Seq(-100.0, -1.0, 0.0, 0.0, 2.0, 50.0, 1000.0)
+    val est = vals.toDF("x")
+      .agg(DdSketchAggregate(col("x"),
+        DdSketch.boundaries(alpha, 0.5, 2000.0),
+        Array(0.1, 0.3, 0.5, 0.7, 0.99)).as("e"))
+      .select(col("e")).as[Seq[Double]].head()
+    // n=7: ranks 1,3,4,5,7 -> -100, 0, 0, 2, 1000 (within alpha)
+    assert(math.abs(est(0) + 100.0) / 100.0 <= alpha)
+    assert(est(1) === 0.0)
+    assert(est(2) === 0.0)
+    assert(math.abs(est(3) - 2.0) / 2.0 <= alpha)
+    assert(math.abs(est(4) - 1000.0) / 1000.0 <= alpha)
+  }
+
+  test("boundaries are strictly increasing and bucketOf/rep agree with comparisons") {
+    assert(bounds.sliding(2).forall(p => p(0) < p(1)))
+    val rnd = new scala.util.Random(3)
+    (1 to 200).foreach { _ =>
+      val x = math.exp(rnd.nextDouble() * 20 - 6)
+      val idx = DdSketch.bucketOf(bounds, x)
+      assert(idx === bounds.count(_ <= x))
+      val r = DdSketch.rep(bounds, idx)
+      if (idx > 0 && idx < bounds.length)
+        assert(math.abs(r - x) / x <= alpha + 1e-12)
+    }
+  }
+}
