@@ -1659,19 +1659,21 @@ object SparkEntry {
         col("refValue").as("ref_value"))
     }),
     "q124_bpe_encode" -> ((s, dir) => {
-      // the trained tokenizer APPLIED: 6 learned merges rewrite the
-      // word histogram, and the final (token, cnt) table is the
-      // corpus token histogram — exact counts, the oracle replays
-      // training AND encoding from the same generated SQL
-      Bpe.encodeHistogram(tbl(s, dir, "documents"), "text", k = 6)
+      // the trained tokenizer APPLIED: 60 learned merges rewrite the
+      // word histogram via the broadcast-ranks lowest-rank-first
+      // encode loop, and the final (token, cnt) table is the corpus
+      // token histogram — exact counts, the oracle replays training
+      // AND encoding from the same generated SQL
+      Bpe.encodeHistogram(tbl(s, dir, "documents"), "text", k = 60)
     }),
     "q123_bpe_train" -> ((s, dir) => {
-      // BPE tokenizer training over the documents corpus: 6 merge
+      // BPE tokenizer training over the documents corpus: 60 merge
       // rules learned from the word histogram (the ONE corpus-sized
-      // shuffle — every iteration after it is vocabulary-sized).
-      // DuckDB replays training exactly: same histogram, same greedy
-      // left-to-right fold, same (cnt desc, l, r) argmax tiebreak.
-      Bpe.trainMerges(tbl(s, dir, "documents"), "text", k = 6)
+      // shuffle; the k-merge fold then runs driver-side over the
+      // Heaps'-bounded histogram — zero per-merge jobs, wall flat in
+      // k). DuckDB replays training exactly: same histogram, same
+      // greedy left-to-right fold, same (cnt desc, l, r) argmax.
+      Bpe.trainMerges(tbl(s, dir, "documents"), "text", k = 60)
     }),
     "q120_rolling_median" -> ((s, dir) => {
       // Exact trailing-25-row median over integer cents: the type-7
@@ -2171,12 +2173,16 @@ object SparkEntry {
     * l, r) argmax, and the identical greedy left-to-right
     * string-accumulator fold (chr(1) = Bpe.SEP). */
   private def bpeSql(k: Int): String = {
+    // every w_i is referenced twice (by p_{i+1} and w_{i+1}); without
+    // MATERIALIZED, DuckDB's CTE inlining doubles the tree per block —
+    // 2^k expansion, which at k=60 exhausts file handles re-opening
+    // the documents parquet. Materializing makes the plan linear in k.
     val header =
-      """WITH words AS (SELECT w, count(*) AS freq FROM (
+      """WITH words AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |    FROM documents) t
         |  WHERE length(w) > 0 GROUP BY w),
-        |w0 AS (SELECT freq,
+        |w0 AS MATERIALIZED (SELECT freq,
         |    array_to_string(string_split(w, ''), chr(1)) AS syms FROM words)""".stripMargin
     val blocks = (1 to k).map { i =>
       s"""p$i AS (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -2185,8 +2191,8 @@ object SparkEntry {
          |    FROM (SELECT freq, string_split(syms, chr(1)) AS ls
          |      FROM w${i - 1}) t) u
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$i AS (SELECT freq, substr(list_reduce(
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT freq, substr(list_reduce(
          |    list_prepend('', string_split(w.syms, chr(1))),
          |    (acc, x) -> CASE
          |      WHEN right(acc, 1 + length(b.l)) = chr(1) || b.l AND x = b.r
@@ -3179,8 +3185,8 @@ object SparkEntry {
         |  SELECT query_id, cand_id, adc, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
-    "q123_bpe_train" -> bpeSql(6),
-    "q124_bpe_encode" -> bpeEncodeSql(6),
+    "q123_bpe_train" -> bpeSql(60),
+    "q124_bpe_encode" -> bpeEncodeSql(60),
     // DDSketch replay without the histogram: the sketch's rank-r
     // answer is the bucket representative of the r-th order statistic
     // (first bucket with cumulative count >= r in value order), and

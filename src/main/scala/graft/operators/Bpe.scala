@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
 
 /** Distributed byte-pair-encoding tokenizer training (Sennrich et al.,
   * "Neural Machine Translation of Rare Words with Subword Units", ACL
@@ -12,25 +14,33 @@ import org.apache.spark.sql.functions._
   * The scale trick is the WORD HISTOGRAM: pair counts over 100 TB of
   * text equal pair counts over the (word, freq) table, which is
   * vocabulary-sized (Heaps' law: ~1e6–1e7 distinct words for 1e11
-  * tokens), so after ONE corpus-sized tokenize+count shuffle every
-  * merge iteration runs over the small histogram — explode adjacent
-  * pairs, two-phase sum, take the 1-row argmax, rewrite symbol
-  * strings with an expression fold. Nothing after the first shuffle
-  * is corpus-sized.
+  * tokens). So the corpus pays ONE tokenize+count shuffle, the
+  * histogram is collected once (~hundreds of MB at web scale — driver
+  * RAM, not driver CPU, is the binding constraint), and ALL k merge
+  * iterations run as an in-memory incremental fold: per merge, only
+  * the words CONTAINING the chosen pair are rewritten (inverted
+  * pair→words index), and pair counts update by exact-long deltas.
+  * k = 32k merges costs k argmax scans + Σ|affected| rewrites — no
+  * per-merge Spark job (the previous formulation launched 2 jobs per
+  * merge; at a real vocabulary size, per-job launch overhead — not
+  * data — dominated).
   *
-  * Determinism / oracle parity (q123): counts are exact longs; the
-  * argmax tiebreak is (count desc, left asc, right asc); merge
-  * application is a GREEDY LEFT-TO-RIGHT fold — expressed as the same
-  * string-accumulator `aggregate`/`list_reduce` lambda on both
-  * engines, so DuckDB replays training exactly
-  * ([[graft.SparkEntry]]'s generated k-block SQL shares these
-  * constants). A merged token never re-merges within the same pass
-  * (the acc-tail check sees the merged symbol), exactly the reference
-  * BPE semantics: in "aaa", merging (a,a) yields "aa"+"a", and only a
-  * LATER (aa,a) rule could join them.
+  * Determinism / oracle parity (q123): counts are exact longs (deltas
+  * commute), the argmax tiebreak is (count desc, left asc, right asc)
+  * over binary string order — a total order, so the scan result is
+  * independent of hash-map iteration order; merge application is the
+  * greedy LEFT-TO-RIGHT non-overlapping pass. DuckDB replays training
+  * exactly ([[graft.SparkEntry]]'s generated k-block SQL shares these
+  * constants): in "aaa", merging (a,a) yields "aa"+"a", and only a
+  * later (aa,a) rule could join them.
   *
-  * Symbols never contain [[SEP]] (words are [a-z]+ by construction),
-  * so the separator-string accumulator is unambiguous.
+  * Encoding runs DISTRIBUTED: the learned ranks broadcast (k rules —
+  * KBs even at 32k) and each histogram word merges its own
+  * lowest-rank-first pair loop ([[encodeWord]]) — equivalent to
+  * applying the rules sequentially in order, because rule i was
+  * learned before any symbol created by a rule j > i existed, so a
+  * later merge can never enable an earlier rule. No k-deep expression
+  * stack, no per-rule pass over the table.
   *
   * Reference capability anchor: marketdb has no text pipeline; this
   * extends the training-data operator family (SURVEY.md §2-adjacent,
@@ -38,9 +48,8 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Symbol separator inside symbol strings and the fold accumulator —
-    * a control char that cannot appear in a [a-z]+ word (DuckDB twin:
-    * chr(1)). */
+  /** Symbol separator the DuckDB twin uses inside its fold accumulator
+    * (chr(1)) — a control char that cannot appear in a [a-z]+ word. */
   val SEP = "\u0001"
 
   /** (word, freq) histogram over lowercased [a-z]+ words — the one
@@ -51,82 +60,128 @@ object Bpe {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** Greedy left-to-right application of one merge (l, r) to a
-    * SEP-joined symbol string, as a fold both engines express
-    * identically: acc starts empty; append SEP+x, unless the acc tail
-    * is SEP+l and x = r, in which case the tail becomes SEP+l+r. */
-  private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
-    val sepL = SEP + l
-    val n = sepL.length
-    aggregate(
-      split(syms, SEP), lit(""),
-      (acc, x) =>
-        when(
-          acc.substr(lit(-n), lit(n)) === lit(sepL) && (x === lit(r)),
-          concat(acc.substr(lit(1), length(acc) - lit(n)), lit(sepL + r)))
-          .otherwise(concat(acc, lit(SEP), x)))
-      // drop the leading SEP the fold prefixes to the first symbol
-      .substr(lit(2), lit(Int.MaxValue))
+  /** One greedy left-to-right non-overlapping pass of merge (l, r):
+    * "aaa" + (a,a) -> ["aa", "a"] — the merged token never re-merges
+    * within the same pass. */
+  private[graft] def applyMergeLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** In-memory incremental BPE train over a (word, freq) histogram:
+    * k iterations of argmax + affected-word rewrite. The argmax is a
+    * full scan of the pair-count map — O(#pairs) per iteration, exact
+    * and order-independent under the (cnt desc, l, r) total order; a
+    * lazy-invalidation max-heap drops that to O(log) per pop if the
+    * scan ever dominates (it does not below ~1e5 merges × ~1e7
+    * pairs). The pair→words index is append-only (stale entries are
+    * harmless: rewriting a word that no longer contains the pair is
+    * an exact no-op delta), the classic learn-bpe structure. */
+  private[graft] def trainLocal(hist: Array[(String, Long)], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val words: Array[Array[String]] =
+      hist.map(_._1.split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = hist.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addPairs(i: Int, sign: Long, index: Boolean): Unit = {
+      val s = words(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (index) where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L, index = true))
+
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    while (it <= k) {
+      require(counts.nonEmpty, s"corpus exhausted at iteration $it")
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      counts.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc &&
+            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+      }
+      merges += ((it, bl, br, bc))
+      val affected = where.getOrElse((bl, br), mutable.HashSet.empty)
+      affected.foreach { i =>
+        addPairs(i, -1L, index = false)
+        words(i) = applyMergeLocal(words(i), bl, br)
+        addPairs(i, 1L, index = true)
+      }
+      where.remove((bl, br))
+      it += 1
+    }
+    merges.result()
+  }
+
+  /** Encode one word with the learned ranks: repeatedly merge the
+    * LOWEST-RANK adjacent pair present (one greedy left-to-right pass
+    * per chosen rule) until none applies — the GPT-2 encode loop,
+    * equal to sequential rule application (see object scaladoc). */
+  private[graft] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = w.split("").filter(_.nonEmpty)
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue; var j = 0
+      while (j < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (rk < best) best = rk
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = ranks.collectFirst {
+          case (p, rk) if rk == best => p
+        }.get
+        syms = applyMergeLocal(syms, l, r)
+      }
+    }
+    syms
   }
 
   /** Train `k` merges; returns (it, left, right, cnt) — one row per
-    * learned rule, it = 1-based iteration. The driver holds only the
-    * k argmax rows; each iteration localCheckpoints the histogram so
-    * the fold lineage does not stack k deep (and the k-th iteration
-    * does not recompute folds 1..k-1). */
+    * learned rule, it = 1-based iteration. One corpus shuffle + one
+    * vocabulary-sized collect; zero per-merge jobs. */
   def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
-    var words = wordHistogram(docs, textCol)
-      .withColumn("syms", array_join(split(col("w"), ""), SEP))
-      .select("freq", "syms")
-      .localCheckpoint()
-    val merges =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (it <- 1 to k) {
-      // project the split ONCE, then index it — a lambda that captures
-      // the split expression would re-split per element (CLAUDE.md)
-      val best = words
-        .withColumn("ls", split(col("syms"), SEP))
-        .where(size(col("ls")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(ls) - 2), " +
-            "j -> struct(ls[j] AS l, ls[j + 1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      require(best.nonEmpty, s"corpus exhausted at iteration $it")
-      val (l, r, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((it, l, r, cnt))
-      words = words
-        .withColumn("syms", applyMerge(col("syms"), l, r))
-        .localCheckpoint()
-    }
     import spark.implicits._
-    merges.toSeq.toDF("it", "left", "right", "cnt")
+    val hist = wordHistogram(docs, textCol)
+      .select(col("w"), col("freq")).as[(String, Long)].collect()
+    trainLocal(hist, k).toDF("it", "left", "right", "cnt")
       .withColumn("it", col("it").cast("long"))
   }
 
-  /** Tokenize the corpus with the learned rules: train `k` merges,
-    * apply them in order to the word histogram, and emit the final
+  /** Tokenize the corpus with the learned rules and emit the final
     * (token, cnt) table — cnt weighted by word frequency, i.e. the
-    * corpus token histogram a tokenizer consumer sees. Same
-    * per-iteration cost shape as [[trainMerges]] (everything after
-    * the histogram shuffle is vocabulary-sized). */
+    * corpus token histogram a tokenizer consumer sees. The histogram
+    * is computed once (localCheckpoint) and shared by training and
+    * encoding; encoding is a broadcast-ranks map over the histogram
+    * rows — one further shuffle for the token counts. */
   def encodeHistogram(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rules = trainMerges(docs, textCol, k)
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    val words = wordHistogram(docs, textCol)
-      .withColumn("syms", array_join(split(col("w"), ""), SEP))
-    val encoded = rules.foldLeft(words) { case (df, (l, r)) =>
-      df.withColumn("syms", applyMerge(col("syms"), l, r))
-    }
-    encoded
-      .select(col("freq"), explode(split(col("syms"), SEP)).as("token"))
+    val histDf = wordHistogram(docs, textCol).localCheckpoint()
+    val hist = histDf.select(col("w"), col("freq"))
+      .as[(String, Long)].collect()
+    val ranks: Map[(String, String), Int] = trainLocal(hist, k)
+      .map { case (it, l, r, _) => (l, r) -> it }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val enc = udf((w: String) => encodeWord(w, bc.value))
+    histDf
+      .select(col("freq"), explode(enc(col("w"))).as("token"))
       .groupBy("token").agg(sum("freq").as("cnt"))
   }
 }
