@@ -29,12 +29,19 @@ object Dedup {
     * session no longer accumulate cached blocks (only the returned
     * frame stays persisted — caller-owned; unpersist it when done).
     * Count is the cheapest full materialization (no driver collect). */
-  private def releasingAfter(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
+  private[operators] def releasingAfter(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Default per-batch row ceiling for broadcasting the incoming side
+    * of an ingest screen ([[minhashScreen]],
+    * [[Similarity.cosineScreen]]): ~150 B/doc of banded keys against a
+    * 1 GiB broadcast budget (SCALE.md's sizing). Past it the screens
+    * drop their hints and shuffle both sides on the bucket keys. */
+  val screenBroadcastMaxRows: Long = 7000000L
 
   /** Idempotent keep-one-per-key: deterministic representative = min
     * (orderCols) row, mirroring "last write wins" made reproducible.
@@ -180,24 +187,37 @@ object Dedup {
     * disjoint (they identify the sides in the output). Output:
     * (doc_a = corpus id, doc_b = incoming id, n_agree, est_jaccard) —
     * exactly [[minhashJaccardEstimate]] over the union restricted to
-    * cross pairs, which is how the oracle checks it (q73). */
+    * cross pairs, which is how the oracle checks it (q73).
+    *
+    * Beyond-broadcast regime: broadcasting pays off only while the
+    * banded incoming frame fits executor memory (SCALE.md sizes the
+    * 1 GiB budget at ~7 M docs/batch). Past `broadcastMaxRows`
+    * (decided from one count of the already-persisted incoming
+    * signatures) every broadcast hint is dropped and the collision +
+    * verification joins shuffle BOTH sides on their keys — the corpus
+    * signature scan stays one pass; only the bucket/id exchanges are
+    * added. Identical output either way (plan-guarded in
+    * `PlanPropertiesSpec`). */
   def minhashScreen(corpus: DataFrame, incoming: DataFrame, idCol: String,
-      textCol: String, k: Int, nHashes: Int, bandSize: Int): DataFrame = {
+      textCol: String, k: Int, nHashes: Int, bandSize: Int,
+      broadcastMaxRows: Long = screenBroadcastMaxRows): DataFrame = {
     require(nHashes % bandSize == 0, "bandSize must divide nHashes")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigC = minhashSignatures(corpus, idCol, textCol, k, nHashes).persist(lvl)
     val sigN = minhashSignatures(incoming, idCol, textCol, k, nHashes).persist(lvl)
+    val small = sigN.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cands = bandedBuckets(sigC, idCol, nHashes, bandSize).as("a")
-      .join(broadcast(bandedBuckets(sigN, idCol, nHashes, bandSize)).as("b"),
+      .join(hinted(bandedBuckets(sigN, idCol, nHashes, bandSize)).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     val agree = (0 until nHashes).map(i =>
       when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
     releasingAfter(sigC, sigN) {
-      broadcast(cands)
+      hinted(cands)
         .join(sigC.as("sa"), col("doc_a") === col(s"sa.$idCol"))
-        .join(broadcast(sigN.as("sb")), col("doc_b") === col(s"sb.$idCol"))
+        .join(hinted(sigN.as("sb")), col("doc_b") === col(s"sb.$idCol"))
         .select(col("doc_a"), col("doc_b"),
           agree.cast("long").as("n_agree"),
           (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))

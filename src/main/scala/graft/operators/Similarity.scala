@@ -105,18 +105,31 @@ object Similarity {
     * and the DuckDB twin use. Id spaces must be disjoint. Output:
     * (id_a = corpus id, id_b = incoming id, cosine) — the symmetric
     * [[cosineNearDupPairs]] over the union restricted to cross pairs,
-    * which is how q75's oracle checks it. */
+    * which is how q75's oracle checks it.
+    *
+    * Beyond-broadcast regime (same contract as
+    * [[Dedup.minhashScreen]]): past `broadcastMaxRows` incoming
+    * vectors (one count of the persisted bucketed batch) the hint is
+    * dropped and the collision join shuffles BOTH sides on the LSH
+    * bucket — identical output, plan-guarded. */
   def cosineScreen(corpus: DataFrame, incoming: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, nBits: Int, dim: Int): DataFrame = {
+      vecCol: String, threshold: Double, nBits: Int, dim: Int,
+      broadcastMaxRows: Long = Dedup.screenBroadcastMaxRows): DataFrame = {
     def bucketed(df: DataFrame) = withNorm(
       lshBucket(df, vecCol, nBits, dim)
         .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket")),
       "v", "n")
-    bucketed(corpus).as("a")
-      .join(broadcast(bucketed(incoming)).as("b"), col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cosine"))
-      .where(col("cosine") >= threshold)
+    val bn = bucketed(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = bn.count() <= broadcastMaxRows
+    Dedup.releasingAfter(bn) {
+      bucketed(corpus).as("a")
+        .join((if (small) broadcast(bn) else bn).as("b"),
+          col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cosine"))
+        .where(col("cosine") >= threshold)
+    }
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every

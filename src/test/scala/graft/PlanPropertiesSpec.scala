@@ -112,6 +112,65 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"corpus side shuffled despite broadcast screen:\n$p")
   }
 
+  test("screens drop every broadcast hint past the batch ceiling (both-sides shuffle mode)") {
+    // disable auto-broadcast so the physical join kind reflects ONLY
+    // the operator's own hints — at test SF AQE would otherwise
+    // broadcast the small side in both modes and mask the regression
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE re-plans joins against its own threshold at runtime
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      import org.apache.spark.sql.functions.col
+      def minhash(maxRows: Long) = graft.operators.Dedup.minhashScreen(
+        docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+        "doc_id", "text", k = 2, nHashes = 16, bandSize = 4,
+        broadcastMaxRows = maxRows)
+      def embed(maxRows: Long) = graft.operators.Similarity.cosineScreen(
+        emb.where(col("vec_id") < 400), emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.3, nBits = 4, dim = 64,
+        broadcastMaxRows = maxRows)
+      // hint nodes canonicalize away, so the cache manager would
+      // substitute a previously persisted broadcast-mode result into
+      // the shuffle-mode query — clear between modes to see the real plan
+      def plan(mk: => org.apache.spark.sql.DataFrame): String = {
+        spark.catalog.clearCache()
+        mk.queryExecution.executedPlan.toString
+      }
+      // broadcast mode: hints present, corpus side never shuffle-joined
+      val mhSmall = plan(minhash(Long.MaxValue))
+      assert(mhSmall.contains("BroadcastHashJoin"), mhSmall)
+      val emSmall = plan(embed(Long.MaxValue))
+      assert(emSmall.contains("BroadcastHashJoin"), emSmall)
+      // shuffle mode: NO broadcast anywhere — every join is a
+      // both-sides exchange on its keys
+      val mhBig = plan(minhash(0L))
+      assert(!mhBig.contains("BroadcastHashJoin") &&
+        !mhBig.contains("BroadcastExchange"),
+        s"broadcast survived past the ceiling:\n$mhBig")
+      assert(mhBig.contains("SortMergeJoin") || mhBig.contains("ShuffledHashJoin"),
+        s"no shuffle join in big-batch mode:\n$mhBig")
+      val emBig = plan(embed(0L))
+      assert(!emBig.contains("BroadcastHashJoin") &&
+        !emBig.contains("BroadcastExchange"),
+        s"broadcast survived past the ceiling:\n$emBig")
+      assert(emBig.contains("SortMergeJoin") || emBig.contains("ShuffledHashJoin"),
+        s"no shuffle join in big-batch mode:\n$emBig")
+      // same answers in both modes (the regime is a plan choice only)
+      val mhRef = minhash(Long.MaxValue).collect().toSet
+      val emRef = embed(Long.MaxValue).collect().toSet
+      spark.catalog.clearCache()
+      assert(minhash(0L).collect().toSet === mhRef)
+      assert(embed(0L).collect().toSet === emRef)
+      spark.catalog.clearCache()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q68 scan prunes partitions: filters land in PartitionFilters, files shrink") {
     val p = executedPlan("q68_partition_prune")
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r.findFirstIn(p).isDefined,
