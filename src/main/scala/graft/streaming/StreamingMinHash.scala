@@ -162,13 +162,12 @@ object StreamingMinHash {
     require(evictAfter.toMillis > 0, s"evictAfter must be positive: $evictAfter")
     val nBands = nHashes / bandSize
     val evictMs = evictAfter.toMillis
-    // banding stays in DataFrame expressions (signature via a scalar
-    // UDF of the shared pure function): a typed flatMap here would
-    // mint fresh output attributes and drop the event-time watermark
-    // tag the EventTimeTimeout checker requires (same reasoning as
-    // StreamingNearDup.pairsEvicting)
-    val sigUdf = udf((text: String) =>
-      Option(signature(text, k, nHashes)).map(_.toSeq))
+    // the whole pre-state pipeline stays in DataFrame expressions
+    // (signature via the codegen MinHashSignatureText wrapping the
+    // SAME shared pure function — no per-row ScalaUDF converter
+    // bridge): a typed flatMap here would mint fresh output attributes
+    // and drop the event-time watermark tag the EventTimeTimeout
+    // checker requires (same reasoning as StreamingNearDup)
     val bandStructs = (0 until nBands).map { b =>
       val keys = (b * bandSize until (b + 1) * bandSize).map(i => col("sig")(i))
       struct(lit(b).as("band"), concat_ws("|", keys: _*).as("bv"))
@@ -177,10 +176,11 @@ object StreamingMinHash {
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"),
         col(tsCol).cast("timestamp").as("__ts"))
       // null text tokenizes to nothing in the batch operators; a doc
-      // with fewer than k tokens has no signature (null from the UDF)
+      // with fewer than k tokens has no signature (null expression)
       .where(col("text").isNotNull)
       .withWatermark("__ts", watermarkDelay)
-      .withColumn("sig", sigUdf(col("text")))
+      .withColumn("sig",
+        graft.expressions.MinHashSignatureText(col("text"), k, nHashes))
       .where(col("sig").isNotNull)
       .select(col("doc"), col("sig"), col("__ts"),
         explode(array(bandStructs: _*)).as("bb"))

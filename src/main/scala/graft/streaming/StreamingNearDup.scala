@@ -167,12 +167,12 @@ object StreamingNearDup {
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val evictMs = evictAfter.toMillis
-    // the banding stays in DataFrame expressions (fingerprint via a
-    // scalar UDF of the shared pure function): a typed flatMap here
-    // would mint fresh output attributes and drop the event-time
-    // watermark tag the EventTimeTimeout checker requires on the
-    // stateful operator's child
-    val sigUdf = udf(simhash64 _)
+    // the whole pre-state pipeline stays in DataFrame expressions
+    // (fingerprint via the codegen SimHash64Text wrapping the SAME
+    // shared pure function — no per-row ScalaUDF converter bridge): a
+    // typed flatMap here would mint fresh output attributes and drop
+    // the event-time watermark tag the EventTimeTimeout checker
+    // requires on the stateful operator's child
     val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv")))
@@ -183,7 +183,7 @@ object StreamingNearDup {
       // pairs()): no tokens -> no fingerprint -> doc screens nothing
       .where(col("text").isNotNull && trim(col("text")) =!= "")
       .withWatermark("__ts", watermarkDelay)
-      .withColumn("sig", sigUdf(col("text")))
+      .withColumn("sig", graft.expressions.SimHash64Text(col("text")))
       .select(col("doc"), col("sig"), col("__ts"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("sig"), col("__ts"),

@@ -34,6 +34,21 @@ class StreamingMinHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("signature projection is expression-only — no UDF bridge in the streaming plan") {
+    val root = Files.createTempDirectory("smhplan").toString
+    val in = s"$root/in"
+    val spark0 = spark; import spark0.implicits._
+    Seq((1L, "alpha beta gamma", new java.sql.Timestamp(1000L)))
+      .toDF("doc_id", "text", "ts").write.parquet(in)
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+    val ds = graft.streaming.StreamingMinHash.pairsEvicting(stream,
+      "doc_id", "text", "ts", "10 seconds", java.time.Duration.ofHours(1))
+    val plan = ds.queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), s"UDF bridge in streaming plan:\n$plan")
+    assert(plan.toLowerCase.contains("minhashsignaturetext"),
+      s"codegen signature expression missing:\n$plan")
+  }
+
   test("streaming candidates match the batch estimator across micro-batches") {
     val root = Files.createTempDirectory("sminhash").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

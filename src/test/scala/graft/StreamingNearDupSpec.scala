@@ -28,6 +28,21 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("signature projection is expression-only — no UDF bridge in the streaming plan") {
+    val root = Files.createTempDirectory("sndplan").toString
+    val in = s"$root/in"
+    val spark0 = spark; import spark0.implicits._
+    Seq((1L, "alpha beta", new java.sql.Timestamp(1000L)))
+      .toDF("doc_id", "text", "ts").write.parquet(in)
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+    val ds = graft.streaming.StreamingNearDup.pairsEvicting(stream,
+      "doc_id", "text", "ts", "10 seconds", java.time.Duration.ofHours(1))
+    val plan = ds.queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), s"UDF bridge in streaming plan:\n$plan")
+    assert(plan.toLowerCase.contains("simhash64text"),
+      s"codegen fingerprint expression missing:\n$plan")
+  }
+
   test("stateCap bounds bucket state: recency window drops only distant pairs") {
     val root = Files.createTempDirectory("sneardupcap").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
