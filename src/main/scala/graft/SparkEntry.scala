@@ -1507,6 +1507,45 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q131_stream_components" -> ((s, dir) => {
+      // INCREMENTAL CONNECTED COMPONENTS under the oracle: q96's
+      // simhash pairs arrive in two micro-batches (split so clusters
+      // SPAN the boundary) and StreamingComponents folds each batch
+      // into the labels table via star-edge contraction — labels after
+      // the replay must equal batch CC over all pairs, so q96's
+      // recursive min-reachability SQL is the oracle VERBATIM. This
+      // closes the last batch-only step in the streaming dedup story:
+      // screen (q113/q114/q115) -> pairs -> clusters, all incremental.
+      val base = graft.streaming.StreamingComponents.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val labels = s"$base/labels"
+      val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      pairs.select("doc_a", "doc_b")
+        .where(col("doc_a") < 250).appendBatchTo(in, 0)
+      pairs.select("doc_a", "doc_b")
+        .where(col("doc_a") >= 250).appendBatchTo(in, 1)
+      pairs.unpersist()
+      val q = graft.streaming.StreamingComponents.start(
+        graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+        "doc_a", "doc_b", labels, ckpt)
+      q.awaitTermination()
+      val comp = s.read.parquet(labels)
+      val lab = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+    }),
     "q130_ddsketch_quantiles" -> ((s, dir) => {
       // Mergeable relative-error quantile sketch (DDSketch): per-group
       // p50/p90/p99 of l_extendedprice from a bucket-count histogram —
@@ -2123,6 +2162,28 @@ object SparkEntry {
        |    CASE WHEN len >= 15 THEN ('0x' || substr(hx,15,8))::BIGINT END AS h
        |  FROM raw),
        |valid AS (SELECT * FROM dec WHERE magic_ok AND kind_code BETWEEN 0 AND 2)""".stripMargin
+
+  /** q96's (and q131's) oracle: components re-derived by recursive
+    * min-reachability over the SAME pair SQL as q63 — reach
+    * accumulates (node, reachable node) pairs to a fixpoint
+    * (recursive UNION is distinct, so it terminates), cluster = min
+    * reachable; singletons label themselves via the LEFT join. */
+  private def componentsSql: String =
+    s"""WITH RECURSIVE pairs AS ($simhash64PairsSql),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n),
+       |comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+       |lab AS (SELECT d.doc_id,
+       |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+       |sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
+       |  l.doc_id = l.cluster_id AS is_keeper
+       |FROM lab l JOIN sz USING (cluster_id)""".stripMargin
 
   /** q130's DuckDB twin: the DDSketch estimate for rank r equals the
     * bucket representative of the r-th order statistic, so the SQL
@@ -3591,27 +3652,11 @@ object SparkEntry {
         |SELECT doc_id, domain, n_domain_docs::BIGINT AS n_domain_docs,
         |  rk <= 12 AS kept
         |FROM r""".stripMargin,
-    "q96_near_dup_clusters" ->
-      // components re-derived by recursive min-reachability over the
-      // SAME pair SQL as q63: reach accumulates (node, reachable node)
-      // pairs to a fixpoint (recursive UNION is distinct, so it
-      // terminates), cluster = min reachable; singletons label
-      // themselves via the LEFT join
-      s"""WITH RECURSIVE pairs AS ($simhash64PairsSql),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(n, m) AS (
-         |  SELECT u, u FROM e
-         |  UNION
-         |  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n),
-         |comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
-         |lab AS (SELECT d.doc_id,
-         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
-         |sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
-         |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
-         |  l.doc_id = l.cluster_id AS is_keeper
-         |FROM lab l JOIN sz USING (cluster_id)""".stripMargin,
+    "q96_near_dup_clusters" -> componentsSql,
+    // the incremental replay must converge to the SAME labeling as
+    // batch CC over all pairs (star-edge contraction preserves
+    // connectivity exactly), so the oracle is q96's SQL verbatim
+    "q131_stream_components" -> componentsSql,
     "q94_repetition_signals" ->
       // same non-distinct 2-gram explode; each ratio is one division
       // of exact integer counts — no rounding on either engine

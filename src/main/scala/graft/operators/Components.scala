@@ -117,4 +117,27 @@ object Components {
     e.unpersist()
     labels
   }
+
+  /** INCREMENTAL update: merge a batch of new edges into an existing
+    * (node, component) labeling without revisiting edge history. The
+    * prior labeling IS its components' star edge set (node →
+    * component-min), and CC(stars(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂) — stars
+    * preserve exactly the connectivity of E₁ — so each batch contracts
+    * over |labels| + |batch| edges, not the accumulated pair stream.
+    * Min-label merging is MONOTONE (labels only ever decrease as edges
+    * arrive) and edge union is idempotent, so redelivered batches are
+    * absorbed without correction — the at-least-once property the
+    * streaming wrapper ([[graft.streaming.StreamingComponents]])
+    * relies on. Returns the new labeling over every node seen in
+    * either input (localCheckpoint-materialized, caller-owned). */
+  def incrementalUpdate(priorLabels: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val stars = priorLabels
+      .select(col("node").cast("long").as("a"),
+        col("component").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val batch = newEdges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    connectedComponents(stars.unionByName(batch), "a", "b", maxIter)
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Components
+import graft.streaming.{IngestPipeline, StreamingComponents}
+
+/** Incremental connected components: per-batch star-edge contraction
+  * must converge to exactly the batch CC labeling, merge clusters
+  * ACROSS micro-batches (labels decrease monotonically as bridges
+  * arrive), and absorb redelivered edges without change. */
+class StreamingComponentsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def labelsOf(dir: String): Map[Long, Long] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def run(in: String, labels: String, ckpt: String): Unit = {
+    val q = StreamingComponents.start(
+      IngestPipeline.fileSource(spark,
+        spark.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
+      "a", "b", labels, ckpt)
+    q.awaitTermination()
+  }
+
+  test("a bridge edge in a later batch merges two existing clusters") {
+    val root = Files.createTempDirectory("scomp").toString
+    val in = s"$root/in"; val labels = s"$root/labels"; val ckpt = s"$root/ckpt"
+    // batch 1: two separate clusters {1,2} and {3,4}, plus {10,11}
+    IngestPipeline.appendBatch(
+      Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b"), in, 0)
+    // batch 2: the bridge (2,3) — {1,2,3,4} must relabel to min 1;
+    // {10,11} is untouched
+    IngestPipeline.appendBatch(Seq((2L, 3L)).toDF("a", "b"), in, 1)
+    run(in, labels, ckpt)
+    assert(labelsOf(labels) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("labels after incremental replay equal batch CC over all edges") {
+    val root = Files.createTempDirectory("scompeq").toString
+    val in = s"$root/in"; val labels = s"$root/labels"; val ckpt = s"$root/ckpt"
+    // a longer chain split adversarially: every batch extends the
+    // previous batch's component
+    IngestPipeline.appendBatch(Seq((5L, 6L), (20L, 30L)).toDF("a", "b"), in, 0)
+    IngestPipeline.appendBatch(Seq((6L, 7L), (30L, 40L)).toDF("a", "b"), in, 1)
+    IngestPipeline.appendBatch(Seq((7L, 8L), (40L, 5L)).toDF("a", "b"), in, 2)
+    run(in, labels, ckpt)
+    val all = Seq((5L, 6L), (20L, 30L), (6L, 7L), (30L, 40L), (7L, 8L), (40L, 5L))
+    val batch = Components.connectedComponents(
+      all.toDF("a", "b"), "a", "b")
+    val want = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.unpersist()
+    assert(labelsOf(labels) === want)
+    // the chain collapses into ONE component with min 5
+    assert(want.values.toSet === Set(5L))
+  }
+
+  test("redelivered edges are absorbed without change (at-least-once)") {
+    val root = Files.createTempDirectory("scompre").toString
+    val in = s"$root/in"; val labels = s"$root/labels"; val ckpt = s"$root/ckpt"
+    IngestPipeline.appendBatch(Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), in, 0)
+    IngestPipeline.appendBatch(Seq((2L, 3L)).toDF("a", "b"), in, 1)
+    run(in, labels, ckpt)
+    val first = labelsOf(labels)
+    // redeliver an already-merged edge in a fresh arrival file
+    IngestPipeline.appendBatch(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), in, 2)
+    run(in, labels, ckpt)
+    assert(labelsOf(labels) === first)
+  }
+}
