@@ -229,6 +229,33 @@ object ScaleProbe {
       // 4 vocabulary-sized merge iterations — wall must track the
       // histogram build (linear scan), not the corpus² anything
       "bpe" -> (d => graft.operators.Bpe.trainMerges(d, "text", k = 4).count()),
+      // q130's DDSketch: one scan folding into O(buckets) per-group
+      // state; merge is count addition (no per-group sort anywhere),
+      // so wall must track the scan linearly
+      "ddsketch" -> { d =>
+        val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 1e5)
+        d.groupBy(pmod(col("doc_id"), lit(7L)).as("g"))
+          .agg(graft.expressions.DdSketchAggregate(
+            length(col("text")).cast("double"), bounds,
+            Array(0.5, 0.9, 0.99)).as("e"))
+          .count()
+      },
+      // q131's incremental CC: the second half of the pairs folded
+      // into the first half's labels — per-batch cost is
+      // |labels| + |batch| edges (star contraction), so total wall
+      // tracks the pair count, not accumulated history
+      "inc_components" -> { d =>
+        val pairs = graft.operators.Dedup.simhashNearDup64(
+          d, "doc_id", "text", maxHamming = 3)
+        val l1 = graft.operators.Components.connectedComponents(
+          pairs.where(pmod(col("doc_a"), lit(2L)) === 0), "doc_a", "doc_b")
+        val l2 = graft.operators.Components.incrementalUpdate(
+          l1, pairs.where(pmod(col("doc_a"), lit(2L)) === 1),
+          "doc_a", "doc_b")
+        val n = l2.count()
+        pairs.unpersist(); l1.unpersist(); l2.unpersist()
+        n
+      },
       // q100's BM25 at FIXED query set (base %101 docs) vs growing
       // corpus: the postings build is the linear term; replica token
       // prefixing keeps match lists within-replica, so the broadcast
