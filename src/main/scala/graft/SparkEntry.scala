@@ -1507,6 +1507,43 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q133_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct users per event type NEXT TO the exact
+      // answer: 512 byte registers per group instead of the exact
+      // count_distinct expand — the 100 TB distinct-count path.
+      // Register-exact oracle: same md5-52-bit hash, same
+      // floor(log2) rank, same index-ordered harmonic fold; the one
+      // libm-sensitive op (the linear-counting ln) is covered by
+      // rounding the estimate (hard rule 9).
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(graft.expressions.HllSketch(
+            col("user_id").cast("string"), p = 9), 4).as("approx_distinct"),
+          count_distinct(col("user_id")).as("exact_distinct"))
+    }),
+    "q132_countmin_freq" -> ((s, dir) => {
+      // Count-Min frequency sketch: a 4x256 long-counter matrix
+      // replaces the vocabulary-sized histogram (constant memory per
+      // group at any corpus size; merge = matrix addition, a pure
+      // function of the multiset). Point estimates for the exact
+      // top-20 tokens are the min over the 4 hashed cells —
+      // overestimate-only, and hash-EXACT against the oracle because
+      // the md5-derived hash family and every counter are identical
+      // integer arithmetic on both engines.
+      val d = 4; val w = 256
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val cms = toks.agg(graft.expressions.CountMin(col("tok"), d, w).as("m"))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok")).limit(20)
+      val cellEsts = (0 until d).map(i => element_at(col("m"),
+        (graft.expressions.CountMin.cellCol(col("tok"), i, w)
+          + lit(i * w) + lit(1)).cast("int")))
+      probes.crossJoin(broadcast(cms))
+        .select(col("tok").as("token"), col("exact_count"),
+          least(cellEsts: _*).as("est_count"))
+    }),
     "q131_stream_components" -> ((s, dir) => {
       // INCREMENTAL CONNECTED COMPONENTS under the oracle: q96's
       // simhash pairs arrive in two micro-batches (split so clusters
@@ -2184,6 +2221,42 @@ object SparkEntry {
        |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
        |  l.doc_id = l.cluster_id AS is_keeper
        |FROM lab l JOIN sz USING (cluster_id)""".stripMargin
+
+  /** q133's DuckDB twin: rebuild all 512 HLL registers from the same
+    * md5-52-bit hash (bucket = top 9 bits, rho = 43 - floor(log2 tail);
+    * exact — see HllSketchAggregate scaladoc), left-fold the exact
+    * 2^-M terms in register order, apply the same alpha literal and
+    * linear-counting branch, round at 4 dp. */
+  private def hllSql: String = {
+    val alpha = java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+    s"""WITH vals AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS s,
+       |    user_id FROM events),
+       |h AS (SELECT g, user_id, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
+       |  FROM vals),
+       |rr AS (SELECT g, h >> 43 AS b,
+       |    CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
+       |         ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
+       |    END AS r
+       |  FROM h),
+       |mx AS (SELECT g, b, max(r) AS mr FROM rr GROUP BY g, b),
+       |grid AS (SELECT gg.g, t.j FROM (SELECT DISTINCT g FROM vals) gg
+       |  CROSS JOIN generate_series(0, 511) t(j)),
+       |regs AS (SELECT grid.g, grid.j, coalesce(mx.mr, 0) AS mr
+       |  FROM grid LEFT JOIN mx ON mx.g = grid.g AND mx.b = grid.j),
+       |sm AS (SELECT g,
+       |    list_reduce(list_prepend(0.0, list(1.0 / (1::BIGINT << mr) ORDER BY j)),
+       |      (a, x) -> a + x) AS s,
+       |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM regs GROUP BY g),
+       |ex AS (SELECT g, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       |  FROM vals GROUP BY g),
+       |est AS (SELECT g, $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
+       |SELECT est.g AS event_type,
+       |  round(CASE WHEN raw <= 1280.0 AND v > 0
+       |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct,
+       |  ex.exact_distinct
+       |FROM est JOIN ex USING (g)""".stripMargin
+  }
 
   /** q130's DuckDB twin: the DDSketch estimate for rank r equals the
     * bucket representative of the r-th order statistic, so the SQL
@@ -3653,6 +3726,29 @@ object SparkEntry {
         |  rk <= 12 AS kept
         |FROM r""".stripMargin,
     "q96_near_dup_clusters" -> componentsSql,
+    // HLL re-derived register by register (md5-52bit hash, floor(log2)
+    // rank, index-ordered harmonic fold, same alpha literal); ln in
+    // the linear-counting branch is the one engine-sensitive op ->
+    // round(, 4) on both engines
+    "q133_hll_distinct" -> hllSql,
+    // the identical 4x256 counter matrix rebuilt in SQL from the same
+    // md5 hash family — integer-exact, no floats anywhere
+    "q132_countmin_freq" ->
+      s"""WITH toks AS ($toksCte),
+         |occ AS (SELECT unnest(t) AS tok FROM toks),
+         |rws AS (SELECT j FROM generate_series(0, 3) t(j)),
+         |cells AS (SELECT j,
+         |    ('0x' || substr(md5(tok), 8 * j + 1, 8))::BIGINT % 256 AS c,
+         |    count(*)::BIGINT AS n
+         |  FROM occ CROSS JOIN rws GROUP BY 1, 2),
+         |probes AS (SELECT tok, count(*)::BIGINT AS exact_count FROM occ
+         |  GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+         |lu AS (SELECT p.tok, p.exact_count, r.j,
+         |    ('0x' || substr(md5(p.tok), 8 * r.j + 1, 8))::BIGINT % 256 AS c
+         |  FROM probes p CROSS JOIN rws r)
+         |SELECT lu.tok AS token, lu.exact_count, min(cells.n) AS est_count
+         |FROM lu JOIN cells ON cells.j = lu.j AND cells.c = lu.c
+         |GROUP BY 1, 2""".stripMargin,
     // the incremental replay must converge to the SAME labeling as
     // batch CC over all pairs (star-edge contraction preserves
     // connectivity exactly), so the oracle is q96's SQL verbatim
