@@ -1507,6 +1507,40 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q134_stream_hll" -> ((s, dir) => {
+      // STREAMING HLL under the oracle: the same per-group distinct
+      // sketch as q133, but computed by a streaming aggregation whose
+      // TypedImperativeAggregate REGISTERS live in the state store
+      // across micro-batches (serialize/deserialize exercised on the
+      // real state path). Two event-time-split arrival batches; the
+      // complete-mode snapshot after the replay must equal the batch
+      // sketch over all events — register max is order-free, so the
+      // oracle is q133's register rebuild minus the exact column.
+      val base = "/tmp/graft_q134_stream_hll"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_type", "user_id", "ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      ev.where(col("ts") < cut).appendBatchTo(in, 0)
+      ev.where(col("ts") >= cut).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .groupBy("event_type")
+        .agg(round(graft.expressions.HllSketch(
+          col("user_id").cast("string"), p = 9), 4).as("approx_distinct"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
     "q133_hll_distinct" -> ((s, dir) => {
       // HyperLogLog distinct users per event type NEXT TO the exact
       // answer: 512 byte registers per group instead of the exact
@@ -2227,8 +2261,12 @@ object SparkEntry {
     * exact — see HllSketchAggregate scaladoc), left-fold the exact
     * 2^-M terms in register order, apply the same alpha literal and
     * linear-counting branch, round at 4 dp. */
-  private def hllSql: String = {
+  private def hllSql: String = hllSql(includeExact = true)
+
+  private def hllSql(includeExact: Boolean): String = {
     val alpha = java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+    val exactCol = if (includeExact) ",\n  ex.exact_distinct" else ""
+    val exactJoin = if (includeExact) "\nFROM est JOIN ex USING (g)" else "\nFROM est"
     s"""WITH vals AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS s,
        |    user_id FROM events),
        |h AS (SELECT g, user_id, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
@@ -2253,9 +2291,7 @@ object SparkEntry {
        |est AS (SELECT g, $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
        |SELECT est.g AS event_type,
        |  round(CASE WHEN raw <= 1280.0 AND v > 0
-       |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct,
-       |  ex.exact_distinct
-       |FROM est JOIN ex USING (g)""".stripMargin
+       |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct$exactCol$exactJoin""".stripMargin
   }
 
   /** q130's DuckDB twin: the DDSketch estimate for rank r equals the
@@ -3731,6 +3767,10 @@ object SparkEntry {
     // the linear-counting branch is the one engine-sensitive op ->
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
+    // register max is order-free, so the streamed snapshot equals the
+    // batch sketch — same SQL minus the exact column (count DISTINCT
+    // is not streamable, so q134 publishes the sketch alone)
+    "q134_stream_hll" -> hllSql(includeExact = false),
     // the identical 4x256 counter matrix rebuilt in SQL from the same
     // md5 hash family — integer-exact, no floats anywhere
     "q132_countmin_freq" ->

@@ -87,11 +87,37 @@ case class DdSketchAggregate(
     child: Expression,
     bounds: Array[Double],
     quantiles: Array[Double],
+    maxBuckets: Int = Int.MaxValue,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DdSketch.Buf] {
 
   import DdSketch._
+
+  /** Bounded-memory mode (the DDSketch "collapsing lowest" store):
+    * whenever a store exceeds `maxBuckets`, its LOWEST-index buckets
+    * fold into the lowest kept bucket. UPPER quantiles keep the alpha
+    * guarantee (their buckets are never touched — only mass below the
+    * kept range moves up to the cut boundary, which cannot change
+    * which high bucket a rank lands in when the rank's true bucket is
+    * kept); low quantiles below the cut degrade toward the cut's
+    * representative. CAVEAT (why q130 keeps the default unbounded):
+    * eager collapse depends on arrival order/partitioning — two
+    * partitions may cut at different boundaries before merging, so
+    * collapsed sketches are NOT a pure function of the multiset and
+    * can differ from a sequential build (still within the same upper-
+    * quantile guarantee). Size `bounds` so the uncollapsed store fits
+    * (~700 buckets for 6 decades at alpha=0.01) unless memory truly
+    * binds. */
+  private def collapse(m: LongMap[Long]): Unit =
+    if (m.size > maxBuckets) {
+      val ks = m.keys.toArray.sorted
+      val cut = ks(ks.length - maxBuckets)
+      var moved = 0L
+      var i = 0
+      while (ks(i) < cut) { moved += m(ks(i)); m.remove(ks(i)); i += 1 }
+      if (moved > 0L) m.update(cut, m.getOrElse(cut, 0L) + moved)
+    }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -108,9 +134,11 @@ case class DdSketchAggregate(
       else if (x > 0.0) {
         val k = bucketOf(bounds, x).toLong
         buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
+        collapse(buf.pos)
       } else {
         val k = bucketOf(bounds, -x).toLong
         buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
+        collapse(buf.neg)
       }
     }
     buf
@@ -120,6 +148,7 @@ case class DdSketchAggregate(
     a.zero += b.zero
     b.pos.foreach { case (k, c) => a.pos.update(k, a.pos.getOrElse(k, 0L) + c) }
     b.neg.foreach { case (k, c) => a.neg.update(k, a.neg.getOrElse(k, 0L) + c) }
+    collapse(a.pos); collapse(a.neg)
     a
   }
 
@@ -196,6 +225,11 @@ case class DdSketchAggregate(
 object DdSketchAggregate {
   import org.apache.spark.sql.graft.Bridge
   def apply(c: Column, bounds: Array[Double], quantiles: Array[Double]): Column =
-    Bridge.column(DdSketchAggregate(Bridge.expression(c), bounds, quantiles)
-      .toAggregateExpression())
+    apply(c, bounds, quantiles, Int.MaxValue)
+
+  def apply(c: Column, bounds: Array[Double], quantiles: Array[Double],
+      maxBuckets: Int): Column =
+    Bridge.column(
+      DdSketchAggregate(Bridge.expression(c), bounds, quantiles, maxBuckets)
+        .toAggregateExpression())
 }

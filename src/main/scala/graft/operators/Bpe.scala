@@ -75,15 +75,35 @@ object Bpe {
     out.result()
   }
 
+  /** Max-heap priority for the argmax: (cnt desc, l asc, r asc) —
+    * the identical total order the oracle's `ORDER BY cnt DESC, l, r
+    * LIMIT 1` uses, so the heap's maximum IS the scan's maximum. */
+  private val mergePriority: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val cl = b._2.compareTo(a._2) // smaller left = higher priority
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
+      }
+    }
+
   /** In-memory incremental BPE train over a (word, freq) histogram:
     * k iterations of argmax + affected-word rewrite. The argmax is a
-    * full scan of the pair-count map — O(#pairs) per iteration, exact
-    * and order-independent under the (cnt desc, l, r) total order; a
-    * lazy-invalidation max-heap drops that to O(log) per pop if the
-    * scan ever dominates (it does not below ~1e5 merges × ~1e7
-    * pairs). The pair→words index is append-only (stale entries are
-    * harmless: rewriting a word that no longer contains the pair is
-    * an exact no-op delta), the classic learn-bpe structure. */
+    * LAZY-INVALIDATION max-heap: every count change pushes a fresh
+    * (cnt, l, r) snapshot, and pops discard snapshots whose count no
+    * longer matches the live map — each pop is O(log #snapshots)
+    * instead of an O(#pairs) scan per merge, which is what lets
+    * k = 32k merges run against a ~1e7-pair web-scale histogram
+    * (3e11 scan steps collapse to ~#delta·log pops). The result is
+    * scan-identical: for every live pair its LATEST snapshot carries
+    * the exact current count, so the first valid pop is the maximum
+    * under the same (cnt desc, l, r) total order, independent of
+    * hash-map iteration order. The pair→words index is append-only
+    * (stale entries are harmless: rewriting a word that no longer
+    * contains the pair is an exact no-op delta), the classic
+    * learn-bpe structure. */
   private[graft] def trainLocal(hist: Array[(String, Long)], k: Int)
       : Seq[(Int, String, String, Long)] = {
     val words: Array[Array[String]] =
@@ -91,13 +111,15 @@ object Bpe {
     val freqs: Array[Long] = hist.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](mergePriority)
 
     def addPairs(i: Int, sign: Long, index: Boolean): Unit = {
       val s = words(i); var j = 0
       while (j < s.length - 1) {
         val p = (s(j), s(j + 1))
         val c = counts.getOrElse(p, 0L) + sign * freqs(i)
-        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (c == 0L) counts.remove(p)
+        else { counts.update(p, c); heap.enqueue((c, p._1, p._2)) }
         if (index) where.getOrElseUpdate(p, mutable.HashSet.empty) += i
         j += 1
       }
@@ -108,11 +130,12 @@ object Bpe {
     var it = 1
     while (it <= k) {
       require(counts.nonEmpty, s"corpus exhausted at iteration $it")
-      var bl: String = null; var br: String = null; var bc = Long.MinValue
-      counts.foreach { case ((l, r), c) =>
-        if (c > bc || (c == bc &&
-            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+      var best: (Long, String, String) = null
+      while (best == null) {
+        val top = heap.dequeue()
+        if (counts.getOrElse((top._2, top._3), 0L) == top._1) best = top
       }
+      val (bc, bl, br) = best
       merges += ((it, bl, br, bc))
       val affected = where.getOrElse((bl, br), mutable.HashSet.empty)
       affected.foreach { i =>

@@ -91,9 +91,9 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got === refCounts.toMap)
   }
 
-  test("matches the reference on real documents") {
+  test("matches the reference on real documents (deep k stresses the lazy heap)") {
     val docs = graft.sources.Tables.load(spark, sf0001, "documents")
     val texts = docs.select("text").as[String].collect().toSeq
-    assert(trained(texts, 6) === refBpe(texts, 6))
+    assert(trained(texts, 40) === refBpe(texts, 40))
   }
 }

@@ -64,6 +64,31 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est(4) - 1000.0) / 1000.0 <= alpha)
   }
 
+  test("collapsing store bounds memory; upper quantiles keep the alpha guarantee") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.DoubleType
+    val rnd = new scala.util.Random(5)
+    val vals = Array.fill(20000)(math.exp(rnd.nextDouble() * 12 - 4))
+    val agg = graft.expressions.DdSketchAggregate(
+      BoundReference(0, DoubleType, nullable = false),
+      bounds, Array(0.9, 0.99), maxBuckets = 64)
+    // direct driver-side fold — the buffer internals are the subject
+    val buf = vals.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
+      agg.update(b, InternalRow(x))
+    }
+    assert(buf.pos.size <= 64, s"store not bounded: ${buf.pos.size}")
+    val est = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val sorted = vals.sorted
+    Array(0.9, 0.99).zip(est).foreach { case (q, e) =>
+      val ex = exactRank(sorted, q)
+      assert(math.abs(e - ex) / ex <= alpha + 1e-12,
+        s"upper quantile lost alpha under collapse: q=$q est=$e exact=$ex")
+    }
+  }
+
   test("boundaries are strictly increasing and bucketOf/rep agree with comparisons") {
     assert(bounds.sliding(2).forall(p => p(0) < p(1)))
     val rnd = new scala.util.Random(3)
