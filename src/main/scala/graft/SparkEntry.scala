@@ -1507,6 +1507,45 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q135_stream_countmin" -> ((s, dir) => {
+      // STREAMING Count-Min under the oracle: the token counter
+      // matrix accumulates across two arrival batches through the
+      // state store (matrix addition is order-free), and the final
+      // snapshot answers the same top-20 point queries as batch
+      // q132 — whose SQL is the oracle verbatim.
+      val base = "/tmp/graft_q135_stream_cms"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val d = 4; val w = 256
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      docs.where(col("doc_id") < 250).appendBatchTo(in, 0)
+      docs.where(col("doc_id") >= 250).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(graft.expressions.CountMin(col("tok"), d, w).as("m"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val cms = s.read.parquet(out)
+      val probes = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok")).limit(20)
+      val cellEsts = (0 until d).map(i => element_at(col("m"),
+        (graft.expressions.CountMin.cellCol(col("tok"), i, w)
+          + lit(i * w) + lit(1)).cast("int")))
+      probes.crossJoin(broadcast(cms))
+        .select(col("tok").as("token"), col("exact_count"),
+          least(cellEsts: _*).as("est_count"))
+    }),
     "q134_stream_hll" -> ((s, dir) => {
       // STREAMING HLL under the oracle: the same per-group distinct
       // sketch as q133, but computed by a streaming aggregation whose
@@ -2261,6 +2300,26 @@ object SparkEntry {
     * exact — see HllSketchAggregate scaladoc), left-fold the exact
     * 2^-M terms in register order, apply the same alpha literal and
     * linear-counting branch, round at 4 dp. */
+  /** q132's (and q135's) oracle: the identical 4x256 Count-Min
+    * counter matrix rebuilt in SQL from the same md5-slice hash
+    * family, probed at the exact top-20 tokens. */
+  private def countMinSql: String =
+    s"""WITH toks AS ($toksCte),
+       |occ AS (SELECT unnest(t) AS tok FROM toks),
+       |rws AS (SELECT j FROM generate_series(0, 3) t(j)),
+       |cells AS (SELECT j,
+       |    ('0x' || substr(md5(tok), 8 * j + 1, 8))::BIGINT % 256 AS c,
+       |    count(*)::BIGINT AS n
+       |  FROM occ CROSS JOIN rws GROUP BY 1, 2),
+       |probes AS (SELECT tok, count(*)::BIGINT AS exact_count FROM occ
+       |  GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+       |lu AS (SELECT p.tok, p.exact_count, r.j,
+       |    ('0x' || substr(md5(p.tok), 8 * r.j + 1, 8))::BIGINT % 256 AS c
+       |  FROM probes p CROSS JOIN rws r)
+       |SELECT lu.tok AS token, lu.exact_count, min(cells.n) AS est_count
+       |FROM lu JOIN cells ON cells.j = lu.j AND cells.c = lu.c
+       |GROUP BY 1, 2""".stripMargin
+
   private def hllSql: String = hllSql(includeExact = true)
 
   private def hllSql(includeExact: Boolean): String = {
@@ -3773,22 +3832,11 @@ object SparkEntry {
     "q134_stream_hll" -> hllSql(includeExact = false),
     // the identical 4x256 counter matrix rebuilt in SQL from the same
     // md5 hash family — integer-exact, no floats anywhere
-    "q132_countmin_freq" ->
-      s"""WITH toks AS ($toksCte),
-         |occ AS (SELECT unnest(t) AS tok FROM toks),
-         |rws AS (SELECT j FROM generate_series(0, 3) t(j)),
-         |cells AS (SELECT j,
-         |    ('0x' || substr(md5(tok), 8 * j + 1, 8))::BIGINT % 256 AS c,
-         |    count(*)::BIGINT AS n
-         |  FROM occ CROSS JOIN rws GROUP BY 1, 2),
-         |probes AS (SELECT tok, count(*)::BIGINT AS exact_count FROM occ
-         |  GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
-         |lu AS (SELECT p.tok, p.exact_count, r.j,
-         |    ('0x' || substr(md5(p.tok), 8 * r.j + 1, 8))::BIGINT % 256 AS c
-         |  FROM probes p CROSS JOIN rws r)
-         |SELECT lu.tok AS token, lu.exact_count, min(cells.n) AS est_count
-         |FROM lu JOIN cells ON cells.j = lu.j AND cells.c = lu.c
-         |GROUP BY 1, 2""".stripMargin,
+    "q132_countmin_freq" -> countMinSql,
+    // matrix addition across micro-batches is order-free, so the
+    // streamed snapshot answers the identical point queries — batch
+    // q132's SQL verbatim
+    "q135_stream_countmin" -> countMinSql,
     // the incremental replay must converge to the SAME labeling as
     // batch CC over all pairs (star-edge contraction preserves
     // connectivity exactly), so the oracle is q96's SQL verbatim

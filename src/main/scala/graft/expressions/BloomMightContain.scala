@@ -141,7 +141,117 @@ object BloomMightContain {
     true
   }
 
+  /** Called from interpreted eval and generated code — the
+    * column-side twin of [[contains]], probing a bitset that arrives
+    * as a ROW VALUE (array<long>) instead of a plan literal. */
+  def containsArr(bits: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int, hash: Long): Boolean = {
+    val mask = bits.numElements() * 64 - 1
+    val h1 = hash
+    val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h1 + i * h2) & mask.toLong).toInt
+      if ((bits.getLong(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Shard router: the top log2(shards) bits of the hash (disjoint
+    * from the low bits double-hashing consumes at any realistic
+    * filter size). Shards must be a power of two. */
+  def shardOf(hash: Long, shards: Int): Int =
+    if (shards == 1) 0
+    else (hash >>> (64 - Integer.numberOfTrailingZeros(shards))).toInt
+
+  /** BEYOND the single-filter cap ([[buildDistributed]]'s 16 MB
+    * default): shard the hash space by its top bits so each shard's
+    * bitset covers ~n/shards items and no single array exceeds
+    * `maxBits` — the total filter budget becomes shards × maxBits
+    * while every per-task array, tree payload and probe-side row
+    * value stays individually small. The build is one
+    * combineByKey-by-shard pass (per-executor arrays, OR-merge), and
+    * the result STAYS DISTRIBUTED: a (shard, bits) DataFrame the
+    * probe side joins on its own shard key — no driver object ever
+    * holds all shards. Probe cost: S join keys → S reducers, each
+    * streaming its shard's probes against one array row
+    * ([[graft.operators.Dedup.decontaminateBloomSharded]]).
+    * Same add/probe bit math as the unsharded filter, so semantics
+    * (no false negatives; fpp per shard as sized) are unchanged. */
+  def buildShardedDf(hashes: org.apache.spark.rdd.RDD[Long], n: Long,
+      shards: Int, bitsPerItem: Int = 16, maxBits: Long = 1L << 27)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    require(n > 0, "empty build side — skip the filter instead")
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two: $shards")
+    val perShard = math.max(1L, n / shards)
+    val targetBits = math.min(maxBits, math.max(64L, perShard * bitsPerItem))
+    val words = java.lang.Long.highestOneBit(
+      math.max(1L, (targetBits + 63) / 64) * 2 - 1).toInt
+    val numHashes = math.max(1,
+      math.round(0.6931471805599453 * words * 64L / perShard).toInt)
+    val shardBits = hashes
+      .map(h => (shardOf(h, shards), h))
+      .combineByKey[Array[Long]](
+        (h: Long) => {
+          val a = new Array[Long](words); add(a, numHashes, h); a
+        },
+        (a: Array[Long], h: Long) => { add(a, numHashes, h); a },
+        (a: Array[Long], b: Array[Long]) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(
+      shardBits.map { case (s, bits) =>
+        org.apache.spark.sql.Row(s, bits.toSeq)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom_bits",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+    (df, numHashes)
+  }
+
   import org.apache.spark.sql.graft.Bridge
   def apply(hashCol: Column, bits: Array[Long], numHashes: Int): Column =
     Bridge.column(BloomMightContain(Bridge.expression(hashCol), bits, numHashes))
+}
+
+/** [[BloomMightContain]] with the bitset as a CHILD COLUMN (the
+  * sharded-filter probe: the bits row arrives from the (shard, bits)
+  * join, so no plan-literal array exists anywhere). */
+case class BloomMightContainCol(hash: Expression, bits: Expression,
+    numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = hash
+  override def right: Expression = bits
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(h: Any, b: Any): Any =
+    BloomMightContain.containsArr(
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes, h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, b) =>
+      s"${ev.value} = graft.expressions.BloomMightContain.containsArr($b, $numHashes, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(hash = newLeft, bits = newRight)
+}
+
+object BloomMightContainCol {
+  import org.apache.spark.sql.graft.Bridge
+  def apply(hashCol: Column, bitsCol: Column, numHashes: Int): Column =
+    Bridge.column(BloomMightContainCol(
+      Bridge.expression(hashCol), Bridge.expression(bitsCol), numHashes))
 }

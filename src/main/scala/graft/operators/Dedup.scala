@@ -595,4 +595,49 @@ object Dedup {
         .localCheckpoint() // materialize before releasing the cache
     } finally evalShingles.unpersist()
   }
+
+  /** [[decontaminateBloom]] for the regime where even ONE Bloom array
+    * would blow the per-task cap (SCALE.md's "shard the filter by
+    * hash prefix" step): the filter becomes a DISTRIBUTED
+    * (shard, bits) table — each shard sized for ~n/shards items —
+    * and the train side joins it on its own hash-prefix shard key,
+    * probing the joined row's array via the codegen
+    * `BloomMightContainCol` (no plan-literal array anywhere, so no
+    * driver- or task-binary object grows with the eval set). The
+    * exact join afterwards removes false positives exactly as in the
+    * single-filter path — results stay bit-equal to
+    * [[decontaminate]] (`BloomShardedSpec`). Probe shape: S join
+    * keys → S reducers, each streaming its shard's shingles against
+    * one array row. */
+  def decontaminateBloomSharded(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, k: Int, shards: Int,
+      bitsPerItem: Int = 16, maxBits: Long = 1L << 27): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalShingles = shingleSet(eval, idCol, textCol, k, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hashDs = evalShingles.select(xxhash64(col("s")).as("h"))
+      val n = math.max(1L,
+        hashDs.agg(approx_count_distinct(col("h"))).as[Long].head())
+      val (filterDf, numHashes) =
+        graft.expressions.BloomMightContain.buildShardedDf(
+          hashDs.as[Long].rdd, n, shards, bitsPerItem, maxBits)
+      val logS = Integer.numberOfTrailingZeros(shards)
+      val shardKey =
+        if (shards == 1) lit(0)
+        else shiftrightunsigned(col("__h"), 64 - logS).cast("int")
+      shingleSet(train, idCol, textCol, k, "train_id")
+        .withColumn("__h", xxhash64(col("s")))
+        .withColumn("shard", shardKey)
+        .join(filterDf.hint("shuffle_hash"), "shard")
+        .where(graft.expressions.BloomMightContainCol(
+          col("__h"), col("bloom_bits"), numHashes))
+        .select("train_id", "s")
+        .join(evalShingles.hint("merge"), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .localCheckpoint()
+    } finally evalShingles.unpersist()
+  }
 }
