@@ -1507,6 +1507,87 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q136_kmv_setops" -> ((s, dir) => {
+      // KMV sketch SET OPERATIONS — what HLL cannot do: per event
+      // type the k=64 smallest distinct user-hashes, then per type
+      // pair the union estimate ((k-1)*2^52 / kth of the merged
+      // sketch) and the intersection estimate (overlap fraction of
+      // the union sketch x est_union), next to the exact answers.
+      // Every estimator input is an exact integer and every double op
+      // appears once in a fixed order — hash-exact, no rounding.
+      val k = 64
+      val ev = tbl(s, dir, "events")
+      val sk = ev.groupBy("event_type")
+        .agg(graft.expressions.KmvSketch(
+          col("user_id").cast("string"), k).as("sk"))
+      val pairs = sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("us",
+          slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+        .withColumn("est_union",
+          when(size(col("us")) < k, size(col("us")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) *
+              lit(graft.expressions.KmvSketch.HashSpace) /
+              element_at(col("us"), k)))
+        .withColumn("est_inter",
+          (size(array_intersect(col("us"),
+              array_intersect(col("ska"), col("skb")))).cast("double") /
+            size(col("us")).cast("double")) * col("est_union"))
+      val du = ev.select(col("event_type").as("g"), col("user_id").as("u"))
+        .distinct()
+      val sizes = du.groupBy("g").agg(count(lit(1)).as("n"))
+      val xinter = du.as("x")
+        .join(du.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("type_a"), col("y.g").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs
+        .join(broadcast(sizes.select(col("g").as("type_a"), col("n").as("na"))),
+          "type_a")
+        .join(broadcast(sizes.select(col("g").as("type_b"), col("n").as("nb"))),
+          "type_b")
+        .join(xinter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("est_union"), col("est_inter"),
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+    }),
+    "q137_triangles" -> ((s, dir) => {
+      // GRAPH SHAPE of the near-dup pair set: exact edge, wedge and
+      // triangle counts + global clustering coefficient over q63's
+      // simhash graph. Triangles by the canonical a<b<c three-way
+      // equi-join (each triangle counted once), wedges from the
+      // degree sum — one shuffle each, exact integers; the one
+      // division is a fixed-order double op of exact inputs.
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      val e = pairs.select("doc_a", "doc_b")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(e.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") &&
+            col("e3.doc_b") === col("e2.doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select(col("doc_a").as("n"))
+        .unionByName(e.select(col("doc_b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        // sum exact longs FIRST, halve once (product is even, sum
+        // < 2^53 -> the double halving is exact) — never sum doubles
+        (sum(col("d") * (col("d") - 1)) / lit(2)).cast("long").as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      val out = edges.crossJoin(wedges).crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("global_clustering"))
+        .localCheckpoint()
+      pairs.unpersist()
+      out
+    }),
     "q135_stream_countmin" -> ((s, dir) => {
       // STREAMING Count-Min under the oracle: the token counter
       // matrix accumulates across two arrival batches through the
@@ -3837,6 +3918,60 @@ object SparkEntry {
     // streamed snapshot answers the identical point queries — batch
     // q132's SQL verbatim
     "q135_stream_countmin" -> countMinSql,
+    // the KMV sketch IS "distinct hashes ORDER BY hash LIMIT k" — the
+    // oracle rebuilds it verbatim; estimators are single fixed-order
+    // double ops over exact integers, so no rounding anywhere
+    "q136_kmv_setops" ->
+      """WITH vals AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |hx AS (SELECT DISTINCT g,
+        |    ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13))::BIGINT AS h
+        |  FROM vals),
+        |sk AS (SELECT g, list_sort(list(h)) AS sk FROM (
+        |    SELECT g, h FROM (SELECT g, h,
+        |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hx)
+        |    WHERE rn <= 64) t GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.g < b.g),
+        |wu AS (SELECT *, list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS us
+        |  FROM p),
+        |eu AS (SELECT type_a, type_b, ska, skb, us,
+        |    CASE WHEN len(us) < 64 THEN CAST(len(us) AS DOUBLE)
+        |         ELSE 63.0::DOUBLE * 4503599627370496.0::DOUBLE / us[64]
+        |    END AS est_union
+        |  FROM wu),
+        |ei AS (SELECT type_a, type_b, est_union,
+        |    (CAST(len(list_filter(us,
+        |        x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+        |      / CAST(len(us) AS DOUBLE)) * est_union AS est_inter
+        |  FROM eu),
+        |sizes AS (SELECT g, count(*)::BIGINT AS n FROM vals GROUP BY g),
+        |xinter AS (SELECT x.g AS type_a, y.g AS type_b,
+        |    count(*)::BIGINT AS exact_inter
+        |  FROM vals x JOIN vals y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
+        |SELECT ei.type_a, ei.type_b, ei.est_union, ei.est_inter,
+        |  (sa.n + sb.n - coalesce(xi.exact_inter, 0))::BIGINT AS exact_union,
+        |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter
+        |FROM ei
+        |JOIN sizes sa ON sa.g = ei.type_a
+        |JOIN sizes sb ON sb.g = ei.type_b
+        |LEFT JOIN xinter xi ON xi.type_a = ei.type_a AND xi.type_b = ei.type_b""".stripMargin,
+    // exact triangle/wedge/edge counts over the same pair SQL; the
+    // lone division is a fixed-order double op of exact integers
+    "q137_triangles" ->
+      s"""WITH pairs AS ($simhash64PairsSql),
+         |e AS (SELECT doc_a, doc_b FROM pairs),
+         |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1
+         |  JOIN e e2 ON e1.doc_b = e2.doc_a
+         |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+         |  SELECT doc_a AS n FROM e UNION ALL SELECT doc_b FROM e) t
+         |  GROUP BY n),
+         |w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+         |ed AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+         |SELECT ed.n_edges, w.n_wedges, tri.n_triangles,
+         |  CASE WHEN w.n_wedges = 0 THEN 0.0
+         |       ELSE 3.0 * tri.n_triangles / w.n_wedges END AS global_clustering
+         |FROM ed, w, tri""".stripMargin,
     // the incremental replay must converge to the SAME labeling as
     // batch CC over all pairs (star-edge contraction preserves
     // connectivity exactly), so the oracle is q96's SQL verbatim
