@@ -1507,6 +1507,58 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q138_stream_interval_join" -> ((s, dir) => {
+      // STREAM-STREAM interval join under the oracle: purchases
+      // attributed to every click by the same user in the preceding
+      // hour, BOTH sides live watermarked streams. Adversarial
+      // arrival: the last pre-cut day of clicks is withheld to batch
+      // 2 — purchases buffered in join state still match them when
+      // they arrive (2-day watermark covers the 1-day withholding),
+      // so the replay equals the batch interval join and plain SQL is
+      // the oracle. Inner-join semantics: pairs emit in the batch
+      // where the second side arrives; no flush sentinel needed.
+      val base = "/tmp/graft_q138_ssjoin"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cin = s"$base/clicks"; val bin = s"$base/buys"
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("bts"),
+          col("event_id").as("buy_id"))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val lateFrom = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+      clicks.where(col("cts") < lateFrom).appendBatchTo(cin, 0)
+      clicks.where(col("cts") >= lateFrom).appendBatchTo(cin, 1)
+      buys.where(col("bts") < cut).appendBatchTo(bin, 0)
+      buys.where(col("bts") >= cut).appendBatchTo(bin, 1)
+      val cStream = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(cin).schema, cin, maxFilesPerTrigger = 1)
+        .withColumn("cts", col("cts").cast("timestamp"))
+        .withWatermark("cts", "2 days")
+      val bStream = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(bin).schema, bin, maxFilesPerTrigger = 1)
+        .withColumn("bts", col("bts").cast("timestamp"))
+        .withWatermark("bts", "2 days")
+      val q = bStream.as("b").join(cStream.as("c"),
+          expr("""b.user_id = c.user_id AND
+                  bts >= cts AND bts <= cts + interval 1 hour"""))
+        .select(col("buy_id"), col("click_id"), col("b.user_id").as("user_id"),
+          col("bts"), col("cts"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).select(col("buy_id"), col("click_id"),
+        col("user_id"), col("bts").cast("timestamp_ntz").as("b_ts"),
+        col("cts").cast("timestamp_ntz").as("c_ts"))
+    }),
     "q136_kmv_setops" -> ((s, dir) => {
       // KMV sketch SET OPERATIONS — what HLL cannot do: per event
       // type the k=64 smallest distinct user-hashes, then per type
@@ -3918,6 +3970,16 @@ object SparkEntry {
     // streamed snapshot answers the identical point queries — batch
     // q132's SQL verbatim
     "q135_stream_countmin" -> countMinSql,
+    // the replayed stream-stream join equals the batch interval join
+    // (buffered state matches late arrivals within the watermark) —
+    // exact ids and integer-micros timestamps, no floats
+    "q138_stream_interval_join" ->
+      """SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+        |  b.ts AS b_ts, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON b.user_id = c.user_id
+        |  AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     // the KMV sketch IS "distinct hashes ORDER BY hash LIMIT k" — the
     // oracle rebuilds it verbatim; estimators are single fixed-order
     // double ops over exact integers, so no rounding anywhere
