@@ -79,6 +79,17 @@ object ScaleProbe {
     }
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
+      // q133's HLL and q136's KMV: one scan folding into per-group
+      // constant-size state (512 byte registers / k=64 longs); merge
+      // is max/min-union — wall must track the scan linearly
+      "hll" -> (ev => ev.groupBy("event_type")
+        .agg(graft.expressions.HllSketch(
+          col("user_id").cast("string"), p = 9))
+        .count()),
+      "kmv" -> (ev => ev.groupBy("event_type")
+        .agg(graft.expressions.KmvSketch(
+          col("user_id").cast("string"), k = 64))
+        .count()),
       "hour_bars" -> (ev => ev
         .groupBy(col("event_type"), date_trunc("hour", col("ts")))
         .agg(count("*"), sum("value"),
@@ -229,6 +240,12 @@ object ScaleProbe {
       // 4 vocabulary-sized merge iterations — wall must track the
       // histogram build (linear scan), not the corpus² anything
       "bpe" -> (d => graft.operators.Bpe.trainMerges(d, "text", k = 4).count()),
+      // q132's Count-Min: one explode + scan into a constant 4x256
+      // counter matrix — wall must track the token scan linearly
+      "cms" -> (d => d
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(graft.expressions.CountMin(col("tok"), 4, 256))
+        .count()),
       // q130's DDSketch: one scan folding into O(buckets) per-group
       // state; merge is count addition (no per-group sort anywhere),
       // so wall must track the scan linearly
