@@ -1507,6 +1507,32 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q140_snapshot_diff" -> ((s, dir) => {
+      // DATASET VERSIONING: diff two corpus releases (v2 deletes
+      // %13 ids, revises %7 texts, adds %11 ids under new ids) into
+      // per-id added/removed/changed/unchanged verdicts. Each side
+      // reduces to (id, md5) in its own scan; one full-outer hash
+      // join moves digests, never documents. Exact strings + the
+      // shared md5 make the oracle literal.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val v2 = docs.where(pmod(col("doc_id"), lit(13L)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11L)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      SnapshotDiff.diff(docs, v2, "doc_id", "text")
+    }),
+    "q139_quality_model" -> ((s, dir) => {
+      // BROADCAST-MODEL INFERENCE: a linear quality classifier scored
+      // as one zero-shuffle codegen projection — weights are plan
+      // literals, features exact arithmetic, the logit a fixed-order
+      // double chain (publish the logit, never the sigmoid — exp is
+      // libm-sensitive). The same weights live in the oracle SQL.
+      Scoring.linearQualityScore(tbl(s, dir, "documents"),
+        "doc_id", "text", Array(-3.75, 2.0, 2.0, 8.0, 0.25))
+    }),
     "q138_stream_interval_join" -> ((s, dir) => {
       // STREAM-STREAM interval join under the oracle: purchases
       // attributed to every click by the same user in the preceding
@@ -3970,6 +3996,40 @@ object SparkEntry {
     // streamed snapshot answers the identical point queries — batch
     // q132's SQL verbatim
     "q135_stream_countmin" -> countMinSql,
+    // same v2 construction, same md5 digests, same CASE ladder
+    "q140_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' new' FROM v1 WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id AS id, md5(text) AS h1 FROM v1),
+        |b AS (SELECT doc_id AS id, md5(text) AS h2 FROM v2)
+        |SELECT coalesce(a.id, b.id) AS doc_id,
+        |  CASE WHEN a.id IS NULL THEN 'added'
+        |       WHEN b.id IS NULL THEN 'removed'
+        |       WHEN a.h1 <> b.h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.id = b.id""".stripMargin,
+    // the identical fixed-order logit chain over exact features; the
+    // stopword literal mirrors Scoring.stopwords
+    "q139_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    -3.75::DOUBLE
+         |      + 2.0::DOUBLE * (CAST(len(t) AS DOUBLE) / 100.0)
+         |      + 2.0::DOUBLE * (CAST(len(list_distinct(t)) AS DOUBLE)
+         |          / CAST(greatest(len(t), 1) AS DOUBLE))
+         |      + 8.0::DOUBLE * (CAST(len(list_filter(t,
+         |            x -> list_contains(['the','a','and','of','to','in'], x)))
+         |          AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE))
+         |      + 0.25::DOUBLE * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |          / CAST(greatest(len(t), 1) AS DOUBLE)) AS logit
+         |  FROM t)
+         |SELECT doc_id, logit, logit > 0.0 AS keep FROM f""".stripMargin,
     // the replayed stream-stream join equals the batch interval join
     // (buffered state matches late arrivals within the watermark) —
     // exact ids and integer-micros timestamps, no floats

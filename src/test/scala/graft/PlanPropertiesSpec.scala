@@ -171,6 +171,18 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q139 model inference is a zero-exchange single-scan projection") {
+    val p = executedPlan("q139_quality_model")
+    assert(!p.contains("Exchange"),
+      s"broadcast-model inference must not shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).size === 1,
+      s"inference must read the corpus exactly once:\n$p")
+    // the token array is projected once — a per-feature tokens(text)
+    // would re-split the text per feature per row
+    assert("split\\(lower".r.findAllIn(p).size === 1,
+      s"tokens recomputed per feature:\n$p")
+  }
+
   test("q68 scan prunes partitions: filters land in PartitionFilters, files shrink") {
     val p = executedPlan("q68_partition_prune")
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]*click".r.findFirstIn(p).isDefined,
