@@ -1507,6 +1507,103 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q141_stream_outer_join" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream join: q138's attribution, but every
+      // unmatched purchase must ALSO emit (with null click) — which
+      // the engine can only do once the watermark proves no matching
+      // click can still arrive. Sentinels on BOTH streams push the
+      // final watermark past every purchase so the null rows drain
+      // (join watermark = min of the sides); the buy-side sentinel
+      // necessarily emits as its own unmatched row and is filtered on
+      // readback by its reserved id. Oracle = the batch LEFT interval
+      // join, exact ids and timestamps.
+      val base = "/tmp/graft_q141_ssouter"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cin = s"$base/clicks"; val bin = s"$base/buys"
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("bts"),
+          col("event_id").as("buy_id"))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val far = lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+      clicks.where(col("cts") < cut).appendBatchTo(cin, 0)
+      clicks.where(col("cts") >= cut).appendBatchTo(cin, 1)
+      clicks.limit(1).select(lit(-1L).as("user_id"), far.as("cts"),
+        lit(-1L).as("click_id")).appendBatchTo(cin, 2)
+      buys.where(col("bts") < cut).appendBatchTo(bin, 0)
+      buys.where(col("bts") >= cut).appendBatchTo(bin, 1)
+      buys.limit(1).select(lit(-2L).as("user_id"), far.as("bts"),
+        lit(-2L).as("buy_id")).appendBatchTo(bin, 2)
+      val cStream = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(cin).schema, cin, maxFilesPerTrigger = 1)
+        .withColumn("cts", col("cts").cast("timestamp"))
+        .withWatermark("cts", "2 days")
+      val bStream = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(bin).schema, bin, maxFilesPerTrigger = 1)
+        .withColumn("bts", col("bts").cast("timestamp"))
+        .withWatermark("bts", "2 days")
+      val q = bStream.as("b").join(cStream.as("c"),
+          expr("""b.user_id = c.user_id AND
+                  bts >= cts AND bts <= cts + interval 1 hour"""),
+          "left_outer")
+        .select(col("buy_id"), col("click_id"),
+          col("b.user_id").as("user_id"), col("bts"), col("cts"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).where(col("buy_id") =!= -2L)
+        .select(col("buy_id"), col("click_id"), col("user_id"),
+          col("bts").cast("timestamp_ntz").as("b_ts"),
+          col("cts").cast("timestamp_ntz").as("c_ts"))
+    }),
+    "q142_stream_dedup" -> ((s, dir) => {
+      // NATIVE streaming dedup under the oracle: exact duplicate event
+      // rows are injected into BOTH arrival batches (in-batch and
+      // cross-batch redelivery) and dropDuplicatesWithinWatermark on
+      // the event id must collapse them — duplicates are bit-identical
+      // rows, so the survivor is unique regardless of arrival order
+      // and the oracle is SELECT DISTINCT over the same union. This
+      // gates the ENGINE's dedup state machinery, complementing the
+      // custom screens (q113-q115) and the idempotent sink (q88).
+      val base = "/tmp/graft_q142_sdedup"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val b1 = ev.where(col("ts") < cut)
+      val dupIn = b1.where(pmod(col("event_id"), lit(5)) === 0)
+      // batch 1 carries in-batch duplicates; batch 2 redelivers a
+      // slice of batch 1 (cross-batch, within the 20-day watermark)
+      b1.unionByName(dupIn).appendBatchTo(in, 0)
+      ev.where(col("ts") >= cut)
+        .unionByName(b1.where(pmod(col("event_id"), lit(3)) === 0))
+        .appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "20 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    }),
     "q140_snapshot_diff" -> ((s, dir) => {
       // DATASET VERSIONING: diff two corpus releases (v2 deletes
       // %13 ids, revises %7 texts, adds %11 ids under new ids) into
@@ -3996,6 +4093,21 @@ object SparkEntry {
     // streamed snapshot answers the identical point queries — batch
     // q132's SQL verbatim
     "q135_stream_countmin" -> countMinSql,
+    // the drained outer join equals the batch LEFT interval join —
+    // unmatched purchases surface with null click once the watermark
+    // proves no match can arrive
+    "q141_stream_outer_join" ->
+      """SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+        |  b.ts AS b_ts, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON b.user_id = c.user_id
+        |  AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+    // duplicates are bit-identical rows, so the engine's dedup output
+    // is exactly the distinct set
+    "q142_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value, ts
+        |FROM events""".stripMargin,
     // same v2 construction, same md5 digests, same CASE ladder
     "q140_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
