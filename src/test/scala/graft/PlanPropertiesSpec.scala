@@ -171,6 +171,15 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q137 triangle join runs on equi-joins, never a cartesian edge product") {
+    val p = executedPlan("q137_triangles")
+    // the only non-equi joins are the 1-row aggregate attaches
+    // (BroadcastNestedLoop over single rows); an edge-set cartesian
+    // would appear as CartesianProduct
+    assert(!p.contains("CartesianProduct"),
+      s"edge-set cartesian in triangle join:\n$p")
+  }
+
   test("q139 model inference is a zero-exchange single-scan projection") {
     val p = executedPlan("q139_quality_model")
     assert(!p.contains("Exchange"),
