@@ -49,10 +49,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> Seq.fill(3)(timeOnce(fn)).min
     }
-    // keep the one-line JSON under ~2 KB so the harness's tail capture
-    // holds the WHOLE line (round 7's full-name/full-precision line was
+    // keep the one-line JSON small so the harness's tail capture holds
+    // the WHOLE line (round 7's full-name/full-precision line was
     // truncated head-first and never parsed): keys shrink to the
-    // numeric id (q01…q129), values to seconds at ms precision.
+    // numeric id (unique per entry — guarded below), values to seconds
+    // at ms precision.
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == results.size,
       "duplicate numeric query ids would collide as JSON keys: " +

@@ -1535,11 +1535,14 @@ object SparkEntry {
       val far = lit("2024-03-01 00:00:00").cast("timestamp_ntz")
       clicks.where(col("cts") < cut).appendBatchTo(cin, 0)
       clicks.where(col("cts") >= cut).appendBatchTo(cin, 1)
-      clicks.limit(1).select(lit(-1L).as("user_id"), far.as("cts"),
+      // literal one-row frames: a limit(1) sentinel would silently
+      // vanish if the filtered side were empty, leaving the null rows
+      // undrained
+      s.range(1).select(lit(-1L).as("user_id"), far.as("cts"),
         lit(-1L).as("click_id")).appendBatchTo(cin, 2)
       buys.where(col("bts") < cut).appendBatchTo(bin, 0)
       buys.where(col("bts") >= cut).appendBatchTo(bin, 1)
-      buys.limit(1).select(lit(-2L).as("user_id"), far.as("bts"),
+      s.range(1).select(lit(-2L).as("user_id"), far.as("bts"),
         lit(-2L).as("buy_id")).appendBatchTo(bin, 2)
       val cStream = graft.streaming.IngestPipeline.fileSource(
           s, s.read.parquet(cin).schema, cin, maxFilesPerTrigger = 1)
@@ -1901,7 +1904,7 @@ object SparkEntry {
           s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1),
         "doc_a", "doc_b", labels, ckpt)
       q.awaitTermination()
-      val comp = s.read.parquet(labels)
+      val comp = graft.streaming.StreamingComponents.readLabels(s, labels)
       val lab = docs.select(col("doc_id"))
         .join(comp, col("doc_id") === col("node"), "left")
         .select(col("doc_id"),
@@ -2043,7 +2046,9 @@ object SparkEntry {
       all.where(col("ts") < cut && !lateRef).appendBatchTo(in, 0)
       all.where(col("ts") >= cut || (col("ts") < cut && lateRef))
         .appendBatchTo(in, 1)
-      all.limit(1).select(col("user_id"),
+      // literal one-row flush frame (a limit(1) would vanish on an
+      // empty source and leave the buffered probes undrained)
+      s.range(1).select(lit(-1L).cast(all.schema("user_id").dataType).as("user_id"),
           lit("2024-02-15 00:00:00").cast("timestamp_ntz").as("ts"),
           lit("flush").as("side"), lit(0.0).as("value"))
         .appendBatchTo(in, 2)
@@ -2551,11 +2556,6 @@ object SparkEntry {
        |  l.doc_id = l.cluster_id AS is_keeper
        |FROM lab l JOIN sz USING (cluster_id)""".stripMargin
 
-  /** q133's DuckDB twin: rebuild all 512 HLL registers from the same
-    * md5-52-bit hash (bucket = top 9 bits, rho = 43 - floor(log2 tail);
-    * exact — see HllSketchAggregate scaladoc), left-fold the exact
-    * 2^-M terms in register order, apply the same alpha literal and
-    * linear-counting branch, round at 4 dp. */
   /** q132's (and q135's) oracle: the identical 4x256 Count-Min
     * counter matrix rebuilt in SQL from the same md5-slice hash
     * family, probed at the exact top-20 tokens. */
@@ -2576,6 +2576,12 @@ object SparkEntry {
        |FROM lu JOIN cells ON cells.j = lu.j AND cells.c = lu.c
        |GROUP BY 1, 2""".stripMargin
 
+  /** q133's (and q134's, minus the non-streamable exact column)
+    * DuckDB twin: rebuild all 512 HLL registers from the same
+    * md5-52-bit hash (bucket = top 9 bits, rho = 43 - floor(log2
+    * tail); exact — see HllSketchAggregate scaladoc), left-fold the
+    * exact 2^-M terms in register order, apply the same alpha literal
+    * and linear-counting branch, round at 4 dp. */
   private def hllSql: String = hllSql(includeExact = true)
 
   private def hllSql(includeExact: Boolean): String = {

@@ -152,9 +152,13 @@ object Bpe {
   /** Encode one word with the learned ranks: repeatedly merge the
     * LOWEST-RANK adjacent pair present (one greedy left-to-right pass
     * per chosen rule) until none applies — the GPT-2 encode loop,
-    * equal to sequential rule application (see object scaladoc). */
+    * equal to sequential rule application (see object scaladoc).
+    * `rankToPair(rank - 1)` is the O(1) inverse lookup — a map scan
+    * here would pay O(k) per merge step per word, which at k = 32k
+    * over a web-scale histogram dominates encoding. */
   private[graft] def encodeWord(w: String,
-      ranks: Map[(String, String), Int]): Array[String] = {
+      ranks: Map[(String, String), Int],
+      rankToPair: Array[(String, String)]): Array[String] = {
     var syms = w.split("").filter(_.nonEmpty)
     var done = false
     while (!done && syms.length >= 2) {
@@ -166,9 +170,7 @@ object Bpe {
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (l, r) = ranks.collectFirst {
-          case (p, rk) if rk == best => p
-        }.get
+        val (l, r) = rankToPair(best - 1)
         syms = applyMergeLocal(syms, l, r)
       }
     }
@@ -199,10 +201,15 @@ object Bpe {
     val histDf = wordHistogram(docs, textCol).localCheckpoint()
     val hist = histDf.select(col("w"), col("freq"))
       .as[(String, Long)].collect()
-    val ranks: Map[(String, String), Int] = trainLocal(hist, k)
-      .map { case (it, l, r, _) => (l, r) -> it }.toMap
-    val bc = spark.sparkContext.broadcast(ranks)
-    val enc = udf((w: String) => encodeWord(w, bc.value))
+    val merges = trainLocal(hist, k)
+    val ranks: Map[(String, String), Int] =
+      merges.map { case (it, l, r, _) => (l, r) -> it }.toMap
+    // 1-based iteration -> 0-based inverse array for O(1) lookups
+    val rankToPair: Array[(String, String)] =
+      merges.sortBy(_._1).map { case (_, l, r, _) => (l, r) }.toArray
+    val bcR = spark.sparkContext.broadcast(ranks)
+    val bcP = spark.sparkContext.broadcast(rankToPair)
+    val enc = udf((w: String) => encodeWord(w, bcR.value, bcP.value))
     histDf
       .select(col("freq"), explode(enc(col("w"))).as("token"))
       .groupBy("token").agg(sum("freq").as("cnt"))

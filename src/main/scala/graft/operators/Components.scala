@@ -132,12 +132,25 @@ object Components {
     * either input (localCheckpoint-materialized, caller-owned). */
   def incrementalUpdate(priorLabels: DataFrame, newEdges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val stars = priorLabels
-      .select(col("node").cast("long").as("a"),
-        col("component").cast("long").as("b"))
+    val prior = priorLabels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val stars = prior
+      .select(col("node").as("a"), col("component").as("b"))
       .where(col("a") =!= col("b"))
     val batch = newEdges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
-    connectedComponents(stars.unionByName(batch), "a", "b", maxIter)
+    val cc = connectedComponents(stars.unionByName(batch), "a", "b", maxIter)
+    // self-labeled SINGLETONS in the prior have no star edge and so
+    // no CC row; without this re-union they would silently vanish
+    // from the labeling ("every node seen in either input"). A
+    // singleton that gained an edge this batch is in `cc` and the
+    // anti-join drops its stale self-row.
+    val keptSingletons = prior
+      .where(col("node") === col("component"))
+      .join(cc.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    val out = cc.unionByName(keptSingletons).localCheckpoint()
+    cc.unpersist()
+    out
   }
 }

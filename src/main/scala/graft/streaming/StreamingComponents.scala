@@ -32,8 +32,41 @@ object StreamingComponents {
     * static-oracle-path trade as the other replay queries). */
   val scratchBase: String = "/tmp/graft_q131_components"
 
-  /** Start the labels-maintenance sink. `labelsDir` holds the current
-    * (node, component) parquet table (created on first batch). */
+  /** Resolve the current labels snapshot dir via the `_LATEST`
+    * pointer file (absent before the first committed batch). */
+  private def latestDir(fs: FileSystem, labelsDir: String): Option[String] = {
+    val ptr = new Path(s"$labelsDir/_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val b = new Array[Byte](256)
+        val n = in.read(b)
+        Some(s"$labelsDir/${new String(b, 0, n, "UTF-8").trim}")
+      } finally in.close()
+    }
+  }
+
+  /** Read the current labels table (empty frame before first batch). */
+  def readLabels(spark: org.apache.spark.sql.SparkSession,
+      labelsDir: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    latestDir(fs, labelsDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.range(0).select(col("id").as("node"),
+        col("id").as("component"))
+    }
+  }
+
+  /** Start the labels-maintenance sink. `labelsDir` holds VERSIONED
+    * (node, component) snapshots plus a `_LATEST` pointer file —
+    * each batch writes a fresh `v<batchId>` directory and then swaps
+    * the pointer with an atomic rename, so a crash mid-write leaves
+    * the prior snapshot intact and the checkpoint's batch replay
+    * rebuilds the same new version from it (a plain in-place
+    * overwrite would destroy the ONLY copy of the accumulated
+    * labeling exactly when the replay needs it). Superseded versions
+    * are deleted after the swap. */
   def start(pairs: DataFrame, aCol: String, bCol: String,
       labelsDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -41,18 +74,29 @@ object StreamingComponents {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-          val prior =
-            if (fs.exists(new Path(labelsDir))) spark.read.parquet(labelsDir)
-            else spark.range(0).select(col("id").as("node"),
+          val priorDir = latestDir(fs, labelsDir)
+          val prior = priorDir match {
+            case Some(dir) => spark.read.parquet(dir)
+            case None => spark.range(0).select(col("id").as("node"),
               col("id").as("component"))
+          }
           val updated = graft.operators.Components
             .incrementalUpdate(prior, batch, aCol, bCol)
-          updated.write.mode("overwrite").parquet(labelsDir)
+          val newDir = s"$labelsDir/v$batchId"
+          updated.write.mode("overwrite").parquet(newDir)
           updated.unpersist()
+          val tmp = new Path(s"$labelsDir/_LATEST.tmp")
+          val ptr = new Path(s"$labelsDir/_LATEST")
+          val outS = fs.create(tmp, true)
+          try outS.write(s"v$batchId".getBytes("UTF-8")) finally outS.close()
+          fs.delete(ptr, false)
+          fs.rename(tmp, ptr)
+          priorDir.filter(_ != newDir)
+            .foreach(d => fs.delete(new Path(d), true))
           ()
         }
       }

@@ -14,7 +14,7 @@ class StreamingComponentsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def labelsOf(dir: String): Map[Long, Long] =
-    spark.read.parquet(dir).collect()
+    StreamingComponents.readLabels(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def run(in: String, labels: String, ckpt: String): Unit = {
@@ -56,6 +56,23 @@ class StreamingComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(labels) === want)
     // the chain collapses into ONE component with min 5
     assert(want.values.toSet === Set(5L))
+  }
+
+  test("prior self-labeled singletons survive an update; one that gains an edge relabels cleanly") {
+    val prior = Seq((7L, 7L), (1L, 1L), (2L, 1L)).toDF("node", "component")
+    val out = Components.incrementalUpdate(
+      prior, Seq((3L, 4L)).toDF("a", "b"), "a", "b")
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    // node 7 (singleton) and the {1,2} cluster persist untouched
+    assert(m === Map(7L -> 7L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+
+    val out2 = Components.incrementalUpdate(
+      prior, Seq((7L, 9L)).toDF("a", "b"), "a", "b")
+    val m2 = out2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out2.unpersist()
+    // the singleton joined a component: exactly one row for node 7
+    assert(m2 === Map(7L -> 7L, 9L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
   test("redelivered edges are absorbed without change (at-least-once)") {
