@@ -1568,6 +1568,48 @@ object SparkEntry {
           col("bts").cast("timestamp_ntz").as("b_ts"),
           col("cts").cast("timestamp_ntz").as("c_ts"))
     }),
+    "q143_stream_sessions" -> ((s, dir) => {
+      // NATIVE streaming sessionization under the oracle, with
+      // ADVERSARIAL INTERLEAVING: the arrival batches split by event
+      // id PARITY, not time — every session's member rows are
+      // scattered across both micro-batches in arbitrary event-time
+      // order, so the session state store must merge partial sessions
+      // cross-batch and out of order (a 40-day watermark declares the
+      // whole replay in-order-tolerant; real deployments pick the
+      // lateness they pay state for). Each session emits exactly once
+      // when the watermark passes its close (the far sentinel drives
+      // the final watermark past every real session); the result
+      // equals the batch sessions, so q70's lag/cumsum SQL is the
+      // oracle verbatim.
+      val base = "/tmp/graft_q143_sessions"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events").select("user_id", "ts", "event_id")
+      ev.where(pmod(col("event_id"), lit(2)) === 0)
+        .select("user_id", "ts").appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1)
+        .select("user_id", "ts").appendBatchTo(in, 1)
+      s.range(1).select(lit(-1L).as("user_id"),
+          lit("2024-03-15 00:00:00").cast("timestamp_ntz").as("ts"))
+        .appendBatchTo(in, 2)
+      val q = graft.streaming.Sessionize.sessions(
+          graft.streaming.IngestPipeline.fileSource(
+              s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+            .withColumn("ts", col("ts").cast("timestamp")),
+          "user_id", "ts", "30 minutes", watermarkDelay = Some("40 days"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).where(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          col("sess_start").cast("timestamp_ntz").as("sess_start"),
+          col("sess_end").cast("timestamp_ntz").as("sess_end"),
+          col("n_events"))
+    }),
     "q142_stream_dedup" -> ((s, dir) => {
       // NATIVE streaming dedup under the oracle: exact duplicate event
       // rows are injected into BOTH arrival batches (in-batch and
@@ -2555,6 +2597,26 @@ object SparkEntry {
        |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
        |  l.doc_id = l.cluster_id AS is_keeper
        |FROM lab l JOIN sz USING (cluster_id)""".stripMargin
+
+  /** q70's (and q143's) oracle: session_window re-derived via
+    * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
+    * (session_window merges at exactly the gap, boundary pinned by
+    * SessionizeSpec); sess_end = last event ts + gap. */
+  private def sessionSql: String =
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |f AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (SELECT user_id, ts, SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f)
+      |SELECT user_id, min(ts) AS sess_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*)::BIGINT AS n_events
+      |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   /** q132's (and q135's) oracle: the identical 4x256 Count-Min
     * counter matrix rebuilt in SQL from the same md5-slice hash
@@ -3970,24 +4032,11 @@ object SparkEntry {
          |JOIN read_parquet('${Tables.scratchBucketedBase}/ord/*.parquet') o
          |  ON l.l_orderkey = o.o_orderkey
          |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
-    "q70_session_window" ->
-      // session_window re-derived via lag/cumsum: new session iff the
-      // gap STRICTLY exceeds 30 min (session_window merges at exactly
-      // the gap — boundary pinned by SessionizeSpec); end = last + gap
-      """WITH g AS (SELECT user_id, event_id, ts,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-        |  FROM events),
-        |f AS (SELECT user_id, event_id, ts,
-        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM g),
-        |s AS (SELECT user_id, ts, SUM(new_sess) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
-        |  FROM f)
-        |SELECT user_id, min(ts) AS sess_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*)::BIGINT AS n_events
-        |FROM s GROUP BY user_id, sess_idx""".stripMargin,
+    "q70_session_window" -> sessionSql,
+    // every session closes before the sentinel-driven final watermark,
+    // so the append-mode replay emits exactly the batch sessions —
+    // q70's lag/cumsum SQL verbatim
+    "q143_stream_sessions" -> sessionSql,
     "q78_stratified_sample" ->
       // mixture membership re-derived from the q71 md5 arithmetic:
       // keep iff bucket(event_id, ':mix1') < the stratum's percent
