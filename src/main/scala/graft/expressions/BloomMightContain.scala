@@ -116,26 +116,26 @@ object BloomMightContain {
   }
 
   private def add(bits: Array[Long], numHashes: Int, hash: Long): Unit = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1 // Long: filters may exceed 2^31 bits
     val h1 = hash
     val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L // odd, full-period
     var i = 0
     while (i < numHashes) {
-      val idx = ((h1 + i * h2) & mask.toLong).toInt
-      bits(idx >>> 6) |= 1L << (idx & 63)
+      val idx = (h1 + i * h2) & mask
+      bits((idx >>> 6).toInt) |= 1L << (idx & 63)
       i += 1
     }
   }
 
   /** Called from interpreted eval and generated code. */
   def contains(bits: Array[Long], numHashes: Int, hash: Long): Boolean = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1 // Long: filters may exceed 2^31 bits
     val h1 = hash
     val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L
     var i = 0
     while (i < numHashes) {
-      val idx = ((h1 + i * h2) & mask.toLong).toInt
-      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      val idx = (h1 + i * h2) & mask
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
     true
@@ -146,13 +146,13 @@ object BloomMightContain {
     * as a ROW VALUE (array<long>) instead of a plan literal. */
   def containsArr(bits: org.apache.spark.sql.catalyst.util.ArrayData,
       numHashes: Int, hash: Long): Boolean = {
-    val mask = bits.numElements() * 64 - 1
+    val mask = bits.numElements().toLong * 64 - 1 // Long: filters may exceed 2^31 bits
     val h1 = hash
     val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L
     var i = 0
     while (i < numHashes) {
-      val idx = ((h1 + i * h2) & mask.toLong).toInt
-      if ((bits.getLong(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      val idx = (h1 + i * h2) & mask
+      if ((bits.getLong((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
     true

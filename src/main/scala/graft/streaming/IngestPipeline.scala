@@ -48,6 +48,12 @@ object IngestPipeline {
     * recognizes already-stamped files and leaves them be; all stamps
     * are minutes apart, far inside the source's maxFileAge window. */
   def appendBatch(df: DataFrame, dir: String, batchIdx: Int): Unit = {
+    // the already-stamped guard below treats mtime > stampBase + 1 day
+    // as "live"; a stamp for batchIdx >= 1440 would land past that
+    // horizon and a later append would re-stamp it, scrambling replay
+    // order — so keep stamps strictly inside the first day
+    require(batchIdx >= 0 && batchIdx < 1440,
+      s"batchIdx must be in [0, 1440), got $batchIdx")
     val fs = org.apache.hadoop.fs.FileSystem
       .get(df.sparkSession.sparkContext.hadoopConfiguration)
     df.coalesce(1).write.mode("append").parquet(dir)
