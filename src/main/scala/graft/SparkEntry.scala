@@ -34,10 +34,22 @@ object SparkEntry {
     * consumers must NOT unpersist it. */
   private val simhashPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsMemo.computeIfAbsent((s, dir), _ =>
-      Dedup.simhashNearDup64(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3))
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cur = simhashPairsMemo.get(key)
+    // Bench clearCache()s between timed passes, which unpersists the
+    // memoized frame; handing it out unpersisted would re-run the
+    // whole pipeline once PER consumer inside a query — recompute and
+    // re-persist instead (one run, honest per-pass timing).
+    if (cur != null &&
+        cur.storageLevel != org.apache.spark.storage.StorageLevel.NONE) cur
+    else {
+      val fresh = Dedup.simhashNearDup64(tbl(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      simhashPairsMemo.put(key, fresh)
+      fresh
+    }
+  }
 
   /** Exact integer view of a fixed-decimal double column: value*10^d
     * rounded to the nearest long. The per-row double multiply and round
@@ -1983,6 +1995,43 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q145_wordpiece" -> ((s, dir) => {
+      // WordPiece greedy longest-match tokenizer (the BERT encode
+      // loop) with a frequency-built vocab: top-160 substrings per
+      // position class (word-initial vs ##-continuation) + all single
+      // chars for coverage, then per-word longest-match segmentation
+      // over the Heaps'-bounded word histogram. Counts are exact
+      // longs and the longest match at a position is unique, so
+      // DuckDB re-trains the vocab AND re-encodes the corpus
+      // verbatim (recursive CTE, one row per emitted piece).
+      WordPiece.encodeHistogram(tbl(s, dir, "documents"), "text")
+    }),
+    "q144_ddsketch_collapsed" -> ((s, dir) => {
+      // DDSketch "collapsing lowest" BOUNDED-MEMORY store under the
+      // oracle: with maxBuckets=24 every partial store folds all but
+      // its 24 highest buckets into the cut bucket. Mass only ever
+      // moves UP to a cut at-or-below the kept range, so a rank whose
+      // true bucket has fewer than maxBuckets distinct buckets above
+      // it GLOBALLY can never be cut in ANY partial — its cumulative
+      // count and bucket are unchanged and the estimate equals the
+      // UNBOUNDED sketch's under any partitioning. Probed margins on
+      // l_extendedprice (sf0.001/0.01/0.1): ~6 distinct buckets above
+      // p90's, 1 above p99's — 4x inside the cap. p50 sits ~35
+      // buckets down and WOULD degrade toward the cut representative;
+      // it is excluded by design (DdSketchAggregate.collapse caveat).
+      // The deterministic equality is what lets q130's order-statistic
+      // SQL answer verbatim for the collapsed sketch.
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.9, 0.99)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.expressions.DdSketchAggregate(
+          col("l_extendedprice"), bounds, qs, maxBuckets = 24).as("ests"))
+        .select(col("l_returnflag"),
+          posexplode(col("ests")).as(Seq("qi", "est")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
     "q130_ddsketch_quantiles" -> ((s, dir) => {
       // Mergeable relative-error quantile sketch (DDSketch): per-group
       // p50/p90/p99 of l_extendedprice from a bucket-count histogram —
@@ -2708,13 +2757,14 @@ object SparkEntry {
     * Scala-generated boundary literals) per (group, quantile), not a
     * histogram replay. Rank rule and representative math are the
     * identical double expressions as `DdSketchAggregate.eval`. */
-  private def ddSketchSql: String = {
+  private def ddSketchSql(quantiles: Seq[Double]): String = {
     val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
     val bl = graft.expressions.DdSketch.sqlList(bounds)
     val nb = bounds.length
+    val ql = quantiles.mkString("[", ", ", "]")
     s"""WITH vals AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
        |n AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
-       |qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+       |qs AS (SELECT unnest($ql::DOUBLE[]) AS q),
        |rk AS (SELECT g, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r
        |  FROM n CROSS JOIN qs),
        |ord AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn
@@ -3770,7 +3820,53 @@ object SparkEntry {
     // (first bucket with cumulative count >= r in value order), and
     // bucketing is pure <= comparisons against the shared
     // Scala-generated boundary literals — no cross-engine log() ulps
-    "q130_ddsketch_quantiles" -> ddSketchSql,
+    "q130_ddsketch_quantiles" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // collapse-mode sketch: upper-quantile estimates provably equal
+    // the unbounded sketch's (see the q144 comment), so the same
+    // order-statistic SQL answers
+    "q144_ddsketch_collapsed" -> ddSketchSql(Seq(0.9, 0.99)),
+    // WordPiece: DuckDB re-trains the frequency vocab (substring
+    // explode via generate_series over the word histogram) and
+    // re-encodes with the same greedy longest-match as a recursive
+    // CTE. vlists MATERIALIZED: the recursive term would otherwise
+    // re-run the whole vocab pipeline every iteration (rule-11 class)
+    "q145_wordpiece" ->
+      """WITH RECURSIVE words AS MATERIALIZED (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) WHERE len(w) > 0 GROUP BY w),
+        |subs AS (
+        |  SELECT substr(w, pos, l) AS p,
+        |    CASE WHEN pos = 1 THEN 'init' ELSE 'cont' END AS kind,
+        |    sum(freq) AS cnt
+        |  FROM words
+        |  CROSS JOIN generate_series(1, 5) ls(l)
+        |  CROSS JOIN generate_series(1, 30) ps(pos)
+        |  WHERE len(w) >= l AND pos <= len(w) - l + 1
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT p, kind,
+        |    row_number() OVER (PARTITION BY kind ORDER BY cnt DESC, p) AS rk
+        |  FROM subs),
+        |vlists AS MATERIALIZED (
+        |  SELECT list(p) FILTER (WHERE kind = 'init') AS iv,
+        |    list(p) FILTER (WHERE kind = 'cont') AS cv
+        |  FROM ranked WHERE rk <= 160 OR len(p) = 1),
+        |enc AS (
+        |  SELECT w, freq, 1 AS pos, CAST(NULL AS VARCHAR) AS token FROM words
+        |  UNION ALL
+        |  SELECT w, freq, pos + len(best),
+        |    CASE WHEN pos = 1 THEN best ELSE '##' || best END AS token
+        |  FROM (
+        |    SELECT e.w, e.freq, e.pos,
+        |      list_reduce(
+        |        list_filter(CASE WHEN e.pos = 1 THEN v.iv ELSE v.cv END,
+        |          x -> x = substr(e.w, e.pos, len(x))),
+        |        (a, x) -> CASE WHEN len(x) > len(a) THEN x ELSE a END) AS best
+        |    FROM enc e CROSS JOIN vlists v
+        |    WHERE e.pos <= len(e.w)))
+        |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM enc WHERE token IS NOT NULL GROUP BY token""".stripMargin,
     // ASOF with a staleness bound: the CASE guards null out matches
     // older than 1 h on the SAME matched row (exact micros compare)
     "q129_asof_tolerance" ->

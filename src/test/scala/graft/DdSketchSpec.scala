@@ -89,6 +89,25 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("collapsed upper quantiles equal the unbounded sketch bit-for-bit across partitionings (q144's property)") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(math.exp(rnd.nextDouble() * 6))
+    val df = vals.toDF("x")
+    def ests(d: org.apache.spark.sql.DataFrame, cap: Int): Seq[Double] =
+      d.agg(DdSketchAggregate(col("x"),
+          DdSketch.boundaries(alpha, 0.5, 2000.0), Array(0.9, 0.99),
+          maxBuckets = cap).as("e"))
+        .select(col("e")).as[Seq[Double]].head()
+    val unbounded = ests(df, Int.MaxValue)
+    // this log-uniform sample puts ~30 distinct buckets above p90's —
+    // inside a 48 cap, so no partial store can ever cut it and the
+    // collapsed estimate is a pure function of the multiset (q144's
+    // lineitem data keeps the same margin against its 24 cap)
+    for (parts <- Seq(1, 3, 32))
+      assert(ests(df.repartition(parts), 48) === unbounded,
+        s"collapse broke upper-quantile determinism at $parts partitions")
+  }
+
   test("boundaries are strictly increasing and bucketOf/rep agree with comparisons") {
     assert(bounds.sliding(2).forall(p => p(0) < p(1)))
     val rnd = new scala.util.Random(3)
