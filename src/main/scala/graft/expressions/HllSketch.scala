@@ -109,4 +109,156 @@ object HllSketch {
   def apply(c: Column, p: Int): Column =
     Bridge.column(HllSketchAggregate(Bridge.expression(c), p)
       .toAggregateExpression())
+
+  /** Sparse-mode variant ([[HllSparseAggregate]]): identical
+    * registers and estimate, O(min(distinct, m)) per-group state. */
+  def sparse(c: Column, p: Int): Column =
+    Bridge.column(HllSparseAggregate(Bridge.expression(c), p)
+      .toAggregateExpression())
+
+  /** Sparse-until-upgrade buffer: exactly one of `pairs` (bucket →
+    * max rho) or `dense` is non-null. */
+  final class SparseBuf(
+      var pairs: java.util.HashMap[Integer, Integer],
+      var dense: Array[Byte])
+}
+
+/** SPARSE-mode HyperLogLog (the HLL++ sparse representation, Heule et
+  * al., "HyperLogLog in Practice", EDBT 2013): per-group state is a
+  * (bucket → max rho) pair list until it would outgrow an eighth of
+  * the dense array, then upgrades to the dense `2^p` byte registers.
+  * For MANY-GROUP aggregations (per-user, per-key rollups at 100 TB,
+  * where most groups see few distinct items) the shuffled state is
+  * O(min(distinct, m)) per group instead of a fixed 2^p bytes —
+  * the classic long-tail win — while groups that do grow degrade
+  * gracefully to exactly the dense sketch.
+  *
+  * The sparse form is LOSSLESS: it stores the identical (bucket, rho)
+  * maxima the dense array would hold, so the registers — and the
+  * estimate — are bit-identical to [[HllSketchAggregate]] under any
+  * partitioning and any mix of sparse/dense partials, and q133's
+  * register-rebuild oracle applies verbatim (q146). */
+case class HllSparseAggregate(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch.SparseBuf] {
+
+  require(p >= 4 && p <= 16, s"p out of range: $p")
+  private val m = 1 << p
+  private val wBits = 52 - p
+  // serialized sparse entry = 3 bytes (2 bucket + 1 rho); upgrade
+  // before the sparse form could exceed the dense m bytes
+  private val maxSparse = m / 8
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): HllSketch.SparseBuf =
+    new HllSketch.SparseBuf(new java.util.HashMap[Integer, Integer](), null)
+
+  private def toDense(buf: HllSketch.SparseBuf): Unit =
+    if (buf.dense == null) {
+      val d = new Array[Byte](m)
+      buf.pairs.forEach { (b, r) =>
+        if (r > d(b)) d(b) = r.toByte
+      }
+      buf.dense = d
+      buf.pairs = null
+    }
+
+  private def offer(buf: HllSketch.SparseBuf, bucket: Int, rho: Int): Unit =
+    if (buf.dense != null) {
+      if (rho > buf.dense(bucket)) buf.dense(bucket) = rho.toByte
+    } else {
+      val prev = buf.pairs.get(bucket)
+      if (prev == null || rho > prev.intValue) {
+        buf.pairs.put(bucket, rho)
+        if (buf.pairs.size > maxSparse) toDense(buf)
+      }
+    }
+
+  override def update(buf: HllSketch.SparseBuf,
+      input: InternalRow): HllSketch.SparseBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = CountMin.hash52(v.asInstanceOf[UTF8String].toString)
+      val bucket = (h >>> wBits).toInt
+      val tail = h & ((1L << wBits) - 1)
+      val rho =
+        if (tail == 0L) wBits + 1
+        else wBits - (63 - java.lang.Long.numberOfLeadingZeros(tail))
+      offer(buf, bucket, rho)
+    }
+    buf
+  }
+
+  override def merge(a: HllSketch.SparseBuf,
+      b: HllSketch.SparseBuf): HllSketch.SparseBuf = {
+    if (b.dense != null) {
+      toDense(a)
+      var i = 0
+      while (i < m) { if (b.dense(i) > a.dense(i)) a.dense(i) = b.dense(i); i += 1 }
+    } else b.pairs.forEach { (bk, r) => offer(a, bk, r) }
+    a
+  }
+
+  override def eval(buf: HllSketch.SparseBuf): Any = {
+    toDense(buf)
+    val d = buf.dense
+    var s = 0.0; var v = 0L; var j = 0
+    while (j < m) {
+      s += 1.0 / (1L << d(j))
+      if (d(j) == 0) v += 1
+      j += 1
+    }
+    val raw = HllSketch.alpha(m) * m.toDouble * m.toDouble / s
+    if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+    else raw
+  }
+
+  override def serialize(buf: HllSketch.SparseBuf): Array[Byte] =
+    if (buf.dense != null) {
+      val out = new Array[Byte](1 + m)
+      out(0) = 1
+      System.arraycopy(buf.dense, 0, out, 1, m)
+      out
+    } else {
+      val n = buf.pairs.size
+      val bb = java.nio.ByteBuffer.allocate(1 + 4 + 3 * n)
+      bb.put(0.toByte).putInt(n)
+      buf.pairs.forEach { (b, r) =>
+        bb.putShort((b.intValue & 0xffff).toShort).put(r.byteValue)
+      }
+      bb.array()
+    }
+
+  override def deserialize(bytes: Array[Byte]): HllSketch.SparseBuf =
+    if (bytes(0) == 1) {
+      val d = new Array[Byte](m)
+      System.arraycopy(bytes, 1, d, 0, m)
+      new HllSketch.SparseBuf(null, d)
+    } else {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+      val n = bb.getInt
+      val pairs = new java.util.HashMap[Integer, Integer](n * 2)
+      var i = 0
+      while (i < n) {
+        val b = bb.getShort & 0xffff
+        val r = bb.get.toInt
+        pairs.put(b, r)
+        i += 1
+      }
+      new HllSketch.SparseBuf(pairs, null)
+    }
+
+  override def withNewMutableAggBufferOffset(off: Int): HllSparseAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllSparseAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }
