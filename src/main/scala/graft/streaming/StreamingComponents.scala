@@ -85,7 +85,8 @@ object StreamingComponents {
   // ---- versioned manifest ------------------------------------------------
 
   private case class CcState(version: Long, base: Option[String],
-      deltas: Seq[String], remap: Option[String], buckets: Int) {
+      deltas: Seq[String], remap: Option[String], remapSize: Long,
+      buckets: Int) {
     def dirs: Seq[String] = base.toSeq ++ deltas ++ remap.toSeq
   }
 
@@ -123,6 +124,8 @@ object StreamingComponents {
       base = kv.collectFirst { case ("base", v) => v },
       deltas = kv.collect { case ("delta", v) => v },
       remap = kv.collectFirst { case ("remap", v) => v },
+      remapSize = kv.collectFirst { case ("remapSize", v) => v.toLong }
+        .getOrElse(0L),
       buckets = kv.collectFirst { case ("buckets", v) => v.toInt }
         .getOrElse(defaultBuckets)))
   }
@@ -131,8 +134,9 @@ object StreamingComponents {
       st: CcState): Unit = {
     val body = (st.base.map(b => s"base=$b").toSeq ++
       st.deltas.map(d => s"delta=$d") ++
-      st.remap.map(r => s"remap=$r").toSeq :+
-      s"buckets=${st.buckets}").mkString("\n")
+      st.remap.map(r => s"remap=$r").toSeq ++
+      Seq(s"remapSize=${st.remapSize}", s"buckets=${st.buckets}"))
+      .mkString("\n")
     val tmp = new Path(s"$labelsDir/${stateFileName(st.version)}.tmp")
     val dst = new Path(s"$labelsDir/${stateFileName(st.version)}")
     val out = fs.create(tmp, true)
@@ -198,51 +202,36 @@ object StreamingComponents {
     }
   }
 
-  // ---- component-graph CC ------------------------------------------------
+  // ---- driver fast path helpers ------------------------------------------
 
-  /** CC over the (tiny) component-level graph: driver union-find with
-    * min-root merging under the cap, distributed star contraction
-    * above it. Returns (vertex, root) for EVERY vertex, localCheckpoint-
-    * materialized (multiple consumers). */
-  private def componentGraphCc(compEdges: DataFrame, nEdges: Long,
-      driverEdgeCap: Long): DataFrame = {
-    val spark = compEdges.sparkSession
-    if (nEdges <= driverEdgeCap) {
-      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while ({ val p = parent.get(r); p != null && p.longValue != r })
-          r = parent.get(r).longValue
-        var c = x
-        while ({ val p = parent.get(c); p != null && p.longValue != r }) {
-          val nx = parent.get(c).longValue; parent.put(c, r); c = nx
-        }
-        r
+  /** Driver-side twin of the Spark `pmod(xxhash64(node), B)` bucket
+    * expression — XXH64.hashLong with Spark's default seed 42 is the
+    * exact function the column evaluates, so pruned lookups and the
+    * partitioned base agree byte-for-byte (spec-pinned). */
+  private[graft] def bucketOfNode(node: Long, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(node, 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Min-root union-find over a driver-resident edge list. */
+  private final class UnionFind {
+    private val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.get(r); p != null && p.longValue != r })
+        r = parent.get(r).longValue
+      var c = x
+      while ({ val p = parent.get(c); p != null && p.longValue != r }) {
+        val nx = parent.get(c).longValue; parent.put(c, r); c = nx
       }
-      val it = compEdges.toLocalIterator()
-      val vertices = scala.collection.mutable.LinkedHashSet[Long]()
-      while (it.hasNext) {
-        val row = it.next()
-        val a = row.getLong(0); val b = row.getLong(1)
-        vertices += a; vertices += b
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
-      val rows = vertices.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vertex",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("root",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema).localCheckpoint()
-    } else {
-      graft.operators.Components
-        .connectedComponents(compEdges, "ca", "cb")
-        .select(col("node").as("vertex"), col("component").as("root"))
-        .localCheckpoint() // detach from the CC iteration's blocks
     }
   }
 
@@ -280,6 +269,93 @@ object StreamingComponents {
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct().localCheckpoint()
+    val nEdges = e.count()
+    if (nEdges == 0) { e.unpersist(); return }
+    if (nEdges <= driverEdgeCap)
+      processFast(spark, fs, labelsDir, stOpt, bkts, batchId,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))),
+        remapCap, deltaCap)
+    else
+      processDistributed(spark, fs, labelsDir, stOpt, bkts, batchId, e,
+        remapCap, deltaCap)
+    e.unpersist()
+    ()
+  }
+
+  /** Micro-batch FAST PATH (the common case — batches are
+    * latency-bound and far below `driverEdgeCap`): one Spark job
+    * fetches the endpoints' stored labels (partition-pruned base ∪
+    * deltas), one loads the bounded remap, and contraction, re-target
+    * and new-node labeling run in memory — ~6 small jobs per batch
+    * instead of ~15 (job-launch overhead dominates micro-batch wall). */
+  private def processFast(spark: SparkSession, fs: FileSystem,
+      labelsDir: String, stOpt: Option[CcState], bkts: Int, batchId: Long,
+      edges: Array[(Long, Long)], remapCap: Long, deltaCap: Int): Unit = {
+    import spark.implicits._
+    val nodes: Array[Long] = {
+      val s = scala.collection.mutable.LinkedHashSet[Long]()
+      edges.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val oldRemap: Map[Long, Long] = stOpt.flatMap(_.remap) match {
+      case Some(r) => spark.read.parquet(s"$labelsDir/$r").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      case None => Map.empty
+    }
+    // endpoints' stored labels: one pruned-scan + broadcast-join job
+    val knownRaw: Map[Long, Long] = stOpt match {
+      case None => Map.empty
+      case Some(st) =>
+        val bucketIds = nodes.map(bucketOfNode(_, st.buckets)).distinct.toSeq
+        storedLabels(spark, labelsDir, st, Some(bucketIds))
+          .join(broadcast(nodes.toSeq.toDF("node")), "node")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // resolve through the remap (one hop — the table is compressed)
+    val known: Map[Long, Long] =
+      knownRaw.map { case (n, c) => n -> oldRemap.getOrElse(c, c) }
+
+    val uf = new UnionFind
+    edges.foreach { case (a, b) =>
+      uf.union(known.getOrElse(a, a), known.getOrElse(b, b))
+    }
+    val priorRoots: Set[Long] = known.values.toSet
+    val newRemap: Map[Long, Long] = priorRoots.iterator
+      .map(c => c -> uf.find(c)).filter { case (o, n) => o != n }.toMap
+    val newNodes: Seq[(Long, Long)] = nodes.iterator
+      .filterNot(known.contains).map(n => (n, uf.find(n))).toSeq
+    if (newRemap.isEmpty && newNodes.isEmpty) return // replay no-op
+
+    val deltaName = s"delta-v$batchId"
+    val remapName = s"remap-v$batchId"
+    if (newNodes.nonEmpty)
+      newNodes.toDF("node", "component").coalesce(1)
+        .write.mode("overwrite").parquet(s"$labelsDir/$deltaName")
+    // re-target the old remap through this batch's merges, extend with
+    // them: old keys are prior NON-roots, new keys prior roots —
+    // disjoint, the table stays one-hop and its SIZE is old + new.
+    val remapNameOut: Option[String] =
+      if (newRemap.isEmpty) stOpt.flatMap(_.remap)
+      else {
+        val merged = oldRemap.map { case (o, t) =>
+          (o, newRemap.getOrElse(t, t)) } ++ newRemap
+        merged.toSeq.toDF("old_c", "new_c").coalesce(1)
+          .write.mode("overwrite").parquet(s"$labelsDir/$remapName")
+        Some(remapName)
+      }
+    val remapSize = stOpt.map(_.remapSize).getOrElse(0L) + newRemap.size
+    commit(spark, fs, labelsDir, stOpt, batchId, bkts,
+      if (newNodes.nonEmpty) Some(deltaName) else None,
+      remapNameOut, remapSize, remapCap, deltaCap)
+  }
+
+  /** Distributed fallback above `driverEdgeCap`: the same contraction
+    * as [[processFast]] expressed in DataFrames, with the
+    * component-graph CC run by the star-contraction of
+    * [[graft.operators.Components.connectedComponents]]. */
+  private def processDistributed(spark: SparkSession, fs: FileSystem,
+      labelsDir: String, stOpt: Option[CcState], bkts: Int, batchId: Long,
+      e: DataFrame, remapCap: Long, deltaCap: Int): Unit = {
     val endpoints = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct()
 
@@ -301,16 +377,16 @@ object StreamingComponents {
     val withCa = e.join(
       knownCk.select(col("node").as("a"), col("component").as("comp_a")),
       Seq("a"), "left")
-    val comps = withCa.join(
+    val compEdges = withCa.join(
       knownCk.select(col("node").as("b"), col("component").as("comp_b")),
       Seq("b"), "left")
       .select(coalesce(col("comp_a"), col("a")).as("ca"),
         coalesce(col("comp_b"), col("b")).as("cb"))
       .where(col("ca") =!= col("cb")).distinct()
-    val compEdges = comps.localCheckpoint()
-    val nCompEdges = compEdges.count()
-
-    val cc = componentGraphCc(compEdges, nCompEdges, driverEdgeCap)
+    val cc = graft.operators.Components
+      .connectedComponents(compEdges, "ca", "cb")
+      .select(col("node").as("vertex"), col("component").as("root"))
+      .localCheckpoint() // detach from the CC iteration's blocks
 
     // merges of PRIOR roots → remap rows; new nodes → delta rows with
     // labels already resolved as of this batch.
@@ -334,9 +410,9 @@ object StreamingComponents {
 
       // re-target the old remap through this batch's merges, extend
       // with them: old keys are prior NON-roots, new keys prior roots
-      // — disjoint, the table stays one-hop.
-      val remapOut: Option[(String, Long)] =
-        if (nMerged == 0) stOpt.flatMap(_.remap).map(r => (r, -1L))
+      // — disjoint, the table stays one-hop (size = old + new).
+      val remapNameOut: Option[String] =
+        if (nMerged == 0) stOpt.flatMap(_.remap)
         else {
           val retargeted = stOpt.flatMap(_.remap).map { r =>
             val orm = spark.read.parquet(s"$labelsDir/$r")
@@ -346,51 +422,60 @@ object StreamingComponents {
               .select(orm("old_c"),
                 coalesce(col("t_new"), orm("new_c")).as("new_c"))
           }
-          val merged = (retargeted.toSeq :+ newRemapEntries.toDF())
+          (retargeted.toSeq :+ newRemapEntries.toDF())
             .reduce(_.unionByName(_))
-          merged.write.mode("overwrite").parquet(s"$labelsDir/$remapName")
-          val size = spark.read.parquet(s"$labelsDir/$remapName").count()
-          Some((remapName, size))
+            .write.mode("overwrite").parquet(s"$labelsDir/$remapName")
+          Some(remapName)
         }
-
-      val tentative = CcState(
-        version = batchId,
-        base = stOpt.flatMap(_.base),
-        deltas = stOpt.map(_.deltas).getOrElse(Nil) ++
-          (if (nNew > 0) Seq(deltaName) else Nil),
-        remap = remapOut.map(_._1),
-        buckets = bkts)
-      val remapSize = remapOut.map(_._2).getOrElse(0L)
-
-      val committed =
-        if (remapSize > remapCap || tentative.deltas.size > deltaCap) {
-          // COMPACTION: fold base ∪ deltas ∪ remap into a fresh
-          // hash-partitioned base; amortized over many batches.
-          val baseName = s"base-v$batchId"
-          val resolved = applyRemap(spark, labelsDir, tentative,
-            storedLabels(spark, labelsDir, tentative, bucketFilter = None))
-          resolved
-            .withColumn("bucket",
-              pmod(xxhash64(col("node")), lit(bkts)).cast("int"))
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$labelsDir/$baseName")
-          CcState(batchId, Some(baseName), Nil, None, bkts)
-        } else tentative
-
-      writeState(fs, labelsDir, committed)
-      cleanup(fs, labelsDir, stOpt, committed)
-      // a compaction folds this batch's own delta/remap into the new
-      // base — they are in neither the prev nor the committed state,
-      // so the generic cleanup above would orphan them
-      tentative.dirs.filterNot(committed.dirs.toSet)
-        .filterNot(stOpt.toSeq.flatMap(_.dirs).toSet)
-        .foreach(d => fs.delete(new Path(s"$labelsDir/$d"), true))
+      val remapSize = stOpt.map(_.remapSize).getOrElse(0L) + nMerged
+      commit(spark, fs, labelsDir, stOpt, batchId, bkts,
+        if (nNew > 0) Some(deltaName) else None,
+        remapNameOut, remapSize, remapCap, deltaCap)
     }
     // else: replayed or pure-duplicate batch — state already reflects
     // it (min-label merging is monotone, edge union idempotent).
 
     newNodes.unpersist(); newRemapEntries.unpersist(); cc.unpersist()
-    compEdges.unpersist(); knownCk.unpersist(); e.unpersist()
+    knownCk.unpersist()
     ()
+  }
+
+  /** Shared commit: build the tentative state, compact if the remap
+    * or delta list outgrew its cap, write the manifest, clean up. */
+  private def commit(spark: SparkSession, fs: FileSystem,
+      labelsDir: String, stOpt: Option[CcState], batchId: Long, bkts: Int,
+      deltaName: Option[String], remapName: Option[String],
+      remapSize: Long, remapCap: Long, deltaCap: Int): Unit = {
+    val tentative = CcState(
+      version = batchId,
+      base = stOpt.flatMap(_.base),
+      deltas = stOpt.map(_.deltas).getOrElse(Nil) ++ deltaName.toSeq,
+      remap = remapName,
+      remapSize = remapSize,
+      buckets = bkts)
+
+    val committed =
+      if (remapSize > remapCap || tentative.deltas.size > deltaCap) {
+        // COMPACTION: fold base ∪ deltas ∪ remap into a fresh
+        // hash-partitioned base; amortized over many batches.
+        val baseName = s"base-v$batchId"
+        val resolved = applyRemap(spark, labelsDir, tentative,
+          storedLabels(spark, labelsDir, tentative, bucketFilter = None))
+        resolved
+          .withColumn("bucket",
+            pmod(xxhash64(col("node")), lit(bkts)).cast("int"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$labelsDir/$baseName")
+        CcState(batchId, Some(baseName), Nil, None, 0L, bkts)
+      } else tentative
+
+    writeState(fs, labelsDir, committed)
+    cleanup(fs, labelsDir, stOpt, committed)
+    // a compaction folds this batch's own delta/remap into the new
+    // base — they are in neither the prev nor the committed state,
+    // so the generic cleanup above would orphan them
+    tentative.dirs.filterNot(committed.dirs.toSet)
+      .filterNot(stOpt.toSeq.flatMap(_.dirs).toSet)
+      .foreach(d => fs.delete(new Path(s"$labelsDir/$d"), true))
   }
 }

@@ -147,6 +147,17 @@ class StreamingComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingComponents.readLabels(spark, scratch).isEmpty)
   }
 
+  test("driver-side bucket hash equals the Spark pmod(xxhash64) column") {
+    val nodes = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 987654321L)
+    val sparkSide = nodes.toDF("n")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"n"),
+        org.apache.spark.sql.functions.lit(64)).cast("int"))
+      .collect().map(_.getInt(0))
+    val driverSide = nodes.map(StreamingComponents.bucketOfNode(_, 64))
+    assert(driverSide === sparkSide.toSeq)
+  }
+
   test("redelivered edges are absorbed without change (at-least-once)") {
     val root = Files.createTempDirectory("scompre").toString
     val in = s"$root/in"; val labels = s"$root/labels"; val ckpt = s"$root/ckpt"
