@@ -36,13 +36,82 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge-count threshold below which [[connectedComponents]] runs a
+    * driver union-find instead of the distributed iteration: each
+    * star-contraction round costs ~6 job launches + 2 shuffles, which
+    * DOMINATES small graphs (a near-dup pair set is orders of
+    * magnitude smaller than its corpus — thousands of pairs at 600k
+    * docs). 2M edges ≈ 32 MB collected; above it, star contraction. */
+  val driverEdgeCap: Long = 2000000L
+
   /** Connected components over an edge list. Returns one row per
     * node that appears in `edges`: (node, component), component =
     * the minimum node id in the connected component. Nodes with no
     * edges don't appear (LEFT-join + coalesce on the caller side —
-    * a doc with no near-dup pair is its own singleton cluster). */
+    * a doc with no near-dup pair is its own singleton cluster).
+    *
+    * HYBRID execution: the canonicalized edge set is counted once;
+    * at or below [[driverEdgeCap]] it collects and a min-root
+    * union-find labels it in memory (identical fixpoint — component
+    * = min node id — so the choice is invisible to results and
+    * oracle); above the cap, the O(log n)-round star contraction
+    * below. Both return the label frame persisted (caller-owned). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverCap: Long = driverEdgeCap): DataFrame = {
+    val canon0 = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val n = canon0.count()
+    if (n <= driverCap) {
+      val spark = edges.sparkSession
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p.longValue != r })
+          r = parent.get(r).longValue
+        var c = x
+        while ({ val p = parent.get(c); p != null && p.longValue != r }) {
+          val nx = parent.get(c).longValue; parent.put(c, r); c = nx
+        }
+        r
+      }
+      val vertices = scala.collection.mutable.LinkedHashSet[Long]()
+      canon0.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        vertices += a; vertices += b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val rows = vertices.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, rows.size / 500000 + 1)), schema)
+        .localCheckpoint()
+      canon0.unpersist()
+      out
+    } else {
+      val out = contractToFixpoint(canon0, maxIter)
+      canon0.unpersist()
+      out
+    }
+  }
+
+  /** The distributed path: alternating large-star/small-star
+    * contraction to the unique fixpoint (see object scaladoc). Input
+    * must already be canonicalized (u < v, distinct, checkpointed). */
+  private def contractToFixpoint(canon0: DataFrame,
+      maxIter: Int): DataFrame = {
     // Each round MUST cut lineage (localCheckpoint), not merely cache:
     // persisted-only iteration stacks the full join/agg plan per round
     // and the analyzer/optimizer cost grows exponentially — the
@@ -50,13 +119,7 @@ object Components {
     // same way). localCheckpoint trades fault-tolerance of the
     // intermediate for speed; on a production cluster with a
     // checkpoint dir configured, swap for reliable checkpoint().
-    var e = edges
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+    var e = canon0
 
     // order-independent edge-set fingerprint: count + XOR of per-edge
     // hashes (bit_xor never overflows, unlike a SUM under ANSI mode)

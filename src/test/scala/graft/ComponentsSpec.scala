@@ -28,9 +28,13 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** driverCap = 0 forces the DISTRIBUTED star contraction — the
+    * algorithm under test here; the driver fast path is checked by
+    * the parity test below. */
+  private def run(edges: Seq[(Long, Long)],
+      driverCap: Long = 0L): Map[Long, Long] = {
     val df = Components.connectedComponents(
-      edges.toDF("a", "b"), "a", "b")
+      edges.toDF("a", "b"), "a", "b", driverCap = driverCap)
     val got = df.as[(Long, Long)].collect().toMap
     df.unpersist()
     got
@@ -63,6 +67,14 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("driver fast path equals the distributed fixpoint") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    assert(run(edges, driverCap = Long.MaxValue) === run(edges, driverCap = 0L))
+  }
+
   test("stable under repartitioning") {
     val rnd = new scala.util.Random(7)
     val edges = (1 to 300).map(_ =>
@@ -70,7 +82,8 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
       .filter(e => e._1 != e._2)
     val a = run(edges)
     val dfB = Components.connectedComponents(
-      edges.toDF("a", "b").repartition(13, col("b")), "a", "b")
+      edges.toDF("a", "b").repartition(13, col("b")), "a", "b",
+      driverCap = 0L)
     val b = dfB.as[(Long, Long)].collect().toMap
     dfB.unpersist()
     assert(a === b)
