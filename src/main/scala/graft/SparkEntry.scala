@@ -2032,6 +2032,71 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q148_text_clean" -> ((s, dir) => {
+      // Text-cleaning scrub — the pre-tokenization pass every corpus
+      // pipeline runs before dedup/quality/tokenize: casefold, mask
+      // emails and URLs, strip non-printable-ASCII, collapse
+      // whitespace runs, trim. Pure deterministic regex rewrites
+      // (DuckDB needs the 'g' flag for the same replace-all, hard
+      // rule 8); the synthetic corpus exercises mainly the casefold/
+      // whitespace rules, the masks are the production surface.
+      val cleaned = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("text")),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+        "https?://[^ ]+", "<url>"),
+        "[^ -~]", ""),
+        "  +", " ")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), trim(cleaned).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+    }),
+    "q149_scd2_intervals" -> ((s, dir) => {
+      // SCD TYPE-2 dimension build from the event stream: per user,
+      // event_type is a type-2 slowly-changing attribute — a validity
+      // interval opens at each CHANGE (consecutive repeats collapse),
+      // valid_to = the next change's timestamp, null while current.
+      // Exact timestamps; (ts, event_id) totally orders each user's
+      // history (hard rule 4).
+      val wAll = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val changes = tbl(s, dir, "events")
+        .where(col("user_id") < 100)
+        .withColumn("prev_type", lag("event_type", 1).over(wAll))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(wAll))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+    }),
+    "q150_fuzzy_linkage" -> ((s, dir) => {
+      // RECORD-LINKAGE fuzzy key join: near-identical short keys (the
+      // doc's first 24 chars) matched by blocked Levenshtein —
+      // (language, length-band) blocking prunes candidates (an edit
+      // distance <= k forces |len(a) - len(b)| <= k, so the longer
+      // side explodes only k+1 candidate lengths), exact
+      // levenshtein() verifies. Each unordered pair is enumerated
+      // once: unequal lengths via the longer side's explode, ties by
+      // id order. At corpus scale the band join replaces the O(n²)
+      // cross product; tighter screens (q-gram prefix filtering, LSH)
+      // stack in front exactly like the jaccard/simhash families.
+      val k = 3
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 24).as("key"))
+        .withColumn("klen", length(col("key")))
+      val probes = docs.withColumn("blen",
+        explode(sequence(col("klen") - k, col("klen"))))
+      probes.join(
+          docs.select(col("doc_id").as("idb"), col("lang"),
+            col("key").as("kb"), col("klen").as("blen")),
+          Seq("lang", "blen"))
+        .where(col("klen") > col("blen") || col("doc_id") < col("idb"))
+        .where(levenshtein(col("key"), col("kb")) <= k)
+        .select(least(col("doc_id"), col("idb")).as("doc_a"),
+          greatest(col("doc_id"), col("idb")).as("doc_b"),
+          levenshtein(col("key"), col("kb")).cast("long").as("dist"))
+    }),
     "q146_hll_sparse" -> ((s, dir) => {
       // SPARSE-mode HLL over a MANY-GROUP rollup: distinct users per
       // (event_type, day) — the long-tail shape where dense per-group
@@ -4351,6 +4416,41 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q148_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |    'https?://[^ ]+', '<url>', 'g'),
+        |    '[^ -~]', '', 'g'),
+        |    '  +', ' ', 'g')) AS clean_text,
+        |  len(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |    'https?://[^ ]+', '<url>', 'g'),
+        |    '[^ -~]', '', 'g'),
+        |    '  +', ' ', 'g'))) AS clean_len
+        |FROM documents""".stripMargin,
+    "q149_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 100),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch""".stripMargin,
+    "q150_fuzzy_linkage" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 24) AS key,
+        |    len(substr(text, 1, 24)) AS klen FROM documents)
+        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang
+        |  AND b.klen BETWEEN a.klen - 3 AND a.klen
+        |  AND (a.klen > b.klen OR a.doc_id < b.doc_id)
+        |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
     // register max is order-free, so the streamed snapshot equals the
     // batch sketch — same SQL minus the exact column (count DISTINCT
     // is not streamable, so q134 publishes the sketch alone)
