@@ -256,7 +256,7 @@ object StreamingComponents {
       }
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
       aCol: String, bCol: String, labelsDir: String, buckets: Int,
       remapCap: Long, deltaCap: Int, driverEdgeCap: Long): Unit = {
     if (batch.isEmpty) return
