@@ -2032,6 +2032,69 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q151_profile" -> ((s, dir) => {
+      // COLUMN PROFILER (the Deequ/TFDV-style table summary every
+      // ingest pipeline runs before training): per numeric column —
+      // row count, null count, exact distinct, min, max — computed in
+      // ONE scan (a single multi-aggregate; the distinct counts share
+      // Spark's expand) and emitted long-format. Counts are exact
+      // longs, min/max are exactly-representable parquet doubles.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        count_distinct(col(c)).as(s"distinct_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      tbl(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"n_$c").as("n"),
+          col(s"nulls_$c").as("nulls"),
+          col(s"distinct_$c").as("n_distinct"),
+          col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"))): _*)).as("m"))
+        .select(col("m.col_name"), col("m.n"), col("m.nulls"),
+          col("m.n_distinct"), col("m.min_v"), col("m.max_v"))
+    }),
+    "q152_expectations" -> ((s, dir) => {
+      // CONSTRAINT EXPECTATIONS (data-quality gate): declarative
+      // rules validated in bulk — range checks, non-null, key
+      // uniqueness, and referential integrity (lineitem→orders FK via
+      // anti-join) — each reported as (rule, violations, total,
+      // pass). Exact integer counts only.
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+      def rule(name: String, violations: Column, total: Column,
+          src: DataFrame): DataFrame =
+        src.agg(violations.cast("long").as("violations"),
+            total.cast("long").as("total"))
+          .select(lit(name).as("rule"), col("violations"), col("total"),
+            (col("violations") === 0L).as("pass"))
+      val quantityRange = rule("l_quantity_in_1_50",
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)), count(lit(1)), li)
+      val discountRange = rule("l_discount_in_0_0_1",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)), count(lit(1)), li)
+      val shipdateNotNull = rule("l_shipdate_not_null",
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)),
+        count(lit(1)), li)
+      val orderkeyUnique = rule("o_orderkey_unique",
+        count(lit(1)) - count_distinct(col("o_orderkey")),
+        count(lit(1)), ord)
+      val fk = rule("l_orderkey_fk_orders",
+        count(lit(1)), count(lit(1)),
+        li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      // FK total should be the lineitem total, not the anti-join's
+      val fkFixed = fk.crossJoin(li.agg(count(lit(1)).as("li_n")))
+        .select(col("rule"), col("violations"),
+          col("li_n").cast("long").as("total"), col("pass"))
+      quantityRange.unionByName(discountRange)
+        .unionByName(shipdateNotNull).unionByName(orderkeyUnique)
+        .unionByName(fkFixed)
+    }),
     "q148_text_clean" -> ((s, dir) => {
       // Text-cleaning scrub — the pre-tokenization pass every corpus
       // pipeline runs before dedup/quality/tokenize: casefold, mask
@@ -4416,6 +4479,45 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q151_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q152_expectations" ->
+      """SELECT 'l_quantity_in_1_50' AS rule,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  count(*) AS total,
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount_in_0_0_1',
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate_not_null',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*),
+        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  count(*),
+        |  count(*) = count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'l_orderkey_fk_orders',
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0""".stripMargin,
     "q148_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
