@@ -2032,6 +2032,49 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q153_sequence_packing" -> ((s, dir) => {
+      // SEQUENCE PACKING for LLM pretraining: documents concatenate
+      // in a deterministic order and split at fixed context-window
+      // boundaries (L=512 tokens) — GPT-style pack-and-split. The
+      // global token cumsum runs through the two-phase parallel scan
+      // (q116/q117's operator: range partitioning + driver-composed
+      // carries), never a single-partition window. Output per doc:
+      // token count, first/last window index, straddle flag. Exact
+      // integers (double cumsum of ints < 2^53, truncating division
+      // of non-negatives == floor == DuckDB's //).
+      val L = 512
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("double").as("ntok"))
+        .withColumn("g", lit(1))
+      Scan.linearRecurrence(toks, "g", Seq(("doc_id", true)), "ntok",
+          a = 1.0, b = 1.0)
+        .where(col("ntok") > 0)
+        .select(col("doc_id"), col("ntok").cast("long").as("n_tokens"),
+          ((col("y") - col("ntok")) / L).cast("long").as("seq_start"),
+          ((col("y") - 1) / L).cast("long").as("seq_end"))
+        .withColumn("straddles", col("seq_end") > col("seq_start"))
+    }),
+    "q154_chunking" -> ((s, dir) => {
+      // RAG CHUNKER: sliding token windows (size 64, stride 48 — 16
+      // overlap) per document, re-joined to text — the indexing-side
+      // twin of the retrieval family (q100/q107 consume such chunks).
+      // One explode per chunk start; slice clamps at the tail on both
+      // engines. Deterministic strings and exact integers.
+      val size64 = 64; val stride = 48
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_idx"),
+          slice(col("tk"), col("start") + 1, lit(size64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+    }),
     "q151_profile" -> ((s, dir) => {
       // COLUMN PROFILER (the Deequ/TFDV-style table summary every
       // ingest pipeline runs before training): per numeric column —
@@ -4479,6 +4522,28 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q153_sequence_packing" ->
+      s"""WITH t AS ($toksCte),
+         |c AS (SELECT doc_id, len(t) AS ntok,
+         |    sum(len(t)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  CAST((cum - ntok) // 512 AS BIGINT) AS seq_start,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS seq_end,
+         |  (cum - 1) // 512 > (cum - ntok) // 512 AS straddles
+         |FROM c WHERE ntok > 0""".stripMargin,
+    "q154_chunking" ->
+      s"""WITH tt AS ($toksCte),
+         |s AS (SELECT doc_id, t AS tk, len(t) AS n FROM tt WHERE len(t) > 0)
+         |-- v1.0 generate_series can't correlate on n (no lateral
+         |-- column parameters): fixed grid far above max len(t), WHERE-
+         |-- bounded per doc (same trick as q145's position grid)
+         |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tk[st + 1 : least(st + 64, n)]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(tk[st + 1 : least(st + 64, n)], ' ') AS chunk_text
+         |FROM s CROSS JOIN generate_series(0, 9984, 48) g(st)
+         |WHERE st <= n - 1""".stripMargin,
     "q151_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
       "l_tax").map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n,
