@@ -2183,16 +2183,23 @@ object SparkEntry {
       // side explodes only k+1 candidate lengths), exact
       // levenshtein() verifies. Each unordered pair is enumerated
       // once: unequal lengths via the longer side's explode, ties by
-      // id order. At corpus scale the band join replaces the O(n²)
-      // cross product; tighter screens (q-gram prefix filtering, LSH)
-      // stack in front exactly like the jaccard/simhash families.
+      // id order. The dim side BROADCASTS, so the join inherits the
+      // probe side's partitioning — and a small parquet is ONE input
+      // split, which would run every Levenshtein in a single task
+      // (measured: 14.7 s single-task vs ~2 s spread). The explicit
+      // probe-side repartition spreads the verify across the cluster;
+      // at corpus scale the probe side has many native splits and the
+      // repartition is a no-op to keep. Tighter screens (q-gram
+      // prefix filtering, LSH) stack in front exactly like the
+      // jaccard/simhash families.
       val k = 3
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 24).as("key"))
         .withColumn("klen", length(col("key")))
       val probes = docs.withColumn("blen",
-        explode(sequence(col("klen") - k, col("klen"))))
+          explode(sequence(col("klen") - k, col("klen"))))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       probes.join(
           docs.select(col("doc_id").as("idb"), col("lang"),
             col("key").as("kb"), col("klen").as("blen")),
