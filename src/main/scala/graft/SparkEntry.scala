@@ -2032,6 +2032,26 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q155_asof_nearest" -> ((s, dir) => {
+      // NEAREST as-of (merge_asof direction='nearest'), completing
+      // the family (backward q29, forward q61, tolerance q129): each
+      // purchase takes whichever click is closer in time — backward
+      // on exact ties. Distance compares are exact integer micros;
+      // the oracle re-derives it from one backward + one forward
+      // DuckDB ASOF join with the identical CASE.
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.asOfNearest(
+          left = ev.where(col("event_type") === "purchase"),
+          right = clicks,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts" -> "nearest_click_ts",
+            "value" -> "nearest_click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("nearest_click_ts"), col("nearest_click_value"))
+    }),
     "q153_sequence_packing" -> ((s, dir) => {
       // SEQUENCE PACKING for LLM pretraining: documents concatenate
       // in a deterministic order and split at fixed context-window
@@ -4529,6 +4549,25 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q155_asof_nearest" ->
+      """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    c.ts AS bt, c.value AS bv
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.ts AS ft, c.value AS fv
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND
+        |      epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts))
+        |    THEN bt ELSE ft END AS nearest_click_ts,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND
+        |      epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts))
+        |    THEN bv ELSE fv END AS nearest_click_value
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
     "q153_sequence_packing" ->
       s"""WITH t AS ($toksCte),
          |c AS (SELECT doc_id, len(t) AS ntok,

@@ -124,4 +124,37 @@ object AsOfJoin {
       df.withColumn(dst, when(fresh, col(dst)))
     }.drop(tCol)
   }
+
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`): each
+    * left row takes whichever of its backward and forward matches is
+    * CLOSER in event time; exactly equal distances prefer the
+    * BACKWARD (earlier) match. Two direction-mirrored carries over
+    * the same key shuffle, then a per-row exact-integer-micros
+    * compare — no extra join (the second carry runs over the first's
+    * output). The oracle (q155) is one backward + one forward DuckDB
+    * ASOF join re-joined on the left row id with the identical CASE. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      rightTie: Seq[String] = Nil): DataFrame = {
+    val back = asOf(left, right, keyCols, leftTime, rightTime,
+      rightVals.map { case (s, d) => (s, d + "__b") } :+
+        (rightTime -> "__bt"), rightTie, forward = false)
+    val both = asOf(back, right, keyCols, leftTime, rightTime,
+      rightVals.map { case (s, d) => (s, d + "__f") } :+
+        (rightTime -> "__ft"), rightTie, forward = true)
+    val lUs = unix_micros(col(leftTime).cast("timestamp"))
+    val chooseBack = col("__ft").isNull || (col("__bt").isNotNull &&
+      (lUs - unix_micros(col("__bt").cast("timestamp"))) <=
+        (unix_micros(col("__ft").cast("timestamp")) - lUs))
+    rightVals.map(_._2).foldLeft(both) { (df, dst) =>
+      df.withColumn(dst,
+        when(chooseBack, col(dst + "__b")).otherwise(col(dst + "__f")))
+    }.drop(rightVals.map(_._2 + "__b") ++ rightVals.map(_._2 + "__f") ++
+      Seq("__bt", "__ft"): _*)
+  }
 }

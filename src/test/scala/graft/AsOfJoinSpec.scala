@@ -118,4 +118,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(joined(0).getAs[Double]("last_px") === 109.0, s"parts=$parts")
     }
   }
+
+  test("nearest mode picks the closer side; exact ties prefer backward; one-sided falls through") {
+    val trades = Seq(
+      (1L, "A", ts(100)), // back at 90 (d=10), fwd at 105 (d=5)  -> fwd
+      (2L, "A", ts(94)),  // back at 90 (d=4),  fwd at 105 (d=11) -> back
+      (3L, "A", ts(60)),  // no back,           fwd at 90         -> fwd
+      (4L, "A", ts(200)), // back at 105,       no fwd            -> back
+      (5L, "B", ts(50))   // no right rows at all                 -> null
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(90), 9.0), ("A", ts(105), 10.5)
+    ).toDF("sym", "qts", "px")
+    (1 to 3).foreach { parts =>
+      val got = AsOfJoin.asOfNearest(trades, quotes.repartition(parts),
+          Seq("sym"), "ts", "qts", Seq("px" -> "near_px"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Double]("near_px"))).toMap
+      assert(got === Map(1L -> Some(10.5), 2L -> Some(9.0),
+        3L -> Some(9.0), 4L -> Some(10.5), 5L -> None), s"parts=$parts")
+    }
+    // exact tie: back at 95, fwd at 105, left at 100 -> distances 5 == 5,
+    // backward preferred
+    val tie = AsOfJoin.asOfNearest(
+        Seq((1L, "A", ts(100))).toDF("trade_id", "sym", "ts"),
+        Seq(("A", ts(95), 1.0), ("A", ts(105), 2.0)).toDF("sym", "qts", "px"),
+        Seq("sym"), "ts", "qts", Seq("px" -> "near_px"))
+      .collect()
+    assert(tie(0).getAs[Double]("near_px") === 1.0)
+  }
 }
