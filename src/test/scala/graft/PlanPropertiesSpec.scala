@@ -414,4 +414,30 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"1-row total must arrive broadcast:\n$p")
   }
+
+  test("q150 linkage spreads the probe side before the broadcast verify") {
+    // the dim side broadcasts, so without the explicit round-robin
+    // repartition the whole Levenshtein verify would run in the
+    // scan's single input split (measured 14.7 s vs 1.3 s at sf0.1)
+    val p = executedPlan("q150_fuzzy_linkage")
+    assert(p.contains("ROUND_ROBIN") || p.contains("RoundRobinPartitioning")
+      || p.contains("REPARTITION_BY_NUM"),
+      s"probe side not spread before the verify:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side must broadcast:\n$p")
+  }
+
+  test("q153 packing's global cumsum is range-partitioned, never a single-partition window") {
+    val p = executedPlan("q153_sequence_packing")
+    assert(!p.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      s"unpartitioned window in the cumsum:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"two-phase scan lost its range partitioning:\n$p")
+  }
+
+  test("q151 profiler computes every column's metrics in one scan") {
+    val p = executedPlan("q151_profile")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"profiler re-scanned per column:\n$p")
+  }
 }
