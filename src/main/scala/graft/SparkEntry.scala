@@ -2032,6 +2032,54 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q156_pagerank" -> ((s, dir) => {
+      // PAGERANK over the supplier→customer trade graph (who do the
+      // important buyers buy from): 10 fixed power iterations at
+      // d=0.85, each iteration ROUNDED to 12 dp on both engines —
+      // rank mass sums are order-sensitive doubles (hard rule 9), and
+      // per-iteration rounding pins the trajectory exactly (values
+      // ~1e-3, ulp noise ~1e-18, a million-fold margin). Dangling
+      // nodes (customers, no out-edges) simply leak mass — the
+      // documented simple variant, identical on both engines. Each
+      // round is one join + one aggregate; lineage cut per round
+      // (localCheckpoint — the iterative-DataFrame discipline of
+      // Components). The oracle replays all 10 iterations from
+      // generated k-block SQL, every CTE materialized (rule 11).
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      val n = nodes.count().toDouble
+      // loop-invariant: out-degree attaches to the edge list ONCE —
+      // inside the loop it would re-shuffle every iteration
+      val edgesDeg = edges
+        .join(edges.groupBy("src")
+          .agg(count(lit(1)).cast("double").as("deg")), Seq("src"))
+        .localCheckpoint()
+      var rank = nodes.withColumn("r", round(lit(1.0) / lit(n), 12))
+        .localCheckpoint()
+      for (_ <- 1 to 10) {
+        val contribs = edgesDeg
+          .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("r") / col("deg")).as("mass"))
+        val next = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            round(lit(0.15) / lit(n) +
+              lit(0.85) * coalesce(col("mass"), lit(0.0)), 12).as("r"))
+          .localCheckpoint()
+        rank.unpersist()
+        rank = next
+      }
+      val out = rank
+      edges.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
+      out
+    }),
     "q155_asof_nearest" -> ((s, dir) => {
       // NEAREST as-of (merge_asof direction='nearest'), completing
       // the family (backward q29, forward q61, tolerance q129): each
@@ -2971,6 +3019,36 @@ object SparkEntry {
     * tail); exact — see HllSketchAggregate scaladoc), left-fold the
     * exact 2^-M terms in register order, apply the same alpha literal
     * and linear-counting branch, round at 4 dp. */
+  /** q156's oracle: all 10 PageRank iterations replayed as generated
+    * materialized CTE blocks (the bpeSql pattern). Every float
+    * literal carries ::DOUBLE (rule 11), every iteration rounds to
+    * 12 dp exactly like the Spark loop — the order-sensitive mass
+    * sums sit a million-fold inside the rounding boundary. */
+  private def pageRankSql: String = {
+    val header =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |st AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg
+        |  FROM e GROUP BY src),
+        |pr0 AS MATERIALIZED (SELECT node, round(1.0::DOUBLE / st.n, 12) AS r
+        |  FROM nodes CROSS JOIN st)""".stripMargin
+    val blocks = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node, round(0.15::DOUBLE / st.n +
+         |      0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) AS r
+         |  FROM nodes nd CROSS JOIN st LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / od.deg) AS mass
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN od ON od.src = e.src GROUP BY e.dst) c
+         |    ON c.node = nd.node)""".stripMargin
+    }
+    (header +: blocks).mkString(",\n") + "\nSELECT node, r FROM pr10"
+  }
+
   private def hllSql: String = hllSql(includeExact = true)
 
   /** q146's twin: q133's register rebuild over the (event_type, day)
@@ -4549,6 +4627,7 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q156_pagerank" -> pageRankSql,
     "q155_asof_nearest" ->
       """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
