@@ -2050,35 +2050,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + 1000000L).as("dst"))
-        .distinct().localCheckpoint()
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node")))
-        .distinct().localCheckpoint()
-      val n = nodes.count().toDouble
-      // loop-invariant: out-degree attaches to the edge list ONCE —
-      // inside the loop it would re-shuffle every iteration
-      val edgesDeg = edges
-        .join(edges.groupBy("src")
-          .agg(count(lit(1)).cast("double").as("deg")), Seq("src"))
-        .localCheckpoint()
-      var rank = nodes.withColumn("r", round(lit(1.0) / lit(n), 12))
-        .localCheckpoint()
-      for (_ <- 1 to 10) {
-        val contribs = edgesDeg
-          .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("r") / col("deg")).as("mass"))
-        val next = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            round(lit(0.15) / lit(n) +
-              lit(0.85) * coalesce(col("mass"), lit(0.0)), 12).as("r"))
-          .localCheckpoint()
-        rank.unpersist()
-        rank = next
-      }
-      val out = rank
-      edges.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
-      out
+      PageRank.run(edges, "src", "dst", iters = 10, damping = 0.85)
     }),
     "q155_asof_nearest" -> ((s, dir) => {
       // NEAREST as-of (merge_asof direction='nearest'), completing

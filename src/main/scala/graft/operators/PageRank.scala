@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by fixed-iteration power method (Page et al., 1999) —
+  * entity importance over a directed relation graph (supplier/customer
+  * flow, citation, link graphs).
+  *
+  * Spark-first shape: each round is one join (edge list × current
+  * ranks on src) + one dst-keyed mass aggregate + one left join back
+  * to the node set; the out-degree is attached to the edge list ONCE
+  * before the loop (loop-invariant), and lineage is cut per round
+  * with `localCheckpoint` (the iterative-DataFrame discipline of
+  * [[Components]] — persisted-only iteration stacks the plan).
+  *
+  * Determinism contract (what makes it oracle-replayable, q156): the
+  * per-node mass sum is an ORDER-SENSITIVE double fold, so every
+  * iteration rounds to `roundDp` decimals on both engines — with rank
+  * values around 1/n and ulp noise ~1e-18, 12 dp leaves a
+  * million-fold margin (hard rule 9) and pins the whole trajectory
+  * bit-exactly under any partitioning.
+  *
+  * Variant notes: fixed `iters` (no convergence test — deterministic
+  * work, and rounding makes late iterations idempotent in practice);
+  * dangling nodes simply leak mass (no redistribution) — documented,
+  * identical on both engines. Returns (node, r), caller-owned
+  * localCheckpoint. */
+object PageRank {
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85,
+      roundDp: Int = 12): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val edgesDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
+        Seq("src"))
+      .localCheckpoint()
+    var rank = nodes.withColumn("r", round(lit(1.0) / lit(n), roundDp))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("deg")).as("mass"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("mass"), lit(0.0)), roundDp)
+            .as("r"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+    }
+    e.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
+    rank
+  }
+}

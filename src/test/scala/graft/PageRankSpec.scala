@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Fixed-iteration PageRank: hand-checked tiny graph, bit-identical
+  * trajectory under any partitioning, dangling-leak variant bound. */
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("two-node cycle converges to the uniform rank") {
+    // 1 <-> 2: symmetric, rank must stay 0.5/0.5 every iteration
+    val got = PageRank.run(Seq((1L, 2L), (2L, 1L)).toDF("a", "b"),
+        "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("a sink-pointing chain ranks the sink highest; dangling mass leaks (sum < 1)") {
+    // 1 -> 3, 2 -> 3: 3 is a dangling sink
+    val got = PageRank.run(Seq((1L, 3L), (2L, 3L)).toDF("a", "b"),
+        "a", "b", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) > got(1L) && got(1L) === got(2L))
+    assert(got.values.sum < 1.0) // documented dangling-leak variant
+    // fixpoint hand-check: source ranks settle at (1-d)/n = 0.05, so
+    // r(3) = 0.05 + 0.85 * (0.05 + 0.05)
+    assert(math.abs(got(3L) - (0.15 / 3 + 0.85 * 0.1)) < 1e-9, got(3L))
+  }
+
+  test("trajectory is bit-identical under any partitioning (per-iteration rounding)") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    def run(parts: Int): Map[Long, Long] =
+      PageRank.run(edges.toDF("a", "b").repartition(parts), "a", "b")
+        .collect().map(r => r.getLong(0) ->
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val a = run(1)
+    assert(a === run(7))
+    assert(a === run(32))
+  }
+}
