@@ -2032,6 +2032,23 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
     }),
+    "q157_personalized_pagerank" -> ((s, dir) => {
+      // PERSONALIZED PageRank (random walk with restart) over q156's
+      // trade graph: the teleport vector concentrates on every tenth
+      // supplier — proximity-to-seeds importance, the graph-retrieval
+      // / recommendation variant. Same determinism contract as q156
+      // (per-iteration 12-dp rounding); the oracle replays all 10
+      // seeded iterations from generated materialized CTE blocks.
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node") % 10 === 0).distinct()
+      PageRank.personalized(edges, "src", "dst", seeds,
+        iters = 10, damping = 0.85)
+    }),
     "q156_pagerank" -> ((s, dir) => {
       // PAGERANK over the supplier→customer trade graph (who do the
       // important buyers buy from): 10 fixed power iterations at
@@ -3011,6 +3028,43 @@ object SparkEntry {
     val blocks = (1 to 10).map { i =>
       s"""pr$i AS MATERIALIZED (
          |  SELECT nd.node, round(0.15::DOUBLE / st.n +
+         |      0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) AS r
+         |  FROM nodes nd CROSS JOIN st LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / od.deg) AS mass
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN od ON od.src = e.src GROUP BY e.dst) c
+         |    ON c.node = nd.node)""".stripMargin
+    }
+    (header +: blocks).mkString(",\n") + "\nSELECT node, r FROM pr10"
+  }
+
+  /** q157's oracle: the seeded (personalized) replay — teleport mass
+    * concentrates on `src % 10 = 0` suppliers, denominator = seed
+    * count, non-seed base term 0. Same materialized k-block shape. */
+  private def pprSql: String = {
+    val header =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS MATERIALIZED (SELECT node,
+        |    max(CASE WHEN node % 10 = 0 AND is_src THEN 1 ELSE 0 END) = 1
+        |      AS is_seed
+        |  FROM (SELECT src AS node, true AS is_src FROM e
+        |        UNION ALL SELECT dst, false FROM e) GROUP BY node),
+        |st AS MATERIALIZED (
+        |  SELECT sum(CASE WHEN is_seed THEN 1 ELSE 0 END)::DOUBLE AS n
+        |  FROM nodes),
+        |od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg
+        |  FROM e GROUP BY src),
+        |pr0 AS MATERIALIZED (SELECT node, is_seed,
+        |    round(CASE WHEN is_seed THEN 1.0::DOUBLE / st.n
+        |               ELSE 0.0::DOUBLE END, 12) AS r
+        |  FROM nodes CROSS JOIN st)""".stripMargin
+    val blocks = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node, nd.is_seed,
+         |    round(CASE WHEN nd.is_seed THEN 0.15::DOUBLE / st.n
+         |               ELSE 0.0::DOUBLE END +
          |      0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) AS r
          |  FROM nodes nd CROSS JOIN st LEFT JOIN (
          |    SELECT e.dst AS node, sum(p.r / od.deg) AS mass
@@ -4600,6 +4654,7 @@ object SparkEntry {
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
     "q156_pagerank" -> pageRankSql,
+    "q157_personalized_pagerank" -> pprSql,
     "q155_asof_nearest" ->
       """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),

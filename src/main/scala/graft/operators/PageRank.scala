@@ -30,20 +30,52 @@ object PageRank {
 
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85,
-      roundDp: Int = 12): DataFrame = {
+      roundDp: Int = 12): DataFrame =
+    runImpl(edges, srcCol, dstCol, iters, damping, roundDp, None)
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport
+    * vector concentrates on `seeds` instead of the uniform
+    * distribution — proximity-to-seeds importance, the graph-retrieval
+    * / recommendation variant. Seeds must be graph nodes (absent
+    * seeds get no mass to give); identical determinism contract. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      roundDp: Int = 12): DataFrame =
+    runImpl(edges, srcCol, dstCol, iters, damping, roundDp, Some(seeds))
+
+  private def runImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, roundDp: Int,
+      seeds: Option[DataFrame]): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val nodesPlain = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count().toDouble
+      .distinct()
+    // seed flag rides on the node set for the whole loop (the base
+    // teleport term re-applies every iteration)
+    val nodes = (seeds match {
+      case None => nodesPlain.withColumn("is_seed", lit(true))
+      case Some(sd) =>
+        val s = sd.select(col(sd.columns.head).cast("long").as("node"))
+          .distinct()
+        nodesPlain.join(s.withColumn("is_seed", lit(true)),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }).localCheckpoint()
+    // teleport denominator: all nodes for plain PR, seed count for PPR
+    val n = nodes.where(col("is_seed")).count().toDouble
     val edgesDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
         Seq("src"))
       .localCheckpoint()
-    var rank = nodes.withColumn("r", round(lit(1.0) / lit(n), roundDp))
+    val base = when(col("is_seed"), lit(1.0 - damping) / lit(n))
+      .otherwise(lit(0.0))
+    var rank = nodes
+      .withColumn("r", round(when(col("is_seed"), lit(1.0) / lit(n))
+        .otherwise(lit(0.0)), roundDp))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
@@ -51,15 +83,16 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("deg")).as("mass"))
       val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          round(lit(1.0 - damping) / lit(n) +
-            lit(damping) * coalesce(col("mass"), lit(0.0)), roundDp)
-            .as("r"))
+        .select(col("node"), col("is_seed"),
+          round(base + lit(damping) * coalesce(col("mass"), lit(0.0)),
+            roundDp).as("r"))
         .localCheckpoint()
       rank.unpersist()
       rank = next
     }
+    val out = rank.select(col("node"), col("r")).localCheckpoint()
+    rank.unpersist()
     e.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
-    rank
+    out
   }
 }

@@ -29,6 +29,18 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(3L) - (0.15 / 3 + 0.85 * 0.1)) < 1e-9, got(3L))
   }
 
+  test("personalized: mass concentrates on seeds and their reach; unreachable non-seeds get zero") {
+    // 1 -> 2 -> 3, and an isolated pair 8 <-> 9; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L), (9L, 8L)).toDF("a", "b")
+    val got = PageRank.personalized(edges, "a", "b",
+        seeds = Seq(1L).toDF("node"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.15) // seed fixpoint: (1-d)/|S| with |S| = 1
+    assert(math.abs(got(2L) - 0.1275) < 1e-9) // d * r(1)
+    assert(got(3L) > 0.0 && got(3L) < got(2L))
+    assert(got(8L) === 0.0 && got(9L) === 0.0, "teleport never reaches the island")
+  }
+
   test("trajectory is bit-identical under any partitioning (per-iteration rounding)") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 400).map(_ =>
