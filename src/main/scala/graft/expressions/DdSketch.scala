@@ -94,21 +94,24 @@ case class DdSketchAggregate(
 
   import DdSketch._
 
-  /** Bounded-memory mode (the DDSketch "collapsing lowest" store):
-    * whenever a store exceeds `maxBuckets`, its LOWEST-index buckets
-    * fold into the lowest kept bucket. UPPER quantiles keep the alpha
-    * guarantee (their buckets are never touched — only mass below the
-    * kept range moves up to the cut boundary, which cannot change
-    * which high bucket a rank lands in when the rank's true bucket is
-    * kept); low quantiles below the cut degrade toward the cut's
-    * representative. CAVEAT (why q130 keeps the default unbounded):
-    * eager collapse depends on arrival order/partitioning — two
-    * partitions may cut at different boundaries before merging, so
-    * collapsed sketches are NOT a pure function of the multiset and
-    * can differ from a sequential build (still within the same upper-
-    * quantile guarantee). Size `bounds` so the uncollapsed store fits
-    * (~700 buckets for 6 decades at alpha=0.01) unless memory truly
-    * binds. */
+  /** Bounded mode (the DDSketch "collapsing lowest" store): fold all
+    * but the `maxBuckets` HIGHEST-index occupied buckets into the
+    * lowest kept bucket (the "cut"). UPPER quantiles whose bucket is
+    * kept keep the alpha guarantee unchanged (mass only ever moves UP
+    * to the cut, below them); quantiles below the cut degrade to the
+    * cut's representative.
+    *
+    * Applied at EVAL ONLY — never in update/merge — so the collapse
+    * runs exactly once, on the exact merged histogram, and the bounded
+    * answer is a PURE FUNCTION OF THE MULTISET for ALL quantiles under
+    * any partitioning (an eager per-partial collapse would cut at
+    * arrival-order-dependent boundaries; two partials cutting at
+    * different cuts merge into a store a sequential build never
+    * produces). The memory trade is documented, not hidden: the
+    * in-flight partial is already bounded by O(|bounds|) (~700 entries
+    * for 6 decades at alpha=0.01, the DDSketch O(log(range)/alpha)
+    * store) regardless of `maxBuckets` — the cap models what a
+    * bounded-store DEPLOYMENT would answer, deterministically. */
   private def collapse(m: LongMap[Long]): Unit =
     if (m.size > maxBuckets) {
       val ks = m.keys.toArray.sorted
@@ -134,11 +137,9 @@ case class DdSketchAggregate(
       else if (x > 0.0) {
         val k = bucketOf(bounds, x).toLong
         buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
-        collapse(buf.pos)
       } else {
         val k = bucketOf(bounds, -x).toLong
         buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
-        collapse(buf.neg)
       }
     }
     buf
@@ -148,11 +149,12 @@ case class DdSketchAggregate(
     a.zero += b.zero
     b.pos.foreach { case (k, c) => a.pos.update(k, a.pos.getOrElse(k, 0L) + c) }
     b.neg.foreach { case (k, c) => a.neg.update(k, a.neg.getOrElse(k, 0L) + c) }
-    collapse(a.pos); collapse(a.neg)
     a
   }
 
   override def eval(buf: Buf): Any = {
+    // the one and only collapse: exact histogram in, deterministic out
+    collapse(buf.pos); collapse(buf.neg)
     val nNeg = buf.neg.values.sum
     val n = nNeg + buf.zero + buf.pos.values.sum
     val out = quantiles.map { q =>

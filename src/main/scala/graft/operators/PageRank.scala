@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** PageRank by fixed-iteration power method (Page et al., 1999) —
   * entity importance over a directed relation graph (supplier/customer
@@ -67,10 +68,22 @@ object PageRank {
     }).localCheckpoint()
     // teleport denominator: all nodes for plain PR, seed count for PPR
     val n = nodes.where(col("is_seed")).count().toDouble
-    val edgesDeg = e
+    // The edge list is loop-INVARIANT: checkpoint it in its SHUFFLED
+    // form (hash-partitioned by src, explicit count so AQE never
+    // coalesces it into an un-co-locatable layout), restamping the
+    // LogicalRDD with the real partitioning (plain localCheckpoint
+    // under AQE records UnknownPartitioning — see Bridge). Every
+    // iteration's join on src then sees the edge side as already
+    // distributed — only the (far smaller) rank frame moves per round.
+    // Without this, both sides re-exchange each of the `iters` rounds
+    // (at 100× scale the edge shuffle dominates; at sf0.1 AQE happens
+    // to broadcast ranks, masking it).
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val edgesDeg = Bridge.localCheckpointPartitioned(e
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
         Seq("src"))
-      .localCheckpoint()
+      .repartition(nPart, col("src")))
     val base = when(col("is_seed"), lit(1.0 - damping) / lit(n))
       .otherwise(lit(0.0))
     var rank = nodes
@@ -87,12 +100,17 @@ object PageRank {
           round(base + lit(damping) * coalesce(col("mass"), lit(0.0)),
             roundDp).as("r"))
         .localCheckpoint()
-      rank.unpersist()
+      // Dataset.unpersist is a no-op for checkpoint blocks (no cache
+      // manager entry) — free the backing RDD directly, or all `iters`
+      // rounds' blocks pile up until the ContextCleaner runs.
+      Bridge.unpersistCheckpoint(rank)
       rank = next
     }
     val out = rank.select(col("node"), col("r")).localCheckpoint()
-    rank.unpersist()
-    e.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
+    Bridge.unpersistCheckpoint(rank)
+    Bridge.unpersistCheckpoint(e)
+    Bridge.unpersistCheckpoint(nodes)
+    Bridge.unpersistCheckpoint(edgesDeg)
     out
   }
 }

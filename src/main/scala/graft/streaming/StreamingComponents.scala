@@ -139,11 +139,14 @@ object StreamingComponents {
       .mkString("\n")
     val tmp = new Path(s"$labelsDir/${stateFileName(st.version)}.tmp")
     val dst = new Path(s"$labelsDir/${stateFileName(st.version)}")
+    // dst can only pre-exist if a replay of THIS batch crashed after
+    // its rename: content is re-derived deterministically from the same
+    // batchId, so skip the write entirely — a delete-then-rename here
+    // would open the only window where ZERO intact manifests exist
+    // (older versions were cleaned after the prior commit).
+    if (fs.exists(dst)) return
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // dst can only pre-exist if a replay of THIS batch crashed after
-    // its rename: content is re-derived deterministically, replace it.
-    if (fs.exists(dst)) fs.delete(dst, false)
     fs.rename(tmp, dst)
   }
 

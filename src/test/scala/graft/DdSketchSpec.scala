@@ -64,7 +64,7 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est(4) - 1000.0) / 1000.0 <= alpha)
   }
 
-  test("collapsing store bounds memory; upper quantiles keep the alpha guarantee") {
+  test("eval-only collapse bounds the answered store; upper quantiles keep the alpha guarantee") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.types.DoubleType
@@ -77,10 +77,15 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     val buf = vals.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
       agg.update(b, InternalRow(x))
     }
-    assert(buf.pos.size <= 64, s"store not bounded: ${buf.pos.size}")
+    // pre-eval the partial is the exact histogram, bounded only by the
+    // boundary array (the O(log(range)/alpha) DDSketch store)
+    assert(buf.pos.size <= bounds.length + 1,
+      s"partial exceeded the boundary-array bound: ${buf.pos.size}")
     val est = agg.eval(buf)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toDoubleArray()
+    // eval collapsed in place: the answered store honors the cap
+    assert(buf.pos.size <= 64, s"evaluated store not bounded: ${buf.pos.size}")
     val sorted = vals.sorted
     Array(0.9, 0.99).zip(est).foreach { case (q, e) =>
       val ex = exactRank(sorted, q)
@@ -89,23 +94,34 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("collapsed upper quantiles equal the unbounded sketch bit-for-bit across partitionings (q144's property)") {
+  test("collapsed sketch is a pure function of the multiset for ALL quantiles (q144's property)") {
     val rnd = new scala.util.Random(11)
     val vals = Seq.fill(5000)(math.exp(rnd.nextDouble() * 6))
     val df = vals.toDF("x")
     def ests(d: org.apache.spark.sql.DataFrame, cap: Int): Seq[Double] =
       d.agg(DdSketchAggregate(col("x"),
-          DdSketch.boundaries(alpha, 0.5, 2000.0), Array(0.9, 0.99),
+          DdSketch.boundaries(alpha, 0.5, 2000.0), Array(0.1, 0.5, 0.9, 0.99),
           maxBuckets = cap).as("e"))
         .select(col("e")).as[Seq[Double]].head()
     val unbounded = ests(df, Int.MaxValue)
-    // this log-uniform sample puts ~30 distinct buckets above p90's —
-    // inside a 48 cap, so no partial store can ever cut it and the
-    // collapsed estimate is a pure function of the multiset (q144's
-    // lineitem data keeps the same margin against its 24 cap)
+    // eval-only collapse: one deterministic cut on the exact merged
+    // histogram, so even a TIGHT cap (24 — this sample occupies ~300
+    // buckets, so p10/p50/p90 all fall below the cut and degrade to
+    // its representative) answers identically under every
+    // partitioning, INCLUDING the degraded quantiles
+    val seq24 = ests(df, 24)
     for (parts <- Seq(1, 3, 32))
-      assert(ests(df.repartition(parts), 48) === unbounded,
-        s"collapse broke upper-quantile determinism at $parts partitions")
+      assert(ests(df.repartition(parts), 24) === seq24,
+        s"collapse broke multiset-purity at $parts partitions")
+    // p99 (~3 occupied buckets above it, inside the cap) still equals
+    // the unbounded sketch bit-for-bit
+    assert(seq24(3) === unbounded(3),
+      s"kept-range quantile diverged from unbounded: $seq24 vs $unbounded")
+    // degraded quantiles moved UP to the cut representative, never down
+    assert(Seq(0, 1, 2).forall(i => seq24(i) >= unbounded(i)),
+      s"degraded quantiles moved down: $seq24 vs $unbounded")
+    assert(seq24(0) === seq24(1) && seq24(1) === seq24(2),
+      s"below-cut quantiles should share the cut representative: $seq24")
   }
 
   test("boundaries are strictly increasing and bucketOf/rep agree with comparisons") {

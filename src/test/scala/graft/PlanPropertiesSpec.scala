@@ -440,4 +440,35 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).length <= 1,
       s"profiler re-scanned per column:\n$p")
   }
+
+  test("PageRank iteration never re-exchanges the checkpointed edge side") {
+    import org.apache.spark.sql.functions._
+    // PageRank.runImpl checkpoints the edge list hash-partitioned by
+    // src; localCheckpoint captures that outputPartitioning into the
+    // LogicalRDD, so each iteration's src-join exchanges ONLY the rank
+    // frame (plus the inherent dst aggregate) — 2 exchanges, not 3.
+    // Replicates the loop-body shape; broadcast disabled so the shuffle
+    // requirement is actually exercised (AQE broadcasts at test scale).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val e = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+        (1 to 400).map(i => (i.toLong % 40, i.toLong % 17))
+          .toDF("src", "dst").distinct()
+          .withColumn("deg", lit(2.0))
+          .repartition(4, col("src")))
+      val rank = (0L until 40L).map(i => (i, 1.0 / 40))
+        .toDF("node", "r").localCheckpoint()
+      val iter = e
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("deg")).as("mass"))
+      iter.queryExecution.executedPlan.execute().count()
+      val p = iter.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n <= 2, s"edge side re-exchanged ($n exchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
