@@ -2190,6 +2190,36 @@ object SparkEntry {
         .select(col("m.col_name"), col("m.n"), col("m.nulls"),
           col("m.n_distinct"), col("m.min_v"), col("m.max_v"))
     }),
+    "q158_profile_sketch" -> ((s, dir) => {
+      // SKETCH-MODE column profiler — q151's summary, 100 TB shape:
+      // exact count_distinct over k columns EXPANDs every scanned row
+      // k-fold before the shuffle; the sparse-HLL aggregate (q146)
+      // profiles all k columns in ONE pass with NO Expand node
+      // (plan-guarded) and O(min(distinct, 2^p)) state per column.
+      // Hash input is the scaled-integer view of each fixed-decimal
+      // column (injective at 2 decimals; integer-to-string renders
+      // identically on both engines, unlike float-to-string), so
+      // q133's register-rebuild oracle applies per column.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        round(graft.expressions.HllSketch.sparse(
+          scaledLong(col(c), 2).cast("string"), p = 9), 4).as(s"adist_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      tbl(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"n_$c").as("n"),
+          col(s"nulls_$c").as("nulls"),
+          col(s"adist_$c").as("approx_distinct"),
+          col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"))): _*)).as("m"))
+        .select(col("m.col_name"), col("m.n"), col("m.nulls"),
+          col("m.approx_distinct"), col("m.min_v"), col("m.max_v"))
+    }),
     "q152_expectations" -> ((s, dir) => {
       // CONSTRAINT EXPECTATIONS (data-quality gate): declarative
       // rules validated in bulk — range checks, non-null, key
@@ -3141,6 +3171,41 @@ object SparkEntry {
        |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct,
        |  ex.exact_distinct
        |FROM est JOIN ex USING (event_type, day)""".stripMargin
+  }
+
+  /** q158's twin: one self-contained q133-style register rebuild per
+    * profiled column (hash input = the scaled-integer view, rendered
+    * as an integer string — identical on both engines), unioned
+    * long-format with the exact count/null/min/max block. */
+  private def hllProfileSql(cols: Seq[String]): String = {
+    val alpha = java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, base.n, base.nulls,
+         |  round(CASE WHEN raw <= 1280.0 AND v > 0
+         |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4) AS approx_distinct,
+         |  base.min_v, base.max_v
+         |FROM (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         |    CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         |  FROM lineitem) base
+         |CROSS JOIN (
+         |  SELECT $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM (
+         |    SELECT list_reduce(list_prepend(0.0,
+         |        list(1.0 / (1::BIGINT << mr) ORDER BY j)), (a, x) -> a + x) AS s,
+         |      sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
+         |    FROM (
+         |      SELECT t.j, coalesce(mx.mr, 0) AS mr
+         |      FROM generate_series(0, 511) t(j)
+         |      LEFT JOIN (
+         |        SELECT h >> 43 AS b,
+         |          max(CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
+         |              ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
+         |          END) AS mr
+         |        FROM (SELECT ('0x' || substr(md5(
+         |            CAST(CAST(round($c * 100, 0) AS BIGINT) AS VARCHAR)), 1, 13))::BIGINT AS h
+         |          FROM lineitem WHERE $c IS NOT NULL) hh
+         |        GROUP BY 1) mx ON mx.b = t.j) regs) sums) est""".stripMargin
+    }.mkString("\nUNION ALL\n")
   }
 
   private def hllSql(includeExact: Boolean): String = {
@@ -4733,6 +4798,8 @@ object SparkEntry {
     // round(, 4) on both engines
     "q133_hll_distinct" -> hllSql,
     "q146_hll_sparse" -> hllSparseSql,
+    "q158_profile_sketch" -> hllProfileSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q156_pagerank" -> pageRankSql,
     "q157_personalized_pagerank" -> pprSql,
     "q155_asof_nearest" ->

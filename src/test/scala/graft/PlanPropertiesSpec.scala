@@ -441,6 +441,14 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"profiler re-scanned per column:\n$p")
   }
 
+  test("q158 sketch profiler: one scan, NO Expand (the exact-distinct k-fold blowup)") {
+    val p = executedPlan("q158_profile_sketch")
+    assert(!p.contains("Expand"),
+      s"sketch profiler expanded the scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"profiler re-scanned per column:\n$p")
+  }
+
   test("PageRank iteration never re-exchanges the checkpointed edge side") {
     import org.apache.spark.sql.functions._
     // PageRank.runImpl checkpoints the edge list hash-partitioned by
