@@ -2190,6 +2190,25 @@ object SparkEntry {
         .select(col("m.col_name"), col("m.n"), col("m.nulls"),
           col("m.n_distinct"), col("m.min_v"), col("m.max_v"))
     }),
+    "q159_unigram_train" -> ((s, dir) => {
+      // Unigram-LM (SentencePiece-family) tokenizer TRAINING under
+      // the oracle — the Llama/T5-class tokenizer completing the
+      // BPE (q123) / WordPiece (q145) family. Hard-EM over the
+      // Heaps'-bounded word histogram: substring seeding, 3 Viterbi-
+      // EM iterations, frequency prune — all exact-long counts; the
+      // only doubles are the per-iteration log-probs, rounded 7dp
+      // (rule 9), so DuckDB re-trains bit-for-bit: the EM chain is a
+      // generated materialized-CTE pipeline (q123's k-block trick)
+      // whose per-position DP blocks replay the identical Viterbi.
+      UnigramLm.trainVocab(tbl(s, dir, "documents"), "text")
+    }),
+    "q160_unigram_encode" -> ((s, dir) => {
+      // The encode half: per histogram word, the max-likelihood
+      // Viterbi segmentation under the pruned vocab — (w, freq,
+      // pieces, n_pieces). DuckDB re-trains AND re-encodes via one
+      // more generated DP pass under the final log-prob table.
+      UnigramLm.encodeHistogram(tbl(s, dir, "documents"), "text")
+    }),
     "q158_profile_sketch" -> ((s, dir) => {
       // SKETCH-MODE column profiler — q151's summary, 100 TB shape:
       // exact count_distinct over k columns EXPANDs every scanned row
@@ -3328,6 +3347,117 @@ object SparkEntry {
 
   private val toksCte =
     "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
+
+  /** q159/q160's oracle: replay the WHOLE unigram-LM hard-EM training
+    * ([[graft.operators.UnigramLm]]) in DuckDB — substring seeding,
+    * `iters` Viterbi-EM rounds, frequency prune, final encode. Each
+    * Viterbi pass is `maxWordLen` chained MATERIALIZED DP blocks
+    * (cell J = best predecessor among piece lengths 1..maxPieceLen,
+    * ORDER BY score DESC, len DESC — the identical total order);
+    * every count is an exact long and the log-prob tables round ln()
+    * at 7dp (rule 9), so scores add the same doubles in the same
+    * order on both engines. maxWordLen is the shared trainer
+    * parameter, never a silent data bound. */
+  private def unigramSql(encode: Boolean): String = {
+    val maxPieceLen = 5; val seedSize = 300; val vocabSize = 200
+    val iters = 3; val maxWordLen = 24
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS MATERIALIZED (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND $maxWordLen GROUP BY w),
+      |subs AS (
+      |  SELECT substr(w, pos, l) AS p, sum(freq) AS cnt
+      |  FROM words
+      |  CROSS JOIN generate_series(1, $maxPieceLen) ls(l)
+      |  CROSS JOIN (SELECT unnest(generate_series(1,
+      |    (SELECT max(len(w)) FROM words))) AS pos) ps
+      |  WHERE len(w) >= l AND pos <= len(w) - l + 1
+      |  GROUP BY 1),
+      |v0 AS MATERIALIZED (
+      |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM (
+      |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rk
+      |    FROM subs)
+      |  WHERE rk <= $seedSize OR len(p) = 1)""".stripMargin
+    // one Viterbi DP pass under log-prob table `lp`: blocks pre_0..pre_N
+    def dpBlocks(pre: String, lp: String): String = {
+      val blocks = new StringBuilder
+      blocks ++= s""",
+        |${pre}_0 AS MATERIALIZED (
+        |  SELECT w, freq, CAST(0.0 AS DOUBLE) AS score, '' AS path
+        |  FROM words)""".stripMargin
+      for (j <- 1 to maxWordLen) {
+        val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+          s"""      SELECT prev.w, prev.freq, prev.score, prev.path,
+             |        t.p, t.lp, $l AS l
+             |      FROM ${pre}_${j - l} prev JOIN $lp t
+             |        ON len(prev.w) >= $j AND t.pl = $l
+             |        AND t.p = substr(prev.w, ${j - l + 1}, $l)""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        blocks ++= s""",
+          |${pre}_$j AS MATERIALIZED (
+          |  SELECT w, freq, score, path FROM (
+          |    SELECT c.w, c.freq, c.score + c.lp AS score,
+          |      CASE WHEN c.path = '' THEN c.p
+          |           ELSE c.path || ' ' || c.p END AS path,
+          |      row_number() OVER (PARTITION BY c.w
+          |        ORDER BY c.score + c.lp DESC, c.l DESC) AS rn
+          |    FROM (
+          |$cands
+          |    ) c) WHERE rn = 1)""".stripMargin
+      }
+      blocks ++= s""",
+        |${pre}_seg AS MATERIALIZED (
+        |${(1 to maxWordLen).map(j =>
+            s"  SELECT w, freq, path FROM ${pre}_$j WHERE len(w) = $j")
+            .mkString("\n  UNION ALL\n")})""".stripMargin
+      blocks.result()
+    }
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |lp$i AS MATERIALIZED (
+        |  SELECT p, len(p) AS pl,
+        |    round(ln(CAST(cnt AS DOUBLE) / t.total), 7) AS lp
+        |  FROM v${i - 1}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total
+        |    FROM v${i - 1}) t)""".stripMargin
+      sb ++= dpBlocks(s"d$i", s"lp$i")
+      sb ++= s""",
+        |us$i AS (
+        |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(string_split(path, ' ')) AS p
+        |    FROM d${i}_seg) GROUP BY p),
+        |v$i AS MATERIALIZED (
+        |  SELECT p, cnt FROM (
+        |    SELECT v.p,
+        |      CASE WHEN len(v.p) = 1 THEN greatest(coalesce(u.cnt, 0), 1)
+        |           ELSE coalesce(u.cnt, 0) END AS cnt
+        |    FROM v${i - 1} v LEFT JOIN us$i u USING (p))
+        |  WHERE cnt > 0)""".stripMargin
+    }
+    sb ++= s""",
+      |vp AS MATERIALIZED (
+      |  SELECT p, cnt FROM (
+      |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rk
+      |    FROM v$iters)
+      |  WHERE rk <= $vocabSize OR len(p) = 1),
+      |lpf AS MATERIALIZED (
+      |  SELECT p, len(p) AS pl,
+      |    round(ln(CAST(cnt AS DOUBLE) / t.total), 7) AS lp
+      |  FROM vp, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vp) t)""".stripMargin
+    if (!encode) {
+      sb ++= """
+        |SELECT vp.p AS piece, vp.cnt, lpf.lp AS logp
+        |FROM vp JOIN lpf ON vp.p = lpf.p""".stripMargin
+    } else {
+      sb ++= dpBlocks("df", "lpf")
+      sb ++= """
+        |SELECT w, freq, path AS pieces,
+        |  CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces
+        |FROM df_seg""".stripMargin
+    }
+    sb.result()
+  }
 
   /** q123's oracle: k chained merge blocks generated from the same
     * constants as [[graft.operators.Bpe.trainMerges]] — DuckDB
@@ -4800,6 +4930,8 @@ object SparkEntry {
     "q146_hll_sparse" -> hllSparseSql,
     "q158_profile_sketch" -> hllProfileSql(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q159_unigram_train" -> unigramSql(encode = false),
+    "q160_unigram_encode" -> unigramSql(encode = true),
     "q156_pagerank" -> pageRankSql,
     "q157_personalized_pagerank" -> pprSql,
     "q155_asof_nearest" ->
