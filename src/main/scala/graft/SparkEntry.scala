@@ -140,7 +140,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 16 AvailableNow replay gates (micro-batch streaming with
+  /** The 17 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -149,7 +149,8 @@ object SparkEntry {
     "q113_stream_neardup", "q114_stream_minhash", "q115_stream_embed",
     "q125_stream_asof", "q131_stream_components", "q134_stream_hll",
     "q135_stream_countmin", "q138_stream_interval_join",
-    "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions")
+    "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
+    "q161_stream_scd2")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2312,6 +2313,47 @@ object SparkEntry {
         .withColumn("valid_to", lead("ts", 1).over(wAll))
         .select(col("user_id"), col("event_type"),
           col("ts").as("valid_from"), col("valid_to"))
+    }),
+    "q161_stream_scd2" -> ((s, dir) => {
+      // STREAMING SCD-2 / CDC-apply under the oracle: q149's type-2
+      // intervals built live through the state store, with
+      // ADVERSARIAL INTERLEAVING — arrival batches split by event-id
+      // PARITY, so every user's change history is scattered across
+      // both micro-batches in arbitrary event-time order; buffered
+      // events repair ordering inside the 40-day lateness window
+      // before anything is emitted (closed intervals only when final,
+      // open intervals published once the watermark passes the
+      // horizon). The far sentinel drives the final watermark past
+      // every real event; result == the batch window build, so q149's
+      // SQL is the oracle verbatim.
+      val base = graft.streaming.Scd2.scratchBase
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events").where(col("user_id") < 100)
+        .select("event_id", "user_id", "event_type", "ts")
+      ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("x").as("event_type"),
+          lit("2024-03-15 00:00:00").cast("timestamp_ntz").as("ts"))
+        .appendBatchTo(in, 2)
+      val stream = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = graft.streaming.Scd2.intervals(stream,
+          "user_id", "ts", "event_id", "event_type", "40 days",
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out).where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"))
     }),
     "q150_fuzzy_linkage" -> ((s, dir) => {
       // RECORD-LINKAGE fuzzy key join: near-identical short keys (the
@@ -5033,6 +5075,18 @@ object SparkEntry {
         |    '  +', ' ', 'g'))) AS clean_len
         |FROM documents""".stripMargin,
     "q149_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 100),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch""".stripMargin,
+    // the streaming CDC-apply replay equals the batch type-2 build —
+    // q149's SQL verbatim
+    "q161_stream_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS prev_type
