@@ -2102,6 +2102,58 @@ object SparkEntry {
           (col("o_custkey") + 1000000L).as("dst"))
       PageRank.run(edges, "src", "dst", iters = 10, damping = 0.85)
     }),
+    "q162_weighted_pagerank" -> ((s, dir) => {
+      // WEIGHTED PageRank over the nation-level trade graph (buyer
+      // nation → supplier nation): a contribution is the edge's share
+      // of the source's total out-FLOW (`w / Σ_src w`), so rank
+      // follows trade volume, not link count — the "rank suppliers by
+      // flow" variant. Weights are l_quantity sums: integer-valued
+      // doubles, so every weight and out-weight total is EXACT under
+      // any partitioning (order-invariant integer sums); the mass sum
+      // stays order-sensitive and the q156 per-iteration 12-dp
+      // rounding pins the trajectory. Oracle: the same generated
+      // materialized k-block replay, with `r * w / wsum` mass.
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"),
+          col("l_quantity").as("w"))
+      PageRank.weighted(edges, "src", "dst", "w",
+        iters = 10, damping = 0.85)
+    }),
+    "q163_converged_pagerank" -> ((s, dir) => {
+      // CONVERGENCE-STOPPED weighted PageRank (residual early stop
+      // with a fixed cap): iterate until `max |r_i - r_{i-1}| <
+      // 1e-9`, cap 15, over q162's weighted nation flow graph. The
+      // residual is the MAX-norm over per-node diffs of 12-dp-rounded
+      // ranks — max is order-INVARIANT, so the stop iteration is
+      // deterministic with no extra rounding, and the static oracle
+      // replays it: all 15 blocks materialized, one residual row per
+      // step, `min(i) FILTER (d < eps)` picks the same iteration the
+      // Spark loop stopped at. The dense weighted graph mixes at the
+      // weight-fluctuation scale (|λ2| ≪ damping), so the early stop
+      // genuinely engages at a non-trivial iteration (unweighted
+      // would be degenerate here: the complete nation graph reaches
+      // its stationary point in one step).
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"),
+          col("l_quantity").as("w"))
+      PageRank.converged(edges, "src", "dst",
+        maxIters = 15, eps = 1e-9, damping = 0.85,
+        weightCol = Some("w"))
+    }),
     "q155_asof_nearest" -> ((s, dir) => {
       // NEAREST as-of (merge_asof direction='nearest'), completing
       // the family (backward q29, forward q61, tolerance q129): each
@@ -3193,6 +3245,86 @@ object SparkEntry {
          |    ON c.node = nd.node)""".stripMargin
     }
     (header +: blocks).mkString(",\n") + "\nSELECT node, r FROM pr10"
+  }
+
+  /** q162's oracle: the weighted replay — mass = `r * w / wsum` over
+    * the nation trade graph, weights = l_quantity sums (exact
+    * integer-valued doubles). Same materialized k-block shape. */
+  private def weightedPrSql: String = {
+    val header =
+      """WITH e AS MATERIALIZED (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    sum(l_quantity) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |st AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS wsum
+        |  FROM e GROUP BY src),
+        |pr0 AS MATERIALIZED (SELECT node, round(1.0::DOUBLE / st.n, 12) AS r
+        |  FROM nodes CROSS JOIN st)""".stripMargin
+    val blocks = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node, round(0.15::DOUBLE / st.n +
+         |      0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) AS r
+         |  FROM nodes nd CROSS JOIN st LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r * e.w / ow.wsum) AS mass
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN ow ON ow.src = e.src GROUP BY e.dst) c
+         |    ON c.node = nd.node)""".stripMargin
+    }
+    (header +: blocks).mkString(",\n") + "\nSELECT node, r FROM pr10"
+  }
+
+  /** q163's oracle: all `maxIters` WEIGHTED blocks materialized (the
+    * q162 mass), one MAX-norm residual row per step (max of per-node
+    * |diff| of 12-dp-rounded ranks — order-invariant, no extra
+    * rounding), then `min(i) FILTER (d < eps)` picks the same
+    * iteration the Spark loop stopped at (cap if none clears). */
+  private def convergedPrSql: String = {
+    val k = 15
+    val header =
+      """WITH e AS MATERIALIZED (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    sum(l_quantity) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |st AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS wsum
+        |  FROM e GROUP BY src),
+        |pr0 AS MATERIALIZED (SELECT node, round(1.0::DOUBLE / st.n, 12) AS r
+        |  FROM nodes CROSS JOIN st)""".stripMargin
+    val blocks = (1 to k).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node, round(0.15::DOUBLE / st.n +
+         |      0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) AS r
+         |  FROM nodes nd CROSS JOIN st LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r * e.w / ow.wsum) AS mass
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN ow ON ow.src = e.src GROUP BY e.dst) c
+         |    ON c.node = nd.node)""".stripMargin
+    }
+    val resid =
+      "dd AS MATERIALIZED (\n" + (1 to k).map { i =>
+        s"""  SELECT $i AS i, max(abs(a.r - b.r)) AS d
+           |  FROM pr$i a JOIN pr${i - 1} b ON a.node = b.node""".stripMargin
+      }.mkString("\n  UNION ALL\n") + ")"
+    val chosen =
+      s"""ch AS MATERIALIZED (SELECT coalesce(
+         |  min(i) FILTER (WHERE d < (1e-9)::DOUBLE), $k) AS k FROM dd)""".stripMargin
+    val allp =
+      "ap AS (\n" + (1 to k).map(i =>
+        s"  SELECT $i AS i, node, r FROM pr$i").mkString("\n  UNION ALL\n") + ")"
+    (header +: blocks :+ resid :+ chosen :+ allp).mkString(",\n") +
+      "\nSELECT ap.node, ap.r, ch.k::BIGINT AS iters_run" +
+      "\nFROM ap JOIN ch ON ap.i = ch.k"
   }
 
   private def hllSql: String = hllSql(includeExact = true)
@@ -4976,6 +5108,8 @@ object SparkEntry {
     "q160_unigram_encode" -> unigramSql(encode = true),
     "q156_pagerank" -> pageRankSql,
     "q157_personalized_pagerank" -> pprSql,
+    "q162_weighted_pagerank" -> weightedPrSql,
+    "q163_converged_pagerank" -> convergedPrSql,
     "q155_asof_nearest" ->
       """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),

@@ -41,6 +41,49 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got(8L) === 0.0 && got(9L) === 0.0, "teleport never reaches the island")
   }
 
+  test("weighted: rank follows flow share, not link count") {
+    // 1 splits its mass 9:1 between 2 and 3 (unweighted would split
+    // 1:1); 2 and 3 are dangling sinks, 1 settles at (1-d)/n
+    val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0)).toDF("a", "b", "w")
+    val got = PageRank.weighted(edges, "a", "b", "w", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(2L) - (0.05 + 0.85 * 0.05 * 0.9)) < 1e-9, got)
+    assert(math.abs(got(3L) - (0.05 + 0.85 * 0.05 * 0.1)) < 1e-9, got)
+    // parallel edges pre-sum: (1,2,4)+(1,2,5) behaves as (1,2,9)
+    val split = Seq((1L, 2L, 4.0), (1L, 2L, 5.0), (1L, 3L, 1.0))
+      .toDF("a", "b", "w")
+    val got2 = PageRank.weighted(split, "a", "b", "w", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 === got)
+  }
+
+  test("converged: early stop fires at the deterministic max-norm threshold, cap respected") {
+    // 1 <-> 2 reaches the uniform fixpoint immediately: residual of
+    // iteration 1 is 0 < eps, so iters_run = 1
+    val cyc = PageRank.converged(Seq((1L, 2L), (2L, 1L)).toDF("a", "b"),
+        "a", "b", maxIters = 15, eps = 1e-9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(cyc.forall(_._3 == 1L), cyc.toSeq)
+    assert(cyc.map(t => t._1 -> t._2).toMap === Map(1L -> 0.5, 2L -> 0.5))
+    // a dangling chain decays geometrically (residual ~ d^k, never 0
+    // until the 12-dp floor): a tiny cap must be hit exactly
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val capped = PageRank.converged(chain, "a", "b",
+        maxIters = 3, eps = 1e-15)
+      .collect().map(_.getLong(2)).distinct
+    assert(capped === Array(3L))
+    // convergence result == the fixed-iteration run at the stop count
+    // (d = 0.3 for a fast but non-trivial decay)
+    val conv = PageRank.converged(chain, "a", "b",
+        maxIters = 50, eps = 1e-6, damping = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val k = conv.head._3.toInt
+    assert(k > 3 && k < 50, s"expected a non-trivial stop, got $k")
+    val fixed = PageRank.run(chain, "a", "b", iters = k, damping = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conv.map(t => t._1 -> t._2).toMap === fixed)
+  }
+
   test("trajectory is bit-identical under any partitioning (per-iteration rounding)") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 400).map(_ =>
