@@ -1613,6 +1613,22 @@ object SparkEntry {
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
     }),
+    "q164_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ / IVFADC (q40's coarse cells + q118's PQ codes,
+      // combined the Jégou-2011 way): vectors are stored as 8
+      // RESIDUAL codes in their coarse cell; a query probes its 2
+      // nearest cells with a per-cell residual distance table and
+      // scans only those cells' codes. Residuals make ADC scores
+      // comparable across probed cells (‖q−v‖ = ‖(q−c)−(v−c)‖) and
+      // are one float rounding of exact double subtractions —
+      // replayed verbatim by the oracle, which re-derives the entire
+      // index (coarse centroids AND residual codebooks) from the
+      // table itself via the iters=0 zero-literal trick.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 2,
+        m = 8, ksub = 16)
+    }),
     "q141_stream_outer_join" -> ((s, dir) => {
       // LEFT-OUTER stream-stream join: q138's attribution, but every
       // unmatched purchase must ALSO emit (with null click) — which
@@ -4643,6 +4659,68 @@ object SparkEntry {
         |  FROM base b CROSS JOIN cells2 c WHERE b.vec_id < 10),
         |terms AS (SELECT qd.query_id, co.vec_id AS cand_id, qd.j, qd.qdist
         |  FROM qd JOIN codes co ON qd.j = co.j AND qd.code = co.code
+        |  WHERE qd.query_id <> co.vec_id),
+        |adcs AS (SELECT query_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(qdist ORDER BY j)),
+        |      (a, x) -> a + x) AS adc
+        |  FROM terms GROUP BY query_id, cand_id)
+        |SELECT query_id, cand_id, adc, rank FROM (
+        |  SELECT query_id, cand_id, adc, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
+        |WHERE rank <= 5""".stripMargin,
+    // IVFADC: coarse assignment (q40's rule), float-rounded residuals,
+    // residual codebooks from the first-16 residuals, per-probed-cell
+    // distance tables, j-ordered ADC folds — all re-derived from the
+    // table, bit-exact (multi-referenced CTEs materialized, rule 11)
+    "q164_ivfpq_ann" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS MATERIALIZED (
+        |  SELECT rn - 1 AS cell, v AS cv, list_dot_product(v, v) AS c2
+        |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        |    FROM base) WHERE rn <= 16),
+        |dist AS MATERIALIZED (SELECT b.vec_id, c.cell,
+        |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+        |  FROM base b CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist
+        |  WHERE vec_id < 10) WHERE rn <= 2),
+        |resid AS MATERIALIZED (SELECT b.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(b.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        |  FROM base b JOIN assign a USING (vec_id) JOIN cents c USING (cell)),
+        |qresid AS (SELECT b.vec_id AS query_id, p.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(b.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        |  FROM base b JOIN probes p ON b.vec_id = p.vec_id
+        |  JOIN cents c ON p.cell = c.cell),
+        |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cbsub AS MATERIALIZED (
+        |  SELECT code, j, scv, list_dot_product(scv, scv) AS sc2 FROM (
+        |    SELECT rn - 1 AS code, js.j,
+        |      list_slice(rv, js.j*8+1, js.j*8+8) AS scv
+        |    FROM (SELECT rv, row_number() OVER (ORDER BY vec_id) AS rn
+        |      FROM resid) r CROSS JOIN js WHERE rn <= 16)),
+        |enc AS (SELECT r.vec_id, r.cell, c.j, c.code,
+        |    c.sc2 - 2*list_dot_product(
+        |      list_slice(r.rv, c.j*8+1, c.j*8+8), c.scv) AS d
+        |  FROM resid r CROSS JOIN cbsub c),
+        |codes AS (SELECT vec_id, cell, j, code FROM (
+        |  SELECT vec_id, cell, j, code, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc)
+        |  WHERE rn = 1),
+        |qd AS (SELECT q.query_id, q.cell, c.j, c.code,
+        |    c.sc2 - 2*list_dot_product(
+        |      list_slice(q.rv, c.j*8+1, c.j*8+8), c.scv) AS qdist
+        |  FROM qresid q CROSS JOIN cbsub c),
+        |terms AS (SELECT qd.query_id, co.vec_id AS cand_id, qd.j, qd.qdist
+        |  FROM qd JOIN codes co ON qd.cell = co.cell AND qd.j = co.j
+        |    AND qd.code = co.code
         |  WHERE qd.query_id <> co.vec_id),
         |adcs AS (SELECT query_id, cand_id,
         |    list_reduce(list_prepend(0.0, list(qdist ORDER BY j)),

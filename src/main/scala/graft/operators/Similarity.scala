@@ -536,6 +536,91 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-PQ (IVFADC — Jégou et al. 2011 §IV): the combined
+    * billion-scale ANN index. A coarse quantizer routes every vector
+    * to a cell ([[cellScores]], the q40 assignment rule); the vector
+    * is then stored as `m` PQ codes of its RESIDUAL `v − centroid`
+    * (residuals concentrate near zero, so a small codebook covers
+    * them; and because `‖q−v‖ = ‖(q−c)−(v−c)‖` within a cell, ADC
+    * scores on residuals are directly comparable across probed cells
+    * — no per-cell offset). A query probes its `nProbe` nearest
+    * cells, builds one distance table per probed cell from its OWN
+    * residual there, and scans only those cells' codes.
+    *
+    * Determinism/oracle contract: coarse centroids and residual
+    * codebooks use the q118 zero-literal trick (`iters = 0` → first
+    * `nCentroids` sample vectors / first `ksub` residual slices, by
+    * id), so a SQL oracle re-derives the whole index from the table
+    * itself. Residuals are double subtractions of exact float inputs
+    * rounded once to float (IEEE, both engines); every PQ fold is the
+    * q118 index-ordered double fold (bit-parity contract in
+    * Pq.scala). Trained quantizers (`coarseIters`/`pqIters` > 0) are
+    * the production path, spec-covered.
+    *
+    * 100 TB shape: the corpus scan is codegen PQ kernels over
+    * centroid/codebook literals (zero shuffle; the residual zip_with
+    * is the one interpreted step — swap for a fused kernel if it
+    * shows up at scale); queries+tables broadcast; the per-cell scan
+    * reads `m` bytes per candidate, not `dim` floats. The
+    * intermediate (cell, residual) frame has two consumers (codebook
+    * sample + encode scan) → persisted inside, result materialized,
+    * per the eager-operator convention. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int, m: Int,
+      ksub: Int, sampleSize: Int = 2000, coarseIters: Int = 0,
+      pqIters: Int = 0): DataFrame = {
+    val sample: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    val cents = lloyd(sample, nCentroids, coarseIters)
+    val centsD: Seq[Seq[Double]] = cents.map(_.map(_.toDouble).toSeq).toSeq
+    def nearestCell(vec: org.apache.spark.sql.Column) =
+      array_min(array(cellScores(vec, cents): _*)).getField("cell")
+    def probeCells(vec: org.apache.spark.sql.Column) =
+      transform(slice(array_sort(array(cellScores(vec, cents): _*)),
+        1, nProbe), s => s.getField("cell"))
+    // v − centroid[cell], double math, one float rounding — the
+    // centroid lookup is an argument of zip_with (evaluated once per
+    // row), not captured inside the lambda
+    def residual(vec: org.apache.spark.sql.Column,
+        cellCol: org.apache.spark.sql.Column) =
+      zip_with(vec.cast("array<double>"),
+        element_at(typedLit(centsD), cellCol.cast("int") + 1),
+        (a, b) => a - b).cast("array<float>")
+
+    val cr = candidates
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cell", nearestCell(col("cv")))
+      .withColumn("rv", residual(col("cv"), col("cell")))
+      .select("cand_id", "cell", "rv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebooks = pqCodebooks(cr, "cand_id", "rv", m, ksub,
+        sampleSize, pqIters)
+      val kernel = new graft.expressions.PqKernel(codebooks)
+      val c = cr.withColumn("codes",
+          graft.expressions.Pq.encode(col("rv"), kernel))
+        .select("cand_id", "cell", "codes")
+      val q = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("cell", explode(probeCells(col("qv"))))
+        .withColumn("dtab", graft.expressions.Pq.distTable(
+          residual(col("qv"), col("cell")), kernel))
+        .select("query_id", "cell", "dtab")
+      val scored = c.join(broadcast(q), Seq("cell"))
+        .where(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          graft.expressions.Pq.adc(col("codes"), col("dtab"), kernel)
+            .as("adc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .localCheckpoint() // materialize before releasing the persist
+    } finally cr.unpersist()
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], tau: Double): DataFrame = {
     val assigned = withNorm(
