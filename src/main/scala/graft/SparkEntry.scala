@@ -150,7 +150,7 @@ object SparkEntry {
     "q125_stream_asof", "q131_stream_components", "q134_stream_hll",
     "q135_stream_countmin", "q138_stream_interval_join",
     "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
-    "q161_stream_scd2")
+    "q161_stream_scd2", "q165_stream_ddsketch")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -1973,6 +1973,46 @@ object SparkEntry {
         .select(col("tok").as("token"), col("exact_count"),
           least(cellEsts: _*).as("est_count"))
     }),
+    "q165_stream_ddsketch" -> ((s, dir) => {
+      // STREAMING DDSketch under the oracle — completing the
+      // state-store sketch trio (q134 HLL distinct, q135 CMS
+      // frequency, this one quantiles): the per-group bucket
+      // histogram accumulates across two l_orderkey-parity arrival
+      // batches through the state store (bucket-count addition is
+      // order-free, so the snapshot is a pure function of the
+      // multiset), and the final complete-mode snapshot answers the
+      // same p50/p90/p99 as batch q130 — whose SQL is the oracle
+      // verbatim.
+      val base = "/tmp/graft_q165_stream_dd"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      li.where(pmod(col("l_orderkey"), lit(2)) === 0).appendBatchTo(in, 0)
+      li.where(pmod(col("l_orderkey"), lit(2)) === 1).appendBatchTo(in, 1)
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.5, 0.9, 0.99)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .groupBy("l_returnflag")
+        .agg(graft.expressions.DdSketchAggregate(
+          col("l_extendedprice"), bounds, qs).as("ests"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("l_returnflag"),
+          posexplode(col("ests")).as(Seq("qi", "est")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
     "q134_stream_hll" -> ((s, dir) => {
       // STREAMING HLL under the oracle: the same per-group distinct
       // sketch as q133, but computed by a streaming aggregation whose
@@ -2509,6 +2549,20 @@ object SparkEntry {
           posexplode(col("ests")).as(Seq("qi", "est")))
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
+    "q166_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters (tokens above 1/200 of the corpus) via
+      // Misra–Gries candidate pruning: pass 1 is a zero-shuffle scan
+      // folding 200 bounded counters per partition (a guaranteed
+      // SUPERSET of the heavy set survives), pass 2 exactly counts
+      // only candidate rows through a broadcast semi-join — the
+      // full-vocabulary shuffle never happens. The output is exact,
+      // so MG's arrival-order sensitivity never reaches it and the
+      // oracle is a plain GROUP BY/HAVING with integer arithmetic.
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      HeavyHitters.exact(toks, "tok", 200)
+        .select(col("k").as("token"), col("cnt"))
     }),
     "q130_ddsketch_quantiles" -> ((s, dir) => {
       // Mergeable relative-error quantile sketch (DDSketch): per-group
@@ -4738,6 +4792,18 @@ object SparkEntry {
     // bucketing is pure <= comparisons against the shared
     // Scala-generated boundary literals — no cross-engine log() ulps
     "q130_ddsketch_quantiles" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // the streaming state-store replay equals the batch sketch —
+    // bucket addition is order-free, so q130's SQL is the oracle
+    "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // exact output: the MG pass only prunes candidates, so the oracle
+    // is the definition itself — strict integer threshold, no floats
+    "q166_heavy_hitters" ->
+      s"""WITH toks AS ($toksCte),
+         |occ AS MATERIALIZED (SELECT unnest(t) AS tok FROM toks),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM occ)
+         |SELECT tok AS token, count(*)::BIGINT AS cnt
+         |FROM occ CROSS JOIN tot
+         |GROUP BY tok, tot.n HAVING count(*) * 200 > tot.n""".stripMargin,
     // collapse-mode sketch: the eval-only collapse is a pure function
     // of the multiset, so the oracle replays it bucket-for-bucket and
     // probes ALL quantiles (incl. p50 below the cut)
