@@ -1414,6 +1414,32 @@ object SparkEntry {
       comp.unpersist() // pairs stays persisted (memo-owned)
       out
     }),
+    "q167_label_propagation" -> ((s, dir) => {
+      // COMMUNITY DETECTION over the shared near-dup pair graph
+      // (q63/q96/q131/q137's fifth consumer): 4 synchronous
+      // label-propagation rounds, every node adopting its neighbors'
+      // most frequent label with ties to the LOWEST — all-integer
+      // arithmetic under total-order tiebreaks, so the oracle replays
+      // the trajectory as a generated CTE chain with no rounding
+      // contract. Communities refine q96's components (a community
+      // never crosses a component wall); singleton docs label
+      // themselves, like q96.
+      val docs = tbl(s, dir, "documents")
+      val pairs = simhashPairs(s, dir)
+      val lp = LabelPropagation.run(pairs, "doc_a", "doc_b", iters = 4)
+      val lab = docs.select(col("doc_id"))
+        .join(lp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("community_id"))
+      val sizes = lab.groupBy("community_id")
+        .agg(count(lit(1)).as("community_size"))
+      // materialize before releasing the checkpointed label frame
+      val out = lab.join(sizes, "community_id")
+        .select(col("doc_id"), col("community_id"), col("community_size"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(lp)
+      out
+    }),
     "q94_repetition_signals" -> ((s, dir) => {
       // Gopher-style repetition quality filters (Rae et al. '21 §A1.1
       // — the standard web-corpus gibberish/boilerplate screens),
@@ -3203,6 +3229,38 @@ object SparkEntry {
        |SELECT l.doc_id, l.cluster_id, sz.n::BIGINT AS cluster_size,
        |  l.doc_id = l.cluster_id AS is_keeper
        |FROM lab l JOIN sz USING (cluster_id)""".stripMargin
+
+  /** q167's oracle: the 4-round synchronous LPA trajectory replayed
+    * as a generated CTE chain over the SAME pair SQL — per round,
+    * each node's neighbor-label histogram picked by (count DESC,
+    * label ASC) row_number; all-integer, no rounding contract.
+    * Singletons label themselves via the LEFT join, as q96. */
+  private def labelPropSql: String = {
+    val k = 4
+    val header =
+      s"""WITH pairs AS MATERIALIZED ($simhash64PairsSql),
+         |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)""".stripMargin
+    val blocks = (1 to k).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.u AS node, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.v = l.node
+         |    GROUP BY e.u, l.lbl) WHERE rn = 1)""".stripMargin
+    }
+    val tail =
+      s"""lab AS MATERIALIZED (
+         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS community_id
+         |  FROM documents d LEFT JOIN l$k l ON d.doc_id = l.node),
+         |sz AS (SELECT community_id, count(*) AS n FROM lab
+         |  GROUP BY community_id)
+         |SELECT lab.doc_id, lab.community_id, sz.n::BIGINT AS community_size
+         |FROM lab JOIN sz USING (community_id)""".stripMargin
+    (header +: blocks).mkString(",\n") + ",\n" + tail
+  }
 
   /** q70's (and q143's) oracle: session_window re-derived via
     * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
@@ -5240,6 +5298,7 @@ object SparkEntry {
         |  rk <= 12 AS kept
         |FROM r""".stripMargin,
     "q96_near_dup_clusters" -> componentsSql,
+    "q167_label_propagation" -> labelPropSql,
     // HLL re-derived register by register (md5-52bit hash, floor(log2)
     // rank, index-ordered harmonic fold, same alpha literal); ln in
     // the linear-counting branch is the one engine-sensitive op ->
