@@ -2576,6 +2576,25 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q168_stratified_sample" -> ((s, dir) => {
+      // DETERMINISTIC STRATIFIED SAMPLING for corpus curation, both
+      // mixes in one gate: 'prop' draws EXACTLY 200 docs apportioned
+      // across languages by largest-remainder (floor quotas + one
+      // leftover each to the largest remainders, ties by language),
+      // 'bal' draws min(25, n) per language. Selection within a
+      // stratum is the md5-deal prefix (hash-rank by (md5(id), id))
+      // — no RNG anywhere, the drawn set is a pure function of the
+      // table, and the oracle replays allocation and draw with
+      // integer arithmetic only.
+      val docs = tbl(s, dir, "documents")
+      val prop = Sampling.stratified(docs, "lang", "doc_id", 200L)
+        .withColumn("sel", lit("prop"))
+      val bal = Sampling.balanced(docs, "lang", "doc_id", 25L)
+        .withColumn("sel", lit("bal"))
+      prop.unionByName(bal)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("sel"))
+    }),
     "q166_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (tokens above 1/200 of the corpus) via
       // Misra–Gries candidate pruning: pass 1 is a zero-shuffle scan
@@ -4853,6 +4872,29 @@ object SparkEntry {
     // the streaming state-store replay equals the batch sketch —
     // bucket addition is order-free, so q130's SQL is the oracle
     "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // largest-remainder allocation + md5-deal prefix draw, all
+    // integer arithmetic (HUGEINT-safe: only comparisons and
+    // divisions, nothing emitted)
+    "q168_stratified_sample" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id AS id, lang AS stratum,
+        |    md5(doc_id::VARCHAR) AS h FROM documents),
+        |rk AS MATERIALIZED (SELECT id, stratum, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY h, id) AS rn FROM d),
+        |cnt AS (SELECT stratum, count(*)::BIGINT AS n FROM d
+        |  GROUP BY stratum),
+        |quo AS MATERIALIZED (SELECT stratum, n,
+        |    (200 * n) // sum(n) OVER () AS fl,
+        |    (200 * n) % sum(n) OVER () AS rem FROM cnt),
+        |alloc AS (SELECT stratum,
+        |    fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+        |      <= 200 - sum(fl) OVER () THEN 1 ELSE 0 END AS quota
+        |  FROM quo),
+        |prop AS (SELECT r.id, r.stratum FROM rk r
+        |  JOIN alloc a USING (stratum) WHERE r.rn <= a.quota),
+        |bal AS (SELECT id, stratum FROM rk WHERE rn <= 25)
+        |SELECT id AS doc_id, stratum AS lang, 'prop' AS sel FROM prop
+        |UNION ALL
+        |SELECT id AS doc_id, stratum AS lang, 'bal' AS sel FROM bal""".stripMargin,
     // exact output: the MG pass only prunes candidates, so the oracle
     // is the definition itself — strict integer threshold, no floats
     "q166_heavy_hitters" ->
