@@ -2576,6 +2576,23 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q169_zorder_layout" -> ((s, dir) => {
+      // Z-ORDER LAYOUT CLUSTERING (the OPTIMIZE ZORDER step): events
+      // keyed by the 16-bit interleave of (user_id, centi-value),
+      // sliced into 16 equal-depth z-ranges; the gate emits each
+      // slice's ZONE MAP (count + min/max of BOTH dimensions) — the
+      // rectangles a z-ordered file layout would advertise for
+      // data skipping. Bit interleave is exact integer arithmetic,
+      // generated once in Scala for both engines; the production
+      // repartitionByRange path is documented in ZOrder (its sampled
+      // boundaries are scale-correct but not replayable — the gate's
+      // ntile over the exact (z, event_id) order is).
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * lit(100.0)).cast("long").as("vq"))
+      ZOrder.layoutStats(ev, "user_id", "vq", "event_id",
+        bits = 16, nBuckets = 16)
+    }),
     "q168_stratified_sample" -> ((s, dir) => {
       // DETERMINISTIC STRATIFIED SAMPLING for corpus curation, both
       // mixes in one gate: 'prop' draws EXACTLY 200 docs apportioned
@@ -4872,6 +4889,20 @@ object SparkEntry {
     // the streaming state-store replay equals the batch sketch —
     // bucket addition is order-free, so q130's SQL is the oracle
     "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // same Scala-generated bit-interleave text on both engines; ntile
+    // over the exact (z, event_id) order; all-integer zone maps
+    "q169_zorder_layout" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CAST(floor(value * 100.0) AS BIGINT) AS vq FROM events),
+         |z AS (SELECT event_id, user_id, vq,
+         |    ${graft.operators.ZOrder.zValueSqlExpr("user_id", "vq", 16)} AS z
+         |  FROM e),
+         |b AS (SELECT user_id, vq,
+         |    ntile(16) OVER (ORDER BY z, event_id) AS bucket FROM z)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+         |  min(user_id) AS min_a, max(user_id) AS max_a,
+         |  min(vq) AS min_b, max(vq) AS max_b
+         |FROM b GROUP BY bucket""".stripMargin,
     // largest-remainder allocation + md5-deal prefix draw, all
     // integer arithmetic (HUGEINT-safe: only comparisons and
     // divisions, nothing emitted)
