@@ -1414,6 +1414,24 @@ object SparkEntry {
       comp.unpersist() // pairs stays persisted (memo-owned)
       out
     }),
+    "q171_kcore" -> ((s, dir) => {
+      // 5-CORE of the supplier↔customer trade graph (q156's edges,
+      // undirected): iterative peeling deletes every party whose
+      // current partner count drops below 5 until the fixpoint —
+      // thin-fringe customers peel first, their suppliers' degrees
+      // cascade down, and what survives is the densely-interconnected
+      // trading core. The k-core is the unique maximal
+      // min-degree-≥-k subgraph (peel-order independent), all-integer
+      // rounds, so the oracle replays the capped peel as a generated
+      // CTE chain; idempotence past the fixpoint keeps the
+      // fixed-block replay exact even when Spark's loop exits early.
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+      KCore.run(edges, "src", "dst", k = 5, maxRounds = 10)
+    }),
     "q167_label_propagation" -> ((s, dir) => {
       // COMMUNITY DETECTION over the shared near-dup pair graph
       // (q63/q96/q131/q137's fifth consumer): 4 synchronous
@@ -1638,6 +1656,18 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 0)
+    }),
+    "q170_sq8_ann" -> ((s, dir) => {
+      // SQ8 scalar-quantization ANN (completing the quantizer family
+      // LSH/IVF/PQ/IVF-PQ): one byte per DIMENSION against per-dim
+      // corpus min/max, queries scored on the dequantized floats.
+      // Everything — min/max, scales, codes, dequantized values, the
+      // index-ordered dot folds — is exact or single-rounded IEEE
+      // arithmetic, so the oracle re-derives the whole index from the
+      // table with no rounding contract.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.sq8TopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
     }),
     "q164_ivfpq_ann" -> ((s, dir) => {
       // IVF-PQ / IVFADC (q40's coarse cells + q118's PQ codes,
@@ -3298,6 +3328,30 @@ object SparkEntry {
     (header +: blocks).mkString(",\n") + ",\n" + tail
   }
 
+  /** q171's oracle: the capped 2-core peel replayed as a generated
+    * CTE chain over the SAME pair SQL — each round keeps nodes with
+    * degree ≥ k and edges whose BOTH endpoints survive; idempotent
+    * past the fixpoint, so the fixed block count matches Spark's
+    * early-exit loop. */
+  private def kCoreSql: String = {
+    val (k, rounds) = (5, 10)
+    val header =
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs
+         |  UNION SELECT dst, src FROM pairs)""".stripMargin
+    val blocks = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1}
+         |  GROUP BY u HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT a.u, a.v FROM e${i - 1} a
+         |  JOIN k$i x ON a.u = x.u JOIN k$i y ON a.v = y.u)""".stripMargin
+    }
+    (header +: blocks).mkString(",\n") +
+      s"\nSELECT u AS node, count(*)::BIGINT AS core_degree" +
+      s"\nFROM e$rounds GROUP BY u"
+  }
+
   /** q70's (and q143's) oracle: session_window re-derived via
     * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
     * (session_window merges at exactly the gap, boundary pinned by
@@ -4816,6 +4870,36 @@ object SparkEntry {
         |  SELECT query_id, cand_id, adc, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
+    // SQ8: per-dim min/max → scale chain → clamped floor codes →
+    // float-rounded dequantize → index-ordered dot folds, all
+    // re-derived from the table (255.0 carries ::DOUBLE — rule 11)
+    "q170_sq8_ann" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM base CROSS JOIN dims GROUP BY i),
+        |sc AS MATERIALIZED (SELECT i, mn,
+        |    CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
+        |         ELSE 0.0::DOUBLE END AS s
+        |  FROM mm),
+        |codes AS (SELECT b.vec_id, sc.i,
+        |    CASE WHEN sc.s > 0 THEN least(255, greatest(0,
+        |        CAST(floor((b.v[sc.i] - sc.mn) / sc.s) AS INT)))
+        |      ELSE 0 END AS c
+        |  FROM base b CROSS JOIN sc),
+        |vhat AS MATERIALIZED (SELECT vec_id,
+        |    list(CAST(CAST(sc.mn + c * sc.s AS FLOAT) AS DOUBLE)
+        |      ORDER BY codes.i) AS vh
+        |  FROM codes JOIN sc USING (i) GROUP BY vec_id),
+        |scored AS (SELECT q.vec_id AS query_id, h.vec_id AS cand_id,
+        |    list_dot_product(q.v, h.vh) AS score
+        |  FROM base q JOIN vhat h ON q.vec_id <> h.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT query_id, cand_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     // IVFADC: coarse assignment (q40's rule), float-rounded residuals,
     // residual codebooks from the first-16 residuals, per-probed-cell
     // distance tables, j-ordered ADC folds — all re-derived from the
@@ -5372,6 +5456,7 @@ object SparkEntry {
         |FROM r""".stripMargin,
     "q96_near_dup_clusters" -> componentsSql,
     "q167_label_propagation" -> labelPropSql,
+    "q171_kcore" -> kCoreSql,
     // HLL re-derived register by register (md5-52bit hash, floor(log2)
     // rank, index-ordered harmonic fold, same alpha literal); ln in
     // the linear-counting branch is the one engine-sensitive op ->

@@ -57,6 +57,34 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
       .where(col("mx") =!= k).count() === 0L)
   }
 
+  test("SQ8 sits far above PQ fidelity: high recall at 1 byte/dim") {
+    val queries = emb.where(col("vec_id") < 50)
+    val sq8 = Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = k)
+    // 8 bits per dimension ≈ 0.2% step per dim: on 64 dims the
+    // ranking is near-exact even on i.i.d. vectors. SQ8 ranks by dot
+    // product, so the baseline is the exact dot-top-k
+    val exactDot = {
+      import org.apache.spark.sql.expressions.Window
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      c.join(q, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          graft.expressions.FloatDotProduct(col("qv"), col("cv")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("query_id", "cand_id")
+    }
+    val hits = sq8.select("query_id", "cand_id")
+      .intersect(exactDot).count()
+    val r = hits.toDouble / exactDot.count()
+    info(f"SQ8 recall@$k vs exact dot: $r%.3f")
+    assert(r >= 0.90, s"SQ8 recall floor broken: $r")
+  }
+
   test("result is bit-identical under any input partitioning") {
     val queries = emb.where(col("vec_id") < 10)
     def run(parts: Int): Set[(Long, Long, Long, Long)] =
