@@ -140,7 +140,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 17 AvailableNow replay gates (micro-batch streaming with
+  /** The 18 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -2606,6 +2606,20 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q172_psi_drift" -> ((s, dir) => {
+      // SNAPSHOT DRIFT MONITORING: population stability index of the
+      // per-type value distribution, first half-month vs the rest —
+      // the data-contract alarm a pipeline runs before retraining on
+      // a new corpus snapshot. Fixed-width bins (10 × 60), exact
+      // counts, add-one smoothing; the one libm op (ln) is absorbed
+      // by rounding the summed PSI to 6 dp on both engines (rule 9).
+      val ev = tbl(s, dir, "events")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      Drift.psi(ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+          "event_type", "value", binWidth = 60.0, nBins = 10)
+        .select(col("grp").as("event_type"), col("psi"),
+          col("n_a"), col("n_b"))
+    }),
     "q169_zorder_layout" -> ((s, dir) => {
       // Z-ORDER LAYOUT CLUSTERING (the OPTIMIZE ZORDER step): events
       // keyed by the 16-bit interleave of (user_id, centi-value),
@@ -4973,6 +4987,33 @@ object SparkEntry {
     // the streaming state-store replay equals the batch sketch —
     // bucket addition is order-free, so q130's SQL is the oracle
     "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // exact bin counts + add-one shares; ln's ≤1-ulp engine skew is
+    // absorbed by rounding the summed PSI (rule 9)
+    "q172_psi_drift" ->
+      """WITH a AS (SELECT event_type AS grp, least(9, greatest(0,
+        |    CAST(floor(value / 60.0::DOUBLE) AS INT))) AS bin
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |b AS (SELECT event_type AS grp, least(9, greatest(0,
+        |    CAST(floor(value / 60.0::DOUBLE) AS INT))) AS bin
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        |ca AS (SELECT grp, bin, count(*)::BIGINT AS cnt_a FROM a GROUP BY 1, 2),
+        |cb AS (SELECT grp, bin, count(*)::BIGINT AS cnt_b FROM b GROUP BY 1, 2),
+        |grps AS (SELECT DISTINCT grp FROM (
+        |  SELECT grp FROM ca UNION ALL SELECT grp FROM cb)),
+        |grid AS (SELECT grp, unnest(generate_series(0, 9)) AS bin FROM grps),
+        |j AS MATERIALIZED (SELECT g.grp, g.bin,
+        |    coalesce(ca.cnt_a, 0) AS cnt_a, coalesce(cb.cnt_b, 0) AS cnt_b
+        |  FROM grid g LEFT JOIN ca USING (grp, bin)
+        |  LEFT JOIN cb USING (grp, bin)),
+        |tot AS (SELECT grp, sum(cnt_a)::BIGINT AS n_a,
+        |    sum(cnt_b)::BIGINT AS n_b FROM j GROUP BY grp)
+        |SELECT j.grp AS event_type,
+        |  round(sum(((cnt_a + 1)::DOUBLE / (n_a + 10)::DOUBLE
+        |      - (cnt_b + 1)::DOUBLE / (n_b + 10)::DOUBLE)
+        |    * ln(((cnt_a + 1)::DOUBLE / (n_a + 10)::DOUBLE)
+        |      / ((cnt_b + 1)::DOUBLE / (n_b + 10)::DOUBLE))), 6) AS psi,
+        |  tot.n_a, tot.n_b
+        |FROM j JOIN tot USING (grp) GROUP BY 1, 3, 4""".stripMargin,
     // same Scala-generated bit-interleave text on both engines; ntile
     // over the exact (z, event_id) order; all-integer zone maps
     "q169_zorder_layout" ->

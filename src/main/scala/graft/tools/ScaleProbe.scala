@@ -177,11 +177,38 @@ object ScaleProbe {
           .groupBy("user_id", "day")
           .agg(sum(col("dur_sec")).as("active_sec"), count(lit(1)).as("n"))
           .count()
-      }
+      },
+      // q171's k-core peel on the user↔active-day bipartite graph:
+      // edges grow linearly with the data (users shift per replica),
+      // each peel round is a degree aggregate + two semi-joins over a
+      // SHRINKING edge list — wall must track the edge count linearly
+      "kcore" -> (ev => graft.operators.KCore.run(
+        ev.select(col("user_id").as("src"),
+          (datediff(to_date(col("ts")), lit("2024-01-01"))
+            + lit(1000000000L)).as("dst")),
+        "src", "dst", k = 5, maxRounds = 10).count()),
+      // q169's PRODUCTION z-order path (repartitionByRange + local
+      // sort — the gate's global-ntile variant is deliberately not
+      // probed: it is the replayable small-data formulation): range
+      // sampling + per-partition sort must stay ~linear
+      "zorder_write" -> (ev => ev
+        .withColumn("vq", floor(col("value") * lit(100.0)).cast("long"))
+        .withColumn("z", graft.operators.ZOrder.zValue(
+          col("user_id"), col("vq"), 16))
+        .repartitionByRange(32, col("z"))
+        .sortWithinPartitions(col("z"))
+        .count())
     )
 
     // corpus/embedding operators scale over their own tables
     val docOps: Seq[(String, DataFrame => Long)] = Seq(
+      // q166's exact heavy hitters: pass 1 is a zero-shuffle bounded
+      // MG fold, pass 2 counts only candidates — wall must track the
+      // token volume linearly even as the (replica-prefixed)
+      // vocabulary grows linearly with the corpus
+      "heavy_hit" -> (d => graft.operators.HeavyHitters.exact(
+        d.select(explode(graft.functions.TextFunctions.tokens(
+          col("text"))).as("tok")), "tok", 200).count()),
       "jaccard" -> (d => graft.operators.Dedup
         .jaccardPairs(d, "doc_id", "text", k = 2, threshold = 0.8).count()),
       "simhash64" -> (d => graft.operators.Dedup
@@ -325,6 +352,19 @@ object ScaleProbe {
       "pq_adc" -> (e => graft.operators.Similarity.pqTopK(
         embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, m = 8, ksub = 16, iters = 0).count()),
+      // q170's SQ8 at fixed queries vs growing corpus: min/max train
+      // aggregate + zero-shuffle encode/dequant scan + broadcast dot
+      // scan — all corpus-linear
+      "sq8" -> (e => graft.operators.Similarity.sq8TopK(
+        embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5).count()),
+      // q164's IVF-PQ at fixed queries vs growing corpus: coarse
+      // assign + residual encode are zero-shuffle scans over
+      // centroid/codebook literals; the probed-cell join broadcasts
+      // the query tables — corpus-linear
+      "ivfpq" -> (e => graft.operators.Similarity.ivfPqTopK(
+        embBase.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 2, m = 8, ksub = 16).count()),
       // distributed quantizer: 5 Lloyd passes + seed over the persisted
       // sample — wall must stay linear in corpus (the exact BigDecimal
       // fold is the dominant per-row cost, by design; see scaladoc)
