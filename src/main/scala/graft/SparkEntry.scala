@@ -2606,6 +2606,37 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q174_group_topk" -> ((s, dir) => {
+      // TOP-K PER GROUP WITHOUT A WINDOW SORT: the engine's bounded-
+      // heap CollectTopK aggregate (via the Bridge shim) keeps 3 rows
+      // per event_type map-side — only k-row partial heaps shuffle,
+      // no Sort/Window anywhere in the plan (spec-guarded). The
+      // struct ordering is lexicographic with ALL fields descending,
+      // so ties in value break by larger event_id (unique — rule 4);
+      // the oracle is the classic window formulation with the same
+      // DESC/DESC order.
+      GroupTopK.topK(tbl(s, dir, "events"), Seq("event_type"),
+        struct(col("value"), col("event_id")), k = 3)
+        .select(col("event_type"), col("rank"), col("value"),
+          col("event_id"))
+    }),
+    "q173_fingerprint" -> ((s, dir) => {
+      // DATASET CONTENT FINGERPRINT per day (anti-entropy): 60-bit
+      // row hashes folded with commutative XOR + bounded additive
+      // sum — a pure function of each day's row multiset under any
+      // partitioning/order/engine, which is exactly what lets the
+      // DuckDB twin serve as the "other replica" here. Rows hash on
+      // canonical integers (epoch micros, exact centi-value), never
+      // float formatting.
+      val ev = tbl(s, dir, "events")
+      Fingerprint.grouped(
+        ev.withColumn("day", to_date(col("ts")).cast("string"))
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("cents", scaledLong(col("value"), 2)),
+        Seq("day"),
+        Seq(col("event_id"), col("user_id"), col("event_type"),
+          col("us"), col("cents")))
+    }),
     "q172_psi_drift" -> ((s, dir) => {
       // SNAPSHOT DRIFT MONITORING: population stability index of the
       // per-type value distribution, first half-month vs the rest —
@@ -4987,6 +5018,27 @@ object SparkEntry {
     // the streaming state-store replay equals the batch sketch —
     // bucket addition is order-free, so q130's SQL is the oracle
     "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // the heap aggregate equals the window formulation exactly —
+    // same DESC/DESC total order
+    "q174_group_topk" ->
+      """SELECT event_type, rank, value, event_id FROM (
+        |  SELECT event_type, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC)::BIGINT AS rank,
+        |    value, event_id
+        |  FROM events) WHERE rank <= 3""".stripMargin,
+    // commutative folds over 60-bit row hashes of canonical integers
+    // — the DuckDB run IS the "other replica" whose digests must match
+    "q173_fingerprint" ->
+      """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    ('0x' || substr(md5(event_id::VARCHAR || '|' ||
+        |      user_id::VARCHAR || '|' || event_type || '|' ||
+        |      epoch_us(ts)::VARCHAR || '|' ||
+        |      CAST(round(value * 100, 0) AS BIGINT)::VARCHAR),
+        |      1, 15))::BIGINT AS hv
+        |  FROM events)
+        |SELECT day, count(*)::BIGINT AS n, bit_xor(hv) AS xor_fp,
+        |  CAST(sum(hv % 4294967296) AS BIGINT) AS sum_lo
+        |FROM h GROUP BY day""".stripMargin,
     // exact bin counts + add-one shares; ln's ≤1-ulp engine skew is
     // absorbed by rounding the summed PSI (rule 9)
     "q172_psi_drift" ->

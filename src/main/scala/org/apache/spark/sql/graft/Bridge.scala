@@ -75,6 +75,17 @@ object Bridge {
     }
   }
 
+  /** The engine's own bounded-heap top-k aggregate
+    * (`CollectTopK`, the machinery behind pandas-on-Spark
+    * nlargest/nsmallest — `private[sql]`, hence surfaced through this
+    * shim): keeps `num` extremes of `e`'s type-ordering per group in
+    * a BoundedPriorityQueue, merged map-side. `reverse = false`
+    * keeps the LARGEST values (result array descending);
+    * `reverse = true` the smallest (ascending). */
+  def collectTopK(e: Column, num: Int, reverse: Boolean): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(expression(e), num, reverse).toAggregateExpression())
+
   /** Free the executor blocks behind a `localCheckpoint`-ed frame.
     *
     * `Dataset.unpersist` routes through the cache manager, which has
