@@ -140,7 +140,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 18 AvailableNow replay gates (micro-batch streaming with
+  /** The 19 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -150,7 +150,8 @@ object SparkEntry {
     "q125_stream_asof", "q131_stream_components", "q134_stream_hll",
     "q135_stream_countmin", "q138_stream_interval_join",
     "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
-    "q161_stream_scd2", "q165_stream_ddsketch")
+    "q161_stream_scd2", "q165_stream_ddsketch",
+    "q175_stream_fingerprint")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2029,6 +2030,43 @@ object SparkEntry {
         .select(col("tok").as("token"), col("exact_count"),
           least(cellEsts: _*).as("est_count"))
     }),
+    "q175_stream_fingerprint" -> ((s, dir) => {
+      // STREAMING CONTENT FINGERPRINTS: q173's per-day digests
+      // maintained LIVE through the state store across two
+      // event-id-parity arrival batches — the anti-entropy monitor a
+      // replica runs continuously instead of re-scanning 100 TB.
+      // XOR / bounded sum / count are commutative and
+      // arrival-order-free, so the replay snapshot equals the batch
+      // digest table and q173's SQL is the oracle verbatim.
+      val base = "/tmp/graft_q175_stream_fp"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", scaledLong(col("value"), 2))
+        .withColumn("h", Fingerprint.rowHash(Seq(col("event_id"),
+          col("user_id"), col("event_type"), col("us"), col("cents"))))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xor_fp"),
+          sum(pmod(col("h"), lit(4294967296L))).as("sum_lo"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
     "q165_stream_ddsketch" -> ((s, dir) => {
       // STREAMING DDSketch under the oracle — completing the
       // state-store sketch trio (q134 HLL distinct, q135 CMS
@@ -3396,6 +3434,21 @@ object SparkEntry {
       s"\nSELECT u AS node, count(*)::BIGINT AS core_degree" +
       s"\nFROM e$rounds GROUP BY u"
   }
+
+  /** q173's (and q175's) oracle: the per-day digest table rebuilt
+    * from the same canonical-integer row hashes — commutative folds,
+    * so the DuckDB run stands in for the "other replica". */
+  private def fingerprintSql: String =
+    """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    ('0x' || substr(md5(event_id::VARCHAR || '|' ||
+      |      user_id::VARCHAR || '|' || event_type || '|' ||
+      |      epoch_us(ts)::VARCHAR || '|' ||
+      |      CAST(round(value * 100, 0) AS BIGINT)::VARCHAR),
+      |      1, 15))::BIGINT AS hv
+      |  FROM events)
+      |SELECT day, count(*)::BIGINT AS n, bit_xor(hv) AS xor_fp,
+      |  CAST(sum(hv % 4294967296) AS BIGINT) AS sum_lo
+      |FROM h GROUP BY day""".stripMargin
 
   /** q70's (and q143's) oracle: session_window re-derived via
     * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
@@ -5028,17 +5081,8 @@ object SparkEntry {
         |  FROM events) WHERE rank <= 3""".stripMargin,
     // commutative folds over 60-bit row hashes of canonical integers
     // — the DuckDB run IS the "other replica" whose digests must match
-    "q173_fingerprint" ->
-      """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |    ('0x' || substr(md5(event_id::VARCHAR || '|' ||
-        |      user_id::VARCHAR || '|' || event_type || '|' ||
-        |      epoch_us(ts)::VARCHAR || '|' ||
-        |      CAST(round(value * 100, 0) AS BIGINT)::VARCHAR),
-        |      1, 15))::BIGINT AS hv
-        |  FROM events)
-        |SELECT day, count(*)::BIGINT AS n, bit_xor(hv) AS xor_fp,
-        |  CAST(sum(hv % 4294967296) AS BIGINT) AS sum_lo
-        |FROM h GROUP BY day""".stripMargin,
+    "q175_stream_fingerprint" -> fingerprintSql,
+    "q173_fingerprint" -> fingerprintSql,
     // exact bin counts + add-one shares; ln's ≤1-ulp engine skew is
     // absorbed by rounding the summed PSI (rule 9)
     "q172_psi_drift" ->
