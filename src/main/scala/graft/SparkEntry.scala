@@ -2644,6 +2644,31 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q176_sketch_rollup" -> ((s, dir) => {
+      // SKETCH TABLE + re-aggregation (the 100 TB rollup play):
+      // per-(event_type, day) HLL REGISTER VECTORS are computed once
+      // and PERSISTED (scratch parquet — the stored sketch table),
+      // then the per-type distinct-user estimate is answered by
+      // merging the stored registers — O(groups × 512 B) read, raw
+      // data never touched again. Register max is associative and
+      // idempotent, so the rollup equals sketching the raw data
+      // directly, and q133's register-rebuild SQL (minus the exact
+      // column) is the oracle verbatim.
+      val scratch = "/tmp/graft_q176_sketches"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      tbl(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(graft.expressions.HllSketch.registers(
+          col("user_id").cast("string"), p = 9).as("sk"))
+        .write.parquet(scratch)
+      s.read.parquet(scratch)
+        .groupBy("event_type")
+        .agg(round(graft.expressions.HllSketch.mergeRegisters(
+          col("sk"), p = 9), 4).as("approx_distinct"))
+    }),
     "q174_group_topk" -> ((s, dir) => {
       // TOP-K PER GROUP WITHOUT A WINDOW SORT: the engine's bounded-
       // heap CollectTopK aggregate (via the Bridge shim) keeps 3 rows
@@ -5742,6 +5767,9 @@ object SparkEntry {
     // batch sketch — same SQL minus the exact column (count DISTINCT
     // is not streamable, so q134 publishes the sketch alone)
     "q134_stream_hll" -> hllSql(includeExact = false),
+    // register max is associative+idempotent: the stored-sketch
+    // rollup equals sketching raw data — q133's rebuild, minus exact
+    "q176_sketch_rollup" -> hllSql(includeExact = false),
     // the identical 4x256 counter matrix rebuilt in SQL from the same
     // md5 hash family — integer-exact, no floats anywhere
     "q132_countmin_freq" -> countMinSql,

@@ -53,37 +53,15 @@ case class HllSketchAggregate(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = CountMin.hash52(v.asInstanceOf[UTF8String].toString)
-      val bucket = (h >>> wBits).toInt
-      val tail = h & ((1L << wBits) - 1)
-      val rho =
-        if (tail == 0L) wBits + 1
-        else wBits - (63 - java.lang.Long.numberOfLeadingZeros(tail))
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
+    if (v != null)
+      HllSketch.offer(buf, wBits, v.asInstanceOf[UTF8String].toString)
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.maxInto(a, b)
 
-  override def eval(buf: Array[Byte]): Any = {
-    // index-ordered fold: term j is a power of two (exact double);
-    // the ACCUMULATION order is the contract the oracle replays
-    var s = 0.0; var v = 0L; var j = 0
-    while (j < m) {
-      s += 1.0 / (1L << buf(j))
-      if (buf(j) == 0) v += 1
-      j += 1
-    }
-    val raw = HllSketch.alpha(m) * m.toDouble * m.toDouble / s
-    if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
-    else raw
-  }
+  override def eval(buf: Array[Byte]): Any = HllSketch.estimate(buf)
 
   // defensive copies: the engine may reuse either array after the call
   override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
@@ -105,6 +83,44 @@ object HllSketch {
     * the identical double. */
   def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
 
+  /** The ONE register-update rule every HLL variant shares (dense,
+    * sparse upgrade target, register-table writer). */
+  private[expressions] def offer(buf: Array[Byte], wBits: Int,
+      s: String): Unit = {
+    val h = CountMin.hash52(s)
+    val bucket = (h >>> wBits).toInt
+    val tail = h & ((1L << wBits) - 1)
+    val rho =
+      if (tail == 0L) wBits + 1
+      else wBits - (63 - java.lang.Long.numberOfLeadingZeros(tail))
+    if (rho > buf(bucket)) buf(bucket) = rho.toByte
+  }
+
+  /** Register-wise max of `b` into `a` (the HLL merge). */
+  private[expressions] def maxInto(a: Array[Byte],
+      b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** The shared estimator: index-ordered harmonic fold (term j is a
+    * power of two — exact double; the ACCUMULATION order is the
+    * contract the oracle replays) + the standard linear-counting
+    * branch. */
+  private[expressions] def estimate(buf: Array[Byte]): Double = {
+    val m = buf.length
+    var s = 0.0; var v = 0L; var j = 0
+    while (j < m) {
+      s += 1.0 / (1L << buf(j))
+      if (buf(j) == 0) v += 1
+      j += 1
+    }
+    val raw = alpha(m) * m.toDouble * m.toDouble / s
+    if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+    else raw
+  }
+
   import org.apache.spark.sql.graft.Bridge
   def apply(c: Column, p: Int): Column =
     Bridge.column(HllSketchAggregate(Bridge.expression(c), p)
@@ -114,6 +130,18 @@ object HllSketch {
     * registers and estimate, O(min(distinct, m)) per-group state. */
   def sparse(c: Column, p: Int): Column =
     Bridge.column(HllSparseAggregate(Bridge.expression(c), p)
+      .toAggregateExpression())
+
+  /** Sketch-table writer ([[HllRegistersAggregate]]): raw registers
+    * as binary, for persisting and later re-aggregation. */
+  def registers(c: Column, p: Int): Column =
+    Bridge.column(HllRegistersAggregate(Bridge.expression(c), p)
+      .toAggregateExpression())
+
+  /** Sketch-table reader ([[HllMergeAggregate]]): estimate from
+    * merged STORED register vectors. */
+  def mergeRegisters(c: Column, p: Int): Column =
+    Bridge.column(HllMergeAggregate(Bridge.expression(c), p)
       .toAggregateExpression())
 
   /** Sparse-until-upgrade buffer: exactly one of `pairs` (bucket →
@@ -257,6 +285,92 @@ case class HllSparseAggregate(
   override def withNewMutableAggBufferOffset(off: Int): HllSparseAggregate =
     copy(mutableAggBufferOffset = off)
   override def withNewInputAggBufferOffset(off: Int): HllSparseAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Register-table WRITER: the same sketch as [[HllSketchAggregate]],
+  * evaluated to the raw `2^p` register bytes instead of the estimate
+  * — what a SKETCH TABLE stores (per-fine-grain-group registers
+  * persisted once, re-aggregated forever without touching raw data;
+  * q176). Registers are a pure function of the input set. */
+case class HllRegistersAggregate(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, s"p out of range: $p")
+  private val m = 1 << p
+  private val wBits = 52 - p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null)
+      HllSketch.offer(buf, wBits, v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.maxInto(a, b)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+  override def withNewMutableAggBufferOffset(off: Int): HllRegistersAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllRegistersAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Register-table READER: merges STORED register vectors (register-
+  * wise max — associative/commutative/idempotent, so rolling up
+  * day-level sketches to any coarser grain equals sketching the raw
+  * data directly) and evaluates the shared estimator. The
+  * re-aggregation reads O(groups × 2^p) bytes, never the corpus. */
+case class HllMergeAggregate(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, s"p out of range: $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val in = v.asInstanceOf[Array[Byte]]
+      require(in.length == m, s"register width ${in.length} != 2^$p")
+      HllSketch.maxInto(buf, in)
+    }
+    buf
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.maxInto(a, b)
+  override def eval(buf: Array[Byte]): Any = HllSketch.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+  override def withNewMutableAggBufferOffset(off: Int): HllMergeAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllMergeAggregate =
     copy(inputAggBufferOffset = off)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
