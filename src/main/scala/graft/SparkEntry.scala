@@ -2644,6 +2644,27 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q177_merge_into" -> ((s, dir) => {
+      // CDC MERGE INTO (the lakehouse upsert): an order-driven change
+      // batch folds into the customer snapshot — latest change per
+      // key by (o_orderdate, o_orderkey) wins; % 11 keys delete,
+      // % 13 keys shift to unseen ids (inserts), the rest update
+      // segment/balance; untouched customers pass through. The
+      // change side pre-reduces map-side with max_by, then ONE
+      // full-outer join — base is never windowed or sorted.
+      val base = tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      MergeInto(base, changes, "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"))
+    }),
     "q176_sketch_rollup" -> ((s, dir) => {
       // SKETCH TABLE + re-aggregation (the 100 TB rollup play):
       // per-(event_type, day) HLL REGISTER VECTORS are computed once
@@ -5770,6 +5791,28 @@ object SparkEntry {
     // register max is associative+idempotent: the stored-sketch
     // rollup equals sketching raw data — q133's rebuild, minus exact
     "q176_sketch_rollup" -> hllSql(includeExact = false),
+    // latest-change-wins under the (ts, id) total order; D deletes,
+    // U upserts, untouched base keys pass through the full join
+    "q177_merge_into" ->
+      """WITH ch AS (SELECT
+        |    CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS c_custkey,
+        |    CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS c_mktsegment, o_totalprice AS c_acctbal,
+        |    o_orderdate AS ts, o_orderkey AS id
+        |  FROM orders),
+        |latest AS (SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ts DESC, id DESC) AS rn FROM ch) WHERE rn = 1),
+        |m AS (SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+        |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
+        |         ELSE b.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+        |         ELSE b.c_acctbal END AS c_acctbal,
+        |    l.op AS op
+        |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM m
+        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
     // the identical 4x256 counter matrix rebuilt in SQL from the same
     // md5 hash family — integer-exact, no floats anywhere
     "q132_countmin_freq" -> countMinSql,
