@@ -2752,6 +2752,19 @@ object SparkEntry {
       ZOrder.layoutStats(ev, "user_id", "vq", "event_id",
         bits = 16, nBuckets = 16)
     }),
+    "q178_temperature_mix" -> ((s, dir) => {
+      // TEMPERATURE-SCALED DOMAIN MIX (α = 0.5, the sqrt-rebalance
+      // recipe for upweighting small domains in a training mixture):
+      // 200 docs apportioned by largest remainder over integer-
+      // quantized √n weights, drawn by the same md5-deal prefix as
+      // q168 — small languages get a larger share than their
+      // proportional quota, large ones shrink, and the whole draw
+      // stays a pure function of the table (exact integer
+      // apportionment; √ is IEEE-exact on both engines).
+      val docs = tbl(s, dir, "documents")
+      Sampling.temperatureMix(docs, "lang", "doc_id", 200L, alpha = 0.5)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"))
+    }),
     "q168_stratified_sample" -> ((s, dir) => {
       // DETERMINISTIC STRATIFIED SAMPLING for corpus curation, both
       // mixes in one gate: 'prop' draws EXACTLY 200 docs apportioned
@@ -5170,6 +5183,27 @@ object SparkEntry {
          |  min(user_id) AS min_a, max(user_id) AS max_a,
          |  min(vq) AS min_b, max(vq) AS max_b
          |FROM b GROUP BY bucket""".stripMargin,
+    // √n weights quantized to integers (×1000) → exact largest-
+    // remainder apportionment; same md5-deal draw as q168
+    "q178_temperature_mix" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id AS id, lang AS stratum,
+        |    md5(doc_id::VARCHAR) AS h FROM documents),
+        |rk AS (SELECT id, stratum, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY h, id) AS rn FROM d),
+        |cnt AS (SELECT stratum, count(*)::BIGINT AS n FROM d
+        |  GROUP BY stratum),
+        |wt AS (SELECT stratum,
+        |    CAST(floor(sqrt(n::DOUBLE) * 1000.0::DOUBLE) AS BIGINT) AS w
+        |  FROM cnt),
+        |quo AS MATERIALIZED (SELECT stratum,
+        |    (200 * w) // sum(w) OVER () AS fl,
+        |    (200 * w) % sum(w) OVER () AS rem FROM wt),
+        |alloc AS (SELECT stratum,
+        |    fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+        |      <= 200 - sum(fl) OVER () THEN 1 ELSE 0 END AS quota
+        |  FROM quo)
+        |SELECT r.id AS doc_id, r.stratum AS lang FROM rk r
+        |JOIN alloc a USING (stratum) WHERE r.rn <= a.quota""".stripMargin,
     // largest-remainder allocation + md5-deal prefix draw, all
     // integer arithmetic (HUGEINT-safe: only comparisons and
     // divisions, nothing emitted)

@@ -43,28 +43,55 @@ object Sampling {
     h.withColumn("rn", row_number().over(
       Window.partitionBy("stratum").orderBy(col("h"), col("id"))))
 
-  /** Exactly `targetN` rows (when the table has at least that many),
-    * apportioned across strata by largest remainder. */
-  def stratified(df: DataFrame, strataCol: String, idCol: String,
-      targetN: Long): DataFrame = {
-    val h = hashed(df, strataCol, idCol)
-    val cnt = h.groupBy("stratum").agg(count(lit(1)).as("n"))
+  /** Largest-remainder apportionment of `targetN` over INTEGER
+    * per-stratum weights `w` (integer so every sum/remainder is
+    * exact — a double weight sum would be order-sensitive in its
+    * last ulp and could flip a remainder rank). */
+  private def apportion(weights: DataFrame, targetN: Long): DataFrame = {
     val all = Window.partitionBy() // O(strata) rows — see scaladoc
-    val quo = cnt
-      .withColumn("tn", sum(col("n")).over(all))
-      .withColumn("prod", lit(targetN) * col("n"))
+    val quo = weights
+      .withColumn("tw", sum(col("w")).over(all))
+      .withColumn("prod", lit(targetN) * col("w"))
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
       // floor-of-double breaks exactness past 2^53
-      .withColumn("fl", expr("prod div tn"))
-      .withColumn("rem", col("prod") % col("tn"))
-    val alloc = quo
+      .withColumn("fl", expr("prod div tw"))
+      .withColumn("rem", col("prod") % col("tw"))
+    quo
       .withColumn("leftover", lit(targetN) - sum(col("fl")).over(all))
       .withColumn("rk", row_number().over(
         all.orderBy(col("rem").desc, col("stratum"))))
       .select(col("stratum"),
         (col("fl") + when(col("rk") <= col("leftover"), lit(1L))
           .otherwise(lit(0L))).as("quota"))
-    take(ranked(h), alloc)
+  }
+
+  /** Exactly `targetN` rows (when the table has at least that many),
+    * apportioned across strata by largest remainder. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      targetN: Long): DataFrame = {
+    val h = hashed(df, strataCol, idCol)
+    val cnt = h.groupBy("stratum").agg(count(lit(1)).as("n"))
+    take(ranked(h), apportion(cnt.select(col("stratum"),
+      col("n").as("w")), targetN))
+  }
+
+  /** TEMPERATURE-scaled mix (the α-rebalanced domain recipe:
+    * stratum share ∝ n^α, α < 1 upweights small domains — α = 0.5
+    * is the classic sqrt rebalance): quotas apportioned by largest
+    * remainder over weights `floor(n^α · 1000)`. The ×1000
+    * quantization keeps weights INTEGER (exact apportionment
+    * arithmetic — see [[apportion]]) at 0.1% relative resolution,
+    * far below sampling noise; `n^0.5` itself is IEEE-exact sqrt on
+    * both engines. Caps at the stratum size like any draw. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      targetN: Long, alpha: Double = 0.5): DataFrame = {
+    val h = hashed(df, strataCol, idCol)
+    val w0 = if (alpha == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), lit(alpha))
+    val weights = h.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .select(col("stratum"),
+        floor(w0 * lit(1000.0)).cast("long").as("w"))
+    take(ranked(h), apportion(weights, targetN))
   }
 
   /** min(k, n_g) rows per stratum — equal representation. */

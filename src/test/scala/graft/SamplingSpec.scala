@@ -41,6 +41,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(draw(7L, 1).toSet === draw(7L, 13).toSet)
   }
 
+  test("temperature α=1 degenerates to proportional; α=0.5 upweights small strata") {
+    val df = rows.toDF("doc_id", "lang")
+    // α=1: weights n·1000 have the same shares as n — identical draw
+    val prop = Sampling.stratified(df, "lang", "doc_id", 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val t1 = Sampling.temperatureMix(df, "lang", "doc_id", 20L, alpha = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(t1 === prop)
+    // α=0.5 on sizes 50/30/15/5: √-shares ≈ .414/.321/.227/.131 of
+    // √-total — the smallest stratum d must gain vs its 1/20
+    // proportional share, the largest lose
+    def byLang(s: Set[(Long, String)]) =
+      s.groupBy(_._2).view.mapValues(_.size).toMap.withDefaultValue(0)
+    val t5 = byLang(Sampling.temperatureMix(df, "lang", "doc_id", 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val p = byLang(prop)
+    assert(t5("d") > p("d"), s"small stratum not upweighted: $t5 vs $p")
+    assert(t5("a") < p("a"), s"large stratum not shrunk: $t5 vs $p")
+    assert(t5.values.sum === 20)
+  }
+
   test("balanced caps at min(k, stratum size)") {
     val got = Sampling.balanced(rows.toDF("doc_id", "lang"),
         "lang", "doc_id", 10L)
