@@ -2665,6 +2665,70 @@ object SparkEntry {
       MergeInto(base, changes, "c_custkey", "ts", "id", "op",
         Seq("c_mktsegment", "c_acctbal"))
     }),
+    "q180_countmin_rollup" -> ((s, dir) => {
+      // FREQUENCY SKETCH TABLE (completing the sketch-table trio
+      // q176/q179/this): per-doc-bucket Count-Min matrices persisted,
+      // then the corpus-wide point estimates answered by ELEMENT-WISE
+      // SUMMING the stored matrices (posexplode + per-cell sum — CMS
+      // merge is matrix addition, plain column algebra, no custom
+      // reader needed) and probing the summed cells. Equals the
+      // direct sketch over all tokens, so q132's SQL is the oracle
+      // verbatim.
+      val scratch = "/tmp/graft_q180_cms"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val d = 4; val w = 256
+      val docs = tbl(s, dir, "documents")
+      docs.withColumn("grp", pmod(col("doc_id"), lit(4)))
+        .select(col("grp"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("grp")
+        .agg(graft.expressions.CountMin(col("tok"), d, w).as("m"))
+        .write.parquet(scratch)
+      val cells = s.read.parquet(scratch)
+        .select(posexplode(col("m")).as(Seq("pos", "cnt")))
+        .groupBy("pos").agg(sum(col("cnt")).as("cell_n"))
+      val toks = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok")).limit(20)
+      val lu = probes.withColumn("pos", explode(array((0 until d).map(j =>
+        (graft.expressions.CountMin.cellCol(col("tok"), j, w)
+          + lit(j * w)).cast("long")): _*)))
+      lu.join(cells, "pos")
+        .groupBy(col("tok").as("token"), col("exact_count"))
+        .agg(min(col("cell_n")).as("est_count"))
+    }),
+    "q179_ddsketch_rollup" -> ((s, dir) => {
+      // QUANTILE SKETCH TABLE (q176's play for percentiles):
+      // per-(returnflag, month) DDSketch histograms persisted as
+      // binary states, then p50/p90/p99 per returnflag answered by
+      // merging the stored states — exact count addition, so the
+      // rollup equals sketching raw data and q130's SQL is the
+      // oracle verbatim. The stored-state read is O(groups ×
+      // occupied buckets), never the lineitem scan.
+      val scratch = "/tmp/graft_q179_ddsketches"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.5, 0.9, 0.99)
+      tbl(s, dir, "lineitem")
+        .withColumn("month", date_trunc("month", col("l_shipdate")))
+        .groupBy("l_returnflag", "month")
+        .agg(graft.expressions.DdSketchState.state(
+          col("l_extendedprice"), bounds).as("sk"))
+        .write.parquet(scratch)
+      s.read.parquet(scratch)
+        .groupBy("l_returnflag")
+        .agg(graft.expressions.DdSketchState.mergeStates(
+          col("sk"), bounds, qs).as("ests"))
+        .select(col("l_returnflag"),
+          posexplode(col("ests")).as(Seq("qi", "est")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
     "q176_sketch_rollup" -> ((s, dir) => {
       // SKETCH TABLE + re-aggregation (the 100 TB rollup play):
       // per-(event_type, day) HLL REGISTER VECTORS are computed once
@@ -5130,6 +5194,12 @@ object SparkEntry {
     // the streaming state-store replay equals the batch sketch —
     // bucket addition is order-free, so q130's SQL is the oracle
     "q165_stream_ddsketch" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // stored-state rollup: exact count addition over persisted
+    // histograms == sketching raw data — q130's SQL verbatim
+    "q179_ddsketch_rollup" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // matrix addition over stored per-bucket matrices == the direct
+    // sketch — q132's SQL verbatim
+    "q180_countmin_rollup" -> countMinSql,
     // the heap aggregate equals the window formulation exactly —
     // same DESC/DESC total order
     "q174_group_topk" ->

@@ -79,40 +79,45 @@ object DdSketch {
   /** Mutable three-store buffer: zeros + positive/negative bucket
     * histograms (key = bucket index of |x|). */
   final class Buf(var zero: Long, val pos: LongMap[Long], val neg: LongMap[Long])
-}
 
-/** `array<double>` of the sketch's estimates at `quantiles` (rank rule
-  * r = max(1, ceil(q*n)), the same on both engines). */
-case class DdSketchAggregate(
-    child: Expression,
-    bounds: Array[Double],
-    quantiles: Array[Double],
-    maxBuckets: Int = Int.MaxValue,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DdSketch.Buf] {
+  /** Exact histogram merge (count addition) of `b` into `a` — shared
+    * by in-sketch merge and the stored-state reader. */
+  private[expressions] def mergeInto(a: Buf, b: Buf): Buf = {
+    a.zero += b.zero
+    b.pos.foreach { case (k, c) => a.pos.update(k, a.pos.getOrElse(k, 0L) + c) }
+    b.neg.foreach { case (k, c) => a.neg.update(k, a.neg.getOrElse(k, 0L) + c) }
+    a
+  }
 
-  import DdSketch._
+  /** Wire form of a buffer (zero count + both histograms). Entry
+    * order is the LongMap's internal order — NOT canonical; only the
+    * decoded histogram is, which is all any consumer reads. */
+  private[expressions] def serializeBuf(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 4 + buf.pos.size * 12 + 4 + buf.neg.size * 12)
+    bb.putLong(buf.zero)
+    def putMap(m: LongMap[Long]): Unit = {
+      bb.putInt(m.size)
+      m.foreach { case (k, c) => bb.putInt(k.toInt); bb.putLong(c) }
+    }
+    putMap(buf.pos); putMap(buf.neg)
+    bb.array()
+  }
 
-  /** Bounded mode (the DDSketch "collapsing lowest" store): fold all
-    * but the `maxBuckets` HIGHEST-index occupied buckets into the
-    * lowest kept bucket (the "cut"). UPPER quantiles whose bucket is
-    * kept keep the alpha guarantee unchanged (mass only ever moves UP
-    * to the cut, below them); quantiles below the cut degrade to the
-    * cut's representative.
-    *
-    * Applied at EVAL ONLY — never in update/merge — so the collapse
-    * runs exactly once, on the exact merged histogram, and the bounded
-    * answer is a PURE FUNCTION OF THE MULTISET for ALL quantiles under
-    * any partitioning (an eager per-partial collapse would cut at
-    * arrival-order-dependent boundaries; two partials cutting at
-    * different cuts merge into a store a sequential build never
-    * produces). The memory trade is documented, not hidden: the
-    * in-flight partial is already bounded by O(|bounds|) (~700 entries
-    * for 6 decades at alpha=0.01, the DDSketch O(log(range)/alpha)
-    * store) regardless of `maxBuckets` — the cap models what a
-    * bounded-store DEPLOYMENT would answer, deterministically. */
-  private def collapse(m: LongMap[Long]): Unit =
+  private[expressions] def deserializeBuf(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val zero = bb.getLong
+    def getMap(): LongMap[Long] = {
+      val n = bb.getInt
+      val m = LongMap.empty[Long]
+      var i = 0
+      while (i < n) { m.update(bb.getInt.toLong, bb.getLong); i += 1 }
+      m
+    }
+    new Buf(zero, getMap(), getMap())
+  }
+
+  private def collapse(m: LongMap[Long], maxBuckets: Int): Unit =
     if (m.size > maxBuckets) {
       val ks = m.keys.toArray.sorted
       val cut = ks(ks.length - maxBuckets)
@@ -122,39 +127,14 @@ case class DdSketchAggregate(
       if (moved > 0L) m.update(cut, m.getOrElse(cut, 0L) + moved)
     }
 
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  override def createAggregationBuffer(): Buf =
-    new Buf(0L, LongMap.empty, LongMap.empty)
-
-  override def update(buf: Buf, input: InternalRow): Buf = {
-    val v = child.eval(input)
-    if (v != null) {
-      val x = v.asInstanceOf[Double]
-      if (x == 0.0) buf.zero += 1
-      else if (x > 0.0) {
-        val k = bucketOf(bounds, x).toLong
-        buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
-      } else {
-        val k = bucketOf(bounds, -x).toLong
-        buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
-      }
-    }
-    buf
-  }
-
-  override def merge(a: Buf, b: Buf): Buf = {
-    a.zero += b.zero
-    b.pos.foreach { case (k, c) => a.pos.update(k, a.pos.getOrElse(k, 0L) + c) }
-    b.neg.foreach { case (k, c) => a.neg.update(k, a.neg.getOrElse(k, 0L) + c) }
-    a
-  }
-
-  override def eval(buf: Buf): Any = {
+  /** Quantile answers from an exact merged histogram — the ONE
+    * collapse (eval-only, see DdSketchAggregate scaladoc) + the
+    * rank-walk rule r = max(1, ceil(q·n)); shared by the in-sketch
+    * aggregate and the stored-state reader. */
+  private[expressions] def evalQuantiles(buf: Buf, bounds: Array[Double],
+      quantiles: Array[Double], maxBuckets: Int): GenericArrayData = {
     // the one and only collapse: exact histogram in, deterministic out
-    collapse(buf.pos); collapse(buf.neg)
+    collapse(buf.pos, maxBuckets); collapse(buf.neg, maxBuckets)
     val nNeg = buf.neg.values.sum
     val n = nNeg + buf.zero + buf.pos.values.sum
     val out = quantiles.map { q =>
@@ -189,31 +169,73 @@ case class DdSketchAggregate(
     }
     new GenericArrayData(out)
   }
+}
 
-  override def serialize(buf: Buf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(
-      8 + 4 + buf.pos.size * 12 + 4 + buf.neg.size * 12)
-    bb.putLong(buf.zero)
-    def putMap(m: LongMap[Long]): Unit = {
-      bb.putInt(m.size)
-      m.foreach { case (k, c) => bb.putInt(k.toInt); bb.putLong(c) }
+/** `array<double>` of the sketch's estimates at `quantiles` (rank rule
+  * r = max(1, ceil(q*n)), the same on both engines). */
+case class DdSketchAggregate(
+    child: Expression,
+    bounds: Array[Double],
+    quantiles: Array[Double],
+    maxBuckets: Int = Int.MaxValue,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdSketch.Buf] {
+
+  import DdSketch._
+
+  /** Bounded mode (the DDSketch "collapsing lowest" store): fold all
+    * but the `maxBuckets` HIGHEST-index occupied buckets into the
+    * lowest kept bucket (the "cut"). UPPER quantiles whose bucket is
+    * kept keep the alpha guarantee unchanged (mass only ever moves UP
+    * to the cut, below them); quantiles below the cut degrade to the
+    * cut's representative.
+    *
+    * Applied at EVAL ONLY — never in update/merge — so the collapse
+    * runs exactly once, on the exact merged histogram, and the bounded
+    * answer is a PURE FUNCTION OF THE MULTISET for ALL quantiles under
+    * any partitioning (an eager per-partial collapse would cut at
+    * arrival-order-dependent boundaries; two partials cutting at
+    * different cuts merge into a store a sequential build never
+    * produces). The memory trade is documented, not hidden: the
+    * in-flight partial is already bounded by O(|bounds|) (~700 entries
+    * for 6 decades at alpha=0.01, the DDSketch O(log(range)/alpha)
+    * store) regardless of `maxBuckets` — the cap models what a
+    * bounded-store DEPLOYMENT would answer, deterministically. */
+  // collapse + rank walk live in DdSketch.evalQuantiles — shared with
+  // the stored-state reader (DdSketchMergeAggregate), same contract
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(0L, LongMap.empty, LongMap.empty)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (x == 0.0) buf.zero += 1
+      else if (x > 0.0) {
+        val k = bucketOf(bounds, x).toLong
+        buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
+      } else {
+        val k = bucketOf(bounds, -x).toLong
+        buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
+      }
     }
-    putMap(buf.pos); putMap(buf.neg)
-    bb.array()
+    buf
   }
 
-  override def deserialize(bytes: Array[Byte]): Buf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val zero = bb.getLong
-    def getMap(): LongMap[Long] = {
-      val n = bb.getInt
-      val m = LongMap.empty[Long]
-      var i = 0
-      while (i < n) { m.update(bb.getInt.toLong, bb.getLong); i += 1 }
-      m
-    }
-    new Buf(zero, getMap(), getMap())
-  }
+  override def merge(a: Buf, b: Buf): Buf = DdSketch.mergeInto(a, b)
+
+  override def eval(buf: Buf): Any =
+    DdSketch.evalQuantiles(buf, bounds, quantiles, maxBuckets)
+
+  override def serialize(buf: Buf): Array[Byte] = DdSketch.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): Buf =
+    DdSketch.deserializeBuf(bytes)
 
   override def withNewMutableAggBufferOffset(off: Int): DdSketchAggregate =
     copy(mutableAggBufferOffset = off)
@@ -233,5 +255,111 @@ object DdSketchAggregate {
       maxBuckets: Int): Column =
     Bridge.column(
       DdSketchAggregate(Bridge.expression(c), bounds, quantiles, maxBuckets)
+        .toAggregateExpression())
+}
+
+/** Sketch-table WRITER: the DDSketch histogram itself as binary —
+  * per-fine-grain-group states persisted once and re-aggregated
+  * forever (the q176 sketch-table play for QUANTILES; q179).
+  * The stored bytes are one wire form of the exact histogram (entry
+  * order non-canonical — consumers only decode). */
+case class DdSketchStateAggregate(
+    child: Expression,
+    bounds: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdSketch.Buf] {
+
+  import DdSketch._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def createAggregationBuffer(): Buf =
+    new Buf(0L, LongMap.empty, LongMap.empty)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (x == 0.0) buf.zero += 1
+      else if (x > 0.0) {
+        val k = bucketOf(bounds, x).toLong
+        buf.pos.update(k, buf.pos.getOrElse(k, 0L) + 1L)
+      } else {
+        val k = bucketOf(bounds, -x).toLong
+        buf.neg.update(k, buf.neg.getOrElse(k, 0L) + 1L)
+      }
+    }
+    buf
+  }
+  override def merge(a: Buf, b: Buf): Buf = DdSketch.mergeInto(a, b)
+  override def eval(buf: Buf): Any = DdSketch.serializeBuf(buf)
+
+  override def serialize(buf: Buf): Array[Byte] = DdSketch.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): Buf =
+    DdSketch.deserializeBuf(bytes)
+  override def withNewMutableAggBufferOffset(off: Int): DdSketchStateAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): DdSketchStateAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Sketch-table READER: merges STORED DDSketch states (exact count
+  * addition — associative and commutative, so any rollup grain
+  * equals sketching the raw data) and answers quantiles through the
+  * shared eval (same collapse/rank contract as the direct sketch). */
+case class DdSketchMergeAggregate(
+    child: Expression,
+    bounds: Array[Double],
+    quantiles: Array[Double],
+    maxBuckets: Int = Int.MaxValue,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdSketch.Buf] {
+
+  import DdSketch._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def createAggregationBuffer(): Buf =
+    new Buf(0L, LongMap.empty, LongMap.empty)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      DdSketch.mergeInto(buf,
+        DdSketch.deserializeBuf(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: Buf, b: Buf): Buf = DdSketch.mergeInto(a, b)
+  override def eval(buf: Buf): Any =
+    DdSketch.evalQuantiles(buf, bounds, quantiles, maxBuckets)
+
+  override def serialize(buf: Buf): Array[Byte] = DdSketch.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): Buf =
+    DdSketch.deserializeBuf(bytes)
+  override def withNewMutableAggBufferOffset(off: Int): DdSketchMergeAggregate =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): DdSketchMergeAggregate =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object DdSketchState {
+  import org.apache.spark.sql.graft.Bridge
+  def state(c: Column, bounds: Array[Double]): Column =
+    Bridge.column(DdSketchStateAggregate(Bridge.expression(c), bounds)
+      .toAggregateExpression())
+  def mergeStates(c: Column, bounds: Array[Double],
+      quantiles: Array[Double]): Column =
+    Bridge.column(
+      DdSketchMergeAggregate(Bridge.expression(c), bounds, quantiles)
         .toAggregateExpression())
 }

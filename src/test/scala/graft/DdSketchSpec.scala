@@ -124,6 +124,24 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
       s"below-cut quantiles should share the cut representative: $seq24")
   }
 
+  test("stored-state rollup over any slicing is bit-identical to the direct sketch (q179)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(i =>
+      ("g" + (i % 3), i % 7, math.exp(rnd.nextDouble() * 10 - 3)))
+    val df = rows.toDF("g", "slice", "x")
+    def bits(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)).toMap
+    val direct = bits(df.groupBy("g")
+      .agg(DdSketchAggregate(col("x"), bounds, qs).as("e")))
+    val viaTable = bits(df.groupBy("g", "slice")
+      .agg(graft.expressions.DdSketchState.state(col("x"), bounds).as("sk"))
+      .groupBy("g")
+      .agg(graft.expressions.DdSketchState.mergeStates(
+        col("sk"), bounds, qs).as("e")))
+    assert(viaTable === direct)
+  }
+
   test("boundaries are strictly increasing and bucketOf/rep agree with comparisons") {
     assert(bounds.sliding(2).forall(p => p(0) < p(1)))
     val rnd = new scala.util.Random(3)
