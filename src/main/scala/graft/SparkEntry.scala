@@ -140,7 +140,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 19 AvailableNow replay gates (micro-batch streaming with
+  /** The 20 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -151,7 +151,7 @@ object SparkEntry {
     "q135_stream_countmin", "q138_stream_interval_join",
     "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
     "q161_stream_scd2", "q165_stream_ddsketch",
-    "q175_stream_fingerprint")
+    "q175_stream_fingerprint", "q181_stream_merge_into")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2644,6 +2644,52 @@ object SparkEntry {
         .select(col("l_returnflag"),
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
+    "q181_stream_merge_into" -> ((s, dir) => {
+      // STREAMING MERGE INTO (continuous CDC apply): q177's change
+      // stream arrives in TWO event-time-ordered micro-batches
+      // (split at the order-date midline), and foreachBatch folds
+      // each into a VERSIONED snapshot — snap_v{i+1} =
+      // MergeInto(snap_v{i}, batch), the incremental materialized-
+      // dimension pipeline. Because per-key change times are
+      // monotone across batches (date-split), sequential apply
+      // equals the one-shot merge, so q177's SQL is the oracle
+      // verbatim. Each version is written complete (the lakehouse
+      // snapshot-per-commit shape); the gate reads the last one.
+      val base0 = "/tmp/graft_q181_smerge"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base0), true)
+      val in = s"$base0/in"; val ckpt = s"$base0/ckpt"
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      val cut = lit("1995-06-01").cast("date")
+      changes.where(col("ts") < cut).appendBatchTo(in, 0)
+      changes.where(col("ts") >= cut).appendBatchTo(in, 1)
+      tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.parquet(s"$base0/snap_v0")
+      @volatile var latest = s"$base0/snap_v0"
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val next = s"$base0/snap_v${batchId + 1}"
+          MergeInto(s.read.parquet(latest), b, "c_custkey",
+              "ts", "id", "op", Seq("c_mktsegment", "c_acctbal"))
+            .write.mode("overwrite").parquet(next)
+          latest = next
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(latest)
+    }),
     "q177_merge_into" -> ((s, dir) => {
       // CDC MERGE INTO (the lakehouse upsert): an order-driven change
       // batch folds into the customer snapshot — latest change per
@@ -3572,6 +3618,31 @@ object SparkEntry {
       |SELECT day, count(*)::BIGINT AS n, bit_xor(hv) AS xor_fp,
       |  CAST(sum(hv % 4294967296) AS BIGINT) AS sum_lo
       |FROM h GROUP BY day""".stripMargin
+
+  /** q177's (and q181's) oracle: latest-change-wins under the
+    * (ts, id) total order over the WHOLE change set — equal to the
+    * streamed sequential apply because the arrival batches are
+    * event-time ordered. */
+  private def mergeIntoSql: String =
+    """WITH ch AS (SELECT
+      |    CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS c_custkey,
+      |    CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    o_orderpriority AS c_mktsegment, o_totalprice AS c_acctbal,
+      |    o_orderdate AS ts, o_orderkey AS id
+      |  FROM orders),
+      |latest AS (SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY ts DESC, id DESC) AS rn FROM ch) WHERE rn = 1),
+      |m AS (SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
+      |         ELSE b.c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+      |         ELSE b.c_acctbal END AS c_acctbal,
+      |    l.op AS op
+      |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
+      |SELECT c_custkey, c_mktsegment, c_acctbal FROM m
+      |WHERE op IS NULL OR op <> 'D'""".stripMargin
 
   /** q70's (and q143's) oracle: session_window re-derived via
     * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
@@ -5895,28 +5966,12 @@ object SparkEntry {
     // register max is associative+idempotent: the stored-sketch
     // rollup equals sketching raw data — q133's rebuild, minus exact
     "q176_sketch_rollup" -> hllSql(includeExact = false),
+    // event-time-ordered batches make the sequential apply equal the
+    // one-shot merge — q177's SQL verbatim
+    "q181_stream_merge_into" -> mergeIntoSql,
     // latest-change-wins under the (ts, id) total order; D deletes,
     // U upserts, untouched base keys pass through the full join
-    "q177_merge_into" ->
-      """WITH ch AS (SELECT
-        |    CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 1000000
-        |         ELSE o_custkey END AS c_custkey,
-        |    CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
-        |    o_orderpriority AS c_mktsegment, o_totalprice AS c_acctbal,
-        |    o_orderdate AS ts, o_orderkey AS id
-        |  FROM orders),
-        |latest AS (SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |    ORDER BY ts DESC, id DESC) AS rn FROM ch) WHERE rn = 1),
-        |m AS (SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
-        |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
-        |         ELSE b.c_mktsegment END AS c_mktsegment,
-        |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
-        |         ELSE b.c_acctbal END AS c_acctbal,
-        |    l.op AS op
-        |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
-        |SELECT c_custkey, c_mktsegment, c_acctbal FROM m
-        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
+    "q177_merge_into" -> mergeIntoSql,
     // the identical 4x256 counter matrix rebuilt in SQL from the same
     // md5 hash family — integer-exact, no floats anywhere
     "q132_countmin_freq" -> countMinSql,
