@@ -140,7 +140,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 20 AvailableNow replay gates (micro-batch streaming with
+  /** The 21 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -151,7 +151,8 @@ object SparkEntry {
     "q135_stream_countmin", "q138_stream_interval_join",
     "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
     "q161_stream_scd2", "q165_stream_ddsketch",
-    "q175_stream_fingerprint", "q181_stream_merge_into")
+    "q175_stream_fingerprint", "q181_stream_merge_into",
+    "q182_stream_leaderboard")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2800,6 +2801,44 @@ object SparkEntry {
         .agg(round(graft.expressions.HllSketch.mergeRegisters(
           col("sk"), p = 9), 4).as("approx_distinct"))
     }),
+    "q182_stream_leaderboard" -> ((s, dir) => {
+      // STREAMING LEADERBOARD: q174's bounded-heap top-k maintained
+      // LIVE — the CollectTopK heap lives in the state store across
+      // two event-id-parity arrival batches (k rows per group of
+      // state, not the history), and the complete-mode snapshot
+      // after the replay equals the batch heap — q174's window SQL
+      // is the oracle verbatim (heap content is a pure function of
+      // the input set under the DESC/DESC total order).
+      val base = "/tmp/graft_q182_leader"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.graft.Bridge.collectTopK(
+          struct(col("value"), col("event_id")), 3, reverse = false)
+          .as("top"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_type"),
+          posexplode(col("top")).as(Seq("pos", "row")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("row.value").as("value"), col("row.event_id").as("event_id"))
+    }),
     "q174_group_topk" -> ((s, dir) => {
       // TOP-K PER GROUP WITHOUT A WINDOW SORT: the engine's bounded-
       // heap CollectTopK aggregate (via the Bridge shim) keeps 3 rows
@@ -3618,6 +3657,15 @@ object SparkEntry {
       |SELECT day, count(*)::BIGINT AS n, bit_xor(hv) AS xor_fp,
       |  CAST(sum(hv % 4294967296) AS BIGINT) AS sum_lo
       |FROM h GROUP BY day""".stripMargin
+
+  /** q174's (and q182's) oracle: the classic window top-k with the
+    * same DESC/DESC total order the heap keeps. */
+  private def groupTopKSql: String =
+    """SELECT event_type, rank, value, event_id FROM (
+      |  SELECT event_type, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC)::BIGINT AS rank,
+      |    value, event_id
+      |  FROM events) WHERE rank <= 3""".stripMargin
 
   /** q177's (and q181's) oracle: latest-change-wins under the
     * (ts, id) total order over the WHOLE change set — equal to the
@@ -5272,13 +5320,10 @@ object SparkEntry {
     // sketch — q132's SQL verbatim
     "q180_countmin_rollup" -> countMinSql,
     // the heap aggregate equals the window formulation exactly —
-    // same DESC/DESC total order
-    "q174_group_topk" ->
-      """SELECT event_type, rank, value, event_id FROM (
-        |  SELECT event_type, row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value DESC, event_id DESC)::BIGINT AS rank,
-        |    value, event_id
-        |  FROM events) WHERE rank <= 3""".stripMargin,
+    // same DESC/DESC total order (q182: the heap lives in streaming
+    // state; its replayed snapshot answers the same SQL)
+    "q182_stream_leaderboard" -> groupTopKSql,
+    "q174_group_topk" -> groupTopKSql,
     // commutative folds over 60-bit row hashes of canonical integers
     // — the DuckDB run IS the "other replica" whose digests must match
     "q175_stream_fingerprint" -> fingerprintSql,
