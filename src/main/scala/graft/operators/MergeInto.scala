@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Spark-first / 100 TB shape: the change batch pre-reduces to ONE
   * row per key with `max_by` (partial aggregation — map-side combine
   * eats intra-batch churn before the shuffle), then a single
-  * full-outer join by key against base. Change batches are usually
-  * ≪ base: AQE broadcasts the reduced change side and base is never
-  * shuffled at all. No window over base, no sort.
+  * full-outer join by key against base — one exchange of each side,
+  * no window or sort over base (a full-outer join cannot broadcast,
+  * so the base shuffle is inherent; with a BUCKETED base table the
+  * join co-locates and even that exchange disappears). The change
+  * side after reduction is one row per touched key — tiny.
   *
   * Returns base's schema restricted to (keyCol, payloadCols). */
 object MergeInto {
