@@ -72,7 +72,12 @@ object SparkEntry {
       val cur = clickBuyScratchMemo.get(key)
       if (cur != null) cur
       else {
-        val base = s"/tmp/graft_clickbuy_${math.abs(dir.hashCode)}"
+        // collision-resistant scratch name: full md5 hex of the dir
+        // (abs(hashCode) can stay negative at Int.MinValue and two
+        // dirs colliding would race each other's delete-and-rewrite)
+        val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val base = s"/tmp/graft_clickbuy_$dirMd5"
         val fs = org.apache.hadoop.fs.FileSystem
           .get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2536,6 +2541,20 @@ object SparkEntry {
       val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = tbl(s, dir, "events").where(col("user_id") < 100)
         .select("event_id", "user_id", "event_type", "ts")
+      // Replay-lossless precondition, asserted LOUDLY: the parity
+      // split is only equivalent to the batch build if no batch-1
+      // event falls behind the watermark set by batch 0 (max batch-0
+      // ts − delay). span(ts) < delay is sufficient; a future testdata
+      // round with a wider ts range must fail here, not silently
+      // certify a lossy replay.
+      val spanUs = ev.agg(
+          (max(unix_micros(col("ts").cast("timestamp"))) -
+           min(unix_micros(col("ts").cast("timestamp")))).as("us"))
+        .head.getLong(0)
+      require(spanUs < 40L * 86400L * 1000000L,
+        s"q161 precondition violated: event span ${spanUs / 86400000000L}d" +
+          " >= the 40-day watermark delay; late-data filtering would" +
+          " drop parity-split rows and diverge from the batch oracle")
       ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
       ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
       s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -3619,7 +3638,8 @@ object SparkEntry {
     (header +: blocks).mkString(",\n") + ",\n" + tail
   }
 
-  /** q171's oracle: the capped 2-core peel replayed as a generated
+  /** q171's oracle: the capped k-core peel (k = 5, the `k` constant
+    * below — keep this doc and that tuple in sync) replayed as a generated
     * CTE chain over the SAME pair SQL — each round keeps nodes with
     * degree ≥ k and edges whose BOTH endpoints survive; idempotent
     * past the fixpoint, so the fixed block count matches Spark's
@@ -5333,10 +5353,12 @@ object SparkEntry {
     "q172_psi_drift" ->
       """WITH a AS (SELECT event_type AS grp, least(9, greatest(0,
         |    CAST(floor(value / 60.0::DOUBLE) AS INT))) AS bin
-        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    AND value IS NOT NULL),
         |b AS (SELECT event_type AS grp, least(9, greatest(0,
         |    CAST(floor(value / 60.0::DOUBLE) AS INT))) AS bin
-        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND value IS NOT NULL),
         |ca AS (SELECT grp, bin, count(*)::BIGINT AS cnt_a FROM a GROUP BY 1, 2),
         |cb AS (SELECT grp, bin, count(*)::BIGINT AS cnt_b FROM b GROUP BY 1, 2),
         |grps AS (SELECT DISTINCT grp FROM (

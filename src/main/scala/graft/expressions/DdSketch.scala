@@ -133,21 +133,32 @@ object DdSketch {
     * aggregate and the stored-state reader. */
   private[expressions] def evalQuantiles(buf: Buf, bounds: Array[Double],
       quantiles: Array[Double], maxBuckets: Int): GenericArrayData = {
-    // the one and only collapse: exact histogram in, deterministic out
-    collapse(buf.pos, maxBuckets); collapse(buf.neg, maxBuckets)
-    val nNeg = buf.neg.values.sum
-    val n = nNeg + buf.zero + buf.pos.values.sum
+    // the one and only collapse: exact histogram in, deterministic
+    // out — applied to COPIES so the stored buffer stays the exact
+    // multiset histogram structurally (an eval'd buffer that is later
+    // merged again, e.g. a bounded sketch in a complete-mode streaming
+    // snapshot, must not accumulate collapses)
+    def copied(m: LongMap[Long]): LongMap[Long] = {
+      val c = LongMap.empty[Long]
+      m.foreachEntry((k, v) => c.update(k, v))
+      c
+    }
+    val pos = if (buf.pos.size > maxBuckets) copied(buf.pos) else buf.pos
+    val neg = if (buf.neg.size > maxBuckets) copied(buf.neg) else buf.neg
+    collapse(pos, maxBuckets); collapse(neg, maxBuckets)
+    val nNeg = neg.values.sum
+    val n = nNeg + buf.zero + pos.values.sum
     val out = quantiles.map { q =>
       if (n == 0L) Double.NaN
       else {
         val r = math.max(1L, math.ceil(q * n).toLong)
         if (r <= nNeg) {
           // ascending value order over negatives = DESCENDING |x| bucket
-          val ks = buf.neg.keys.toArray.sorted
+          val ks = neg.keys.toArray.sorted
           var cum = 0L; var i = ks.length - 1; var ans = 0.0
           var found = false
           while (!found && i >= 0) {
-            cum += buf.neg(ks(i))
+            cum += neg(ks(i))
             if (cum >= r) { ans = -rep(bounds, ks(i).toInt); found = true }
             i -= 1
           }
@@ -155,11 +166,11 @@ object DdSketch {
         } else if (r <= nNeg + buf.zero) 0.0
         else {
           val rr = r - nNeg - buf.zero
-          val ks = buf.pos.keys.toArray.sorted
+          val ks = pos.keys.toArray.sorted
           var cum = 0L; var i = 0; var ans = 0.0
           var found = false
           while (!found && i < ks.length) {
-            cum += buf.pos(ks(i))
+            cum += pos(ks(i))
             if (cum >= rr) { ans = rep(bounds, ks(i).toInt); found = true }
             i += 1
           }

@@ -33,7 +33,14 @@ object Drift {
     require(nBins >= 2 && binWidth > 0, s"bad bins: $nBins x $binWidth")
     val spark = a.sparkSession
     import spark.implicits._
+    // NULL metric values are excluded EXPLICITLY (and identically in
+    // the SQL oracle): Spark's greatest() skips nulls (a NULL value
+    // would land in bin 0) while DuckDB's propagates NULL (the row
+    // would fall into a NULL bin the grid join drops) — filtering
+    // keeps both engines on the same population instead of leaning on
+    // engine-specific NULL semantics.
     def binned(df: DataFrame, cntName: String) = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
         least(lit(nBins - 1), greatest(lit(0),
           floor(col(valueCol).cast("double") / lit(binWidth)).cast("int")))
