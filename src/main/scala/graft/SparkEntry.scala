@@ -98,6 +98,49 @@ object SparkEntry {
       }
     }
 
+  /** q136/q185's shared estimator body: per-type-pair KMV set
+    * operations (union estimate (k-1)·2^52 / kth of the merged
+    * sketch, intersection by overlap fraction) next to the exact
+    * answers — `sk` is (event_type, sk) with sk the k smallest
+    * distinct hashes, whether sketched directly (q136) or re-merged
+    * from stored day-level states (q185; bit-identical by the
+    * k-smallest-of-union argument in that entry's comment). */
+  private def kmvSetOps(ev: DataFrame, sk: DataFrame, k: Int): DataFrame = {
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("us",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("est_union",
+        when(size(col("us")) < k, size(col("us")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(graft.expressions.KmvSketch.HashSpace) /
+            element_at(col("us"), k)))
+      .withColumn("est_inter",
+        (size(array_intersect(col("us"),
+            array_intersect(col("ska"), col("skb")))).cast("double") /
+          size(col("us")).cast("double")) * col("est_union"))
+    val du = ev.select(col("event_type").as("g"), col("user_id").as("u"))
+      .distinct()
+    val sizes = du.groupBy("g").agg(count(lit(1)).as("n"))
+    val xinter = du.as("x")
+      .join(du.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("type_a"), col("y.g").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("type_a"), col("n").as("na"))),
+        "type_a")
+      .join(broadcast(sizes.select(col("g").as("type_b"), col("n").as("nb"))),
+        "type_b")
+      .join(xinter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_union"), col("est_inter"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
   /** Exact integer view of a fixed-decimal double column: value*10^d
     * rounded to the nearest long. The per-row double multiply and round
     * are bit-identical on Spark and DuckDB (same IEEE ops on the same
@@ -1692,6 +1735,20 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 2,
         m = 8, ksub = 16)
     }),
+    "q184_ivfpq_refined" -> ((s, dir) => {
+      // IVFADC+R (q164 + the q119 exact refinement INSIDE the probed
+      // cells — the configuration you'd actually ship): residual-ADC
+      // shortlists 50 candidates per query from 4 probed cells' codes
+      // alone, then only those 50 rows join back to raw vectors for
+      // an exact L2 re-rank to top-5. Recall recovers from pure ADC's
+      // honest 0.06 floor to >= 0.8 at nProbe=8 (IvfPqSpec); the
+      // oracle re-derives the whole index (iters=0 zero-literal
+      // trick) and replays shortlist + re-rank bit-exactly.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopKRefined(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, shortlist = 50, nCentroids = 16,
+        nProbe = 4, m = 8, ksub = 16)
+    }),
     "q141_stream_outer_join" -> ((s, dir) => {
       // LEFT-OUTER stream-stream join: q138's attribution, but every
       // unmatched purchase must ALSO emit (with null click) — which
@@ -1915,39 +1972,36 @@ object SparkEntry {
       val sk = ev.groupBy("event_type")
         .agg(graft.expressions.KmvSketch(
           col("user_id").cast("string"), k).as("sk"))
-      val pairs = sk.as("a")
-        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
-        .select(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"),
-          col("a.sk").as("ska"), col("b.sk").as("skb"))
-        .withColumn("us",
-          slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
-        .withColumn("est_union",
-          when(size(col("us")) < k, size(col("us")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) *
-              lit(graft.expressions.KmvSketch.HashSpace) /
-              element_at(col("us"), k)))
-        .withColumn("est_inter",
-          (size(array_intersect(col("us"),
-              array_intersect(col("ska"), col("skb")))).cast("double") /
-            size(col("us")).cast("double")) * col("est_union"))
-      val du = ev.select(col("event_type").as("g"), col("user_id").as("u"))
-        .distinct()
-      val sizes = du.groupBy("g").agg(count(lit(1)).as("n"))
-      val xinter = du.as("x")
-        .join(du.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
-        .groupBy(col("x.g").as("type_a"), col("y.g").as("type_b"))
-        .agg(count(lit(1)).as("exact_inter"))
-      pairs
-        .join(broadcast(sizes.select(col("g").as("type_a"), col("n").as("na"))),
-          "type_a")
-        .join(broadcast(sizes.select(col("g").as("type_b"), col("n").as("nb"))),
-          "type_b")
-        .join(xinter, Seq("type_a", "type_b"), "left")
-        .select(col("type_a"), col("type_b"), col("est_union"), col("est_inter"),
-          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
-            .as("exact_union"),
-          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      kmvSetOps(ev, sk, k)
+    }),
+    "q185_kmv_rollup" -> ((s, dir) => {
+      // KMV SKETCH TABLE (completing the sketch-table quartet
+      // q176/q179/q180): per-(event_type, day) k=64 KMV states are
+      // computed once and PERSISTED, then q136's per-type-pair set
+      // operations are answered by MERGING the stored states to type
+      // level — KMV merge is distinct-union + sort + take-k, and any
+      // hash among the global k smallest is among its own day's k
+      // smallest, so the rollup is BIT-IDENTICAL to sketching the
+      // raw data: q136's SQL is the oracle verbatim, and coarser
+      // grains (or the set ops themselves) never re-read raw rows —
+      // O(groups × k × 8 B), the one sketch whose stored states
+      // also compose under union/intersection estimation.
+      val k = 64
+      val scratch = "/tmp/graft_q185_kmv"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val ev = tbl(s, dir, "events")
+      ev.withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(graft.expressions.KmvSketch(
+          col("user_id").cast("string"), k).as("sk"))
+        .write.parquet(scratch)
+      val sk = s.read.parquet(scratch)
+        .select(col("event_type"), explode(col("sk")).as("h"))
+        .groupBy("event_type")
+        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk"))
+      kmvSetOps(ev, sk, k)
     }),
     "q137_triangles" -> ((s, dir) => {
       // GRAPH SHAPE of the near-dup pair set: exact edge, wedge and
@@ -2665,16 +2719,19 @@ object SparkEntry {
           element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
     }),
     "q181_stream_merge_into" -> ((s, dir) => {
-      // STREAMING MERGE INTO (continuous CDC apply): q177's change
-      // stream arrives in TWO event-time-ordered micro-batches
-      // (split at the order-date midline), and foreachBatch folds
-      // each into a VERSIONED snapshot — snap_v{i+1} =
-      // MergeInto(snap_v{i}, batch), the incremental materialized-
-      // dimension pipeline. Because per-key change times are
-      // monotone across batches (date-split), sequential apply
-      // equals the one-shot merge, so q177's SQL is the oracle
-      // verbatim. Each version is written complete (the lakehouse
-      // snapshot-per-commit shape); the gate reads the last one.
+      // STREAMING MERGE INTO over a LOG-STRUCTURED versioned snapshot
+      // (SnapshotStore): q177's change stream arrives in TWO
+      // ADVERSARIALLY INTERLEAVED micro-batches — split by change-id
+      // PARITY, so most keys' histories are scattered across both
+      // batches in arbitrary event-time order (an OLDER change
+      // routinely lands in the LATER batch). The store carries each
+      // key's winning (ts, id) version plus delete tombstones, so
+      // stale cross-batch changes are discarded and sequential apply
+      // equals the one-shot merge UNCONDITIONALLY — q177's SQL is the
+      // oracle verbatim. Per batch only the buckets the change keys
+      // hash to are rewritten under a monotone versioned manifest
+      // (O(batch + touched buckets), never O(base) — the
+      // stream_merge_batch probe pins this flat vs a 1x/2x/4x base).
       val base0 = "/tmp/graft_q181_smerge"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
@@ -2688,27 +2745,26 @@ object SparkEntry {
         col("o_orderpriority").as("c_mktsegment"),
         col("o_totalprice").as("c_acctbal"),
         col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
-      val cut = lit("1995-06-01").cast("date")
-      changes.where(col("ts") < cut).appendBatchTo(in, 0)
-      changes.where(col("ts") >= cut).appendBatchTo(in, 1)
-      tbl(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
-        .write.parquet(s"$base0/snap_v0")
-      @volatile var latest = s"$base0/snap_v0"
+      changes.where(pmod(col("id"), lit(2)) === 0).appendBatchTo(in, 0)
+      changes.where(pmod(col("id"), lit(2)) === 1).appendBatchTo(in, 1)
+      // 16 buckets at gate scale (bucket count scales with the corpus
+      // in production — hold bucket SIZE constant, SnapshotStore doc)
+      val snap = graft.streaming.SnapshotStore(s"$base0/snap",
+        "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"), buckets = 16)
+      snap.init(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        changes.schema("ts").dataType, changes.schema("id").dataType)
       val q = graft.streaming.IngestPipeline.fileSource(
           s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
         .writeStream
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val next = s"$base0/snap_v${batchId + 1}"
-          MergeInto(s.read.parquet(latest), b, "c_custkey",
-              "ts", "id", "op", Seq("c_mktsegment", "c_acctbal"))
-            .write.mode("overwrite").parquet(next)
-          latest = next
+          snap.applyBatch(b, batchId)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt).start()
       q.awaitTermination()
-      s.read.parquet(latest)
+      snap.read(s)
     }),
     "q177_merge_into" -> ((s, dir) => {
       // CDC MERGE INTO (the lakehouse upsert): an order-driven change
@@ -2919,6 +2975,29 @@ object SparkEntry {
           floor(col("value") * lit(100.0)).cast("long").as("vq"))
       ZOrder.layoutStats(ev, "user_id", "vq", "event_id",
         bits = 16, nBuckets = 16)
+    }),
+    "q183_zorder_skipping" -> ((s, dir) => {
+      // Z-ORDER READ PATH (completes q169's write-side story): events
+      // are written z-clustered by (minute-of-day, centi-value) into
+      // 64 zone-mapped bucket dirs — the Delta/Iceberg
+      // stats-in-transaction-log shape — and a 2-D box predicate is
+      // answered through driver-side zone-map FILE PRUNING plus the
+      // exact residual filter. The result is exactly the filtered
+      // rows (trivially SQL-oracled); the SKIPPING claim — the
+      // z-layout's scan plans strictly fewer files than a
+      // single-column-sort layout for the same box, via the scan's
+      // own numFiles metric — is pinned by ZOrderSpec. Both dims are
+      // sf-invariant (minute 0..1439; centi-value well under the
+      // 16-bit interleave range).
+      val scratch = "/tmp/graft_q183_zread"
+      val ev = tbl(s, dir, "events").select(
+        col("event_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mofd"),
+        floor(col("value") * lit(100.0)).cast("long").as("vq"))
+      val z = ZOrder.zValue(col("mofd"), col("vq"), 16)
+      ZOrder.writeBucketed(ev, Seq(z, col("event_id")), "mofd", "vq",
+        nBuckets = 64, scratch)
+      ZOrder.readBox(s, scratch, "mofd", "vq", 0L, 719L, 5000L, 8000L)
     }),
     "q178_temperature_mix" -> ((s, dir) => {
       // TEMPERATURE-SCALED DOMAIN MIX (α = 0.5, the sqrt-rebalance
@@ -3666,6 +3745,46 @@ object SparkEntry {
   /** q173's (and q175's) oracle: the per-day digest table rebuilt
     * from the same canonical-integer row hashes — commutative folds,
     * so the DuckDB run stands in for the "other replica". */
+  /** q136's (and q185's) oracle: KMV sketch + per-type-pair set ops,
+    * re-derived from the raw table under the `DISTINCT hash ORDER BY
+    * hash LIMIT k` state contract. q185 re-merges stored day-level
+    * states instead — bit-identical by the k-smallest-of-union
+    * argument, so the SAME SQL oracles both. */
+  private def kmvSetopsSql: String =
+    """WITH vals AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+      |hx AS (SELECT DISTINCT g,
+      |    ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM vals),
+      |sk AS (SELECT g, list_sort(list(h)) AS sk FROM (
+      |    SELECT g, h FROM (SELECT g, h,
+      |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hx)
+      |    WHERE rn <= 64) t GROUP BY g),
+      |p AS (SELECT a.g AS type_a, b.g AS type_b, a.sk AS ska, b.sk AS skb
+      |  FROM sk a JOIN sk b ON a.g < b.g),
+      |wu AS (SELECT *, list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS us
+      |  FROM p),
+      |eu AS (SELECT type_a, type_b, ska, skb, us,
+      |    CASE WHEN len(us) < 64 THEN CAST(len(us) AS DOUBLE)
+      |         ELSE 63.0::DOUBLE * 4503599627370496.0::DOUBLE / us[64]
+      |    END AS est_union
+      |  FROM wu),
+      |ei AS (SELECT type_a, type_b, est_union,
+      |    (CAST(len(list_filter(us,
+      |        x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+      |      / CAST(len(us) AS DOUBLE)) * est_union AS est_inter
+      |  FROM eu),
+      |sizes AS (SELECT g, count(*)::BIGINT AS n FROM vals GROUP BY g),
+      |xinter AS (SELECT x.g AS type_a, y.g AS type_b,
+      |    count(*)::BIGINT AS exact_inter
+      |  FROM vals x JOIN vals y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
+      |SELECT ei.type_a, ei.type_b, ei.est_union, ei.est_inter,
+      |  (sa.n + sb.n - coalesce(xi.exact_inter, 0))::BIGINT AS exact_union,
+      |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter
+      |FROM ei
+      |JOIN sizes sa ON sa.g = ei.type_a
+      |JOIN sizes sb ON sb.g = ei.type_b
+      |LEFT JOIN xinter xi ON xi.type_a = ei.type_a AND xi.type_b = ei.type_b""".stripMargin
+
   private def fingerprintSql: String =
     """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
       |    ('0x' || substr(md5(event_id::VARCHAR || '|' ||
@@ -5322,6 +5441,77 @@ object SparkEntry {
         |  SELECT query_id, cand_id, adc, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adc, cand_id) AS rank FROM adcs)
         |WHERE rank <= 5""".stripMargin,
+    // q164's full index chain + ADC shortlist (rn <= 50 over 4 probed
+    // cells) + the q119 exact re-rank block — d2 is the same
+    // index-ordered double fold on both engines, no rounding needed
+    "q184_ivfpq_refined" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS MATERIALIZED (
+        |  SELECT rn - 1 AS cell, v AS cv, list_dot_product(v, v) AS c2
+        |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        |    FROM base) WHERE rn <= 16),
+        |dist AS MATERIALIZED (SELECT b.vec_id, c.cell,
+        |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+        |  FROM base b CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist
+        |  WHERE vec_id < 10) WHERE rn <= 4),
+        |resid AS MATERIALIZED (SELECT b.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(b.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        |  FROM base b JOIN assign a USING (vec_id) JOIN cents c USING (cell)),
+        |qresid AS (SELECT b.vec_id AS query_id, p.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(b.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        |  FROM base b JOIN probes p ON b.vec_id = p.vec_id
+        |  JOIN cents c ON p.cell = c.cell),
+        |js AS (SELECT j FROM generate_series(0, 7) t(j)),
+        |cbsub AS MATERIALIZED (
+        |  SELECT code, j, scv, list_dot_product(scv, scv) AS sc2 FROM (
+        |    SELECT rn - 1 AS code, js.j,
+        |      list_slice(rv, js.j*8+1, js.j*8+8) AS scv
+        |    FROM (SELECT rv, row_number() OVER (ORDER BY vec_id) AS rn
+        |      FROM resid) r CROSS JOIN js WHERE rn <= 16)),
+        |enc AS (SELECT r.vec_id, r.cell, c.j, c.code,
+        |    c.sc2 - 2*list_dot_product(
+        |      list_slice(r.rv, c.j*8+1, c.j*8+8), c.scv) AS d
+        |  FROM resid r CROSS JOIN cbsub c),
+        |codes AS (SELECT vec_id, cell, j, code FROM (
+        |  SELECT vec_id, cell, j, code, row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc)
+        |  WHERE rn = 1),
+        |qd AS (SELECT q.query_id, q.cell, c.j, c.code,
+        |    c.sc2 - 2*list_dot_product(
+        |      list_slice(q.rv, c.j*8+1, c.j*8+8), c.scv) AS qdist
+        |  FROM qresid q CROSS JOIN cbsub c),
+        |terms AS (SELECT qd.query_id, co.vec_id AS cand_id, qd.j, qd.qdist
+        |  FROM qd JOIN codes co ON qd.cell = co.cell AND qd.j = co.j
+        |    AND qd.code = co.code
+        |  WHERE qd.query_id <> co.vec_id),
+        |adcs AS (SELECT query_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(qdist ORDER BY j)),
+        |      (a, x) -> a + x) AS adc
+        |  FROM terms GROUP BY query_id, cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, cand_id) AS rn FROM adcs)
+        |  WHERE rn <= 50),
+        |rerank AS (SELECT s.query_id, s.cand_id,
+        |    list_dot_product(cb.v, cb.v)
+        |      - 2*list_dot_product(qb.v, cb.v) AS d2
+        |  FROM short s
+        |  JOIN base cb ON s.cand_id = cb.vec_id
+        |  JOIN base qb ON s.query_id = qb.vec_id)
+        |SELECT query_id, cand_id, d2, rank FROM (
+        |  SELECT query_id, cand_id, d2, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d2, cand_id) AS rank FROM rerank)
+        |WHERE rank <= 5""".stripMargin,
     "q123_bpe_train" -> bpeSql(60),
     "q124_bpe_encode" -> bpeEncodeSql(60),
     // DDSketch replay without the histogram: the sketch's rank-r
@@ -5391,6 +5581,18 @@ object SparkEntry {
          |  min(user_id) AS min_a, max(user_id) AS max_a,
          |  min(vq) AS min_b, max(vq) AS max_b
          |FROM b GROUP BY bucket""".stripMargin,
+    // zone-map pruning is sound (rectangles are true bounds), so the
+    // pruned scan + residual filter returns EXACTLY the box rows
+    "q183_zorder_skipping" ->
+      """SELECT event_id,
+        |  (extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT
+        |    AS mofd,
+        |  CAST(floor(value * 100.0::DOUBLE) AS BIGINT) AS vq
+        |FROM events
+        |WHERE (extract(hour FROM ts) * 60 + extract(minute FROM ts))
+        |    BETWEEN 0 AND 719
+        |  AND CAST(floor(value * 100.0::DOUBLE) AS BIGINT)
+        |    BETWEEN 5000 AND 8000""".stripMargin,
     // √n weights quantized to integers (×1000) → exact largest-
     // remainder apportionment; same md5-deal draw as q168
     "q178_temperature_mix" ->
@@ -6108,40 +6310,11 @@ object SparkEntry {
     // the KMV sketch IS "distinct hashes ORDER BY hash LIMIT k" — the
     // oracle rebuilds it verbatim; estimators are single fixed-order
     // double ops over exact integers, so no rounding anywhere
-    "q136_kmv_setops" ->
-      """WITH vals AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
-        |hx AS (SELECT DISTINCT g,
-        |    ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13))::BIGINT AS h
-        |  FROM vals),
-        |sk AS (SELECT g, list_sort(list(h)) AS sk FROM (
-        |    SELECT g, h FROM (SELECT g, h,
-        |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hx)
-        |    WHERE rn <= 64) t GROUP BY g),
-        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.sk AS ska, b.sk AS skb
-        |  FROM sk a JOIN sk b ON a.g < b.g),
-        |wu AS (SELECT *, list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS us
-        |  FROM p),
-        |eu AS (SELECT type_a, type_b, ska, skb, us,
-        |    CASE WHEN len(us) < 64 THEN CAST(len(us) AS DOUBLE)
-        |         ELSE 63.0::DOUBLE * 4503599627370496.0::DOUBLE / us[64]
-        |    END AS est_union
-        |  FROM wu),
-        |ei AS (SELECT type_a, type_b, est_union,
-        |    (CAST(len(list_filter(us,
-        |        x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
-        |      / CAST(len(us) AS DOUBLE)) * est_union AS est_inter
-        |  FROM eu),
-        |sizes AS (SELECT g, count(*)::BIGINT AS n FROM vals GROUP BY g),
-        |xinter AS (SELECT x.g AS type_a, y.g AS type_b,
-        |    count(*)::BIGINT AS exact_inter
-        |  FROM vals x JOIN vals y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
-        |SELECT ei.type_a, ei.type_b, ei.est_union, ei.est_inter,
-        |  (sa.n + sb.n - coalesce(xi.exact_inter, 0))::BIGINT AS exact_union,
-        |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter
-        |FROM ei
-        |JOIN sizes sa ON sa.g = ei.type_a
-        |JOIN sizes sb ON sb.g = ei.type_b
-        |LEFT JOIN xinter xi ON xi.type_a = ei.type_a AND xi.type_b = ei.type_b""".stripMargin,
+    "q136_kmv_setops" -> kmvSetopsSql,
+    // stored day-level KMV states re-merged to type level are
+    // BIT-IDENTICAL to the direct sketch (k-smallest-of-union
+    // argument), so the set-ops SQL is the oracle verbatim
+    "q185_kmv_rollup" -> kmvSetopsSql,
     // exact triangle/wedge/edge counts over the same pair SQL; the
     // lone division is a fixed-order double op of exact integers
     "q137_triangles" ->

@@ -621,6 +621,40 @@ object Similarity {
     } finally cr.unpersist()
   }
 
+  /** [[ivfPqTopK]] + exact re-rank (IVFADC+R, Jégou 2011 §V applied
+    * to the combined index — the q119 refinement inside probed
+    * cells): ADC shortlists `shortlist` candidates per query from the
+    * probed cells' codes alone, then ONLY those rows join back to
+    * their raw vectors for an exact L2 re-rank to top-k. This is the
+    * SHIP configuration: pure residual-ADC ranking at 16-code
+    * fidelity is deliberately lossy (IvfPqSpec pins its honest 0.06
+    * floor — and documents that deeper probes GENUINELY LOWER pure-ADC
+    * recall on i.i.d. vectors), while the refined path re-ranks with
+    * exact distances and recovers recall ≥ 0.8 at nProbe = 8
+    * (spec-pinned). The corpus-sized scan still reads `m` bytes per
+    * candidate; the exact pass reads `shortlist × queries` vectors,
+    * not n. */
+  def ivfPqTopKRefined(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+      sampleSize: Int = 2000, coarseIters: Int = 0,
+      pqIters: Int = 0): DataFrame = {
+    val short = ivfPqTopK(queries, candidates, idCol, vecCol, shortlist,
+        nCentroids, nProbe, m, ksub, sampleSize, coarseIters, pqIters)
+      .select("query_id", "cand_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // exact d2 up to the per-query constant ||q||^2 — rank-equivalent
+    val d2 = (dot(col("cv"), col("cv")) -
+      lit(2.0) * dot(col("qv"), col("cv"))).as("d2")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    short.join(c, "cand_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"), d2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** SQ8 scalar quantization ANN (the FAISS `SQ8` index family,
     * completing LSH/IVF/PQ/IVF-PQ): every vector compresses to one
     * byte per DIMENSION — code_i = clamp(floor((v_i − min_i) /

@@ -468,6 +468,32 @@ object ScaleProbe {
         .readLabels(spark, dir).count()
       println(f"[probe] stream_cc_batch $m%4d $rows%10d $sec%8.2f")
     }
+
+    // SnapshotStore per-batch cost vs BASE size (q181's store): seed a
+    // 200k·m-row base (untimed), bucket count scaled ∝ base (the
+    // documented production sizing: hold bucket SIZE constant), then
+    // time ONE fixed 50-change batch. The batch touches ≤ 50 buckets
+    // of constant size, so the per-batch wall must stay FLAT as the
+    // base grows — O(|batch| + touched buckets), never O(base).
+    if (opFilter.forall("stream_merge_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_smerge_$m"
+      val st = graft.streaming.SnapshotStore(dir, "k", "ts", "id", "op",
+        Seq("payload"), buckets = 256 * m)
+      val seedBase = spark.range(200000L * m)
+        .select(col("id").as("k"), col("id").cast("string").as("payload"))
+      st.init(seedBase, org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType)
+      val batch = spark.range(50).select(
+        (col("id") * 4096L).as("k"),
+        when(col("id") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        lit("upd").as("payload"),
+        col("id").as("ts"), col("id").as("id"))
+      val t0 = System.nanoTime()
+      st.applyBatch(batch, 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = st.read(spark).count()
+      println(f"[probe] stream_merge_batch $m%4d $rows%10d $sec%8.2f")
+    }
     spark.stop()
   }
 }

@@ -81,11 +81,22 @@ class DdSketchSpec extends AnyFunSuite with SparkTestBase {
     // boundary array (the O(log(range)/alpha) DDSketch store)
     assert(buf.pos.size <= bounds.length + 1,
       s"partial exceeded the boundary-array bound: ${buf.pos.size}")
+    val preEvalSize = buf.pos.size
     val est = agg.eval(buf)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toDoubleArray()
-    // eval collapsed in place: the answered store honors the cap
-    assert(buf.pos.size <= 64, s"evaluated store not bounded: ${buf.pos.size}")
+    // eval collapses a COPY (round-12 advice fix): the stored buffer
+    // stays the exact multiset histogram STRUCTURALLY — an eval'd
+    // buffer merged again (bounded sketch in a complete-mode
+    // streaming snapshot) must not accumulate collapses
+    assert(buf.pos.size === preEvalSize,
+      s"eval mutated the stored buffer: $preEvalSize -> ${buf.pos.size}")
+    // ...and eval is idempotent: answering twice from the same buffer
+    // gives bit-identical results
+    val est2 = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    assert(est.toSeq === est2.toSeq, "eval is not idempotent")
     val sorted = vals.sorted
     Array(0.9, 0.99).zip(est).foreach { case (q, e) =>
       val ex = exactRank(sorted, q)

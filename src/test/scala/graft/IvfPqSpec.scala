@@ -57,6 +57,26 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
       .where(col("mx") =!= k).count() === 0L)
   }
 
+  test("IVFADC+R exact re-rank recovers recall >= 0.8 at nProbe=8") {
+    val queries = emb.where(col("vec_id") < 50)
+    val exact = exactTopK(queries)
+    def run(nProbe: Int, shortlist: Int) =
+      Similarity.ivfPqTopKRefined(queries, emb,
+        "vec_id", "embedding", k = k, shortlist = shortlist,
+        nCentroids = 16, nProbe = nProbe, m = 8, ksub = 16,
+        coarseIters = 2, pqIters = 2)
+    val r50 = recall(run(8, 50), exact)
+    val r200 = recall(run(8, 200), exact)
+    info(f"refined recall@$k at nProbe=8: shortlist=50 $r50%.3f  shortlist=200 $r200%.3f")
+    // the re-rank is what makes deep probes pay: pure ADC bottoms out
+    // at 0.06 on these i.i.d. vectors (test above); the exact re-rank
+    // recovers the true neighbors once the shortlist is deep enough
+    // to absorb ADC's noise (50 → 0.52 measured, 200 → the floor) —
+    // shortlist stays a CONSTANT per query at any corpus size
+    assert(r200 >= 0.8, s"refined nProbe=8 recall floor broken: $r200")
+    assert(r200 > r50, s"deeper shortlist must not hurt: $r50 vs $r200")
+  }
+
   test("SQ8 sits far above PQ fidelity: high recall at 1 byte/dim") {
     val queries = emb.where(col("vec_id") < 50)
     val sq8 = Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = k)

@@ -57,4 +57,19 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(estUnion - 3000) / 3000 <= 0.5, s"union est $estUnion")
     assert(math.abs(estInter - 1000) / 1000 <= 0.6, s"inter est $estInter")
   }
+
+  test("stored-state rollup over any slicing is bit-identical to the direct sketch (q185)") {
+    // split the input into arbitrary grains, sketch each grain, then
+    // re-merge states (distinct-union + sort + take-k): any hash in
+    // the global k smallest is in its own grain's k smallest, so the
+    // rollup must equal the one-shot sketch exactly
+    val vals = (1 to 5000).map(i => s"g${i % 2900}")
+    val direct = sketch(vals)
+    Seq(2, 7, 31).foreach { grains =>
+      val perGrain = vals.zipWithIndex.groupBy(_._2 % grains).values
+        .map(slice => sketch(slice.map(_._1)))
+      val merged = perGrain.flatten.toSeq.distinct.sorted.take(k)
+      assert(merged === direct, s"rollup diverged at $grains grains")
+    }
+  }
 }

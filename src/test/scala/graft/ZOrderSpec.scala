@@ -50,4 +50,42 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(zStats <= aStats / 2,
       s"z-order should at least halve the b span: z=$zStats a=$aStats")
   }
+
+  test("read path: zone-map pruning plans strictly fewer files for z than a-sort") {
+    // 128x128 grid, 64 bucket dirs (256 rows each). The box
+    // [32,63]x[32,63] is a Morton-aligned 32x32 quadrant: exactly 4
+    // z-buckets hold it, while the a-sorted layout (2 a-values per
+    // bucket) needs 16 buckets — the scan's own file listing is the
+    // skipping evidence, and the pruned answer must equal the
+    // full-scan filter exactly.
+    val grid = for (a <- 0L until 128L; b <- 0L until 128L)
+      yield (a * 128 + b, a, b)
+    val df = grid.toDF("id", "a", "b")
+    val zPath = "/tmp/graft_ztest_read_z"
+    val aPath = "/tmp/graft_ztest_read_a"
+    ZOrder.writeBucketed(df,
+      Seq(ZOrder.zValue(col("a"), col("b"), 7), col("id")),
+      "a", "b", 64, zPath)
+    ZOrder.writeBucketed(df, Seq(col("a"), col("id")), "a", "b", 64, aPath)
+    def plannedFiles(d: org.apache.spark.sql.DataFrame): Long =
+      d.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles }.sum
+    val zScan = ZOrder.readBox(spark, zPath, "a", "b", 32, 63, 32, 63)
+    val aScan = ZOrder.readBox(spark, aPath, "a", "b", 32, 63, 32, 63)
+    val expected = grid.filter(r => r._2 >= 32 && r._2 <= 63 &&
+      r._3 >= 32 && r._3 <= 63).map(_._1).toSet
+    assert(zScan.select("id").collect().map(_.getLong(0)).toSet === expected)
+    assert(aScan.select("id").collect().map(_.getLong(0)).toSet === expected)
+    val (zf, af) = (plannedFiles(zScan), plannedFiles(aScan))
+    val (zKeep, zTotal) = ZOrder.pruneBox(spark, zPath, 32, 63, 32, 63)
+    assert(zTotal === 64 && zKeep.size.toLong === zf,
+      s"driver pruning and scan listing disagree: kept=$zKeep files=$zf")
+    assert(zf <= 8, s"z-layout should read the aligned quadrant: $zf files")
+    assert(af >= 16, s"a-sort should need all boxes a-rows: $af files")
+    assert(zf < af, s"z-layout must beat the single-column sort: $zf vs $af")
+    // an out-of-domain box prunes everything and returns zero rows
+    val none = ZOrder.readBox(spark, zPath, "a", "b", 500, 600, 0, 127)
+    assert(none.count() === 0L)
+  }
 }
