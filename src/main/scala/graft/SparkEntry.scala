@@ -24,6 +24,25 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Collision-resistant scratch-path suffix: full md5 hex of the
+    * testdata dir (abs(hashCode) can stay negative at Int.MinValue
+    * and two dirs colliding would race each other's
+    * delete-and-rewrite). */
+  private def md5Hex(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The q187/q188 incremental view: per (supplier, ship-month)
+    * count + exact LONG unit/cent sums, signed for retractions. ONE
+    * definition so the batch and streaming gates maintain the
+    * identical view. */
+  private def aggViewOf(path: String): graft.streaming.AggView =
+    graft.streaming.AggView(path, Seq("l_suppkey", "ship_month"),
+      Seq("sum_qty" -> round(col("l_quantity")).cast("long"),
+        "rev_cents" -> round(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")) * 100).cast("long")),
+      signCol = Some("sig"), buckets = 16)
+
   /** The simhash near-dup PAIR SET feeds four catalog queries (q63
     * pairs, q96 clusters, q131 streaming CC, q137 graph shape) with
     * identical parameters — memoize the persisted result per
@@ -72,12 +91,7 @@ object SparkEntry {
       val cur = clickBuyScratchMemo.get(key)
       if (cur != null) cur
       else {
-        // collision-resistant scratch name: full md5 hex of the dir
-        // (abs(hashCode) can stay negative at Int.MinValue and two
-        // dirs colliding would race each other's delete-and-rewrite)
-        val dirMd5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val base = s"/tmp/graft_clickbuy_$dirMd5"
+        val base = s"/tmp/graft_clickbuy_${md5Hex(dir)}"
         val fs = org.apache.hadoop.fs.FileSystem
           .get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -188,7 +202,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 21 AvailableNow replay gates (micro-batch streaming with
+  /** The 23 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -200,7 +214,8 @@ object SparkEntry {
     "q141_stream_outer_join", "q142_stream_dedup", "q143_stream_sessions",
     "q161_stream_scd2", "q165_stream_ddsketch",
     "q175_stream_fingerprint", "q181_stream_merge_into",
-    "q182_stream_leaderboard")
+    "q182_stream_leaderboard", "q186_stream_stratified",
+    "q188_stream_agg_view")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2287,8 +2302,15 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + 1000000L).as("dst"))
-      val seeds = edges.select(col("src").as("node"))
-        .where(col("node") % 10 === 0).distinct()
+      // seeds from the supplier TABLE, not from `edges` — a
+      // seeds-from-edges frame would re-run the lineitem⋈orders join
+      // a second time at init (the r11 q157-vs-q156 +1.1 s gap).
+      // Identical seed set: FK gives l_suppkey ⊆ s_suppkey, dst ids
+      // live in a disjoint +1000000 space, and PageRank drops seeds
+      // absent from the graph via the nodes join anyway.
+      val seeds = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("node"))
+        .where(col("node") % 10 === 0)
       PageRank.personalized(edges, "src", "dst", seeds,
         iters = 10, damping = 0.85)
     }),
@@ -3031,6 +3053,55 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("stratum").as("lang"),
           col("sel"))
     }),
+    "q186_stream_stratified" -> ((s, dir) => {
+      // STREAMING STRATIFIED SAMPLING: q168's two-mix curation draw
+      // maintained LIVE with BOUNDED state — per language the state
+      // store holds only (count, the 200 smallest (md5, id) pairs)
+      // via the CollectTopK heap: O(strata × targetN) state at any
+      // corpus size, never the documents themselves. The md5-rank
+      // prefix obeys the k-smallest-of-union property (any row in
+      // the final prefix is in its arrival batch's prefix), so after
+      // the id-parity replay the stored heaps equal the batch
+      // prefixes; the horizon snapshot re-derives the EXACT
+      // largest-remainder apportionment from the final counts and
+      // slices each quota prefix from the stored heap — equal to the
+      // one-shot q168 draw, whose SQL is the oracle verbatim (heap
+      // capacity 200 bounds every possible quota: prop ≤ 200 total,
+      // bal = 25).
+      val base = "/tmp/graft_q186_sstrat"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      docs.where(pmod(col("doc_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .select(col("lang").cast("string").as("stratum"),
+          col("doc_id").cast("long").as("id"))
+        .withColumn("h", md5(col("id").cast("string")))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.graft.Bridge.collectTopK(
+            struct(col("h"), col("id")), 200, reverse = true).as("top"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val state = s.read.parquet(out)
+      val prop = Sampling.stratifiedFromState(state, 200L)
+        .withColumn("sel", lit("prop"))
+      val bal = Sampling.balancedFromState(state, 25L)
+        .withColumn("sel", lit("bal"))
+      prop.unionByName(bal)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("sel"))
+    }),
     "q166_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (tokens above 1/200 of the corpus) via
       // Misra–Gries candidate pruning: pass 1 is a zero-shuffle scan
@@ -3639,6 +3710,293 @@ object SparkEntry {
             / lit(100.0) / count(lit(1))).as("avg_value"))
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
           col("n"), col("avg_value"))
+    }),
+    "q187_agg_view" -> ((s, dir) => {
+      // INCREMENTAL MATERIALIZED AGGREGATE VIEW (IVM): a per-
+      // (supplier, ship-month) revenue/quantity GROUP BY maintained by
+      // folding per-batch PARTIAL aggregates into stored group rows
+      // (AggView over the BucketedLog machine) — never re-aggregating
+      // the fact history. Measures are exact LONG cents/units, so the
+      // folded state equals the one-shot aggregate for ANY batch
+      // split, in any order, at any parallelism. Three adversarial
+      // commits: facts parts {0,1}, then part 2, then a full
+      // RETRACTION of part 1 (sign −1) — retracted groups shrink
+      // exactly and fully-retracted groups leave the state. Oracle =
+      // the direct GROUP BY over parts {0,2}.
+      val base = s"/tmp/graft_q187_aggview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val facts = tbl(s, dir, "lineitem").select(col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_orderkey"), lit(3)).as("part"))
+      val view = aggViewOf(s"$base/view")
+      val ins = facts.withColumn("sig", lit(1L))
+      view.init(ins.where(lit(false)))
+      view.applyBatch(ins.where(col("part") < 2), 0L)
+      view.applyBatch(ins.where(col("part") === 2), 1L)
+      view.applyBatch(facts.where(col("part") === 1)
+        .withColumn("sig", lit(-1L)), 2L)
+      view.read(s)
+    }),
+    "q188_stream_agg_view" -> ((s, dir) => {
+      // STREAMING IVM: q187's view maintained LIVE — the same three
+      // commits arrive as micro-batches (inserts, more inserts, then
+      // the part-1 retraction) through foreachBatch into the same
+      // log-structured store: O(batch + touched buckets) per commit,
+      // never O(fact history). Folded LONG state is exact under any
+      // batching, so q187's one-shot SQL is the oracle verbatim.
+      val base = s"/tmp/graft_q188_saggview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val facts = tbl(s, dir, "lineitem").select(col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_orderkey"), lit(3)).as("part"))
+      val ins = facts.withColumn("sig", lit(1L))
+      ins.where(col("part") < 2).drop("part").appendBatchTo(in, 0)
+      ins.where(col("part") === 2).drop("part").appendBatchTo(in, 1)
+      facts.where(col("part") === 1).withColumn("sig", lit(-1L))
+        .drop("part").appendBatchTo(in, 2)
+      val view = aggViewOf(s"$base/view")
+      view.init(ins.drop("part").where(lit(false)))
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          view.applyBatch(b, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      view.read(s)
+    }),
+    "q189_time_travel" -> ((s, dir) => {
+      // TIME TRAVEL over the versioned snapshot store: with
+      // `retain = true` every batch's manifest survives, and because
+      // untouched buckets point BACKWARD at older version dirs,
+      // manifest j IS the full snapshot as of version j — historical
+      // reads cost zero storage beyond the per-batch deltas already
+      // written (the Delta/Iceberg contract). q177's change feed
+      // applies as two id-parity batches; the query reads the
+      // snapshot AS OF v0 (the base), v1 (even-id changes applied)
+      // and v2 (all) — each oracled by the one-shot merge SQL over
+      // the corresponding change prefix.
+      val base = s"/tmp/graft_q189_ttravel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      val snap = graft.streaming.SnapshotStore(s"$base/snap",
+        "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"), buckets = 16, retain = true)
+      snap.init(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        changes.schema("ts").dataType, changes.schema("id").dataType)
+      snap.applyBatch(changes.where(pmod(col("id"), lit(2)) === 0), 0L)
+      snap.applyBatch(changes.where(pmod(col("id"), lit(2)) === 1), 1L)
+      Seq(0L, 1L, 2L).map(v =>
+          snap.readAt(s, v).withColumn("ver", lit(v)))
+        .reduce(_.unionByName(_))
+        .select("ver", "c_custkey", "c_mktsegment", "c_acctbal")
+    }),
+    "q190_bfs_distances" -> ((s, dir) => {
+      // MULTI-SOURCE BFS: exact hop distance from the nearest seeded
+      // supplier over the undirected supplier↔customer trade graph
+      // (q156's edges) — the graph-proximity primitive (blast radius,
+      // "within k hops of a flagged account"). Level-synchronous
+      // frontier expansion capped at 4 hops; pure set algebra, so the
+      // result is deterministic at any parallelism and DuckDB replays
+      // it as a recursive CTE with min-distance folding. Edge list
+      // checkpointed SHUFFLED once (the PageRank discipline) — each
+      // round moves only the frontier.
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+      val seeds = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("node"))
+        .where(col("node") % 10 === 0)
+      Bfs.distances(edges, "src", "dst", seeds, maxDist = 4)
+    }),
+    "q191_exact_quantiles" -> ((s, dir) => {
+      // EXACT order statistics WITHOUT a global sort (two-pass
+      // histogram prune): one scan builds stats + a 1024-bin
+      // histogram, the driver maps each target rank ⌈q·n⌉ to (bin,
+      // residual rank) by exact integer prefix sums, and a second
+      // scan ranks ONLY the rows of needed bins (~n/1024 per target).
+      // The value at rank k is deterministic even under ties, and is
+      // a raw data value — no arithmetic — so the rank-based oracle
+      // hash-compares exactly. The one plan shape that cannot scale
+      // (a total sort of the column) never appears.
+      Quantiles.exact(tbl(s, dir, "lineitem"), "l_extendedprice",
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+          ("p90", 9L, 10L), ("p99", 99L, 100L)))
+    }),
+    "q192_bloom_file_index" -> ((s, dir) => {
+      // FILE-LEVEL BLOOM INDEX point lookup: orders lands in 64
+      // custkey-hashed files (orderkeys scatter across ALL of them,
+      // so min/max zone maps prune nothing for an orderkey probe);
+      // one scan builds a KB-scale Bloom bitset per file, and the
+      // lookup reads ONLY index-matched files (≤ probes + false
+      // positives, 5-ish of 64 at ANY table size — BloomIndexSpec
+      // pins the skip) before the exact residual semi join. Oracle =
+      // the plain filter; the index buys IO skipping, never answers.
+      val base = s"/tmp/graft_q192_bloomidx_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64, col("o_custkey"))
+        .write.parquet(s"$base/tbl")
+      val table = s.read.parquet(s"$base/tbl")
+      val index = BloomIndex.build(table, "o_orderkey")
+      val probes = tbl(s, dir, "orders")
+        .where(col("o_orderkey") % 7 === 3)
+        .orderBy(col("o_orderkey")).limit(5)
+        .select("o_orderkey")
+      BloomIndex.lookup(s, index, probes, "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q193_dedup_keep_best" -> ((s, dir) => {
+      // CANONICAL-DOC SELECTION: the curation step after near-dup
+      // clustering — per q96 cluster keep the HIGHEST-QUALITY member
+      // (q22's quality score; doc_id tiebreak per hard rule 4), drop
+      // the rest. Clusters come from the memoized simhash pair set +
+      // connected components; the keep decision is one window over
+      // the (tiny) labeled frame. The oracle replays CC by recursive
+      // min-reachability and re-derives the same per-doc quality.
+      val docs = tbl(s, dir, "documents")
+      val comp = Components.connectedComponents(
+        simhashPairs(s, dir), "doc_a", "doc_b")
+      val lab = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val qual = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val out = lab.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("quality").as("kept_quality"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          (col("cluster_size") - 1).cast("long").as("n_dropped"))
+        .localCheckpoint()
+      comp.unpersist() // pairs stays persisted (memo-owned)
+      out
+    }),
+    "q194_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL CORPUS ROUND TRIP — the lingua-franca training-data
+      // interchange format: documents export to line-delimited JSON
+      // shards (`to_json` + text sink, one doc per line — embedded
+      // newlines are escaped by JSON), re-import via `from_json`
+      // with an explicit schema, and the per-language checksum
+      // aggregate (exact LONG sums incl. a 52-bit md5 text hash)
+      // proves the round trip byte-lossless: the oracle computes the
+      // same sums from the ORIGINAL parquet. Byte counts, not char
+      // counts (octet_length ↔ strlen) — grapheme semantics differ
+      // across engines.
+      val base = s"/tmp/graft_q194_jsonl_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      tbl(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+          .as("value"))
+        .repartition(8)
+        .write.text(s"$base/jsonl")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      s.read.text(s"$base/jsonl")
+        .select(from_json(col("value"), schema).as("d"))
+        .select("d.*")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(octet_length(col("text")).cast("long")).as("sum_bytes"),
+          sum(conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("long")).as("sum_text_hash"))
+    }),
+    "q195_hll_view" -> ((s, dir) => {
+      // INCREMENTAL SKETCH VIEW — IVM for the aggregate class AggView
+      // excludes by design: distinct counts are not additive, but
+      // their HLL states are MERGEABLE (register-wise max —
+      // associative, commutative, idempotent), so the per-event-type
+      // distinct-user view folds through the SAME BucketedLog machine
+      // as q187: stored registers ⊔ batch partial → next stored
+      // registers. Idempotent max makes the fold exact under any
+      // batch split AND any replay — the end state equals sketching
+      // the raw stream once, so q176's rollup SQL (q133's register
+      // rebuild) is the oracle verbatim. State is O(groups × 2^p);
+      // per commit only the touched buckets rewrite.
+      val base = s"/tmp/graft_q195_hllview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val log = graft.streaming.BucketedLog(s"$base/view",
+        Seq("event_type"), buckets = 8)
+      val ev = tbl(s, dir, "events").select(col("event_type"),
+        col("user_id"), pmod(col("event_id"), lit(3)).as("part"))
+      def partial(b: DataFrame): DataFrame =
+        b.groupBy("event_type")
+          .agg(graft.expressions.HllSketch.registers(
+            col("user_id").cast("string"), p = 9).as("sk"))
+      def fold(cur: Option[DataFrame], b: DataFrame): DataFrame = {
+        val pp = partial(b)
+        cur.map(_.unionByName(pp)).getOrElse(pp)
+          .groupBy("event_type")
+          .agg(graft.expressions.HllSketch.mergeRegistersVec(
+            col("sk"), p = 9).as("sk"))
+      }
+      log.init(partial(ev.where(lit(false))))
+      (0 until 3).foreach(i =>
+        log.applyBatch(ev.where(col("part") === i), i.toLong)(fold))
+      log.read(s).groupBy("event_type")
+        .agg(round(graft.expressions.HllSketch.mergeRegisters(
+          col("sk"), p = 9), 4).as("approx_distinct"))
+    }),
+    "q196_shortest_paths" -> ((s, dir) => {
+      // WEIGHTED SHORTEST PATHS (capped Bellman–Ford, 4 legs): the
+      // min-COST companion to q190's min-HOP BFS over the same
+      // undirected trade graph — edge weight = the lineitem quantity
+      // (parallel edges pre-min'd), so dist = the cheapest ≤4-leg
+      // route from any seeded supplier. Integer min/add rounds are
+      // exact and order-free; the oracle replays every round as a
+      // materialized CTE block (the LPA pattern). Edge list
+      // checkpointed SHUFFLED once; each round moves only the
+      // distance frame.
+      val edges = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"),
+          round(col("l_quantity")).cast("long").as("w"))
+      val seeds = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("node"))
+        .where(col("node") % 10 === 0)
+      Sssp.distances(edges, "src", "dst", "w", seeds, rounds = 4)
     })
   )
 
@@ -3745,6 +4103,32 @@ object SparkEntry {
   /** q173's (and q175's) oracle: the per-day digest table rebuilt
     * from the same canonical-integer row hashes — commutative folds,
     * so the DuckDB run stands in for the "other replica". */
+  /** q168's (and q186's) oracle: the exact largest-remainder
+    * apportionment + md5-deal prefix draw, both mixes. q186 replays
+    * it through bounded streaming state — identical by the
+    * k-smallest-of-union prefix argument, so the SAME SQL oracles
+    * both. */
+  private def stratifiedSampleSql: String =
+    """WITH d AS MATERIALIZED (SELECT doc_id AS id, lang AS stratum,
+      |    md5(doc_id::VARCHAR) AS h FROM documents),
+      |rk AS MATERIALIZED (SELECT id, stratum, row_number() OVER (
+      |    PARTITION BY stratum ORDER BY h, id) AS rn FROM d),
+      |cnt AS (SELECT stratum, count(*)::BIGINT AS n FROM d
+      |  GROUP BY stratum),
+      |quo AS MATERIALIZED (SELECT stratum, n,
+      |    (200 * n) // sum(n) OVER () AS fl,
+      |    (200 * n) % sum(n) OVER () AS rem FROM cnt),
+      |alloc AS (SELECT stratum,
+      |    fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+      |      <= 200 - sum(fl) OVER () THEN 1 ELSE 0 END AS quota
+      |  FROM quo),
+      |prop AS (SELECT r.id, r.stratum FROM rk r
+      |  JOIN alloc a USING (stratum) WHERE r.rn <= a.quota),
+      |bal AS (SELECT id, stratum FROM rk WHERE rn <= 25)
+      |SELECT id AS doc_id, stratum AS lang, 'prop' AS sel FROM prop
+      |UNION ALL
+      |SELECT id AS doc_id, stratum AS lang, 'bal' AS sel FROM bal""".stripMargin
+
   /** q136's (and q185's) oracle: KMV sketch + per-type-pair set ops,
     * re-derived from the raw table under the `DISTINCT hash ORDER BY
     * hash LIMIT k` state contract. q185 re-merges stored day-level
@@ -3810,14 +4194,19 @@ object SparkEntry {
     * (ts, id) total order over the WHOLE change set — equal to the
     * streamed sequential apply because the arrival batches are
     * event-time ordered. */
-  private def mergeIntoSql: String =
-    """WITH ch AS (SELECT
+  private def mergeIntoSql: String = mergeIntoSqlWhere("TRUE")
+
+  /** The one-shot CDC merge with the change feed restricted to
+    * `pred` (on orders columns) — "TRUE" = the full q177 merge;
+    * prefixes oracle [[q189]]'s time-travel reads. */
+  private def mergeIntoSqlWhere(pred: String): String =
+    s"""WITH ch AS (SELECT
       |    CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 1000000
       |         ELSE o_custkey END AS c_custkey,
       |    CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
       |    o_orderpriority AS c_mktsegment, o_totalprice AS c_acctbal,
       |    o_orderdate AS ts, o_orderkey AS id
-      |  FROM orders),
+      |  FROM orders WHERE $pred),
       |latest AS (SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |    ORDER BY ts DESC, id DESC) AS rn FROM ch) WHERE rn = 1),
@@ -3830,6 +4219,148 @@ object SparkEntry {
       |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
       |SELECT c_custkey, c_mktsegment, c_acctbal FROM m
       |WHERE op IS NULL OR op <> 'D'""".stripMargin
+
+  /** q187's (and q188's) oracle: the one-shot GROUP BY over the
+    * facts that survive the insert/insert/retract commit sequence
+    * (parts {0, 2}) — the incrementally-folded LONG state equals it
+    * exactly for any batching, so one SQL oracles both gates. */
+  private def aggViewSql: String =
+    """SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  count(*)::BIGINT AS cnt,
+      |  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+      |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS rev_cents
+      |FROM lineitem WHERE l_orderkey % 3 <> 1
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q189's oracle: each retained version IS the one-shot merge over
+    * its change prefix — v0 the untouched base, v1 the even-id half,
+    * v2 everything (q177's merge). */
+  private def timeTravelSql: String =
+    s"""SELECT 0::BIGINT AS ver, c_custkey, c_mktsegment, c_acctbal
+       |FROM customer
+       |UNION ALL
+       |SELECT 1::BIGINT AS ver, m1.*
+       |FROM (${mergeIntoSqlWhere("o_orderkey % 2 = 0")}) m1
+       |UNION ALL
+       |SELECT 2::BIGINT AS ver, m2.*
+       |FROM (${mergeIntoSqlWhere("TRUE")}) m2""".stripMargin
+
+  /** q190's oracle: BFS distance = min level at which recursive
+    * expansion (capped at 4 hops — the recursion guard mirrors the
+    * operator's round cap) reaches the node; UNION dedups (node,
+    * level) pairs so the recursion terminates. */
+  private def bfsSql: String =
+    """WITH RECURSIVE ch AS (SELECT l_suppkey AS src,
+      |    o_custkey + 1000000 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM ch UNION ALL SELECT dst, src FROM ch)),
+      |seeds AS (SELECT s_suppkey AS node FROM supplier
+      |  WHERE s_suppkey % 10 = 0),
+      |bfs(node, d) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node
+      |  WHERE b.d < 4)
+      |SELECT node, min(d)::BIGINT AS dist FROM bfs GROUP BY node""".stripMargin
+
+  /** q191's oracle: the DEFINITION — the value at rank ⌈q·n⌉ of the
+    * totally-ordered column. row_number over ties is arbitrary but
+    * the VALUE at a fixed rank is unique (documented exception to
+    * hard rule 4: only the value is projected). */
+  private def quantilesSql: String =
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT count(*)::BIGINT AS n FROM v),
+      |q AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+      |  ('p75', 3, 4), ('p90', 9, 10), ('p99', 99, 100))
+      |  AS t(q_label, num, den)),
+      |k AS (SELECT q_label, ((n.n * num + den - 1) // den)::BIGINT AS rank
+      |  FROM q, n),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT k.q_label, k.rank, r.v AS value
+      |FROM k JOIN r ON r.rn = k.rank""".stripMargin
+
+  /** q192's oracle: the plain filter — the Bloom index only decides
+    * which FILES are read; the residual semi join makes the answer
+    * independent of false positives. */
+  private def bloomIndexSql: String =
+    """WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
+      |  ORDER BY o_orderkey LIMIT 5)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o JOIN p USING (o_orderkey)""".stripMargin
+
+  /** q193's oracle: q96's recursive min-reachability clustering +
+    * q22's per-doc quality, argmax per cluster by (quality DESC,
+    * doc_id) — all expressions verbatim from their green oracles. */
+  private def keepBestSql: String = {
+    val qualityExpr =
+      """least(len(t)::DOUBLE / 20.0, 1.0) * 0.4
+        |    + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1)::DOUBLE) * 4.0, 1.0)) * 0.2
+        |    + (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)::DOUBLE) * 0.4""".stripMargin
+    s"""WITH RECURSIVE pairs AS ($simhash64PairsSql),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n),
+       |comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+       |lab AS (SELECT d.doc_id,
+       |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+       |toks AS ($toksCte),
+       |qual AS (SELECT doc_id, $qualityExpr AS quality FROM toks),
+       |j AS (SELECT l.doc_id, l.cluster_id, q.quality
+       |  FROM lab l JOIN qual q USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS csize FROM j)
+       |SELECT cluster_id, doc_id AS kept_doc, quality AS kept_quality,
+       |  csize::BIGINT AS cluster_size, (csize - 1)::BIGINT AS n_dropped
+       |FROM rk WHERE rn = 1""".stripMargin
+  }
+
+  /** q196's oracle: the 4-round Bellman–Ford trajectory replayed as
+    * a materialized CTE chain (each round references its predecessor
+    * TWICE — hard rule 11) — integer min/add, exact. */
+  private def ssspSql: String = {
+    val k = 4
+    val header =
+      """WITH ch AS MATERIALIZED (SELECT l_suppkey AS s0,
+        |    o_custkey + 1000000 AS d0, round(l_quantity)::BIGINT AS w0
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
+        |  SELECT s0 AS src, d0 AS dst, w0 AS w FROM ch
+        |  UNION ALL SELECT d0, s0, w0 FROM ch) GROUP BY src, dst),
+        |d0 AS MATERIALIZED (SELECT s_suppkey AS node, 0::BIGINT AS dist
+        |  FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin
+    val blocks = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist
+         |  FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN e ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    }
+    (header +: blocks).mkString(",\n") +
+      s"\nSELECT node, dist FROM d$k"
+  }
+
+  /** q194's oracle: the same checksum aggregate over the ORIGINAL
+    * parquet — equality proves the JSONL export/import byte-lossless.
+    * Byte counts (strlen ↔ octet_length), never char counts
+    * (grapheme semantics differ across engines). */
+  private def jsonlSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_ids,
+      |  sum(strlen(text))::BIGINT AS sum_bytes,
+      |  sum(('0x' || substr(md5(text), 1, 13))::BIGINT)::BIGINT
+      |    AS sum_text_hash
+      |FROM documents GROUP BY lang""".stripMargin
 
   /** q70's (and q143's) oracle: session_window re-derived via
     * lag/cumsum — new session iff the gap STRICTLY exceeds 30 min
@@ -5617,26 +6148,11 @@ object SparkEntry {
     // largest-remainder allocation + md5-deal prefix draw, all
     // integer arithmetic (HUGEINT-safe: only comparisons and
     // divisions, nothing emitted)
-    "q168_stratified_sample" ->
-      """WITH d AS MATERIALIZED (SELECT doc_id AS id, lang AS stratum,
-        |    md5(doc_id::VARCHAR) AS h FROM documents),
-        |rk AS MATERIALIZED (SELECT id, stratum, row_number() OVER (
-        |    PARTITION BY stratum ORDER BY h, id) AS rn FROM d),
-        |cnt AS (SELECT stratum, count(*)::BIGINT AS n FROM d
-        |  GROUP BY stratum),
-        |quo AS MATERIALIZED (SELECT stratum, n,
-        |    (200 * n) // sum(n) OVER () AS fl,
-        |    (200 * n) % sum(n) OVER () AS rem FROM cnt),
-        |alloc AS (SELECT stratum,
-        |    fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
-        |      <= 200 - sum(fl) OVER () THEN 1 ELSE 0 END AS quota
-        |  FROM quo),
-        |prop AS (SELECT r.id, r.stratum FROM rk r
-        |  JOIN alloc a USING (stratum) WHERE r.rn <= a.quota),
-        |bal AS (SELECT id, stratum FROM rk WHERE rn <= 25)
-        |SELECT id AS doc_id, stratum AS lang, 'prop' AS sel FROM prop
-        |UNION ALL
-        |SELECT id AS doc_id, stratum AS lang, 'bal' AS sel FROM bal""".stripMargin,
+    "q168_stratified_sample" -> stratifiedSampleSql,
+    // the replayed heaps hold exactly the batch md5-rank prefixes
+    // (k-smallest-of-union), and the horizon re-apportionment is the
+    // same exact integer arithmetic — q168's SQL verbatim
+    "q186_stream_stratified" -> stratifiedSampleSql,
     // exact output: the MG pass only prunes candidates, so the oracle
     // is the definition itself — strict integer threshold, no floats
     "q166_heavy_hitters" ->
@@ -6723,6 +7239,21 @@ object SparkEntry {
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, max_by(value, event_id) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // incrementally-folded LONG state == the one-shot GROUP BY for any
+    // batching — the same SQL oracles the batch and streaming gates
+    "q187_agg_view" -> aggViewSql,
+    "q188_stream_agg_view" -> aggViewSql,
+    "q189_time_travel" -> timeTravelSql,
+    "q190_bfs_distances" -> bfsSql,
+    "q191_exact_quantiles" -> quantilesSql,
+    "q192_bloom_file_index" -> bloomIndexSql,
+    "q193_dedup_keep_best" -> keepBestSql,
+    "q194_jsonl_roundtrip" -> jsonlSql,
+    // register-wise max is associative + idempotent, so the
+    // incrementally-folded view equals the one-shot sketch — q176's
+    // register-rebuild SQL verbatim
+    "q195_hll_view" -> hllSql(includeExact = false),
+    "q196_shortest_paths" -> ssspSql
   )
 }

@@ -115,7 +115,8 @@ object BloomMightContain {
     (bits, numHashes)
   }
 
-  private def add(bits: Array[Long], numHashes: Int, hash: Long): Unit = {
+  private[expressions] def add(bits: Array[Long], numHashes: Int,
+      hash: Long): Unit = {
     val mask = bits.length.toLong * 64 - 1 // Long: filters may exceed 2^31 bits
     val h1 = hash
     val h2 = java.lang.Long.rotateLeft(hash, 31) | 1L // odd, full-period

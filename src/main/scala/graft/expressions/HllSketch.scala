@@ -144,6 +144,12 @@ object HllSketch {
     Bridge.column(HllMergeAggregate(Bridge.expression(c), p)
       .toAggregateExpression())
 
+  /** [[mergeRegisters]] emitting the merged VECTOR instead of the
+    * estimate — the incremental-sketch-view fold (q195). */
+  def mergeRegistersVec(c: Column, p: Int): Column =
+    Bridge.column(HllMergeAggregate(Bridge.expression(c), p,
+      emitRegisters = true).toAggregateExpression())
+
   /** Sparse-until-upgrade buffer: exactly one of `pairs` (bucket →
     * max rho) or `dense` is non-null. */
   final class SparseBuf(
@@ -336,11 +342,15 @@ case class HllRegistersAggregate(
 /** Register-table READER: merges STORED register vectors (register-
   * wise max — associative/commutative/idempotent, so rolling up
   * day-level sketches to any coarser grain equals sketching the raw
-  * data directly) and evaluates the shared estimator. The
-  * re-aggregation reads O(groups × 2^p) bytes, never the corpus. */
+  * data directly) and evaluates the shared estimator — or, with
+  * `emitRegisters`, returns the MERGED VECTOR itself (the
+  * incremental-sketch-view fold: stored state ⊔ batch partial →
+  * next stored state, q195). The re-aggregation reads
+  * O(groups × 2^p) bytes, never the corpus. */
 case class HllMergeAggregate(
     child: Expression,
     p: Int,
+    emitRegisters: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
@@ -350,7 +360,8 @@ case class HllMergeAggregate(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (emitRegisters) org.apache.spark.sql.types.BinaryType else DoubleType
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -364,7 +375,8 @@ case class HllMergeAggregate(
   }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     HllSketch.maxInto(a, b)
-  override def eval(buf: Array[Byte]): Any = HllSketch.estimate(buf)
+  override def eval(buf: Array[Byte]): Any =
+    if (emitRegisters) buf.clone() else HllSketch.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()

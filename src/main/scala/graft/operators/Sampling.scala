@@ -101,4 +101,31 @@ object Sampling {
     take(ranked(h),
       h.select("stratum").distinct().withColumn("quota", lit(k)))
   }
+
+  // ---- draws from bounded streaming state (q186) ------------------------
+
+  private def rankedFromState(state: DataFrame): DataFrame =
+    state.select(col("stratum"),
+        posexplode(col("top")).as(Seq("pos", "row")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rn"),
+        col("row.id").as("id"))
+
+  /** [[stratified]] re-derived from BOUNDED per-stratum streaming
+    * state: rows (stratum, n, top) where `n` is the stratum's total
+    * count and `top` its ASCENDING (md5, id) prefix heap (the
+    * CollectTopK aggregate). Because any row in a stratum's final
+    * k-prefix is in the k-prefix of every arrival subset (the
+    * k-smallest-of-union property), a heap of capacity ≥ any
+    * possible quota (targetN suffices — no stratum's apportionment
+    * exceeds the total draw) makes this EQUAL to the batch draw on
+    * the full table, with state O(strata × targetN) regardless of
+    * corpus size. */
+  def stratifiedFromState(state: DataFrame, targetN: Long): DataFrame =
+    take(rankedFromState(state),
+      apportion(state.select(col("stratum"), col("n").as("w")), targetN))
+
+  /** [[balanced]] from the same state (k must fit the heap). */
+  def balancedFromState(state: DataFrame, k: Long): DataFrame =
+    take(rankedFromState(state),
+      state.select("stratum").withColumn("quota", lit(k)))
 }

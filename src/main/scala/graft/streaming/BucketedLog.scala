@@ -1,0 +1,264 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE log-structured bucketed-state machine — manifest protocol,
+  * hash-bucketed version dirs, touched-bucket rewrite, amortized
+  * compaction — shared by every operator that maintains a large
+  * keyed state incrementally ([[SnapshotStore]] for CDC MERGE INTO,
+  * [[AggView]] for incremental aggregate views). Factored out per the
+  * BucketScreen discipline: the commit/eviction machinery lives in
+  * one place, operators supply only their merge semantics.
+  *
+  * == Layout ==
+  *
+  * State under `dir` is bucket files tied together by a versioned
+  * manifest:
+  *
+  *   - `v<j>/__bkt=<k>/` — bucket `k`'s state rows as of the batch
+  *     that produced version `j`, hash-bucketed by
+  *     `pmod(xxhash64(hashCols*), buckets)` and written via
+  *     `partitionBy("__bkt")` so bucket reads are DIRECTORY-pruned
+  *     (the bucket is a pure function of the key — recomputed, never
+  *     trusted from data);
+  *   - `_MANIFEST.v<j>` — one line per live bucket mapping it to the
+  *     version dir holding its current rows. Untouched buckets keep
+  *     pointing at older dirs — that is the whole point.
+  *
+  * == Per-batch cost (the 100 TB argument) ==
+  *
+  * A batch touches only the buckets its keys hash to:
+  * O(|batch| + touched-bucket rows) read + rewritten, never O(base).
+  * With `buckets` sized so a bucket holds a few hundred MB (scale the
+  * count with the corpus), a bounded batch costs bounded IO
+  * regardless of state size — the `stream_merge_batch` probe pins
+  * this flat against a 1×/2×/4× base. When the manifest references
+  * more than `compactAfter` distinct dirs, the next apply folds
+  * everything into ONE fresh version (amortized O(state)).
+  *
+  * == Commit protocol ==
+  *
+  * Write the new version dir, then a fresh `_MANIFEST.v<j>` (tmp file
+  * + atomic rename to a NEW name), then delete superseded manifests
+  * and unreferenced version dirs. Readers take the highest manifest
+  * present, so a crash leaves either the old or the new state fully
+  * intact; a replayed batch re-derives the same content (operators'
+  * merges are idempotent) and finds its manifest already present.
+  *
+  * == Time travel ==
+  *
+  * With `retain = true` nothing is ever deleted: every `_MANIFEST.v<j>`
+  * stays readable, and because untouched buckets point BACKWARD at
+  * older dirs, manifest `j` IS the full snapshot as of version `j` —
+  * [[readAt]] serves any historical version with zero extra storage
+  * beyond the per-batch deltas already written (the Delta/Iceberg
+  * time-travel contract). Storage grows O(Σ touched buckets); call
+  * [[vacuum]] to drop history older than a floor version once it is
+  * out of audit scope.
+  *
+  * Reference anchor: the reference's point-upsert store commits each
+  * batch through one HBase put per row
+  * (`/root/reference/marketdb-core/src/main/scala/com/ergodicity/marketdb/core/MarketDb.scala:103-133`);
+  * here the same contract is a bucketed parquet log + manifest. */
+final case class BucketedLog(dir: String, hashCols: Seq[String],
+    buckets: Int, compactAfter: Int = 16, retain: Boolean = false) {
+
+  private val BktCol = "__bkt"
+  private val ManifestName = """_MANIFEST\.v(\d{19})""".r
+
+  private def manifestFile(version: Long): String =
+    f"_MANIFEST.v$version%019d"
+
+  /** The bucket of a row — a pure function of the key columns. */
+  def bkt: Column =
+    pmod(xxhash64(hashCols.map(col): _*), lit(buckets.toLong))
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def allManifests(f: FileSystem): Seq[(Long, Path)] = {
+    val d = new Path(dir)
+    if (!f.exists(d)) return Seq.empty
+    f.listStatus(d).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  private def parseManifest(f: FileSystem, path: Path): Map[Int, String] = {
+    val in = f.open(path)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map { l => val i = l.indexOf('='); (l.take(i).toInt, l.drop(i + 1)) }
+      .toMap
+  }
+
+  /** (version, bucket -> version-dir-name). Highest manifest wins. */
+  private[graft] def readManifest(spark: SparkSession)
+      : Option[(Long, Map[Int, String])] = {
+    val f = fs(spark)
+    val versions = allManifests(f)
+    if (versions.isEmpty) return None
+    val (version, path) = versions.maxBy(_._1)
+    Some((version, parseManifest(f, path)))
+  }
+
+  /** Highest manifest with version ≤ `asOf` (time travel; requires
+    * `retain` — vacuumed history is an error, not a silent newer
+    * snapshot). */
+  private def readManifestAt(spark: SparkSession, asOf: Long)
+      : Option[(Long, Map[Int, String])] = {
+    val f = fs(spark)
+    val versions = allManifests(f).filter(_._1 <= asOf)
+    if (versions.isEmpty) return None
+    val (version, path) = versions.maxBy(_._1)
+    Some((version, parseManifest(f, path)))
+  }
+
+  private def writeManifest(f: FileSystem, version: Long,
+      entries: Map[Int, String]): Unit = {
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val tmp = new Path(s"$dir/${manifestFile(version)}.tmp")
+    val dst = new Path(s"$dir/${manifestFile(version)}")
+    // pre-existing dst = a replay of this batch crashed after its
+    // rename; content re-derives deterministically, so keep it (a
+    // delete-then-rename would open a zero-manifest window)
+    if (f.exists(dst)) return
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, dst)
+  }
+
+  private def cleanup(f: FileSystem, cur: Long,
+      entries: Map[Int, String]): Unit = {
+    if (retain) return
+    val live = entries.values.toSet
+    f.listStatus(new Path(dir)).foreach { st =>
+      st.getPath.getName match {
+        case ManifestName(v) if v.toLong < cur => f.delete(st.getPath, false)
+        case n if n.startsWith("v") && !live.contains(n) &&
+            !n.endsWith(".tmp") => f.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Drop retained history strictly older than `keepFrom`: delete
+    * manifests `< keepFrom` and any version dir no surviving manifest
+    * references. The oldest surviving manifest still serves every
+    * bucket (its entries point at dirs the deletion spares). */
+  def vacuum(spark: SparkSession, keepFrom: Long): Unit = {
+    val f = fs(spark)
+    val manifests = allManifests(f)
+    val (drop, keep) = manifests.partition(_._1 < keepFrom)
+    if (keep.isEmpty || drop.isEmpty) return
+    val live = keep.flatMap { case (_, p) => parseManifest(f, p).values }.toSet
+    drop.foreach { case (_, p) => f.delete(p, false) }
+    f.listStatus(new Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && !n.endsWith(".tmp") && !live.contains(n) &&
+        !n.startsWith("_")) f.delete(st.getPath, true)
+    }
+  }
+
+  /** State rows of `which` buckets (all if None), each read from its
+    * manifest-pointed version dir with directory-level partition
+    * pruning on `__bkt`. Column order = the written state schema. */
+  private def stateRows(spark: SparkSession,
+      entries: Map[Int, String], which: Option[Set[Int]]): Option[DataFrame] = {
+    val wanted = which.fold(entries)(w =>
+      entries.view.filterKeys(w).toMap)
+    val parts = wanted.groupBy(_._2).map { case (vdir, bs) =>
+      spark.read.parquet(s"$dir/$vdir")
+        .where(col(BktCol).isin(bs.keys.toSeq.map(Integer.valueOf): _*))
+        .drop(BktCol)
+    }.toSeq
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** Buckets present in a just-written version dir — a driver FS
+    * listing of the `__bkt=` subdirs, no data read. */
+  private def writtenBuckets(f: FileSystem, vdir: String): Seq[Int] =
+    f.listStatus(new Path(s"$dir/$vdir")).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(s"$BktCol="))
+        Some(n.drop(BktCol.length + 1).toInt)
+      else None
+    }
+
+  /** Seed version 0 from full initial state (full write — done once;
+    * every later batch rewrites only touched buckets). */
+  def init(state: DataFrame): Unit = {
+    val spark = state.sparkSession
+    val f = fs(spark)
+    f.delete(new Path(dir), true)
+    val vdir = "v0"
+    state.withColumn(BktCol, bkt)
+      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
+    writeManifest(f, 0L, writtenBuckets(f, vdir).map(_ -> vdir).toMap)
+  }
+
+  /** Fold one batch into the store: read ONLY the buckets the batch's
+    * keys hash to, `merge(currentStateOfThoseBuckets, batch)` (state
+    * is None when no touched bucket has rows yet — all-new-key
+    * batches), write the result to a new version dir, commit the
+    * manifest. `batchId` must be monotone (the streaming engine's) —
+    * it names the version. `merge` must return rows whose keys hash
+    * back into the touched set (same keys in = same buckets out). */
+  def applyBatch(batch: DataFrame, batchId: Long)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark)
+    val (curVer, entries) = readManifest(spark)
+      .getOrElse((-1L, Map.empty[Int, String]))
+    val version = math.max(curVer + 1, batchId + 1)
+    // distinct buckets of the batch's keys — bounded by |batch|
+    val touched = batch.select(bkt.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val compact = !retain && entries.values.toSet.size > compactAfter
+    val scope = if (compact) None else Some(touched)
+    val cur = stateRows(spark, entries, scope)
+    val next = merge(cur, batch)
+    val vdir = s"v$version"
+    // overwrite: a replay whose prior attempt crashed between the dir
+    // write and the manifest rename re-derives the same content
+    next.withColumn(BktCol, bkt)
+      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
+    val written = writtenBuckets(f, vdir).toSet
+    val newEntries =
+      if (compact) written.map(_ -> vdir).toMap
+      else entries ++ written.map(_ -> vdir)
+    writeManifest(f, version, newEntries)
+    cleanup(f, version, newEntries)
+  }
+
+  /** Full current state (all buckets). */
+  def read(spark: SparkSession): DataFrame = {
+    val entries = readManifest(spark).map(_._2)
+      .getOrElse(sys.error(s"BucketedLog.read before init: $dir"))
+    stateRows(spark, entries, None)
+      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+  }
+
+  /** Full state AS OF `version` — the snapshot the highest manifest
+    * ≤ `version` published (requires `retain`). */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val entries = readManifestAt(spark, version).map(_._2).getOrElse(
+      sys.error(s"BucketedLog.readAt($version): no manifest ≤ $version " +
+        s"under $dir (vacuumed or never written)"))
+    stateRows(spark, entries, None)
+      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+  }
+}

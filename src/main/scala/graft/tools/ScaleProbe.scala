@@ -494,6 +494,28 @@ object ScaleProbe {
       val rows = st.read(spark).count()
       println(f"[probe] stream_merge_batch $m%4d $rows%10d $sec%8.2f")
     }
+
+    // AggView per-batch cost vs VIEW size (q187/q188's store): seed a
+    // 200k·m-group view (untimed), buckets ∝ groups, then time ONE
+    // fixed 50-group fact batch. Same flatness contract as
+    // stream_merge_batch — O(|batch| + touched buckets), never
+    // O(group count), which is what makes the incrementally-
+    // maintained GROUP BY cheaper than re-aggregating facts.
+    if (opFilter.forall("agg_view_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_aggview_$m"
+      val v = graft.streaming.AggView(dir, Seq("g"),
+        Seq("s" -> col("x")), buckets = 256 * m)
+      val seed = spark.range(200000L * m)
+        .select(col("id").as("g"), (col("id") % 100).as("x"))
+      v.init(seed)
+      val batch = spark.range(50).select(
+        (col("id") * 4096L).as("g"), lit(7L).as("x"))
+      val t0 = System.nanoTime()
+      v.applyBatch(batch, 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = v.read(spark).count()
+      println(f"[probe] agg_view_batch $m%4d $rows%10d $sec%8.2f")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.AggView
+
+/** Incremental materialized aggregate view (q187/q188's store): the
+  * folded LONG state equals the one-shot GROUP BY for any split of
+  * the facts into batches, in ANY batch order (addition commutes —
+  * a retraction may even precede its insert transiently), groups
+  * fully retracted leave the state, and compaction folds the
+  * manifest without changing the view. */
+class AggViewSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // facts: (grp, units, sig) — sig +1 insert / -1 retract
+  private val inserts = Seq(
+    ("a", 3L), ("a", 5L), ("a", 7L), ("b", 2L), ("b", 4L),
+    ("c", 10L), ("c", 1L), ("d", 6L), ("d", 6L), ("d", 6L))
+  // retract all of c and one a-row
+  private val retracts = Seq(("c", 10L), ("c", 1L), ("a", 5L))
+
+  private def df(rows: Seq[(String, Long)], sig: Long): DataFrame =
+    rows.map { case (g, u) => (g, u, sig) }.toDF("grp", "units", "sig")
+
+  private def view(dir: String, compactAfter: Int = 16): AggView =
+    AggView(dir, Seq("grp"), Seq("sum_units" -> col("units")),
+      signCol = Some("sig"), buckets = 4, compactAfter = compactAfter)
+
+  private def read(v: AggView): Map[String, (Long, Long)] =
+    v.read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  // survivors: a minus one 5, b intact, c gone, d intact
+  private val expected = Map(
+    "a" -> (2L, 10L), "b" -> (2L, 6L), "d" -> (3L, 18L))
+
+  test("fold over any batch split and order equals one-shot") {
+    val batchesBase = Seq(
+      df(inserts.take(4), 1L), df(inserts.drop(4), 1L), df(retracts, -1L))
+    // identity order, retraction FIRST (transiently negative state),
+    // and interleaved
+    val orders = Seq(Seq(0, 1, 2), Seq(2, 0, 1), Seq(1, 2, 0))
+    orders.zipWithIndex.foreach { case (ord, i) =>
+      val v = view(s"/tmp/graft_aggview_spec_$i")
+      v.init(df(Nil, 1L))
+      ord.zipWithIndex.foreach { case (b, j) =>
+        v.applyBatch(batchesBase(b), j.toLong)
+      }
+      assert(read(v) === expected, s"order $ord")
+    }
+  }
+
+  test("empty seed vs non-empty seed agree") {
+    val v = view("/tmp/graft_aggview_spec_seed")
+    v.init(df(inserts.take(4), 1L)) // seed IS the first batch's view
+    v.applyBatch(df(inserts.drop(4), 1L), 0L)
+    v.applyBatch(df(retracts, -1L), 1L)
+    assert(read(v) === expected)
+  }
+
+  test("compaction preserves the view") {
+    val v = view("/tmp/graft_aggview_spec_compact", compactAfter = 1)
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts.take(4), 1L), 0L)
+    v.applyBatch(df(inserts.drop(4), 1L), 1L)
+    v.applyBatch(df(retracts, -1L), 2L) // manifest folds along the way
+    assert(read(v) === expected)
+  }
+
+  test("retained view supports time travel per commit") {
+    val v = AggView("/tmp/graft_aggview_spec_tt", Seq("grp"),
+      Seq("sum_units" -> col("units")), signCol = Some("sig"),
+      buckets = 4, retain = true)
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts, 1L), 0L)   // -> v1
+    v.applyBatch(df(retracts, -1L), 1L) // -> v2
+    val atV1 = v.readAt(spark, 1L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(atV1 === Map("a" -> (3L, 15L), "b" -> (2L, 6L),
+      "c" -> (2L, 11L), "d" -> (3L, 18L)))
+    assert(v.readAt(spark, 99L).collect().length === expected.size)
+    assert(read(v) === expected)
+  }
+}

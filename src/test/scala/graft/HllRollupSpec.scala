@@ -47,4 +47,29 @@ class HllRollupSpec extends AnyFunSuite with SparkTestBase {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
     assert(est(once) === est(twice))
   }
+
+  test("incremental view fold (q195): stored ⊔ partial == one-shot, replay-safe") {
+    val df = rows.toDF("g", "slice", "u")
+    val direct = df.groupBy("g")
+      .agg(HllSketch(col("u"), p = 9).as("e"))
+      .collect().map(r => r.getString(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    // fold slice batches into a running register state — including a
+    // REPLAYED batch (idempotent max: at-least-once safe)
+    val batches = Seq(0, 1, 2, 3, 4, 5, 6, 3)
+    var state: org.apache.spark.sql.DataFrame = null
+    batches.foreach { sl =>
+      val p = df.where(col("slice") === sl).groupBy("g")
+        .agg(HllSketch.registers(col("u"), p = 9).as("sk"))
+      state = (if (state == null) p else state.unionByName(p))
+        .groupBy("g")
+        .agg(HllSketch.mergeRegistersVec(col("sk"), p = 9).as("sk"))
+        .localCheckpoint()
+    }
+    val folded = state.groupBy("g")
+      .agg(HllSketch.mergeRegisters(col("sk"), p = 9).as("e"))
+      .collect().map(r => r.getString(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    assert(folded === direct)
+  }
 }

@@ -126,4 +126,44 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
     assert(got32 === expected)
   }
+
+  test("retain=true time travel: readAt(v) replays each commit") {
+    val dir = "/tmp/graft_snapstore_tt"
+    val st = SnapshotStore(dir, "k", "ts", "id", "op", Seq("seg", "bal"),
+      buckets = 8, retain = true)
+    st.init(base, IntegerType, LongType)
+    val b0 = changes.filter(_._6 % 2 == 0)
+    val b1 = changes.filter(_._6 % 2 == 1)
+    st.applyBatch(changesDf(b0), 0L) // -> v1
+    st.applyBatch(changesDf(b1), 1L) // -> v2
+    def at(v: Long): Map[Long, (String, Double)] =
+      st.readAt(spark, v).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // v0 = the untouched base
+    assert(at(0L) === base.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap)
+    // v1 = one-shot merge over the first batch only
+    assert(at(1L) === MergeInto(base, changesDf(b0), "k", "ts", "id",
+        "op", Seq("seg", "bal")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap)
+    // v2 (and any higher asOf) = the full merge = current read
+    assert(at(2L) === oneShot)
+    assert(at(99L) === oneShot)
+    assert(published(st) === oneShot)
+  }
+
+  test("vacuum drops history below the floor, keeps the rest readable") {
+    val dir = "/tmp/graft_snapstore_vac"
+    val st = SnapshotStore(dir, "k", "ts", "id", "op", Seq("seg", "bal"),
+      buckets = 8, retain = true)
+    st.init(base, IntegerType, LongType)
+    st.applyBatch(changesDf(changes.filter(_._6 % 2 == 0)), 0L)
+    st.applyBatch(changesDf(changes.filter(_._6 % 2 == 1)), 1L)
+    val v1 = st.readAt(spark, 1L).collect().toSet
+    st.vacuum(spark, keepFrom = 1L)
+    // v0 history gone — the floor version and current still serve
+    intercept[RuntimeException] { st.readAt(spark, 0L) }
+    assert(st.readAt(spark, 1L).collect().toSet === v1)
+    assert(published(st) === oneShot)
+  }
 }
