@@ -3997,6 +3997,45 @@ object SparkEntry {
         .select(col("s_suppkey").cast("long").as("node"))
         .where(col("node") % 10 === 0)
       Sssp.distances(edges, "src", "dst", "w", seeds, rounds = 4)
+    }),
+    "q197_changelog" -> ((s, dir) => {
+      // CHANGELOG READ (CDC OUT — the table_changes API): time travel
+      // in, diff out. The retained store serves any two committed
+      // versions (q189), and SnapshotDiff classifies every key
+      // added/removed/changed/unchanged between v1 (even-id changes
+      // applied) and v2 (all) — digests move, not rows. Content is a
+      // canonical string with the balance as EXACT cents (double
+      // formatting never crosses engines); the oracle full-outer
+      // joins the two one-shot merge prefixes. Together with q177/
+      // q181/q189 this closes the CDC loop: changes → snapshot →
+      // versions → changes.
+      val base = s"/tmp/graft_q197_changelog_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      val snap = graft.streaming.SnapshotStore(s"$base/snap",
+        "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"), buckets = 16, retain = true)
+      snap.init(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        changes.schema("ts").dataType, changes.schema("id").dataType)
+      snap.applyBatch(changes.where(pmod(col("id"), lit(2)) === 0), 0L)
+      snap.applyBatch(changes.where(pmod(col("id"), lit(2)) === 1), 1L)
+      def content(df: DataFrame): DataFrame =
+        df.select(col("c_custkey"),
+          concat_ws("|", col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").cast("string"))
+            .as("content"))
+      SnapshotDiff.diff(content(snap.readAt(s, 1L)),
+        content(snap.readAt(s, 2L)), "c_custkey", "content")
     })
   )
 
@@ -4349,6 +4388,23 @@ object SparkEntry {
     (header +: blocks).mkString(",\n") +
       s"\nSELECT node, dist FROM d$k"
   }
+
+  /** q197's oracle: full-outer verdict join of the two one-shot
+    * merge prefixes — balance compared as exact integer cents (no
+    * double-to-string formatting crosses engines). */
+  private def changelogSql: String =
+    s"""WITH v1 AS MATERIALIZED (${mergeIntoSqlWhere("o_orderkey % 2 = 0")}),
+       |v2 AS MATERIALIZED (${mergeIntoSqlWhere("TRUE")}),
+       |a AS (SELECT c_custkey AS id, c_mktsegment || '|' ||
+       |    (round(c_acctbal * 100)::BIGINT)::VARCHAR AS c1 FROM v1),
+       |b AS (SELECT c_custkey AS id, c_mktsegment || '|' ||
+       |    (round(c_acctbal * 100)::BIGINT)::VARCHAR AS c2 FROM v2)
+       |SELECT coalesce(a.id, b.id) AS c_custkey,
+       |  CASE WHEN a.id IS NULL THEN 'added'
+       |       WHEN b.id IS NULL THEN 'removed'
+       |       WHEN c1 <> c2 THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM a FULL JOIN b ON a.id = b.id""".stripMargin
 
   /** q194's oracle: the same checksum aggregate over the ORIGINAL
     * parquet — equality proves the JSONL export/import byte-lossless.
@@ -7254,6 +7310,7 @@ object SparkEntry {
     // incrementally-folded view equals the one-shot sketch — q176's
     // register-rebuild SQL verbatim
     "q195_hll_view" -> hllSql(includeExact = false),
-    "q196_shortest_paths" -> ssspSql
+    "q196_shortest_paths" -> ssspSql,
+    "q197_changelog" -> changelogSql
   )
 }
