@@ -4036,6 +4036,101 @@ object SparkEntry {
             .as("content"))
       SnapshotDiff.diff(content(snap.readAt(s, 1L)),
         content(snap.readAt(s, 2L)), "c_custkey", "content")
+    }),
+    "q198_skew_profile" -> ((s, dir) => {
+      // JOIN-KEY SKEW PROFILE — the "should I salt?" diagnostic that
+      // decides between q49's salted join and a plain shuffle: per
+      // heaviest key, its exact count, corpus share, and skew factor
+      // (count ÷ mean per-key count). One partial-agg count per key,
+      // one O(1)-row stats frame broadcast back, global top-10 by
+      // the (cnt, key) total order. Counts are exact longs; each
+      // ratio is ONE division of exact integers — deterministic on
+      // both engines with no rounding contract needed. At 100 TB
+      // the profile costs one count shuffle — the cheapest possible
+      // question to ask before a multi-TB join.
+      val counts = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nkeys"))
+      counts.crossJoin(broadcast(stats))
+        .select(col("key"), col("cnt"),
+          (col("cnt").cast("double") / col("total").cast("double"))
+            .as("share"),
+          ((col("cnt") * col("nkeys")).cast("double")
+            / col("total").cast("double")).as("skew_x"))
+        .orderBy(col("cnt").desc, col("key")).limit(10)
+    }),
+    "q199_ddsketch_view" -> ((s, dir) => {
+      // INCREMENTAL QUANTILE VIEW: q195's fold for the sketch whose
+      // merge is NOT idempotent — DDSketch states ADD, so a replayed
+      // batch would double every bucket count; this gate leans on the
+      // BucketedLog `#batch=` exactly-once guard (spec-pinned), the
+      // piece that makes additive sketch views safe under
+      // at-least-once delivery. Per-returnflag price quantiles folded
+      // over three orderkey-split batches: exact count addition is
+      // associative + commutative, so the stored state equals the
+      // one-shot sketch and q130's SQL is the oracle verbatim.
+      val base = s"/tmp/graft_q199_ddview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.5, 0.9, 0.99)
+      val log = graft.streaming.BucketedLog(s"$base/view",
+        Seq("l_returnflag"), buckets = 4)
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), pmod(col("l_orderkey"), lit(3)).as("part"))
+      def partial(b: DataFrame): DataFrame =
+        b.groupBy("l_returnflag")
+          .agg(graft.expressions.DdSketchState.state(
+            col("l_extendedprice"), bounds).as("sk"))
+      def fold(cur: Option[DataFrame], b: DataFrame): DataFrame = {
+        val pp = partial(b)
+        cur.map(_.unionByName(pp)).getOrElse(pp)
+          .groupBy("l_returnflag")
+          .agg(graft.expressions.DdSketchState.mergeStatesVec(
+            col("sk"), bounds).as("sk"))
+      }
+      log.init(partial(li.where(lit(false))))
+      (0 until 3).foreach(i =>
+        log.applyBatch(li.where(col("part") === i), i.toLong)(fold))
+      log.read(s).groupBy("l_returnflag")
+        .agg(graft.expressions.DdSketchState.mergeStates(
+          col("sk"), bounds, qs).as("ests"))
+        .select(col("l_returnflag"),
+          posexplode(col("ests")).as(Seq("qi", "est")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs), col("qi") + 1).as("q"), col("est"))
+    }),
+    "q200_orc_roundtrip" -> ((s, dir) => {
+      // ORC SOURCE/SINK round trip — the second columnar format the
+      // lakehouse speaks (q194's JSONL discipline for binary
+      // columnar): lineitem exports to ORC partitioned by returnflag
+      // (directory pruning works the same as parquet's), re-imports
+      // with a date-range predicate that reaches the ORC reader as
+      // a pushed filter, and the per-flag exact checksum aggregate
+      // (LONG counts/cents/epoch-micros sums) proves the trip
+      // value-lossless against the original parquet, which is what
+      // the oracle reads. Doubles and timestamps are stored binary in
+      // ORC — no text formatting anywhere.
+      val base = s"/tmp/graft_q200_orc_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      tbl(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice",
+          "l_discount", "l_shipdate")
+        .write.partitionBy("l_returnflag").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .where(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("rev_cents"),
+          sum(unix_micros(col("l_shipdate").cast("timestamp")))
+            .as("sum_ship_us"))
     })
   )
 
@@ -7311,6 +7406,31 @@ object SparkEntry {
     // register-rebuild SQL verbatim
     "q195_hll_view" -> hllSql(includeExact = false),
     "q196_shortest_paths" -> ssspSql,
-    "q197_changelog" -> changelogSql
+    "q197_changelog" -> changelogSql,
+    // exact integer counts; each ratio is a single division of exact
+    // longs — deterministic without rounding (the q122 contract)
+    "q198_skew_profile" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nkeys
+        |  FROM c)
+        |SELECT key, cnt, cnt::DOUBLE / total::DOUBLE AS share,
+        |  (cnt * nkeys)::DOUBLE / total::DOUBLE AS skew_x
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    // count addition over any batch split == the one-shot sketch —
+    // q130's register-replay SQL verbatim
+    "q199_ddsketch_view" -> ddSketchSql(Seq(0.5, 0.9, 0.99)),
+    // the checksum aggregate over the ORIGINAL parquet — equality
+    // proves the ORC export/import value-lossless (q194's contract
+    // for binary columnar)
+    "q200_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+        |    AS rev_cents,
+        |  sum(epoch_us(l_shipdate))::BIGINT AS sum_ship_us
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin
   )
 }

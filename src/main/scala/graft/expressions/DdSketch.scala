@@ -322,12 +322,17 @@ case class DdSketchStateAggregate(
 /** Sketch-table READER: merges STORED DDSketch states (exact count
   * addition — associative and commutative, so any rollup grain
   * equals sketching the raw data) and answers quantiles through the
-  * shared eval (same collapse/rank contract as the direct sketch). */
+  * shared eval (same collapse/rank contract as the direct sketch) —
+  * or, with `emitState`, returns the MERGED STATE itself (the
+  * incremental-sketch-view fold, q199: stored state ⊕ batch partial
+  * → next stored state; addition is NOT idempotent, which is exactly
+  * what the BucketedLog `#batch=` exactly-once guard exists for). */
 case class DdSketchMergeAggregate(
     child: Expression,
     bounds: Array[Double],
     quantiles: Array[Double],
     maxBuckets: Int = Int.MaxValue,
+    emitState: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DdSketch.Buf] {
@@ -336,7 +341,9 @@ case class DdSketchMergeAggregate(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (emitState) org.apache.spark.sql.types.BinaryType
+    else ArrayType(DoubleType, containsNull = false)
   override def createAggregationBuffer(): Buf =
     new Buf(0L, LongMap.empty, LongMap.empty)
 
@@ -349,7 +356,8 @@ case class DdSketchMergeAggregate(
   }
   override def merge(a: Buf, b: Buf): Buf = DdSketch.mergeInto(a, b)
   override def eval(buf: Buf): Any =
-    DdSketch.evalQuantiles(buf, bounds, quantiles, maxBuckets)
+    if (emitState) DdSketch.serializeBuf(buf)
+    else DdSketch.evalQuantiles(buf, bounds, quantiles, maxBuckets)
 
   override def serialize(buf: Buf): Array[Byte] = DdSketch.serializeBuf(buf)
   override def deserialize(bytes: Array[Byte]): Buf =
@@ -372,5 +380,13 @@ object DdSketchState {
       quantiles: Array[Double]): Column =
     Bridge.column(
       DdSketchMergeAggregate(Bridge.expression(c), bounds, quantiles)
+        .toAggregateExpression())
+
+  /** [[mergeStates]] emitting the merged STATE instead of quantiles —
+    * the incremental-sketch-view fold (q199). */
+  def mergeStatesVec(c: Column, bounds: Array[Double]): Column =
+    Bridge.column(
+      DdSketchMergeAggregate(Bridge.expression(c), bounds,
+        Array.empty[Double], emitState = true)
         .toAggregateExpression())
 }

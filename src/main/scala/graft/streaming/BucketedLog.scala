@@ -44,8 +44,12 @@ import org.apache.spark.sql.functions._
   * + atomic rename to a NEW name), then delete superseded manifests
   * and unreferenced version dirs. Readers take the highest manifest
   * present, so a crash leaves either the old or the new state fully
-  * intact; a replayed batch re-derives the same content (operators'
-  * merges are idempotent) and finds its manifest already present.
+  * intact. The manifest records the last APPLIED batch id
+  * (`#batch=`): a crash-replayed micro-batch whose commit already
+  * landed is skipped by id, making every fold EXACTLY-ONCE under
+  * at-least-once delivery — including non-idempotent merges
+  * ([[AggView]]'s additive state, where a re-applied batch would
+  * otherwise double-count; spec-pinned in `AggViewSpec`).
   *
   * == Time travel ==
   *
@@ -89,7 +93,13 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
   }
 
-  private def parseManifest(f: FileSystem, path: Path): Map[Int, String] = {
+  /** (last-applied batchId, bucket -> dir). The `#batch=` header is
+    * the EXACTLY-ONCE guard: a crash-replayed micro-batch (foreachBatch
+    * re-runs a batch whose commit beat the engine checkpoint) is
+    * skipped by id, so even NON-idempotent merges (AggView's additive
+    * fold) stay exact under at-least-once delivery. */
+  private def parseManifest(f: FileSystem, path: Path)
+      : (Long, Map[Int, String]) = {
     val in = f.open(path)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -98,19 +108,31 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       new String(out.toByteArray, "UTF-8")
     } finally in.close()
-    text.linesIterator.map(_.trim).filter(_.nonEmpty)
-      .map { l => val i = l.indexOf('='); (l.take(i).toInt, l.drop(i + 1)) }
-      .toMap
+    var lastBatch = -1L
+    val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        if (l.startsWith("#batch=")) {
+          lastBatch = l.drop("#batch=".length).toLong; None
+        } else {
+          val i = l.indexOf('='); Some((l.take(i).toInt, l.drop(i + 1)))
+        }
+      }.toMap
+    (lastBatch, entries)
   }
 
   /** (version, bucket -> version-dir-name). Highest manifest wins. */
   private[graft] def readManifest(spark: SparkSession)
-      : Option[(Long, Map[Int, String])] = {
+      : Option[(Long, Map[Int, String])] =
+    readManifestFull(spark).map { case (v, _, e) => (v, e) }
+
+  private[graft] def readManifestFull(spark: SparkSession)
+      : Option[(Long, Long, Map[Int, String])] = {
     val f = fs(spark)
     val versions = allManifests(f)
     if (versions.isEmpty) return None
     val (version, path) = versions.maxBy(_._1)
-    Some((version, parseManifest(f, path)))
+    val (lastBatch, entries) = parseManifest(f, path)
+    Some((version, lastBatch, entries))
   }
 
   /** Highest manifest with version ≤ `asOf` (time travel; requires
@@ -122,13 +144,13 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val versions = allManifests(f).filter(_._1 <= asOf)
     if (versions.isEmpty) return None
     val (version, path) = versions.maxBy(_._1)
-    Some((version, parseManifest(f, path)))
+    Some((version, parseManifest(f, path)._2))
   }
 
   private def writeManifest(f: FileSystem, version: Long,
-      entries: Map[Int, String]): Unit = {
-    val body = entries.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      lastBatch: Long, entries: Map[Int, String]): Unit = {
+    val body = (s"#batch=$lastBatch" +: entries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }).mkString("\n")
     val tmp = new Path(s"$dir/${manifestFile(version)}.tmp")
     val dst = new Path(s"$dir/${manifestFile(version)}")
     // pre-existing dst = a replay of this batch crashed after its
@@ -163,7 +185,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val manifests = allManifests(f)
     val (drop, keep) = manifests.partition(_._1 < keepFrom)
     if (keep.isEmpty || drop.isEmpty) return
-    val live = keep.flatMap { case (_, p) => parseManifest(f, p).values }.toSet
+    val live = keep.flatMap { case (_, p) =>
+      parseManifest(f, p)._2.values }.toSet
     drop.foreach { case (_, p) => f.delete(p, false) }
     f.listStatus(new Path(dir)).foreach { st =>
       val n = st.getPath.getName
@@ -206,7 +229,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val vdir = "v0"
     state.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
-    writeManifest(f, 0L, writtenBuckets(f, vdir).map(_ -> vdir).toMap)
+    writeManifest(f, 0L, -1L, writtenBuckets(f, vdir).map(_ -> vdir).toMap)
   }
 
   /** Fold one batch into the store: read ONLY the buckets the batch's
@@ -220,8 +243,12 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark)
-    val (curVer, entries) = readManifest(spark)
-      .getOrElse((-1L, Map.empty[Int, String]))
+    val (curVer, lastBatch, entries) = readManifestFull(spark)
+      .getOrElse((-1L, -1L, Map.empty[Int, String]))
+    // exactly-once by batch id: a crash-replayed micro-batch whose
+    // commit already landed is a no-op — required for NON-idempotent
+    // merges (additive AggView folds) under at-least-once delivery
+    if (batchId <= lastBatch) return
     val version = math.max(curVer + 1, batchId + 1)
     // distinct buckets of the batch's keys — bounded by |batch|
     val touched = batch.select(bkt.cast("int").as("b")).distinct()
@@ -240,7 +267,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val newEntries =
       if (compact) written.map(_ -> vdir).toMap
       else entries ++ written.map(_ -> vdir)
-    writeManifest(f, version, newEntries)
+    writeManifest(f, version, batchId, newEntries)
     cleanup(f, version, newEntries)
   }
 

@@ -19,10 +19,11 @@ import graft.operators.MergeInto
   * change's (ts, id) + a delete tombstone. Tombstones make sequential
   * apply correct under ARBITRARY cross-batch arrival order (an older
   * 'U' landing after the 'D' that beat it cannot resurrect the key);
-  * [[read]] filters them out. A replayed batch finds every change
-  * tied on (ts, id) and losing to the stored version — the merge is
-  * a no-op rewrite of the same touched buckets (idempotent under
-  * at-least-once delivery).
+  * [[read]] filters them out. Replay safety is layered: the log's
+  * `#batch=` manifest guard skips a crash-replayed batch outright,
+  * and even without it every change would tie on (ts, id) and lose
+  * to the stored version (a no-op rewrite) — idempotent under
+  * at-least-once delivery either way.
   *
   * With `retain = true` every version's manifest survives, and
   * [[readAt]] serves the snapshot AS OF any committed version — the

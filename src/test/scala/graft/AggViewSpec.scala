@@ -60,6 +60,19 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === expected)
   }
 
+  test("crash-replayed batch is a no-op (exactly-once by batch id)") {
+    val v = view("/tmp/graft_aggview_spec_replay")
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts, 1L), 0L)
+    // at-least-once delivery: the engine re-runs batch 0 after a
+    // crash between the store commit and the engine checkpoint — an
+    // additive fold would double-count without the manifest guard
+    v.applyBatch(df(inserts, 1L), 0L)
+    v.applyBatch(df(retracts, -1L), 1L)
+    v.applyBatch(df(retracts, -1L), 1L)
+    assert(read(v) === expected)
+  }
+
   test("compaction preserves the view") {
     val v = view("/tmp/graft_aggview_spec_compact", compactAfter = 1)
     v.init(df(Nil, 1L))

@@ -53,4 +53,30 @@ class BfsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("round join never re-exchanges the checkpointed edge side") {
+    import org.apache.spark.sql.functions._
+    // Bfs checkpoints edges hash-partitioned by src (the PageRank
+    // discipline) — a round's frontier join exchanges only the
+    // frontier (1 exchange) plus the reached-distinct aggregate (1),
+    // never the edge frame. Broadcast disabled so the shuffle
+    // requirement is exercised at test scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+        (1 to 400).map(i => (i.toLong % 40, i.toLong % 17))
+          .toDF("src", "dst").distinct()
+          .repartition(4, col("src")))
+      val frontier = (0L until 10L).toDF("node").localCheckpoint()
+      val round = frontier.select(col("node").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      round.queryExecution.executedPlan.execute().count()
+      val p = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n <= 2, s"edge side re-exchanged ($n exchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -479,4 +479,18 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       assert(n <= 2, s"edge side re-exchanged ($n exchanges):\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q191 pass-2 bracket is PUSHED into the parquet scan") {
+    // the exact bin-membership test is a computed column (not
+    // pushable); the redundant value-range bracket must reach the
+    // scan so row groups outside the needed bins never decompress
+    val df = SparkEntry.queries("q191_exact_quantiles")(spark, sf0001)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), Or(") ||
+      ("""PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_extendedprice""".r
+        .findFirstIn(p).isDefined),
+      s"bracket not pushed to the scan:\n$p")
+  }
 }

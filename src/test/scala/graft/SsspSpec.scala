@@ -50,4 +50,33 @@ class SsspSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("relax round never re-exchanges the checkpointed edge side") {
+    import org.apache.spark.sql.functions._
+    // identical discipline to Bfs/PageRank: edges checkpointed
+    // hash-partitioned by src; a relax round exchanges the distance
+    // frame into the join (1) plus the min-aggregate (1) — never the
+    // edge frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+        (1 to 400).map(i => (i.toLong % 40, i.toLong % 17, (i % 5).toLong))
+          .toDF("src", "dst", "w").groupBy("src", "dst")
+          .agg(min(col("w")).as("w"))
+          .repartition(4, col("src")))
+      val dist = (0L until 10L).map(i => (i, 0L)).toDF("node", "dist")
+        .localCheckpoint()
+      val round = dist.select(col("node").as("src"), col("dist"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      round.queryExecution.executedPlan.execute().count()
+      val p = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n <= 2, s"edge side re-exchanged ($n exchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
