@@ -4131,6 +4131,48 @@ object SparkEntry {
             * 100).cast("long")).as("rev_cents"),
           sum(unix_micros(col("l_shipdate").cast("timestamp")))
             .as("sum_ship_us"))
+    }),
+    "q201_rolling_corr" -> ((s, dir) => {
+      // EXACT rolling correlation — Pearson over a trailing 7-day
+      // window of the daily click/purchase cent sums, computed from
+      // INTEGER MOMENTS (n, Σx, Σy, Σx², Σy², Σxy as exact longs):
+      // the one float expression is the final
+      // (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²̂)·√(n·Σy²−Σy²̂)) — identical
+      // integer inputs on both engines, and sqrt/division are
+      // correctly-rounded IEEE ops, so NO rounding contract is needed
+      // (contrast rule 9: corr() over raw doubles is partial-order-
+      // sensitive and needs one). Overflow headroom: daily cent sums
+      // ~1e8 at sf0.1, moments ≤1e18 < 2^63; at true corpus scale the
+      // window is per-key (per instrument), which keeps the daily
+      // sums in the same band — documented bound, not a silent cap.
+      // Full windows only (rn ≥ 7); zero-variance windows drop on
+      // both engines by the same integer predicate.
+      val daily = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click",
+            scaledLong(col("value"), 2)).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase",
+            scaledLong(col("value"), 2)).otherwise(0L)).as("y"))
+      val win = Window.orderBy("day").rowsBetween(-6, 0)
+      val ord = Window.orderBy("day")
+      val m = daily.select(col("day"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("x")).over(win).as("sx"),
+        sum(col("y")).over(win).as("sy"),
+        sum(col("x") * col("x")).over(win).as("sxx"),
+        sum(col("y") * col("y")).over(win).as("syy"),
+        sum(col("x") * col("y")).over(win).as("sxy"),
+        row_number().over(ord).as("rn"))
+      m.where(col("rn") >= 7 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("corr"))
     })
   )
 
@@ -7431,6 +7473,31 @@ object SparkEntry {
         |  sum(epoch_us(l_shipdate))::BIGINT AS sum_ship_us
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // Pearson from exact integer moments: the only float ops are one
+    // division and two correctly-rounded sqrts on identical integer
+    // inputs — no rounding contract (contrast corr() over doubles)
+    "q201_rolling_corr" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN round(value * 100, 0)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN round(value * 100, 0)::BIGINT ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day,
+        |    (count(*) OVER win)::BIGINT AS n,
+        |    (sum(x) OVER win)::BIGINT AS sx, (sum(y) OVER win)::BIGINT AS sy,
+        |    (sum(x * x) OVER win)::BIGINT AS sxx,
+        |    (sum(y * y) OVER win)::BIGINT AS syy,
+        |    (sum(x * y) OVER win)::BIGINT AS sxy,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  (n * sxy - sx * sy)::DOUBLE
+        |    / (sqrt((n * sxx - sx * sx)::DOUBLE)
+        |       * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
+        |FROM w WHERE rn >= 7
+        |  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0""".stripMargin
   )
 }
