@@ -4173,6 +4173,82 @@ object SparkEntry {
                 .cast("double"))
               * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
                 .cast("double")))).as("corr"))
+    }),
+    "q202_anomaly_days" -> ((s, dir) => {
+      // ANOMALY FLAGS WITH ZERO FLOATS: a day is anomalous when its
+      // cent sum deviates from the trailing-14-day mean by more than
+      // 3σ — and the 3σ test folds into PURE INTEGER algebra:
+      // (x − Σx/n)² > 9·(n·Σx² − Σx²̂)/n²  ⇔  (n·x − Σx)² > 9·(n·Σx² − Σx²̂).
+      // Exact long moments (the q201 discipline), one integer
+      // comparison, no epsilon, no rounding contract, bit-identical
+      // on any engine — monitoring thresholds that cannot drift.
+      // Window excludes the current day (13 preceding .. 1 preceding)
+      // so a spike does not mask itself.
+      val daily = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(scaledLong(col("value"), 2)).as("x"))
+      val win = Window.orderBy("day").rowsBetween(-13, -1)
+      val ord = Window.orderBy("day")
+      daily.select(col("day"), col("x"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("x")).over(win).as("sx"),
+          sum(col("x") * col("x")).over(win).as("sxx"),
+          row_number().over(ord).as("rn"))
+        .where(col("rn") >= 14)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x").as("cents"),
+          ((col("n") * col("x") - col("sx"))
+            * (col("n") * col("x") - col("sx")) >
+            lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+            .as("is_anomaly"))
+    }),
+    "q203_weighted_sample" -> ((s, dir) => {
+      // DETERMINISTIC WEIGHTED SAMPLING (lottery-ticket draw): each
+      // doc gets w integer tickets (w = 1 + n_chars/500 — longer docs
+      // upweighted), every ticket hashes md5(doc_id:ticket), and the
+      // 100 docs holding the smallest best-ticket win — selection
+      // probability strictly increasing in w, no RNG anywhere, fully
+      // SQL-replayable (the md5-deal discipline of q168, extended to
+      // per-row weights via integer ticket replication). Shape: Σw
+      // exploded tickets (a bounded small multiple of the corpus),
+      // map-side min per doc, then a bounded top-k — never a global
+      // sort of the corpus.
+      val weighted = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1L) + (col("n_chars") / 500).cast("long")).as("w"))
+      weighted
+        .withColumn("g", explode(sequence(lit(1L), col("w"))))
+        .select(col("doc_id"), col("w"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("g").cast("string"))).as("h"))
+        .groupBy("doc_id", "w").agg(min(col("h")).as("ticket"))
+        .orderBy(col("ticket"), col("doc_id")).limit(100)
+    }),
+    "q204_equidepth_bins" -> ((s, dir) => {
+      // EQUI-DEPTH FEATURE BINNING — the ML-pipeline discretizer:
+      // quartile boundaries come from the EXACT two-pass selection
+      // (q191's Quantiles, so no global sort materializes them), and
+      // each row lands in bucket 1 + |{boundary < v}| — boundary
+      // values are raw data points, comparisons are exact, ties
+      // break LEFT identically on both engines. Per-bucket audit
+      // stats are exact longs. At 100 TB: two O(bins)-state scans
+      // for the boundaries, one codegen comparison scan for the
+      // assignment — the discretizer never sorts the corpus.
+      val bounds = Quantiles.exact(tbl(s, dir, "lineitem"),
+          "l_extendedprice",
+          Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val (b1, b2, b3) = (bounds("p25"), bounds("p50"), bounds("p75"))
+      val v = col("l_extendedprice")
+      tbl(s, dir, "lineitem")
+        .select(v.as("v"),
+          (lit(1L) + when(lit(b1) < v, 1L).otherwise(0L)
+            + when(lit(b2) < v, 1L).otherwise(0L)
+            + when(lit(b3) < v, 1L).otherwise(0L)).as("bucket"),
+          scaledLong(v, 2).as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"), sum(col("cents")).as("sum_cents"))
     })
   )
 
@@ -7498,6 +7574,53 @@ object SparkEntry {
         |    / (sqrt((n * sxx - sx * sx)::DOUBLE)
         |       * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
         |FROM w WHERE rn >= 7
-        |  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0""".stripMargin
+        |  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0""".stripMargin,
+    // the 3-sigma test folded into pure integer algebra — zero floats
+    // anywhere in the query
+    "q202_anomaly_days" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    sum(round(value * 100, 0)::BIGINT)::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    (count(*) OVER win)::BIGINT AS n,
+        |    (sum(x) OVER win)::BIGINT AS sx,
+        |    (sum(x * x) OVER win)::BIGINT AS sxx,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, x AS cents,
+        |  (n * x - sx) * (n * x - sx) > 9 * (n * sxx - sx * sx) AS is_anomaly
+        |FROM w WHERE rn >= 14""".stripMargin,
+    // md5-deal with integer ticket replication: selection probability
+    // strictly increasing in w, no RNG, unique (ticket, doc_id) order
+    "q203_weighted_sample" ->
+      """WITH wt AS (SELECT doc_id, (1 + n_chars // 500)::BIGINT AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, w)) AS g FROM wt),
+        |best AS (SELECT doc_id, w,
+        |    min(md5(doc_id::VARCHAR || ':' || g::VARCHAR)) AS ticket
+        |  FROM tk GROUP BY doc_id, w)
+        |SELECT doc_id, w, ticket FROM best
+        |ORDER BY ticket, doc_id LIMIT 100""".stripMargin,
+    // quartile boundaries are exact rank-k values; bucket = 1 +
+    // |{boundary < v}| with identical left tie-breaking; stats exact
+    "q204_equidepth_bins" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4))
+        |  AS t(num, den)),
+        |k AS (SELECT ((n.n * num + den - 1) // den)::BIGINT AS rank
+        |  FROM q, n),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |b AS (SELECT r.v AS bv FROM k JOIN r ON r.rn = k.rank)
+        |SELECT 1 + (SELECT count(*) FROM b WHERE bv < l.l_extendedprice)::BIGINT
+        |    AS bucket,
+        |  count(*)::BIGINT AS n, min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi,
+        |  sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
+        |FROM lineitem l WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin
   )
 }
