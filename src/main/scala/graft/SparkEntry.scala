@@ -4249,6 +4249,66 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"), sum(col("cents")).as("sum_cents"))
+    }),
+    "q205_perplexity" -> ((s, dir) => {
+      // CCNet-STYLE LM QUALITY SCORING: train an add-one-smoothed
+      // bigram LM on the corpus itself, score every doc by average
+      // negative log-likelihood (nats/bigram) — the filter that drops
+      // the gibberish/boilerplate tail. Every probability is a ratio
+      // of exact integer counts (smoothing makes zero-counts
+      // well-defined); both engines derive V from the same bigram
+      // stream; the per-doc sum of ln-terms is rounded at 6 dp
+      // (rule 9). 100 TB: two Zipf-bounded count shuffles + a scoring
+      // join over ONE persisted bigram pass (eager, caller-owned) —
+      // corpus size stays on the streams, never in state.
+      NgramLm.score(tbl(s, dir, "documents"), "doc_id", "text")
+    }),
+    "q206_hrw_sharding" -> ((s, dir) => {
+      // RENDEZVOUS-HASH SHARD GROWTH: assign every doc its
+      // highest-random-weight shard under n=8 and n=9 and report, per
+      // new shard, how many docs moved. The HRW guarantee — checked
+      // exactly by the oracle and pinned by RendezvousSpec — is that
+      // n_moved = 0 for every pre-existing shard (movers land ONLY on
+      // the new shard 8, an expected 1/9 of the corpus): the layout
+      // property that lets a 100 TB corpus grow its shard count
+      // without re-dealing ~8/9 of it (what mod-n would do). Shape:
+      // zero-shuffle codegen projection + one count aggregate.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          Splits.rendezvousShard(col("doc_id"), "v1", 8).as("shard_old"),
+          Splits.rendezvousShard(col("doc_id"), "v1", 9).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard_old") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+    }),
+    "q207_lang_jsd" -> ((s, dir) => {
+      // PAIRWISE JENSEN–SHANNON DIVERGENCE between per-language
+      // unigram distributions — the symmetric, ln2-bounded slice
+      // divergence used to pick mixing weights / flag vocabulary
+      // drift. Singleton-vocabulary tails fold into closed form from
+      // INTEGER coverage sums, so an inner self-join on word
+      // suffices (see Drift.unigramJsd); float term sums rounded at
+      // 6 dp (rule 9). 100 TB: the join shuffles Heaps-bounded count
+      // tables, never the corpus.
+      val counts = tbl(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      Drift.unigramJsd(counts, "lang", "w", "c")
+        .select(col("slice_a").as("lang_a"), col("slice_b").as("lang_b"),
+          col("jsd"), col("n_a"), col("n_b"))
+    }),
+    "q208_epoch_shuffle" -> ((s, dir) => {
+      // DETERMINISTIC EPOCH SHUFFLE into fixed-size training batches:
+      // order = md5(salt:epoch:id), rank via GlobalRank's CONTENT-
+      // BUCKETED two-level rank (bucket = leading hex nibbles of the
+      // key, so membership is a pure function of the data and the
+      // corpus crosses ONE exchange — no single-partition window
+      // funnel, plan-guarded in GlobalRankSpec), batch/pos by integer
+      // div/mod. The oracle replays the order with one row_number.
+      GlobalRank.epochShuffle(tbl(s, dir, "documents"), "doc_id",
+        "ep", epoch = 1, batchSize = 64)
     })
   )
 
@@ -7621,6 +7681,98 @@ object SparkEntry {
         |  max(l_extendedprice) AS hi,
         |  sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
         |FROM lineitem l WHERE l_extendedprice IS NOT NULL
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // add-one-smoothed bigram LM trained and applied on the same
+    // corpus: probabilities are ratios of exact integer counts; V is
+    // re-derived (count DISTINCT cur) rather than passed, so both
+    // engines agree by construction; avg of ln-terms rounded (rule 9)
+    "q205_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<S>' ELSE t[i-1] END AS prev,
+        |    t[i] AS cur
+        |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+        |cp AS (SELECT prev, count(*)::BIGINT AS c_prev FROM bg GROUP BY 1),
+        |cb AS (SELECT prev, cur, count(*)::BIGINT AS c_bg
+        |  FROM bg GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT cur)::BIGINT AS v FROM bg)
+        |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(sum(ln((c_prev + v.v)::DOUBLE / (c_bg + 1)::DOUBLE))
+        |    / count(*), 6) AS nll
+        |FROM bg JOIN cb USING (prev, cur) JOIN cp USING (prev), v
+        |GROUP BY 1""".stripMargin,
+    // one md5 draw per (shard, doc); min_by over the 34-char
+    // h||lpad(s,2) key replays Spark's struct(h, s) tiebreak exactly;
+    // HRW property checked by the oracle itself: movers only on shard 8
+    "q206_hrw_sharding" ->
+      """WITH o AS (SELECT doc_id,
+        |    min_by(s, md5('v1:' || s::VARCHAR || ':' || doc_id::VARCHAR)
+        |      || lpad(s::VARCHAR, 2, '0')) AS shard_old
+        |  FROM documents, unnest(generate_series(0, 7)) AS g(s)
+        |  GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |    min_by(s, md5('v1:' || s::VARCHAR || ':' || doc_id::VARCHAR)
+        |      || lpad(s::VARCHAR, 2, '0')) AS shard
+        |  FROM documents, unnest(generate_series(0, 8)) AS g(s)
+        |  GROUP BY doc_id)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN shard_old <> shard THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_moved
+        |FROM o JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
+    // per-term float math written in the IDENTICAL op sequence as the
+    // Spark side (each IEEE op correctly rounded on identical integer
+    // inputs); only the vocab-order sums differ → round 6 (rule 9);
+    // out-of-vocab tails are closed-form from integer coverage sums
+    "q207_lang_jsd" ->
+      """WITH c AS MATERIALIZED (SELECT lang, w, count(*)::BIGINT AS c
+        |  FROM (SELECT lang,
+        |      unnest(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |t AS MATERIALIZED (SELECT lang, sum(c)::BIGINT AS n
+        |  FROM c GROUP BY 1),
+        |pr AS (SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+        |    ta.n AS n_a, tb.n AS n_b
+        |  FROM t ta, t tb WHERE ta.lang < tb.lang),
+        |j AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    a.c AS ca, b.c AS cb, ta.n AS n_a, tb.n AS n_b
+        |  FROM c a JOIN c b USING (w)
+        |  JOIN t ta ON ta.lang = a.lang JOIN t tb ON tb.lang = b.lang
+        |  WHERE a.lang < b.lang),
+        |g AS (SELECT lang_a, lang_b,
+        |    sum((ca::DOUBLE / n_a::DOUBLE)
+        |      * ln(2.0::DOUBLE * (ca::DOUBLE / n_a::DOUBLE)
+        |        / (ca::DOUBLE / n_a::DOUBLE + cb::DOUBLE / n_b::DOUBLE)))
+        |      AS sa,
+        |    sum((cb::DOUBLE / n_b::DOUBLE)
+        |      * ln(2.0::DOUBLE * (cb::DOUBLE / n_b::DOUBLE)
+        |        / (ca::DOUBLE / n_a::DOUBLE + cb::DOUBLE / n_b::DOUBLE)))
+        |      AS sb,
+        |    sum(ca)::BIGINT AS sca, sum(cb)::BIGINT AS scb
+        |  FROM j GROUP BY 1, 2)
+        |SELECT lang_a, lang_b,
+        |  round(0.5::DOUBLE * (coalesce(sa, 0.0::DOUBLE)
+        |      + (1.0::DOUBLE - coalesce(sca, 0)::DOUBLE / n_a::DOUBLE)
+        |        * ln(2.0::DOUBLE))
+        |    + 0.5::DOUBLE * (coalesce(sb, 0.0::DOUBLE)
+        |      + (1.0::DOUBLE - coalesce(scb, 0)::DOUBLE / n_b::DOUBLE)
+        |        * ln(2.0::DOUBLE)),
+        |    6) AS jsd,
+        |  n_a, n_b
+        |FROM pr LEFT JOIN g USING (lang_a, lang_b)""".stripMargin,
+    // one row_number replays the two-phase range rank: md5 hex is
+    // ASCII so VARCHAR order == Spark's binary string order; doc_id
+    // tiebreak per hard rule 4; integer div/mod
+    "q208_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('ep:1:' || doc_id::VARCHAR), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, ((rank - 1) // 64)::BIGINT AS batch,
+        |  ((rank - 1) % 64)::BIGINT AS pos
+        |FROM r""".stripMargin
   )
 }

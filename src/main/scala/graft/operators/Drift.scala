@@ -71,4 +71,70 @@ object Drift {
       .agg(round(sum(col("term")), roundDp).as("psi"))
       .select(col("grp"), col("psi"), col("n_a"), col("n_b"))
   }
+
+  /** Pairwise JENSEN–SHANNON DIVERGENCE between the unigram
+    * distributions of dataset slices (languages, domains, snapshots)
+    * — the mixture-design view PSI can't give: JSD is symmetric,
+    * bounded by ln 2, and is what you thumb when choosing mixing
+    * weights or detecting that one slice's vocabulary walked away
+    * from another's.
+    *
+    * `counts` is a (sliceCol, word, c) frame of exact long unigram
+    * counts (one shuffle to build from a corpus; vocab-bounded by
+    * Heaps' law). For each slice pair a<b, with p(w)=c_a(w)/N_a and
+    * q(w)=c_b(w)/N_b:
+    *
+    *   JSD = ½ Σ_w p ln(2p/(p+q)) + ½ Σ_w q ln(2q/(p+q))
+    *
+    * Words in ONE slice only contribute ½·p·ln2 (resp. q) — rather
+    * than outer-joining per pair, those tails fold into closed form:
+    * Σ_{w∉b} p(w) = 1 − (Σ_{w∈both} c_a(w))/N_a, an INTEGER sum and
+    * one division. So an inner self-join on word suffices, and the
+    * only order-sensitive float work is the two in-vocab term sums,
+    * absorbed by rounding (hard rule 9: term magnitude ≤1e-3, vocab
+    * ~1e4 → noise ≪ the 5e-7 boundary at 6 dp).
+    *
+    * Output: (slice_a, slice_b, jsd, n_a, n_b), one row per unordered
+    * pair. Shape at 100 TB: the self-join shuffles vocab-bounded
+    * count tables (never the corpus); pair terms aggregate to
+    * |slices|² rows. */
+  def unigramJsd(counts: DataFrame, sliceCol: String, wordCol: String,
+      cntCol: String, roundDp: Int = 6): DataFrame = {
+    val tot = counts.groupBy(col(sliceCol).as("slice"))
+      .agg(sum(col(cntCol)).as("n"))
+    // the pair universe comes from the totals cross join (|slices|²
+    // rows) — NOT from the word join, which would silently drop a
+    // pair with no shared vocabulary (whose JSD is exactly ln 2)
+    val pairs = tot.select(col("slice").as("slice_a"), col("n").as("n_a"))
+      .crossJoin(tot.select(col("slice").as("slice_b"), col("n").as("n_b")))
+      .where(col("slice_a") < col("slice_b"))
+    val a = counts.select(col(sliceCol).as("slice_a"),
+      col(wordCol).as("w"), col(cntCol).as("ca"))
+      .join(broadcast(tot.select(col("slice").as("slice_a"),
+        col("n").as("n_a"))), Seq("slice_a"))
+    val b = counts.select(col(sliceCol).as("slice_b"),
+      col(wordCol).as("w"), col(cntCol).as("cb"))
+      .join(broadcast(tot.select(col("slice").as("slice_b"),
+        col("n").as("n_b"))), Seq("slice_b"))
+    val p = col("ca").cast("double") / col("n_a").cast("double")
+    val q = col("cb").cast("double") / col("n_b").cast("double")
+    val shared = a.join(b, Seq("w")).where(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(sum(p * log(lit(2.0) * p / (p + q))).as("sa"),
+        sum(q * log(lit(2.0) * q / (p + q))).as("sb"),
+        sum(col("ca")).as("sca"), sum(col("cb")).as("scb"))
+    pairs.join(shared, Seq("slice_a", "slice_b"), "left")
+      .select(col("slice_a"), col("slice_b"),
+        round(
+          lit(0.5) * (coalesce(col("sa"), lit(0.0))
+            + (lit(1.0) - coalesce(col("sca"), lit(0L)).cast("double")
+                / col("n_a").cast("double"))
+              * log(lit(2.0)))
+            + lit(0.5) * (coalesce(col("sb"), lit(0.0))
+              + (lit(1.0) - coalesce(col("scb"), lit(0L)).cast("double")
+                  / col("n_b").cast("double"))
+                * log(lit(2.0))),
+          roundDp).as("jsd"),
+        col("n_a"), col("n_b"))
+  }
 }

@@ -76,4 +76,28 @@ object Splits {
       .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
     df.withColumn("bucket", bucket).withColumn("split", label)
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment: the row goes
+    * to the shard s ∈ [0, n) whose `md5(salt:s:id)` is LEXICALLY
+    * SMALLEST (ties — cryptographically improbable but hard rule 4 —
+    * break to the lower s via the struct's second field). Unlike
+    * `hashShard`'s mod-n deal, HRW is *minimally disruptive*: growing
+    * n→n+1 moves EXACTLY the rows whose new shard wins the draw —
+    * an expected 1/(n+1) fraction — and every moved row lands ON the
+    * new shard; rows never migrate between pre-existing shards. That
+    * is the property a 100 TB corpus layout needs to grow its shard
+    * count without a full re-deal (a mod-n deal relocates ~n/(n+1)
+    * of the corpus on the same change).
+    *
+    * Shape: a zero-shuffle codegen'd projection — n md5s + an
+    * array_min fold per row, no state, no join. */
+  def rendezvousShard(id: Column, salt: String, n: Int): Column = {
+    require(n > 0, s"shard count must be positive: $n")
+    array_min(transform(sequence(lit(0), lit(n - 1)),
+      s => struct(
+        md5(concat(lit(salt + ":"), s.cast("string"), lit(":"),
+          id.cast("string"))).as("h"),
+        s.as("s"))))
+      .getField("s").cast("long")
+  }
 }
