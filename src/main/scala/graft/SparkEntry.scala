@@ -202,7 +202,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 23 AvailableNow replay gates (micro-batch streaming with
+  /** The 24 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -215,7 +215,7 @@ object SparkEntry {
     "q161_stream_scd2", "q165_stream_ddsketch",
     "q175_stream_fingerprint", "q181_stream_merge_into",
     "q182_stream_leaderboard", "q186_stream_stratified",
-    "q188_stream_agg_view")
+    "q188_stream_agg_view", "q209_stream_lang_jsd")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -4309,6 +4309,64 @@ object SparkEntry {
       // div/mod. The oracle replays the order with one row_number.
       GlobalRank.epochShuffle(tbl(s, dir, "documents"), "doc_id",
         "ep", epoch = 1, batchSize = 64)
+    }),
+    "q209_stream_lang_jsd" -> ((s, dir) => {
+      // STREAMING VOCABULARY-DRIFT MONITOR: q207's per-language
+      // unigram count table maintained LIVE through the state store
+      // across two doc_id-parity arrival batches — the monitor that
+      // watches slice divergence as a corpus streams in, instead of
+      // re-tokenizing 100 TB per check. Count addition is commutative
+      // and order-free, so the complete-mode snapshot is a pure
+      // function of the document multiset and equals the batch count
+      // table; the final JSD fold (Drift.unigramJsd over the
+      // snapshot) matches q207's SQL verbatim. State = one row per
+      // (lang, word) — Heaps-bounded vocabulary, never corpus-sized.
+      val base = s"/tmp/graft_q209_stream_jsd_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      docs.where(pmod(col("doc_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      Drift.unigramJsd(s.read.parquet(out), "lang", "w", "c")
+        .select(col("slice_a").as("lang_a"), col("slice_b").as("lang_b"),
+          col("jsd"), col("n_a"), col("n_b"))
+    }),
+    "q210_ivf_index_table" -> ((s, dir) => {
+      // PERSISTED IVF INDEX TABLE — build once, query many: the
+      // trained centroid table and the cell-PARTITIONED postings land
+      // in parquet, and the lookup path reads ONLY the probed cells'
+      // directories back (a literal isin partition filter — the
+      // probed set is ≤ nCentroids ints — statically prunes the scan,
+      // IvfIndexSpec) before the exact cosine re-rank. This is the
+      // serving layout at 100 TB: q40 re-trains and re-assigns per
+      // query run (fine for one-shot analytics); an index SERVING
+      // corpus builds once and answers every subsequent query batch
+      // from ~nProbe/nCentroids of the index. DuckDB replays probe +
+      // re-rank from the persisted bytes alone (float32 round-trips
+      // parquet exactly; both engines fold dot products in index
+      // order), so the gate also proves the stored postings equal the
+      // live assignment.
+      val path = Similarity.scratchIvfIndexPath
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding", path,
+        nCentroids = 16, sampleSize = 2000, iters = 3)
+      Similarity.ivfIndexTopK(s, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nProbe = 4)
     })
   )
 
@@ -7725,7 +7783,62 @@ object SparkEntry {
     // Spark side (each IEEE op correctly rounded on identical integer
     // inputs); only the vocab-order sums differ → round 6 (rule 9);
     // out-of-vocab tails are closed-form from integer coverage sums
-    "q207_lang_jsd" ->
+    "q207_lang_jsd" -> langJsdSql,
+    // count addition is order-free, so the state-store snapshot after
+    // the two-batch replay equals the batch count table — the
+    // streaming gate answers q207's SQL verbatim
+    "q209_stream_lang_jsd" -> langJsdSql,
+    // probe + re-rank replayed from the PERSISTED index bytes alone
+    // (centroid parquet + hive-partitioned postings): c2 and every
+    // dot are index-ordered double folds on float32 values that
+    // round-trip parquet exactly — hash-exact, and it proves the
+    // stored postings equal the live assignment
+    "q210_ivf_index_table" ->
+      s"""WITH cent AS (SELECT cell::INT AS cell,
+        |    centroid::DOUBLE[] AS cv,
+        |    list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS c2
+        |  FROM read_parquet('${operators.Similarity.scratchIvfIndexPath}/cent/*.parquet')),
+        |post AS (SELECT cell::INT AS cell, cand_id, cv::DOUBLE[] AS pv
+        |  FROM read_parquet('${operators.Similarity.scratchIvfIndexPath}/post/*/*.parquet',
+        |    hive_partitioning=1)),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |dist AS (SELECT q.query_id, c.cell,
+        |    c.c2 - 2 * list_dot_product(q.qv, c.cv) AS d, q.qv
+        |  FROM q CROSS JOIN cent c),
+        |probes AS (SELECT query_id, cell, qv FROM (
+        |  SELECT query_id, cell, qv, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM dist)
+        |  WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, t.cand_id,
+        |    list_dot_product(p.qv, t.pv)
+        |      / (sqrt(list_dot_product(p.qv, p.qv))
+        |        * sqrt(list_dot_product(t.pv, t.pv))) AS cosine
+        |  FROM probes p JOIN post t USING (cell)
+        |  WHERE p.query_id <> t.cand_id)
+        |SELECT query_id, cand_id, cosine, rank FROM (
+        |  SELECT query_id, cand_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // one row_number replays the two-phase range rank: md5 hex is
+    // ASCII so VARCHAR order == Spark's binary string order; doc_id
+    // tiebreak per hard rule 4; integer div/mod
+    "q208_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('ep:1:' || doc_id::VARCHAR), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, ((rank - 1) // 64)::BIGINT AS batch,
+        |  ((rank - 1) % 64)::BIGINT AS pos
+        |FROM r""".stripMargin
+  )
+
+  /** q207's oracle (and q209's — the streaming gate's state-store
+    * snapshot equals the batch count table, so the same SQL grades
+    * both): pairwise Jensen–Shannon divergence from per-language
+    * unigram counts, out-of-vocab tails in closed form from integer
+    * coverage sums, term sums rounded at 6 dp (rule 9). */
+  private def langJsdSql: String =
       """WITH c AS MATERIALIZED (SELECT lang, w, count(*)::BIGINT AS c
         |  FROM (SELECT lang,
         |      unnest(list_filter(string_split(lower(text), ' '),
@@ -7762,17 +7875,5 @@ object SparkEntry {
         |        * ln(2.0::DOUBLE)),
         |    6) AS jsd,
         |  n_a, n_b
-        |FROM pr LEFT JOIN g USING (lang_a, lang_b)""".stripMargin,
-    // one row_number replays the two-phase range rank: md5 hex is
-    // ASCII so VARCHAR order == Spark's binary string order; doc_id
-    // tiebreak per hard rule 4; integer div/mod
-    "q208_epoch_shuffle" ->
-      """WITH r AS (SELECT doc_id,
-        |    row_number() OVER (
-        |      ORDER BY md5('ep:1:' || doc_id::VARCHAR), doc_id) AS rank
-        |  FROM documents)
-        |SELECT doc_id, ((rank - 1) // 64)::BIGINT AS batch,
-        |  ((rank - 1) % 64)::BIGINT AS pos
-        |FROM r""".stripMargin
-  )
+        |FROM pr LEFT JOIN g USING (lang_a, lang_b)""".stripMargin
 }

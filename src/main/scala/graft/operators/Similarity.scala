@@ -19,6 +19,11 @@ object Similarity {
     * same trade as `Tables.scratchPartitionedPath`. */
   val scratchCentroidsPath: String = "/tmp/graft_q90_centroids"
 
+  /** Fixed scratch root for q210's persisted IVF index (`cent/` +
+    * cell-partitioned `post/`) — fixed because `oracleSql` is a
+    * static string, same trade as [[scratchCentroidsPath]]. */
+  val scratchIvfIndexPath: String = "/tmp/graft_q210_ivf_index"
+
   /** Dot product as double, via the native codegen expression
     * (same index-order accumulation as the interpreted
     * aggregate(zip_with(...)) formulation — bit-equal results). */
@@ -324,6 +329,76 @@ object Similarity {
       .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
     // 3. cell-local exact re-rank
     val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** PERSISTED IVF INDEX, build side — the build-once/query-many form
+    * of [[ivfTopK]]: the trained centroid table lands in `path/cent`
+    * and the assigned postings in `path/post` PARTITIONED BY cell, so
+    * a later query run prunes to its probed cells' DIRECTORIES
+    * instead of scanning the corpus — the layout that makes ANN
+    * serving viable at 100 TB (each query batch reads ~nProbe/
+    * nCentroids of the index, and the build cost amortizes over every
+    * subsequent lookup). Same deterministic trainer as [[ivfTopK]]
+    * (id-ordered sample → driver Lloyd), and parquet round-trips
+    * float32 exactly, so the oracle re-derives probe + re-rank from
+    * the persisted bytes alone. */
+  def ivfIndexWrite(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int, sampleSize: Int = 2000,
+      iters: Int = 5): Unit = {
+    val spark = candidates.sparkSession
+    val sample: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    val centroids = lloyd(sample, nCentroids, iters)
+    def nearestCell(vec: org.apache.spark.sql.Column) =
+      array_min(array(cellScores(vec, centroids): _*)).getField("cell")
+    // one shuffle on cell so each partition directory is written by
+    // one task (no tiny-file explosion at 1000 executors)
+    candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cell", nearestCell(col("cv")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/post")
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** PERSISTED IVF INDEX, query side: rebuilds the router from the
+    * tiny centroid table (O(nCentroids·dim) — a driver literal, the
+    * same shape every IVF consumer uses), probes `nProbe` cells and
+    * exact-cosine re-ranks INSIDE the probed partitions. The probed
+    * cell set is collected first — bounded by nCentroids ints no
+    * matter how large the query batch — and applied as a LITERAL
+    * partition filter, so the postings scan statically prunes to the
+    * probed directories (`IvfIndexSpec` pins numFiles < cells; DPP
+    * would be heuristic, a literal isin is guaranteed). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids: Array[Array[Float]] = spark.read.parquet(s"$path/cent")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    def probeCells(vec: org.apache.spark.sql.Column) =
+      transform(
+        slice(array_sort(array(cellScores(vec, centroids): _*)), 1, nProbe),
+        st => st.getField("cell"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv")), "qv", "qn")
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val probed: Array[Int] =
+      q.select("cell").distinct().collect().map(_.getInt(0))
+    val post = withNorm(spark.read.parquet(s"$path/post")
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*)), "cv", "cn")
+    val scored = post.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
