@@ -4367,6 +4367,47 @@ object SparkEntry {
         nCentroids = 16, sampleSize = 2000, iters = 3)
       Similarity.ivfIndexTopK(s, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", path, k = 5, nProbe = 4)
+    }),
+    "q213_vocab_coverage" -> ((s, dir) => {
+      // VOCABULARY COVERAGE CURVE for tokenizer/vocab-size planning:
+      // the smallest top-k word prefix (by count desc, word asc)
+      // whose cumulative token coverage reaches each target percent.
+      // The threshold test is EXACT integer math (100·cum ≥ pct·total
+      // — no float boundary), and min(struct(k, cum)) picks the
+      // frontier row deterministically. The rank window is
+      // single-partition but runs over the Heaps-bounded VOCAB table
+      // (the q159 stance), never the corpus; the corpus itself folds
+      // through one (w)-keyed count shuffle.
+      val counts = tbl(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("w"))
+      val cum = counts
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = cum.agg(sum(col("c")).as("tot"))
+      import s.implicits._
+      val targets = Seq(50L, 75L, 90L, 95L, 99L).toDF("target_pct")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+        .where(lit(100L) * col("cum") >= col("target_pct") * col("tot"))
+        .groupBy("target_pct")
+        .agg(min(struct(col("k"), col("cum"))).as("m"),
+          min(col("tot")).as("total_tokens"))
+        .select(col("target_pct"), col("m.k").as("k_words"),
+          col("m.cum").as("cum_tokens"), col("total_tokens"))
+    }),
+    "q214_containment" -> ((s, dir) => {
+      // DIRECTED SHINGLE CONTAINMENT (|A∩B|/|A| ≥ 7/10): the
+      // asymmetric dedup measure that flags a short document quoted
+      // wholesale inside a long one — Jaccard's union denominator
+      // structurally hides that case. Rational threshold ⇒ every
+      // bound is exact integer math (tDen·inter ≥ tNum·n_a); A's
+      // rarest-shingle prefix probes B's full inverted list
+      // (containment can't length-bound B), verification is
+      // AND+popcount on dictionary-encoded int sets.
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 2, tNum = 7, tDen = 10)
     })
   )
 
@@ -7820,6 +7861,39 @@ object SparkEntry {
         |  SELECT query_id, cand_id, cosine, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // 100*cum >= pct*tot is exact integer math (window sums stay
+    // integral); min_by replays Spark's min(struct(k, cum)) frontier
+    "q213_vocab_coverage" ->
+      """WITH c AS (SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS w FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS tot FROM c),
+        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS k,
+        |    sum(c) OVER (ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT tp AS target_pct, min(k)::BIGINT AS k_words,
+        |  min_by(cum, k)::BIGINT AS cum_tokens,
+        |  min(tot)::BIGINT AS total_tokens
+        |FROM r, t, (VALUES (50::BIGINT), (75), (90), (95), (99)) v(tp)
+        |WHERE 100 * cum >= tp * tot
+        |GROUP BY 1""".stripMargin,
+    // directed pairs; rational threshold keeps the filter exact
+    // integer math; containment is ONE division of exact ints
+    "q214_containment" ->
+      s"""WITH toks AS ($toksCte),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter::BIGINT AS inter, sa.n::BIGINT AS n_a,
+         |  inter::DOUBLE / sa.n::DOUBLE AS containment
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |WHERE inter * 10 >= sa.n * 7""".stripMargin,
     // one row_number replays the two-phase range rank: md5 hex is
     // ASCII so VARCHAR order == Spark's binary string order; doc_id
     // tiebreak per hard rule 4; integer div/mod

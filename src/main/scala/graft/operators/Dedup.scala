@@ -445,6 +445,79 @@ object Dedup {
     }
   }
 
+  /** DIRECTED n-gram CONTAINMENT join — C(A→B) = |Sh(A)∩Sh(B)| / |Sh(A)|
+    * ≥ tNum/tDen: the asymmetric near-dup measure that catches a SHORT
+    * document wholly quoted inside a LONG one, which Jaccard
+    * structurally misses (the union denominator dilutes any small-A
+    * overlap below threshold). The threshold is a RATIONAL, so every
+    * filter is exact integer math: overlap ≥ ceil(t·|A|) becomes
+    * tDen·inter ≥ tNum·n_a — no float boundary anywhere; the reported
+    * score is one exact-int division.
+    *
+    * Candidate generation (prefix-filter, Xiao et al. adapted to the
+    * asymmetric case): a qualifying pair must share one of A's
+    * n_a − ceil(t·n_a) + 1 RAREST shingles (sets are dictionary-encoded
+    * rarest-first, as in [[jaccardPairs]]), but B's side cannot be
+    * length-bounded (|B| is free in a containment join), so A's prefix
+    * probes B's FULL inverted list. 100 TB shape: candidate volume is
+    * Σ_sid prefixDf(sid)·df(sid) — prefix entries are the RAREST
+    * shingles, so prefixDf is small exactly where df could be large;
+    * verification is AND+popcount / sorted-merge on int sets, one
+    * exchange each side. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("sh").agg(count("*").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = OrderedIndex
+      .attach(freq, Seq(col("df"), col("sh")), "sid64")
+      .select(col("sh"), col("sid64").cast("int").as("sid"))
+    val shId = sh.join(broadcast(dict), "sh").select(col("doc"), col("sid"))
+    val vocab = freq.count()
+    val useBitmap = vocab <= 65536
+    val setAggs =
+      Seq(sort_array(collect_list("sid")).as("set")) ++
+        (if (useBitmap)
+          Seq(graft.expressions.BitmapAggregate(col("sid"), vocab.toInt).as("bm"))
+        else Nil)
+    val sets = shId.groupBy("doc")
+      .agg(setAggs.head, setAggs.tail: _*)
+      .withColumn("n", size(col("set")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ceil(t*n) in exact integer math: (tNum*n + tDen - 1) fits long
+    val need = floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen))
+    val prefixLen = (col("n") - need + lit(1)).cast("int")
+    val aPref = sets.select(col("doc"), col("n"),
+      explode(slice(col("set"), lit(1), prefixLen)).as("sid"))
+    val cands = aPref.as("a").join(shId.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verifyCols =
+      if (useBitmap) Seq(col("doc"), col("bm"), col("n"))
+      else Seq(col("doc"), col("set"), col("n"))
+    val vsets = sets.select(verifyCols: _*)
+    val interExpr =
+      if (useBitmap) graft.expressions.BitmapAndCount(col("sa.bm"), col("sb.bm"))
+      else graft.expressions.SortedIntersectCount(col("sa.set"), col("sb.set"))
+    releasingAfter(sh, freq, sets) {
+      cands
+        .join(vsets.as("sa"), col("doc_a") === col("sa.doc"))
+        .join(vsets.as("sb"), col("doc_b") === col("sb.doc"))
+        .withColumn("inter", interExpr)
+        .where(col("inter") * lit(tDen.toLong) >=
+          col("sa.n").cast("long") * lit(tNum.toLong))
+        .select(col("doc_a"), col("doc_b"),
+          col("inter").cast("long").as("inter"),
+          col("sa.n").cast("long").as("n_a"),
+          (col("inter").cast("double") / col("sa.n").cast("double"))
+            .as("containment"))
+    }
+  }
+
   /** DECONTAMINATION — exact word k-gram overlap between a training
     * corpus and an evaluation/benchmark set: every train doc sharing
     * at least one distinct k-shingle with an eval doc is flagged, with
