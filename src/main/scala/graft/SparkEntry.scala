@@ -202,7 +202,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 24 AvailableNow replay gates (micro-batch streaming with
+  /** The 25 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -215,7 +215,8 @@ object SparkEntry {
     "q161_stream_scd2", "q165_stream_ddsketch",
     "q175_stream_fingerprint", "q181_stream_merge_into",
     "q182_stream_leaderboard", "q186_stream_stratified",
-    "q188_stream_agg_view", "q209_stream_lang_jsd")
+    "q188_stream_agg_view", "q209_stream_lang_jsd",
+    "q215_stream_ivf_append")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -4408,6 +4409,100 @@ object SparkEntry {
       // AND+popcount on dictionary-encoded int sets.
       Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = 2, tNum = 7, tDen = 10)
+    }),
+    "q215_stream_ivf_append" -> ((s, dir) => {
+      // STREAMING IVF INDEX MAINTENANCE: the serving index of q210
+      // built INCREMENTALLY — the router (centroid table) is fixed
+      // up front, then embedding batches arrive through a micro-batch
+      // stream and each is assigned with the STORED centroids and
+      // appended to the cell-partitioned postings. Assignment is a
+      // pure per-row function of the fixed router, so the final index
+      // is a pure function of the posting multiset — batching-free —
+      // and lookups against it answer exactly the one-shot build's
+      // oracle (q210's SQL shape over this gate's scratch paths).
+      // This is how a 100 TB vector corpus keeps its ANN index live:
+      // O(batch) assignment + append per arrival, never a rebuild.
+      val base = graft.operators.Similarity.scratchIvfStreamPath
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfCentWrite(emb, "vec_id", "embedding", idx,
+        nCentroids = 16, sampleSize = 2000, iters = 3)
+      emb.where(pmod(col("vec_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      emb.where(pmod(col("vec_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.ivfIndexAppend(b, "vec_id", "embedding", idx)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      Similarity.ivfIndexTopK(s, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 5, nProbe = 4)
+    }),
+    "q216_trend_fit" -> ((s, dir) => {
+      // PER-SERIES OLS TREND from INTEGER MOMENTS (the q201
+      // discipline): daily purchase cent sums per user regressed on
+      // the day index; n, Σx, Σy, Σxx, Σxy are exact longs, slope is
+      // ONE division of exact ints and intercept is the identical
+      // 3-op IEEE sequence on both engines — no rounding contract
+      // needed. Degenerate series (one distinct day) drop by the same
+      // integer predicate. 100 TB: one (user, day) aggregate + one
+      // per-user moment aggregate, both partial-aggregated map-side.
+      val daily = tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(scaledLong(col("value"), 2)).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("long"))
+      val m = daily.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val den = m("n") * m("sxx") - m("sx") * m("sx")
+      m.where(den > 0)
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("user_id"), col("n").cast("long").as("n_days"),
+          col("slope"),
+          ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept"))
+    }),
+    "q217_cusum" -> ((s, dir) => {
+      // CUSUM CHANGEPOINT SCORE, all-integer: per user the maximum
+      // deviation of the running cent-sum from the straight line to
+      // the total — D = max_k |n·S_k − k·S_n| — is exact long math
+      // (no division inside the max, so no float boundary can move
+      // the argmax); the changepoint day is the earliest maximizer
+      // (hard rule 4 tiebreak). The per-user window runs over DAILY
+      // rows (series-length-bounded), never raw events. */
+      val daily = tbl(s, dir, "events")
+        .where(col("event_type") === "click")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(scaledLong(col("value"), 2)).as("y"))
+      val ord = Window.partitionBy("user_id").orderBy("day")
+      val all = Window.partitionBy("user_id")
+      val dev = daily.select(col("user_id"), col("day"),
+          row_number().over(ord).cast("long").as("k"),
+          sum(col("y")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("sk"),
+          count(lit(1)).over(all).as("n"),
+          sum(col("y")).over(all).as("sn"))
+        .withColumn("dev", abs(col("n") * col("sk") - col("k") * col("sn")))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("dev").desc, col("day"))
+      dev.withColumn("rn", row_number().over(pick))
+        .where(col("rn") === 1 && col("n") >= 2)
+        .select(col("user_id"), col("n").cast("long").as("n_days"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          col("dev").cast("long").as("d_stat"))
     })
   )
 
@@ -7835,32 +7930,50 @@ object SparkEntry {
     // round-trip parquet exactly — hash-exact, and it proves the
     // stored postings equal the live assignment
     "q210_ivf_index_table" ->
-      s"""WITH cent AS (SELECT cell::INT AS cell,
-        |    centroid::DOUBLE[] AS cv,
-        |    list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS c2
-        |  FROM read_parquet('${operators.Similarity.scratchIvfIndexPath}/cent/*.parquet')),
-        |post AS (SELECT cell::INT AS cell, cand_id, cv::DOUBLE[] AS pv
-        |  FROM read_parquet('${operators.Similarity.scratchIvfIndexPath}/post/*/*.parquet',
-        |    hive_partitioning=1)),
-        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |dist AS (SELECT q.query_id, c.cell,
-        |    c.c2 - 2 * list_dot_product(q.qv, c.cv) AS d, q.qv
-        |  FROM q CROSS JOIN cent c),
-        |probes AS (SELECT query_id, cell, qv FROM (
-        |  SELECT query_id, cell, qv, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM dist)
-        |  WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, t.cand_id,
-        |    list_dot_product(p.qv, t.pv)
-        |      / (sqrt(list_dot_product(p.qv, p.qv))
-        |        * sqrt(list_dot_product(t.pv, t.pv))) AS cosine
-        |  FROM probes p JOIN post t USING (cell)
-        |  WHERE p.query_id <> t.cand_id)
-        |SELECT query_id, cand_id, cosine, rank FROM (
-        |  SELECT query_id, cand_id, cosine, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+      ivfIndexSql(operators.Similarity.scratchIvfIndexPath),
+    // the incrementally-appended index must answer the ONE-SHOT
+    // build's oracle — assignment with a fixed router is
+    // batching-free, so the same SQL replays from this gate's bytes
+    "q215_stream_ivf_append" ->
+      ivfIndexSql(s"${operators.Similarity.scratchIvfStreamPath}/idx"),
+    // slope is one division of exact integer moments; intercept is
+    // the IDENTICAL 3-op IEEE sequence on both engines — no rounding
+    "q216_trend_fit" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |    sum(round(value * 100))::BIGINT AS y,
+        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT user_id, n AS n_days,
+        |  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |    AS slope,
+        |  (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE
+        |    AS intercept
+        |FROM m WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // the max runs over exact integers (no division inside), so the
+    // argmax day is engine-independent; earliest-day tiebreak
+    "q217_cusum" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |    sum(round(value * 100))::BIGINT AS y
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |d AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day)::BIGINT AS k,
+        |    sum(y) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sk,
+        |    count(*) OVER (PARTITION BY user_id)::BIGINT AS n,
+        |    sum(y) OVER (PARTITION BY user_id)::BIGINT AS sn
+        |  FROM daily),
+        |dev AS (SELECT user_id, day, n,
+        |    abs(n * sk - k * sn)::BIGINT AS dev FROM d)
+        |SELECT user_id, n AS n_days,
+        |  strftime(day, '%Y-%m-%d') AS cp_day, dev AS d_stat
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY dev DESC, day) AS rn FROM dev)
+        |WHERE rn = 1 AND n >= 2""".stripMargin,
     // 100*cum >= pct*tot is exact integer math (window sums stay
     // integral); min_by replays Spark's min(struct(k, cum)) frontier
     "q213_vocab_coverage" ->
@@ -7906,6 +8019,39 @@ object SparkEntry {
         |  ((rank - 1) % 64)::BIGINT AS pos
         |FROM r""".stripMargin
   )
+
+  /** q210's oracle shape, parameterized by the index root so q215's
+    * incrementally-built index replays the identical probe + re-rank
+    * from ITS persisted bytes: c2 and every dot are index-ordered
+    * double folds on float32 values that round-trip parquet exactly —
+    * hash-exact, and it proves stored postings == live assignment. */
+  private def ivfIndexSql(path: String): String =
+    s"""WITH cent AS (SELECT cell::INT AS cell,
+      |    centroid::DOUBLE[] AS cv,
+      |    list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS c2
+      |  FROM read_parquet('$path/cent/*.parquet')),
+      |post AS (SELECT cell::INT AS cell, cand_id, cv::DOUBLE[] AS pv
+      |  FROM read_parquet('$path/post/*/*.parquet',
+      |    hive_partitioning=1)),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |dist AS (SELECT q.query_id, c.cell,
+      |    c.c2 - 2 * list_dot_product(q.qv, c.cv) AS d, q.qv
+      |  FROM q CROSS JOIN cent c),
+      |probes AS (SELECT query_id, cell, qv FROM (
+      |  SELECT query_id, cell, qv, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM dist)
+      |  WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, t.cand_id,
+      |    list_dot_product(p.qv, t.pv)
+      |      / (sqrt(list_dot_product(p.qv, p.qv))
+      |        * sqrt(list_dot_product(t.pv, t.pv))) AS cosine
+      |  FROM probes p JOIN post t USING (cell)
+      |  WHERE p.query_id <> t.cand_id)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT query_id, cand_id, cosine, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
 
   /** q207's oracle (and q209's — the streaming gate's state-store
     * snapshot equals the batch count table, so the same SQL grades

@@ -24,6 +24,9 @@ object Similarity {
     * static string, same trade as [[scratchCentroidsPath]]. */
   val scratchIvfIndexPath: String = "/tmp/graft_q210_ivf_index"
 
+  /** Fixed scratch root for q215's incrementally-built IVF index. */
+  val scratchIvfStreamPath: String = "/tmp/graft_q215_stream_ivf"
+
   /** Dot product as double, via the native codegen expression
     * (same index-order accumulation as the interpreted
     * aggregate(zip_with(...)) formulation — bit-equal results). */
@@ -352,24 +355,60 @@ object Similarity {
   def ivfIndexWrite(candidates: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int, sampleSize: Int = 2000,
       iters: Int = 5): Unit = {
+    // postings are APPENDED (the streaming-arrival path reuses this);
+    // a one-shot build must start from an empty directory
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(candidates.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/post"), true)
+    ivfCentWrite(candidates, idCol, vecCol, path, nCentroids,
+      sampleSize, iters)
+    ivfIndexAppend(candidates, idCol, vecCol, path)
+  }
+
+  /** Trains the coarse quantizer (id-ordered sample → driver Lloyd,
+    * the [[ivfTopK]] discipline) and persists ONLY the centroid table
+    * — fixing the router before any postings exist, which is how a
+    * streaming index build works (the quantizer must not drift while
+    * batches arrive, or earlier postings land in cells a later router
+    * wouldn't route to). */
+  def ivfCentWrite(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int, sampleSize: Int = 2000,
+      iters: Int = 5): Unit = {
     val spark = candidates.sparkSession
     val sample: Array[Array[Float]] = candidates
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(sampleSize)
       .collect().map(_.getAs[scala.collection.Seq[Float]](1).toArray)
     val centroids = lloyd(sample, nCentroids, iters)
-    def nearestCell(vec: org.apache.spark.sql.Column) =
-      array_min(array(cellScores(vec, centroids): _*)).getField("cell")
-    // one shuffle on cell so each partition directory is written by
-    // one task (no tiny-file explosion at 1000 executors)
-    candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .withColumn("cell", nearestCell(col("cv")))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/post")
     import spark.implicits._
     centroids.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+  }
+
+  /** Assigns one batch with the STORED centroids and appends it to
+    * the cell-partitioned postings. Assignment is a pure per-row
+    * function of the fixed centroid table, so the index is a pure
+    * function of the posting MULTISET — any batching of the corpus
+    * (including micro-batch streaming arrival, q215) builds the
+    * byte-equal index a one-shot [[ivfIndexWrite]] would. Append-mode
+    * parquet is at-least-once under retries; a production stream
+    * commits through the BucketedLog manifest for exactly-once — the
+    * gate proves the ROUTING/layout equivalence. */
+  def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids: Array[Array[Float]] = spark.read.parquet(s"$path/cent")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    def nearestCell(vec: org.apache.spark.sql.Column) =
+      array_min(array(cellScores(vec, centroids): _*)).getField("cell")
+    // one shuffle on cell so each partition directory is written by
+    // one task (no tiny-file explosion at 1000 executors)
+    batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cell", nearestCell(col("cv")))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/post")
   }
 
   /** PERSISTED IVF INDEX, query side: rebuilds the router from the
