@@ -165,6 +165,29 @@ object SparkEntry {
   private def scaledLong(c: Column, digits: Int): Column =
     round(c * math.pow(10, digits), 0).cast("long")
 
+  /** q216/q219's shared OLS fold over a `(user_id, day, y)` daily
+    * table: exact integer moments (n, Σx, Σy, Σxx, Σxy as longs),
+    * slope = ONE division of exact ints, intercept the identical
+    * 3-op IEEE sequence both engines run — deterministic without a
+    * rounding contract (the q201 discipline). */
+  private def olsFitFromDaily(daily: DataFrame): DataFrame = {
+    val withX = daily.withColumn("x",
+      datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+    val m = withX.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.where(m("n") * m("sxx") - m("sx") * m("sx") > 0)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("user_id"), col("n").cast("long").as("n_days"),
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+  }
+
   /** Language-ID marker words (shared between Spark impl and oracle). */
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("customer", "vector", "big"),
@@ -202,7 +225,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 25 AvailableNow replay gates (micro-batch streaming with
+  /** The 26 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -216,7 +239,7 @@ object SparkEntry {
     "q175_stream_fingerprint", "q181_stream_merge_into",
     "q182_stream_leaderboard", "q186_stream_stratified",
     "q188_stream_agg_view", "q209_stream_lang_jsd",
-    "q215_stream_ivf_append")
+    "q215_stream_ivf_append", "q219_stream_trend")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -4453,26 +4476,10 @@ object SparkEntry {
       // needed. Degenerate series (one distinct day) drop by the same
       // integer predicate. 100 TB: one (user, day) aggregate + one
       // per-user moment aggregate, both partial-aggregated map-side.
-      val daily = tbl(s, dir, "events")
+      olsFitFromDaily(tbl(s, dir, "events")
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(scaledLong(col("value"), 2)).as("y"))
-        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
-          .cast("long"))
-      val m = daily.groupBy("user_id").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
-      val den = m("n") * m("sxx") - m("sx") * m("sx")
-      m.where(den > 0)
-        .withColumn("slope",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-        .select(col("user_id"), col("n").cast("long").as("n_days"),
-          col("slope"),
-          ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
-            / col("n").cast("double")).as("intercept"))
+        .agg(sum(scaledLong(col("value"), 2)).as("y")))
     }),
     "q217_cusum" -> ((s, dir) => {
       // CUSUM CHANGEPOINT SCORE, all-integer: per user the maximum
@@ -4503,6 +4510,73 @@ object SparkEntry {
         .select(col("user_id"), col("n").cast("long").as("n_days"),
           date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
           col("dev").cast("long").as("d_stat"))
+    }),
+    "q218_ann_recall" -> ((s, dir) => {
+      // ANN QUALITY AUDIT under the oracle: recall@5 of the IVF route
+      // against the exact cosine top-5, swept over nProbe ∈ {1,2,4,8}
+      // — the measurement that decides an index's probe budget before
+      // it ships (IvfPqSpec pins recall floors in tests; this makes
+      // the audit a first-class catalog query). Hit counts are exact
+      // ints, recall is ONE division. iters=0 keeps the quantizer a
+      // pure function of the first 16 vectors (the q40 trick) so the
+      // oracle replays every probe sweep exactly. At 100 TB the audit
+      // runs on a query SAMPLE against the STORED assignment (q210's
+      // index); recomputing here keeps the gate self-contained.
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val cents: Array[Array[Float]] = emb
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(16).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      val exact = Similarity.cosineTopK(qs, emb, "vec_id", "embedding",
+        k = 5).select("query_id", "cand_id")
+      val ivf = Seq(1, 2, 4, 8).map { np =>
+        Similarity.ivfTopKWithCentroids(qs, emb, "vec_id", "embedding",
+            k = 5, cents, nProbe = np)
+          .select(col("query_id"), col("cand_id"))
+          .withColumn("n_probe", lit(np.toLong))
+      }.reduce(_.unionByName(_))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      ivf.join(exact, Seq("query_id", "cand_id"))
+        .groupBy("n_probe")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_probe"), col("hits"),
+          col("total").cast("long").as("total"),
+          (col("hits").cast("double") / col("total").cast("double"))
+            .as("recall"))
+    }),
+    "q219_stream_trend" -> ((s, dir) => {
+      // STREAMING TREND MONITOR: q216's per-(user, day) cent-sum
+      // table maintained LIVE through the state store across two
+      // event-id-parity arrival batches — LONG addition is
+      // commutative, so the complete-mode snapshot is a pure function
+      // of the event multiset, and the batch OLS fold over it answers
+      // q216's SQL verbatim. State = one long per (user, day) —
+      // series-grid-bounded, never event-count-bounded.
+      val base = "/tmp/graft_q219_stream_trend"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(scaledLong(col("value"), 2)).as("y"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      olsFitFromDaily(s.read.parquet(out))
     })
   )
 
@@ -7938,22 +8012,10 @@ object SparkEntry {
       ivfIndexSql(s"${operators.Similarity.scratchIvfStreamPath}/idx"),
     // slope is one division of exact integer moments; intercept is
     // the IDENTICAL 3-op IEEE sequence on both engines — no rounding
-    "q216_trend_fit" ->
-      """WITH daily AS (SELECT user_id, ts::DATE AS day,
-        |    sum(round(value * 100))::BIGINT AS y,
-        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS x
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4),
-        |m AS (SELECT user_id, count(*)::BIGINT AS n,
-        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
-        |  FROM daily GROUP BY 1)
-        |SELECT user_id, n AS n_days,
-        |  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
-        |    AS slope,
-        |  (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
-        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE
-        |    AS intercept
-        |FROM m WHERE n * sxx - sx * sx > 0""".stripMargin,
+    "q216_trend_fit" -> trendFitSql,
+    // long addition is order-free, so the state-store daily snapshot
+    // equals the batch daily table — the gate answers q216 verbatim
+    "q219_stream_trend" -> trendFitSql,
     // the max runs over exact integers (no division inside), so the
     // argmax day is engine-independent; earliest-day tiebreak
     "q217_cusum" ->
@@ -7974,6 +8036,54 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY dev DESC, day) AS rn FROM dev)
         |WHERE rn = 1 AND n >= 2""".stripMargin,
+    // the q40 probe machinery swept over nProbe; cell ids differ
+    // (vec_id vs array index) but the mapping is monotone, so probe
+    // sets and tiebreaks match; hits exact ints, recall ONE division
+    "q218_ann_recall" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cells AS (SELECT vec_id AS cell, v AS cv, list_dot_product(v, v) AS c2
+        |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        |    FROM base) WHERE rn <= 16),
+        |dist AS MATERIALIZED (SELECT b.vec_id, c.cell,
+        |    c.c2 - 2 * list_dot_product(b.v, c.cv) AS d
+        |  FROM base b CROSS JOIN cells c),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM dist WHERE vec_id < 10),
+        |probes AS (SELECT qd.query_id, qd.cell, np.np
+        |  FROM qd, (VALUES (1), (2), (4), (8)) np(np) WHERE qd.rn <= np.np),
+        |qv AS (SELECT vec_id AS query_id, v AS qv,
+        |    sqrt(list_dot_product(v, v)) AS qn FROM base WHERE vec_id < 10),
+        |cand AS (SELECT b.vec_id AS cand_id, b.v AS cv2,
+        |    sqrt(list_dot_product(b.v, b.v)) AS cn, a.cell
+        |  FROM base b JOIN assign a USING (vec_id)),
+        |scored AS (SELECT p.np, p.query_id, c.cand_id,
+        |    list_dot_product(q.qv, c.cv2) / (q.qn * c.cn) AS cosine
+        |  FROM probes p JOIN cand c USING (cell)
+        |  JOIN qv q ON q.query_id = p.query_id
+        |  WHERE p.query_id <> c.cand_id),
+        |ivf AS (SELECT np, query_id, cand_id FROM (
+        |  SELECT np, query_id, cand_id, row_number() OVER (
+        |    PARTITION BY np, query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored) WHERE rank <= 5),
+        |ex_scored AS (SELECT q.query_id, b.vec_id AS cand_id,
+        |    list_dot_product(q.qv, b.v)
+        |      / (q.qn * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM base b, qv q WHERE q.query_id <> b.vec_id),
+        |exact AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM ex_scored) WHERE rank <= 5),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM exact)
+        |SELECT np::BIGINT AS n_probe, count(*)::BIGINT AS hits, tot.total,
+        |  count(*)::BIGINT::DOUBLE / tot.total::DOUBLE AS recall
+        |FROM ivf JOIN exact USING (query_id, cand_id), tot
+        |GROUP BY 1, 3""".stripMargin,
     // 100*cum >= pct*tot is exact integer math (window sums stay
     // integral); min_by replays Spark's min(struct(k, cum)) frontier
     "q213_vocab_coverage" ->
@@ -8052,6 +8162,26 @@ object SparkEntry {
       |  SELECT query_id, cand_id, cosine, row_number() OVER (
       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** q216's oracle (and q219's — the streaming gate's state-store
+    * daily snapshot equals the batch daily table, so the same SQL
+    * grades both): per-user OLS from exact integer moments. */
+  private def trendFitSql: String =
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |    sum(round(value * 100))::BIGINT AS y,
+        |    (ts::DATE - DATE '2024-01-01')::BIGINT AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT user_id, n AS n_days,
+        |  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |    AS slope,
+        |  (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE
+        |    AS intercept
+        |FROM m WHERE n * sxx - sx * sx > 0""".stripMargin
 
   /** q207's oracle (and q209's — the streaming gate's state-store
     * snapshot equals the batch count table, so the same SQL grades
