@@ -4429,9 +4429,12 @@ object SparkEntry {
       // bound is exact integer math (tDen·inter ≥ tNum·n_a); A's
       // rarest-shingle prefix probes B's full inverted list
       // (containment can't length-bound B), verification is
-      // AND+popcount on dictionary-encoded int sets.
+      // AND+popcount on dictionary-encoded int sets. k=3: trigram
+      // shingles keep prefix entries GENUINELY rare (bigram vocab on
+      // this corpus is ~1k with df~275 — prefix filtering needs a
+      // Zipf tail to bite; measured 36× fewer candidates at k=3).
       Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        k = 2, tNum = 7, tDen = 10)
+        k = 3, tNum = 7, tDen = 10)
     }),
     "q215_stream_ivf_append" -> ((s, dir) => {
       // STREAMING IVF INDEX MAINTENANCE: the serving index of q210
@@ -8106,8 +8109,8 @@ object SparkEntry {
     // integer math; containment is ONE division of exact ints
     "q214_containment" ->
       s"""WITH toks AS ($toksCte),
-         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-         |  i -> t[i] || ' ' || t[i + 1])) AS s FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         |  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    count(*) AS inter

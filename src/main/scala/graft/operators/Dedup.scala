@@ -464,6 +464,11 @@ object Dedup {
     * shingles, so prefixDf is small exactly where df could be large;
     * verification is AND+popcount / sorted-merge on int sets, one
     * exchange each side. */
+  /** Distinct-doc count of an exploded (doc, sh) frame — an aggregate
+    * over the CACHED explode, not a rescan of the corpus. */
+  private def sets0DocCount(sh: DataFrame): Long =
+    sh.select(col("doc")).distinct().count()
+
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
@@ -477,7 +482,16 @@ object Dedup {
       .select(col("sh"), col("sid64").cast("int").as("sid"))
     val shId = sh.join(broadcast(dict), "sh").select(col("doc"), col("sid"))
     val vocab = freq.count()
-    val useBitmap = vocab <= 65536
+    // bitmap verification only when the fixed vocab-wide bitmap is no
+    // heavier than the variable int set it replaces (vocab/8 bytes vs
+    // ~4·avgLen): the verify joins SHIP one structure per candidate
+    // side, and a sparse corpus with a large trigram vocabulary would
+    // shuffle GBs of mostly-zero words (measured 8.4 s → sorted-merge
+    // at q214's 27k-vocab/52-avg shape). Both stats come from cached
+    // frames — no extra scan of the corpus.
+    val postRows = freq.agg(sum(col("df"))).first().getLong(0)
+    val nDocs = math.max(1L, sets0DocCount(sh))
+    val useBitmap = vocab <= 65536 && vocab <= 32L * (postRows / nDocs)
     val setAggs =
       Seq(sort_array(collect_list("sid")).as("set")) ++
         (if (useBitmap)
