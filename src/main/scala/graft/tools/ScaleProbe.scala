@@ -211,6 +211,13 @@ object ScaleProbe {
           col("text"))).as("tok")), "tok", 200).count()),
       "jaccard" -> (d => graft.operators.Dedup
         .jaccardPairs(d, "doc_id", "text", k = 2, threshold = 0.8).count()),
+      // q214's directed containment: replica prefixing keeps pair
+      // density within-replica, so candidates and wall must track the
+      // corpus linearly (prefix × full-posting-list join stays
+      // Σ prefixDf·df-bounded)
+      "containment" -> (d => graft.operators.Dedup
+        .containmentPairs(d, "doc_id", "text", k = 3, tNum = 7,
+          tDen = 10).count()),
       "simhash64" -> (d => graft.operators.Dedup
         .simhashNearDup64(d, "doc_id", "text", maxHamming = 3).count()),
       // incremental ingest screen: per replica, newest fifth of ids
@@ -515,6 +522,27 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = v.read(spark).count()
       println(f"[probe] agg_view_batch $m%4d $rows%10d $sec%8.2f")
+    }
+
+    // IVF-index LOOKUP cost vs INDEX size (q210's serving claim):
+    // build the cell-partitioned index over an m×-grown embedding
+    // corpus (untimed — build is the amortized cost), then time ONE
+    // fixed 10-query lookup. The lookup reads only the probed cells'
+    // directories (static literal pruning), and with nCentroids ∝ m
+    // the per-cell posting volume stays ~constant, so the lookup wall
+    // must stay FLAT as the index grows — never O(index).
+    if (opFilter.forall("ivf_lookup".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_ivfidx_$m"
+      val corpus = scaledEmb(m)
+      graft.operators.Similarity.ivfIndexWrite(corpus, "vec_id",
+        "embedding", dir, nCentroids = 16 * m, sampleSize = 2000 * m,
+        iters = 1)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Similarity.ivfIndexTopK(spark,
+        embBase.where(col("vec_id") < 10), "vec_id", "embedding", dir,
+        k = 5, nProbe = 4).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] ivf_lookup $m%4d $n%10d $sec%8.2f")
     }
     spark.stop()
   }
