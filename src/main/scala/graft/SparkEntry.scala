@@ -4153,8 +4153,13 @@ object SparkEntry {
           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * 100).cast("long")).as("rev_cents"),
-          sum(unix_micros(col("l_shipdate").cast("timestamp")))
-            .as("sum_ship_us"))
+          // DAY offsets, not epoch micros: ~8e14 µs per row overflows
+          // a LONG sum past ~11k rows per flag (caught by the sf0.01
+          // cert run); day numbers (<3000) keep the checksum exact at
+          // any corpus size
+          sum(datediff(to_date(col("l_shipdate")),
+            lit("1992-01-01").cast("date")).cast("long"))
+            .as("sum_ship_days"))
     }),
     "q201_rolling_corr" -> ((s, dir) => {
       // EXACT rolling correlation — Pearson over a trailing 7-day
@@ -7877,7 +7882,8 @@ object SparkEntry {
         |  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
         |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
         |    AS rev_cents,
-        |  sum(epoch_us(l_shipdate))::BIGINT AS sum_ship_us
+        |  sum((l_shipdate::DATE - DATE '1992-01-01'))::BIGINT
+        |    AS sum_ship_days
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
