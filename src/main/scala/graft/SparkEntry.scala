@@ -4585,6 +4585,37 @@ object SparkEntry {
         .option("checkpointLocation", ckpt).start()
       q.awaitTermination()
       olsFitFromDaily(s.read.parquet(out))
+    }),
+    "q220_maxsim" -> ((s, dir) => {
+      // LATE-INTERACTION (ColBERT-style) MaxSim retrieval: documents
+      // are SETS of token vectors (here vec_id div 8 groups 8 tokens
+      // per doc) and score(Q, D) = Σ_q max_d cosine(q, d) — the
+      // multi-vector ranking that beats single-vector retrieval on
+      // fine-grained matches. max over identical doubles is
+      // order-free (exact); only the 8-term sum is order-sensitive →
+      // round 6 (rule 9), ranked with a cand tiebreak. 100 TB shape:
+      // the token×token join broadcasts the query tokens; a corpus-
+      // scale run prefilters candidates per query TOKEN via ANN
+      // (q27/q210) and runs this exact MaxSim only on the union of
+      // token-level candidates.
+      val emb = tbl(s, dir, "embeddings")
+      val tok = Similarity.withNorm(
+        emb.select(floor(col("vec_id") / 8).cast("long").as("doc"),
+          pmod(col("vec_id"), lit(8)).as("pos"),
+          col("embedding").as("v")), "v", "nm")
+      val qtok = tok.where(col("doc") < 2)
+        .select(col("doc").as("qd"), col("pos").as("qpos"),
+          col("v").as("qv"), col("nm").as("qn"))
+      val mx = tok.join(broadcast(qtok), col("qd") =!= col("doc"))
+        .groupBy(col("qd"), col("qpos"), col("doc").as("cd"))
+        .agg(max(graft.expressions.FloatDotProduct(col("qv"), col("v"))
+          / (col("qn") * col("nm"))).as("m"))
+      val sc = mx.groupBy(col("qd").as("query_doc"), col("cd").as("cand_doc"))
+        .agg(round(sum(col("m")), 6).as("maxsim"))
+      val w = Window.partitionBy(col("query_doc"))
+        .orderBy(col("maxsim").desc, col("cand_doc"))
+      sc.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
     })
   )
 
@@ -8025,6 +8056,26 @@ object SparkEntry {
     // long addition is order-free, so the state-store daily snapshot
     // equals the batch daily table — the gate answers q216 verbatim
     "q219_stream_trend" -> trendFitSql,
+    // max over identical doubles is exact; only the 8-term qpos sum
+    // is order-sensitive → round 6 (rule 9), cand_doc tiebreak
+    "q220_maxsim" ->
+      """WITH t AS (SELECT vec_id // 8 AS doc, vec_id % 8 AS pos,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT doc, pos, v,
+        |    sqrt(list_dot_product(v, v)) AS nm FROM t),
+        |q AS (SELECT doc AS qd, pos AS qpos, v AS qv, nm AS qn
+        |  FROM n WHERE doc < 2),
+        |mx AS (SELECT q.qd, q.qpos, c.doc AS cd,
+        |    max(list_dot_product(q.qv, c.v) / (q.qn * c.nm)) AS m
+        |  FROM q JOIN n c ON q.qd <> c.doc
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT qd AS query_doc, cd AS cand_doc,
+        |    round(sum(m), 6) AS maxsim
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT query_doc, cand_doc, maxsim, rank FROM (
+        |  SELECT query_doc, cand_doc, maxsim, row_number() OVER (
+        |    PARTITION BY query_doc ORDER BY maxsim DESC, cand_doc) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
     // the max runs over exact integers (no division inside), so the
     // argmax day is engine-independent; earliest-day tiebreak
     "q217_cusum" ->
