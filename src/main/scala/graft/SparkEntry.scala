@@ -4616,6 +4616,35 @@ object SparkEntry {
         .orderBy(col("maxsim").desc, col("cand_doc"))
       sc.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
+    }),
+    "q221_proximity" -> ((s, dir) => {
+      // PHRASE-PROXIMITY RANKING: docs containing BOTH query terms,
+      // ranked by the minimum token-position distance between any
+      // occurrence pair — the retrieval feature that separates
+      // "terms co-occur" (BM25, q100) from "terms occur TOGETHER".
+      // Positions are exact ints from one posexplode; the per-doc
+      // pair fan-out is occurrences(a)×occurrences(b), bounded by
+      // per-doc term frequency, and the join is doc-keyed (posting
+      // lists, never a corpus cross join). proximity = ONE division
+      // of exact ints; (mindist, doc_id) rank per hard rule 4.
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+      def side(term: String, p: String) =
+        toks.where(col("w") === term)
+          .select(col("doc_id"), col("pos").as(p))
+      side("order", "pa").join(side("table", "pb"), Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"),
+          countDistinct(col("pa")).cast("long").as("n_a"),
+          countDistinct(col("pb")).cast("long").as("n_b"))
+        .withColumn("proximity",
+          lit(1.0) / (lit(1.0) + col("min_dist").cast("double")))
+        // TakeOrderedAndProject does the top-20 DISTRIBUTED; the rank
+        // window then runs over ≤20 rows, never the match set
+        .orderBy(col("min_dist"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("min_dist"), col("doc_id"))).cast("long"))
     })
   )
 
@@ -8076,6 +8105,24 @@ object SparkEntry {
         |  SELECT query_doc, cand_doc, maxsim, row_number() OVER (
         |    PARTITION BY query_doc ORDER BY maxsim DESC, cand_doc) AS rank
         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    // positions are 1-based here vs posexplode's 0-based — distances
+    // and counts are base-invariant; exact ints, one division
+    "q221_proximity" ->
+      s"""WITH toks AS ($toksCte),
+         |p AS (SELECT doc_id, t[i] AS w, i AS pos
+         |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+         |a AS (SELECT doc_id, pos AS pa FROM p WHERE w = 'order'),
+         |b AS (SELECT doc_id, pos AS pb FROM p WHERE w = 'table'),
+         |m AS (SELECT doc_id, min(abs(pa - pb))::BIGINT AS min_dist,
+         |    count(DISTINCT pa)::BIGINT AS n_a,
+         |    count(DISTINCT pb)::BIGINT AS n_b
+         |  FROM a JOIN b USING (doc_id) GROUP BY 1)
+         |SELECT doc_id, min_dist, n_a, n_b,
+         |  1.0::DOUBLE / (1.0::DOUBLE + min_dist::DOUBLE) AS proximity,
+         |  rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY min_dist, doc_id)
+         |    AS rank FROM m)
+         |WHERE rank <= 20""".stripMargin,
     // the max runs over exact integers (no division inside), so the
     // argmax day is engine-independent; earliest-day tiebreak
     "q217_cusum" ->
