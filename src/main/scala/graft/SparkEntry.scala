@@ -4645,6 +4645,32 @@ object SparkEntry {
         .orderBy(col("min_dist"), col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("min_dist"), col("doc_id"))).cast("long"))
+    }),
+    "q222_rolling_distinct" -> ((s, dir) => {
+      // ROLLING 7-DAY DISTINCT USERS from DAILY HLL STATES — the
+      // production rolling-MAU pattern: one pass sketches each day's
+      // users into a 512-register vector; every trailing window is
+      // then answered by MERGING ≤7 stored states (register max is
+      // associative + idempotent, so the merged estimate is
+      // bit-identical to sketching the raw window — the q176
+      // guarantee, applied per sliding window). Raw events are read
+      // ONCE; the window fan-out is O(days × 7 × 512 B) states. An
+      // exact rolling distinct would re-scan ~7× the corpus (distinct
+      // doesn't decompose); the sketch table is what makes the daily
+      // report affordable at 100 TB.
+      val daily = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.expressions.HllSketch.registers(
+          col("user_id").cast("string"), p = 9).as("sk"))
+      val days = daily.select(col("day").as("d"))
+      days.join(daily,
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          round(graft.expressions.HllSketch.mergeRegisters(
+            col("sk"), p = 9), 4).as("rolling_mau"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_days"), col("rolling_mau"))
     })
   )
 
@@ -8123,6 +8149,46 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (ORDER BY min_dist, doc_id)
          |    AS rank FROM m)
          |WHERE rank <= 20""".stripMargin,
+    // q133's register rebuild, merged per TRAILING 7-day window —
+    // register max is associative/idempotent, so the windowed merge
+    // equals sketching the raw window directly
+    "q222_rolling_distinct" -> {
+      val alpha =
+        java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+      s"""WITH vals AS (SELECT ts::DATE AS day,
+         |    CAST(user_id AS VARCHAR) AS s FROM events),
+         |h AS (SELECT day, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
+         |  FROM vals),
+         |rr AS (SELECT day, h >> 43 AS b,
+         |    CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
+         |         ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
+         |    END AS r
+         |  FROM h),
+         |mx AS (SELECT day, b, max(r) AS mr FROM rr GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM vals),
+         |nd AS (SELECT d.day, count(*)::BIGINT AS n_days
+         |  FROM days d JOIN days m ON m.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1),
+         |win AS (SELECT d.day, mx.b, max(mx.mr) AS mr
+         |  FROM days d JOIN mx ON mx.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT d.day, t.j
+         |  FROM days d CROSS JOIN generate_series(0, 511) t(j)),
+         |regs AS (SELECT grid.day, grid.j, coalesce(win.mr, 0) AS mr
+         |  FROM grid LEFT JOIN win ON win.day = grid.day AND win.b = grid.j),
+         |sm AS (SELECT day,
+         |    list_reduce(list_prepend(0.0, list(1.0 / (1::BIGINT << mr) ORDER BY j)),
+         |      (a, x) -> a + x) AS s,
+         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM regs GROUP BY 1),
+         |est AS (SELECT day,
+         |    $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
+         |SELECT strftime(est.day, '%Y-%m-%d') AS day, nd.n_days,
+         |  round(CASE WHEN raw <= 1280.0 AND v > 0
+         |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4)
+         |    AS rolling_mau
+         |FROM est JOIN nd USING (day)""".stripMargin
+    },
     // the max runs over exact integers (no division inside), so the
     // argmax day is engine-independent; earliest-day tiebreak
     "q217_cusum" ->
