@@ -4671,6 +4671,32 @@ object SparkEntry {
             col("sk"), p = 9), 4).as("rolling_mau"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_days"), col("rolling_mau"))
+    }),
+    "q223_rolling_p95" -> ((s, dir) => {
+      // ROLLING 7-DAY p95 from DAILY DDSketch STATES — q222's play
+      // for percentiles (rolling latency/size SLO reporting): one
+      // pass histograms each day's values, every trailing window is
+      // answered by merging ≤7 stored bucket histograms (count
+      // addition is exact and order-free, so the merged sketch IS
+      // the sketch of the raw window, and the estimate is a pure
+      // function of the window multiset — the q130 contract per
+      // sliding window). Raw events read once; window fan-out is
+      // O(days × 7 × occupied buckets).
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val qs = Array(0.95)
+      val daily = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.expressions.DdSketchState.state(
+          col("value"), bounds).as("sk"))
+      val days = daily.select(col("day").as("d"))
+      days.join(daily,
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          graft.expressions.DdSketchState.mergeStates(
+            col("sk"), bounds, qs).as("ests"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_days"), element_at(col("ests"), 1).as("p95"))
     })
   )
 
@@ -8188,6 +8214,35 @@ object SparkEntry {
          |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4)
          |    AS rolling_mau
          |FROM est JOIN nd USING (day)""".stripMargin
+    },
+    // the merged-window DDSketch answer is the bucket of the window's
+    // rank-⌈qn⌉ element (the q130 contract, per sliding window)
+    "q223_rolling_p95" -> {
+      val bounds = graft.expressions.DdSketch.boundaries(0.01, 1.0, 2e5)
+      val bl = graft.expressions.DdSketch.sqlList(bounds)
+      val nb = bounds.length
+      s"""WITH vals AS (SELECT ts::DATE AS day, value AS x FROM events),
+         |days AS (SELECT DISTINCT day FROM vals),
+         |w AS (SELECT d.day, v.x
+         |  FROM days d JOIN vals v ON v.day BETWEEN d.day - 6 AND d.day),
+         |n AS (SELECT day, count(*) AS n FROM w GROUP BY 1),
+         |nd AS (SELECT d.day, count(*)::BIGINT AS n_days
+         |  FROM days d JOIN days m ON m.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1),
+         |rk AS (SELECT day, greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) AS r
+         |  FROM n),
+         |ord AS (SELECT day, x,
+         |    row_number() OVER (PARTITION BY day ORDER BY x) AS rn FROM w),
+         |xr AS (SELECT rk.day, ord.x
+         |  FROM rk JOIN ord ON ord.day = rk.day AND ord.rn = rk.r),
+         |bl AS (SELECT $bl::DOUBLE[] AS bs),
+         |idx AS (SELECT day, len(list_filter(bs, b -> b <= x)) AS i
+         |  FROM xr CROSS JOIN bl)
+         |SELECT strftime(idx.day, '%Y-%m-%d') AS day, nd.n_days,
+         |  CASE WHEN i <= 0 THEN bs[1]
+         |       WHEN i >= $nb THEN bs[$nb]
+         |       ELSE 2.0 * bs[i] * bs[i + 1] / (bs[i] + bs[i + 1]) END AS p95
+         |FROM idx CROSS JOIN bl JOIN nd ON nd.day = idx.day""".stripMargin
     },
     // the max runs over exact integers (no division inside), so the
     // argmax day is engine-independent; earliest-day tiebreak

@@ -53,11 +53,19 @@ object DdSketch {
     out.result()
   }
 
-  /** The boundary list as a DuckDB list literal — `Double.toString`
-    * round-trips to the identical IEEE double under DuckDB's
-    * correctly-rounded parse. */
+  /** The boundary list as a DuckDB list literal. Every element is
+    * emitted in SCIENTIFIC notation (`…e0`) so DuckDB parses it as a
+    * DOUBLE directly (correctly rounded): a plain decimal literal
+    * list is first unified to one DECIMAL(w, s) type across ALL
+    * elements — the widest scale in the list wins — and DuckDB's
+    * DECIMAL→DOUBLE cast then double-rounds (int128 → double, ÷10^s),
+    * which moved boundary 246 of the q223 list by 1 ulp and flipped
+    * the reported bucket midpoint (hard-rule-11 class, list form). */
   def sqlList(bounds: Array[Double]): String =
-    bounds.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    bounds.map { d =>
+      val s = java.lang.Double.toString(d)
+      if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
+    }.mkString("[", ", ", "]")
 
   /** Number of boundaries <= x (0..n) — the bucket index. */
   def bucketOf(bounds: Array[Double], x: Double): Int = {
