@@ -225,7 +225,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 26 AvailableNow replay gates (micro-batch streaming with
+  /** The 27 AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -239,7 +239,8 @@ object SparkEntry {
     "q175_stream_fingerprint", "q181_stream_merge_into",
     "q182_stream_leaderboard", "q186_stream_stratified",
     "q188_stream_agg_view", "q209_stream_lang_jsd",
-    "q215_stream_ivf_append", "q219_stream_trend")
+    "q215_stream_ivf_append", "q219_stream_trend",
+    "q224_stream_rolling_mau")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -4697,6 +4698,47 @@ object SparkEntry {
             col("sk"), bounds, qs).as("ests"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_days"), element_at(col("ests"), 1).as("p95"))
+    }),
+    "q224_stream_rolling_mau" -> ((s, dir) => {
+      // STREAMING ROLLING-MAU: q222's daily HLL registers maintained
+      // LIVE through the state store across two event-id-parity
+      // arrival batches — register max is commutative and idempotent,
+      // so the complete-mode register snapshot is a pure function of
+      // the event multiset and equals the batch daily states; the
+      // trailing-window merge over the snapshot answers q222's SQL
+      // verbatim. State = 512 registers per day — O(days), never
+      // O(users).
+      val base = "/tmp/graft_q224_stream_mau"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = tbl(s, dir, "events").select("event_id", "user_id", "ts")
+      ev.where(pmod(col("event_id"), lit(2)) === 0).appendBatchTo(in, 0)
+      ev.where(pmod(col("event_id"), lit(2)) === 1).appendBatchTo(in, 1)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.expressions.HllSketch.registers(
+          col("user_id").cast("string"), p = 9).as("sk"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val daily = s.read.parquet(out)
+      val days = daily.select(col("day").as("d"))
+      days.join(daily,
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          round(graft.expressions.HllSketch.mergeRegisters(
+            col("sk"), p = 9), 4).as("rolling_mau"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_days"), col("rolling_mau"))
     })
   )
 
@@ -8178,43 +8220,12 @@ object SparkEntry {
     // q133's register rebuild, merged per TRAILING 7-day window —
     // register max is associative/idempotent, so the windowed merge
     // equals sketching the raw window directly
-    "q222_rolling_distinct" -> {
-      val alpha =
-        java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
-      s"""WITH vals AS (SELECT ts::DATE AS day,
-         |    CAST(user_id AS VARCHAR) AS s FROM events),
-         |h AS (SELECT day, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
-         |  FROM vals),
-         |rr AS (SELECT day, h >> 43 AS b,
-         |    CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
-         |         ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
-         |    END AS r
-         |  FROM h),
-         |mx AS (SELECT day, b, max(r) AS mr FROM rr GROUP BY 1, 2),
-         |days AS (SELECT DISTINCT day FROM vals),
-         |nd AS (SELECT d.day, count(*)::BIGINT AS n_days
-         |  FROM days d JOIN days m ON m.day BETWEEN d.day - 6 AND d.day
-         |  GROUP BY 1),
-         |win AS (SELECT d.day, mx.b, max(mx.mr) AS mr
-         |  FROM days d JOIN mx ON mx.day BETWEEN d.day - 6 AND d.day
-         |  GROUP BY 1, 2),
-         |grid AS (SELECT d.day, t.j
-         |  FROM days d CROSS JOIN generate_series(0, 511) t(j)),
-         |regs AS (SELECT grid.day, grid.j, coalesce(win.mr, 0) AS mr
-         |  FROM grid LEFT JOIN win ON win.day = grid.day AND win.b = grid.j),
-         |sm AS (SELECT day,
-         |    list_reduce(list_prepend(0.0, list(1.0 / (1::BIGINT << mr) ORDER BY j)),
-         |      (a, x) -> a + x) AS s,
-         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
-         |  FROM regs GROUP BY 1),
-         |est AS (SELECT day,
-         |    $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
-         |SELECT strftime(est.day, '%Y-%m-%d') AS day, nd.n_days,
-         |  round(CASE WHEN raw <= 1280.0 AND v > 0
-         |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4)
-         |    AS rolling_mau
-         |FROM est JOIN nd USING (day)""".stripMargin
-    },
+    "q222_rolling_distinct" -> rollingMauSql,
+    // register max is order-free across arrival batches, so the
+    // state-store daily registers equal the batch daily states and
+    // the same windowed-merge SQL grades the streaming gate
+    "q224_stream_rolling_mau" -> rollingMauSql,
+
     // the merged-window DDSketch answer is the bucket of the window's
     // rank-⌈qn⌉ element (the q130 contract, per sliding window)
     "q223_rolling_p95" -> {
@@ -8390,6 +8401,47 @@ object SparkEntry {
       |  SELECT query_id, cand_id, cosine, row_number() OVER (
       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** q222's oracle (and q224's — the streaming gate's state-store
+    * daily registers equal the batch daily states): q133's register
+    * rebuild merged per trailing 7-day window. */
+  private def rollingMauSql: String = {
+      val alpha =
+        java.lang.Double.toString(graft.expressions.HllSketch.alpha(512))
+      s"""WITH vals AS (SELECT ts::DATE AS day,
+         |    CAST(user_id AS VARCHAR) AS s FROM events),
+         |h AS (SELECT day, ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
+         |  FROM vals),
+         |rr AS (SELECT day, h >> 43 AS b,
+         |    CASE WHEN (h & ((1::BIGINT << 43) - 1)) = 0 THEN 44
+         |         ELSE 43 - CAST(floor(log2(h & ((1::BIGINT << 43) - 1))) AS BIGINT)
+         |    END AS r
+         |  FROM h),
+         |mx AS (SELECT day, b, max(r) AS mr FROM rr GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM vals),
+         |nd AS (SELECT d.day, count(*)::BIGINT AS n_days
+         |  FROM days d JOIN days m ON m.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1),
+         |win AS (SELECT d.day, mx.b, max(mx.mr) AS mr
+         |  FROM days d JOIN mx ON mx.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT d.day, t.j
+         |  FROM days d CROSS JOIN generate_series(0, 511) t(j)),
+         |regs AS (SELECT grid.day, grid.j, coalesce(win.mr, 0) AS mr
+         |  FROM grid LEFT JOIN win ON win.day = grid.day AND win.b = grid.j),
+         |sm AS (SELECT day,
+         |    list_reduce(list_prepend(0.0, list(1.0 / (1::BIGINT << mr) ORDER BY j)),
+         |      (a, x) -> a + x) AS s,
+         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM regs GROUP BY 1),
+         |est AS (SELECT day,
+         |    $alpha::DOUBLE * 512.0 * 512.0 / s AS raw, v FROM sm)
+         |SELECT strftime(est.day, '%Y-%m-%d') AS day, nd.n_days,
+         |  round(CASE WHEN raw <= 1280.0 AND v > 0
+         |             THEN 512.0 * ln(512.0 / v) ELSE raw END, 4)
+         |    AS rolling_mau
+         |FROM est JOIN nd USING (day)""".stripMargin
+  }
 
   /** q216's oracle (and q219's — the streaming gate's state-store
     * daily snapshot equals the batch daily table, so the same SQL
