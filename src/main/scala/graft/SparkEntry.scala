@@ -4739,6 +4739,57 @@ object SparkEntry {
             col("sk"), p = 9), 4).as("rolling_mau"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_days"), col("rolling_mau"))
+    }),
+    "q225_weighted_median" -> ((s, dir) => {
+      // EXACT WEIGHTED QUANTILES without a global sort: the smallest
+      // price whose cumulative QUANTITY reaches ⌈W·q⌉ — the
+      // volume-weighted median/p90 a market report wants (q191's
+      // two-pass histogram-prune, generalized to integer row
+      // weights). Pass 1 histograms weight SUMS (exact longs); pass 2
+      // sorts only the needed-bin sliver; the answer is a raw data
+      // value, hash-exact against the rank-based oracle. Duplicate
+      // prices cannot move it (crossing-row value is tie-invariant).
+      Quantiles.weightedExact(
+        tbl(s, dir, "lineitem")
+          .select(col("l_extendedprice"),
+            round(col("l_quantity")).cast("long").as("qty")),
+        "l_extendedprice", "qty",
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+    }),
+    "q226_gini" -> ((s, dir) => {
+      // GINI CONCENTRATION of customer revenue — the inequality
+      // measure a mixture/curation pipeline tracks to spot corpus
+      // domination. G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+      // ascending revenue order: every term is an EXACT long (cents,
+      // ranks), the final expression ONE division — no rounding
+      // contract. The global rank is TWO-LEVEL (equi-width cent bins
+      // → per-bin window + broadcast prefix offsets), so no
+      // single-partition funnel over the customer table — the
+      // GlobalRank discipline for a skewed, non-hash order.
+      val cust = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(scaledLong(col("o_totalprice"), 2)).as("x"))
+      val r0 = cust.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+      val (mn, mx, n) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+      val width = math.max(1L, (mx - mn) / 1024 + 1)
+      val binned = cust.withColumn("bin", ((col("x") - lit(mn)) / lit(width))
+        .cast("long"))
+      val offsets = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("c")
+      binned.join(broadcast(offsets), Seq("bin"))
+        .withColumn("i", col("off") + row_number().over(
+          Window.partitionBy(col("bin"))
+            .orderBy(col("x"), col("o_custkey"))).cast("long"))
+        .agg(sum(col("i") * col("x")).as("s1"),
+          sum(col("x")).as("sx"), count(lit(1)).as("nn"))
+        .select(col("nn").cast("long").as("n_customers"),
+          col("sx").cast("long").as("total_cents"),
+          ((lit(2L) * col("s1") - (col("nn") + lit(1L)) * col("sx"))
+            .cast("double")
+            / (col("nn") * col("sx")).cast("double")).as("gini"))
     })
   )
 
@@ -8225,6 +8276,38 @@ object SparkEntry {
     // state-store daily registers equal the batch daily states and
     // the same windowed-merge SQL grades the streaming gate
     "q224_stream_rolling_mau" -> rollingMauSql,
+    // rank k = ceil(W*q) in exact integer math; the crossing value is
+    // tie-invariant, so one weighted cum-sum window replays the
+    // two-pass selection exactly
+    "q225_weighted_median" ->
+      """WITH src AS (SELECT l_extendedprice AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND round(l_quantity) > 0),
+        |t AS (SELECT sum(w)::BIGINT AS tw FROM src),
+        |rk AS (SELECT label AS q_label,
+        |    ((tw * num + den - 1) // den)::BIGINT AS rank
+        |  FROM t, (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+        |    ('p90', 9, 10)) q(label, num, den)),
+        |ord AS (SELECT v, sum(w) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM src)
+        |SELECT rk.q_label, rk.rank, min(ord.v) AS value
+        |FROM rk JOIN ord ON ord.cw >= rk.rank
+        |GROUP BY 1, 2""".stripMargin,
+    // every term exact longs over the (cents, custkey)-tiebroken
+    // ascending order; gini is ONE division of exact ints
+    "q226_gini" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    sum(round(o_totalprice * 100))::BIGINT AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+        |  FROM cust)
+        |SELECT count(*)::BIGINT AS n_customers,
+        |  sum(x)::BIGINT AS total_cents,
+        |  (2 * sum(i * x) - (count(*) + 1) * sum(x))::BIGINT::DOUBLE
+        |    / (count(*) * sum(x))::BIGINT::DOUBLE AS gini
+        |FROM r""".stripMargin,
 
     // the merged-window DDSketch answer is the bucket of the window's
     // rank-⌈qn⌉ element (the q130 contract, per sliding window)

@@ -105,4 +105,66 @@ object Quantiles {
         ranked("bin") === tgt("bin") && $"lr" === $"local_rank")
       .select($"q_label", $"rank", $"v".as("value"))
   }
+
+  /** WEIGHTED exact quantiles — [[exact]] with integer row weights:
+    * the answer is the smallest value whose cumulative weight reaches
+    * ⌈W·num/den⌉ (the lower weighted quantile). Same two-pass
+    * histogram-prune shape, with the histogram counting WEIGHT SUMS
+    * (exact longs) instead of rows, so neither pass sorts more than
+    * the needed-bin sliver. Duplicate-value ties cannot move the
+    * answer: the crossing row's VALUE is the tied value whatever
+    * order ties take (min over `cw ≥ k` rows is order-invariant
+    * because the cumulative weight is monotone in value order). */
+  def weightedExact(df: DataFrame, valueCol: String, weightCol: String,
+      quantiles: Seq[(String, Long, Long)], bins: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val wgt = col(weightCol).cast("long")
+    val src = df.where(v.isNotNull && wgt.isNotNull && wgt > 0L)
+      .select(v.as("v"), wgt.as("w"))
+    val row0 = src.agg(min($"v").as("mn"), max($"v").as("mx"),
+      sum($"w").as("tw")).head()
+    val (mn, mx, tw) =
+      (row0.getDouble(0), row0.getDouble(1), row0.getLong(2))
+    require(tw > 0, "weightedExact over empty/zero-weight input")
+    val width = (mx - mn) / bins
+    def binOf(c: Column): Column =
+      if (width == 0d) lit(0L)
+      else least(floor((c - lit(mn)) / lit(width)), lit(bins - 1L))
+        .cast("long")
+    val hist = src.groupBy(binOf($"v").as("bin"))
+      .agg(sum($"w").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val targets = quantiles.map { case (label, num, den) =>
+      val k = (tw * num + den - 1) / den
+      var before = 0L
+      var bin = -1L
+      val it = hist.iterator
+      while (bin < 0 && it.hasNext) {
+        val (b, c) = it.next()
+        if (before + c >= k) bin = b else before += c
+      }
+      (label, k, bin, k - before)
+    }
+    val tgt = targets.toDF("q_label", "rank", "bin", "local_rank")
+    val pad = width +
+      4 * Math.ulp(math.max(math.abs(mn), math.abs(mx)))
+    val needed = targets.map(_._3).distinct
+    val bracket =
+      if (width == 0d) lit(true)
+      else needed.map { b =>
+        $"v" >= lit(mn + b * width - pad) &&
+          $"v" <= lit(mn + (b + 1) * width + pad)
+      }.reduce(_ || _)
+    val ranked = src.where(bracket).withColumn("bin", binOf($"v"))
+      .where($"bin".isin(needed.map(java.lang.Long.valueOf): _*))
+      .withColumn("cw", sum($"w").over(
+        Window.partitionBy($"bin").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.join(broadcast(tgt),
+        ranked("bin") === tgt("bin") && $"cw" >= $"local_rank")
+      .groupBy($"q_label", $"rank")
+      .agg(min($"v").as("value"))
+  }
 }
