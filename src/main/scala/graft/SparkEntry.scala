@@ -4790,6 +4790,44 @@ object SparkEntry {
           ((lit(2L) * col("s1") - (col("nn") + lit(1L)) * col("sx"))
             .cast("double")
             / (col("nn") * col("sx")).cast("double")).as("gini"))
+    }),
+    "q227_decile_share" -> ((s, dir) => {
+      // REVENUE DECILE SHARES (the Lorenz-curve table behind q226's
+      // scalar): customers bucketed into ascending-revenue deciles by
+      // EXACT integer rank math (decile = (10·(i−1)) div n), per-
+      // decile cents summed exactly, share = ONE division. Same
+      // two-level rank as q226 — equi-width cent bins, per-bin
+      // window, broadcast prefix offsets — no single-partition
+      // funnel. The table a curation pipeline reads to decide domain
+      // caps (q97): how much of the corpus the top slice owns.
+      val cust = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(scaledLong(col("o_totalprice"), 2)).as("x"))
+      val r0 = cust.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+      val (mn, n) = (r0.getLong(0), r0.getLong(2))
+      val width = math.max(1L, (r0.getLong(1) - mn) / 1024 + 1)
+      val binned = cust.withColumn("bin",
+        ((col("x") - lit(mn)) / lit(width)).cast("long"))
+      val offsets = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("c")
+      val tot = cust.agg(sum(col("x")).as("sx"))
+      binned.join(broadcast(offsets), Seq("bin"))
+        .withColumn("i", col("off") + row_number().over(
+          Window.partitionBy(col("bin"))
+            .orderBy(col("x"), col("o_custkey"))).cast("long"))
+        .withColumn("decile", (lit(10L) * (col("i") - 1L) / lit(n))
+          .cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(col("x")).as("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"),
+          col("cents").cast("long").as("cents"),
+          (col("cents").cast("double") / col("sx").cast("double"))
+            .as("share"))
     })
   )
 
@@ -8308,6 +8346,21 @@ object SparkEntry {
         |  (2 * sum(i * x) - (count(*) + 1) * sum(x))::BIGINT::DOUBLE
         |    / (count(*) * sum(x))::BIGINT::DOUBLE AS gini
         |FROM r""".stripMargin,
+    // decile = (10*(i-1)) div n in exact integer math on both engines
+    // (Spark's double division is correctly rounded, so the cast
+    // truncation equals floor-div for these magnitudes); share is ONE
+    // division of exact cents
+    "q227_decile_share" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    sum(round(o_totalprice * 100))::BIGINT AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+        |  FROM cust),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM cust)
+        |SELECT ((10 * (i - 1)) // t.n)::BIGINT AS decile,
+        |  count(*)::BIGINT AS n_cust, sum(x)::BIGINT AS cents,
+        |  sum(x)::BIGINT::DOUBLE / t.sx::DOUBLE AS share
+        |FROM r, t GROUP BY 1, t.n, t.sx""".stripMargin,
 
     // the merged-window DDSketch answer is the bucket of the window's
     // rank-⌈qn⌉ element (the q130 contract, per sliding window)

@@ -480,6 +480,19 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q226 Gini rank window is bin-partitioned, never a customer funnel") {
+    val p = executedPlan("q226_gini")
+    // the two-level rank: the customer-data window is partitioned by
+    // the cent bin; single-partition exchanges carry only tiny frames
+    // — the ≤1024-row offsets prefix window and the final global
+    // aggregate's one-partial-row-per-task reduce — never the
+    // customer rows themselves
+    assert(p.contains("hashpartitioning(bin"),
+      s"expected the bin exchange:\n$p")
+    assert(p.split("Exchange SinglePartition").length - 1 <= 2,
+      s"extra funnel exchanges:\n$p")
+  }
+
   test("q191 pass-2 bracket is PUSHED into the parquet scan") {
     // the exact bin-membership test is a computed column (not
     // pushable); the redundant value-range bracket must reach the
