@@ -4828,6 +4828,28 @@ object SparkEntry {
           col("cents").cast("long").as("cents"),
           (col("cents").cast("double") / col("sx").cast("double"))
             .as("share"))
+    }),
+    "q228_target_encoding" -> ((s, dir) => {
+      // TARGET ENCODING with additive smoothing — the feature-
+      // engineering op that replaces a categorical with its smoothed
+      // target mean: enc(c) = (Σ_c y + m·ȳ) / (n_c + m), m = 10,
+      // shrinking rare categories toward the global mean. Sums are
+      // exact cents; ȳ and enc are one FIXED mul-add-div IEEE
+      // sequence on exact ints, written identically in the SQL — no
+      // rounding contract. Shape: one category aggregate (map-side
+      // partials) + a broadcast one-row global frame.
+      val ev = tbl(s, dir, "events")
+      val g = ev.agg(sum(scaledLong(col("value"), 2)).as("gx"),
+        count(lit(1)).as("gn"))
+      ev.groupBy("event_type")
+        .agg(sum(scaledLong(col("value"), 2)).as("cx"),
+          count(lit(1)).as("n"))
+        .crossJoin(broadcast(g))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("cx").cast("long").as("sum_cents"),
+          ((col("cx").cast("double")
+            + lit(10.0) * (col("gx").cast("double") / col("gn").cast("double")))
+            / (col("n").cast("double") + lit(10.0))).as("enc_cents"))
     })
   )
 
@@ -8361,6 +8383,19 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_cust, sum(x)::BIGINT AS cents,
         |  sum(x)::BIGINT::DOUBLE / t.sx::DOUBLE AS share
         |FROM r, t GROUP BY 1, t.n, t.sx""".stripMargin,
+    // the identical mul-add-div IEEE sequence on exact integer sums —
+    // deterministic with no rounding contract (rule 11 casts)
+    "q228_target_encoding" ->
+      """WITH g AS (SELECT sum(round(value * 100))::BIGINT AS gx,
+        |    count(*)::BIGINT AS gn FROM events),
+        |c AS (SELECT event_type,
+        |    sum(round(value * 100))::BIGINT AS cx,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, cx AS sum_cents,
+        |  (cx::DOUBLE + 10.0::DOUBLE * (g.gx::DOUBLE / g.gn::DOUBLE))
+        |    / (n::DOUBLE + 10.0::DOUBLE) AS enc_cents
+        |FROM c, g""".stripMargin,
 
     // the merged-window DDSketch answer is the bucket of the window's
     // rank-⌈qn⌉ element (the q130 contract, per sliding window)
