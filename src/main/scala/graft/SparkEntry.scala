@@ -4850,6 +4850,29 @@ object SparkEntry {
           ((col("cx").cast("double")
             + lit(10.0) * (col("gx").cast("double") / col("gn").cast("double")))
             / (col("n").cast("double") + lit(10.0))).as("enc_cents"))
+    }),
+    "q229_repair_targets" -> ((s, dir) => {
+      // MERKLE-STYLE REPAIR TARGETING — q173's digests made
+      // ACTIONABLE: replica B is replica A with a deterministic
+      // deletion (event_id ≡ 0 mod 499) and a deterministic update
+      // (value+1.0 where event_id ≡ 0 mod 503); the anti-entropy pass
+      // joins the two per-bucket digest tables and emits ONLY the
+      // buckets needing re-sync. The repair loop reads O(buckets)
+      // digest rows to locate divergence in a 100 TB table — the rows
+      // themselves ship only for flagged buckets. Digest folds are
+      // order-free (XOR / bounded sums), bucket = event_id mod 64.
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val b = ev.where(pmod(col("event_id"), lit(499)) =!= 0)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(503)) === 0, col("value") + lit(1.0))
+            .otherwise(col("value")))
+      def bucketed(d: DataFrame) =
+        d.withColumn("bucket", pmod(col("event_id"), lit(64)).cast("long"))
+      Fingerprint.divergence(bucketed(ev), bucketed(b),
+        Seq("bucket"), Seq(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts").cast("timestamp")),
+          scaledLong(col("value"), 2)))
     })
   )
 
@@ -8396,6 +8419,40 @@ object SparkEntry {
         |  (cx::DOUBLE + 10.0::DOUBLE * (g.gx::DOUBLE / g.gn::DOUBLE))
         |    / (n::DOUBLE + 10.0::DOUBLE) AS enc_cents
         |FROM c, g""".stripMargin,
+    // replica B re-derived from A by the same deterministic rules;
+    // digest folds are order-free, so both engines agree bucket-wise
+    "q229_repair_targets" ->
+      """WITH canon AS (SELECT event_id, event_id % 64 AS bucket,
+        |    md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+        |      event_type || '|' || epoch_us(ts)::VARCHAR || '|' ||
+        |      CAST(round(value * 100, 0) AS BIGINT)::VARCHAR) AS m
+        |  FROM events),
+        |a AS (SELECT bucket, ('0x' || substr(m, 1, 15))::BIGINT AS hv
+        |  FROM canon),
+        |bsrc AS (SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_id % 503 = 0 THEN value + 1.0::DOUBLE
+        |         ELSE value END AS value
+        |  FROM events WHERE event_id % 499 <> 0),
+        |b AS (SELECT event_id % 64 AS bucket,
+        |    ('0x' || substr(md5(event_id::VARCHAR || '|' ||
+        |      user_id::VARCHAR || '|' || event_type || '|' ||
+        |      epoch_us(ts)::VARCHAR || '|' ||
+        |      CAST(round(value * 100, 0) AS BIGINT)::VARCHAR),
+        |      1, 15))::BIGINT AS hv
+        |  FROM bsrc),
+        |da AS (SELECT bucket, count(*)::BIGINT AS n_a, bit_xor(hv) AS xa,
+        |    CAST(sum(hv % 4294967296) AS BIGINT) AS sa FROM a GROUP BY 1),
+        |db AS (SELECT bucket, count(*)::BIGINT AS n_b, bit_xor(hv) AS xb,
+        |    CAST(sum(hv % 4294967296) AS BIGINT) AS sb FROM b GROUP BY 1),
+        |j AS (SELECT bucket::BIGINT AS bucket,
+        |    CASE WHEN n_b IS NULL THEN 'a_only'
+        |         WHEN n_a IS NULL THEN 'b_only'
+        |         WHEN n_a <> n_b OR xa <> xb OR sa <> sb THEN 'divergent'
+        |    END AS status,
+        |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM da FULL OUTER JOIN db USING (bucket))
+        |SELECT bucket, status, n_a, n_b FROM j
+        |WHERE status IS NOT NULL""".stripMargin,
 
     // the merged-window DDSketch answer is the bucket of the window's
     // rank-⌈qn⌉ element (the q130 contract, per sliding window)

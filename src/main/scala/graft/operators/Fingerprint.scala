@@ -39,4 +39,28 @@ object Fingerprint {
       .agg(count(lit(1)).as("n"),
         expr("bit_xor(h)").as("xor_fp"),
         sum(pmod(col("h"), lit(4294967296L))).as("sum_lo"))
+
+  /** MERKLE-STYLE REPAIR TARGETING — the step that makes digests
+    * actionable: full-outer-joins two replicas' per-group digest
+    * tables and returns ONLY the groups needing re-sync, labeled
+    * `a_only` / `b_only` / `divergent`. Re-sync then ships just those
+    * groups' rows — the anti-entropy loop reads O(groups) digest rows
+    * to locate divergence in a 100 TB table, never the table. */
+  def divergence(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      hashCols: Seq[Column]): DataFrame = {
+    val da = grouped(a, groupCols, hashCols)
+      .withColumnsRenamed(Map("n" -> "n_a", "xor_fp" -> "xa", "sum_lo" -> "sa"))
+    val db = grouped(b, groupCols, hashCols)
+      .withColumnsRenamed(Map("n" -> "n_b", "xor_fp" -> "xb", "sum_lo" -> "sb"))
+    da.join(db, groupCols, "full_outer")
+      .withColumn("status",
+        when(col("n_b").isNull, "a_only")
+          .when(col("n_a").isNull, "b_only")
+          .when(col("n_a") =!= col("n_b") || col("xa") =!= col("xb") ||
+            col("sa") =!= col("sb"), "divergent"))
+      .where(col("status").isNotNull)
+      .select(groupCols.map(col) ++ Seq(col("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b")): _*)
+  }
 }
