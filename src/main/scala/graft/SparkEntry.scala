@@ -4467,8 +4467,11 @@ object SparkEntry {
       val q = graft.streaming.IngestPipeline.fileSource(
           s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
         .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          Similarity.ivfIndexAppend(b, "vec_id", "embedding", idx)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          // batchId keys the posting directory: a crash-replayed
+          // micro-batch overwrites its OWN dir (exactly-once), it
+          // cannot append a duplicate posting copy
+          Similarity.ivfIndexAppend(b, "vec_id", "embedding", idx, bid)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt).start()
@@ -4771,6 +4774,15 @@ object SparkEntry {
         .agg(sum(scaledLong(col("o_totalprice"), 2)).as("x"))
       val r0 = cust.agg(min(col("x")), max(col("x")), count(lit(1))).head()
       val (mn, mx, n) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+      // every downstream product (2·Σi·x, (n+1)·Σx, n·Σx) is bounded
+      // by n·(n+1)·max(x); non-ANSI LONG math WRAPS silently past
+      // 2^63 while DuckDB's HUGEINT sum errors loudly — guard the
+      // bound here so a too-large corpus fails fast instead of
+      // returning a silently wrong Gini (SCALE.md concentration note)
+      require(BigInt(2) * BigInt(n) * BigInt(n + 1) * BigInt(mx)
+          <= BigInt(Long.MaxValue),
+        s"gini LONG bound exceeded: n=$n max_cents=$mx — " +
+          "rescale the measure or switch s1 to DECIMAL")
       val width = math.max(1L, (mx - mn) / 1024 + 1)
       val binned = cust.withColumn("bin", ((col("x") - lit(mn)) / lit(width))
         .cast("long"))
@@ -8462,7 +8474,7 @@ object SparkEntry {
       val nb = bounds.length
       s"""WITH vals AS (SELECT ts::DATE AS day, value AS x FROM events),
          |days AS (SELECT DISTINCT day FROM vals),
-         |w AS (SELECT d.day, v.x
+         |w AS MATERIALIZED (SELECT d.day, v.x
          |  FROM days d JOIN vals v ON v.day BETWEEN d.day - 6 AND d.day),
          |n AS (SELECT day, count(*) AS n FROM w GROUP BY 1),
          |nd AS (SELECT d.day, count(*)::BIGINT AS n_days
@@ -8554,7 +8566,7 @@ object SparkEntry {
     // 100*cum >= pct*tot is exact integer math (window sums stay
     // integral); min_by replays Spark's min(struct(k, cum)) frontier
     "q213_vocab_coverage" ->
-      """WITH c AS (SELECT w, count(*)::BIGINT AS c FROM (
+      """WITH c AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
         |    SELECT unnest(list_filter(string_split(lower(text), ' '),
         |      x -> x <> '')) AS w FROM documents)
         |  GROUP BY 1),
@@ -8608,7 +8620,7 @@ object SparkEntry {
       |    list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS c2
       |  FROM read_parquet('$path/cent/*.parquet')),
       |post AS (SELECT cell::INT AS cell, cand_id, cv::DOUBLE[] AS pv
-      |  FROM read_parquet('$path/post/*/*.parquet',
+      |  FROM read_parquet('$path/post/*/*/*.parquet',
       |    hive_partitioning=1)),
       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       |  FROM embeddings WHERE vec_id < 10),

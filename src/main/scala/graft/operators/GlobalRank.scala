@@ -44,6 +44,13 @@ object GlobalRank {
   def withRank(df: DataFrame, hexKey: Column, ties: Seq[Column],
       rankCol: String, nibbles: Int = 3): DataFrame = {
     require(nibbles >= 1 && nibbles <= 8, s"nibbles out of range: $nibbles")
+    // scratch columns would silently OVERWRITE same-named caller
+    // columns via withColumn — fail loudly instead (epochShuffle is
+    // immune because it projects first; this is the public surface)
+    val clash = df.columns.toSet
+      .intersect(Set("__gr_b", "__gr_lr", "__gr_off", rankCol))
+    require(clash.isEmpty,
+      s"withRank scratch/output columns collide with input: $clash")
     val bucket = conv(substring(hexKey, 1, nibbles), 16, 10).cast("int")
     val keyed = df.withColumn("__gr_b", bucket)
     val local = keyed.withColumn("__gr_lr",

@@ -391,12 +391,18 @@ object Similarity {
     * function of the fixed centroid table, so the index is a pure
     * function of the posting MULTISET — any batching of the corpus
     * (including micro-batch streaming arrival, q215) builds the
-    * byte-equal index a one-shot [[ivfIndexWrite]] would. Append-mode
-    * parquet is at-least-once under retries; a production stream
-    * commits through the BucketedLog manifest for exactly-once — the
-    * gate proves the ROUTING/layout equivalence. */
+    * byte-equal index a one-shot [[ivfIndexWrite]] would.
+    *
+    * EXACTLY-ONCE under at-least-once delivery: each batch owns the
+    * directory `post/__bid=<batchId>/`, written with OVERWRITE — a
+    * crash-replayed micro-batch (same batchId) re-derives the same
+    * rows and replaces its own directory instead of appending a
+    * duplicate copy (assignment is deterministic, so the rewrite is
+    * content-identical). Readers treat `__bid` as just another hive
+    * partition level and never select it; cell-level directory
+    * pruning is unaffected because `cell` remains a partition key. */
   def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val centroids: Array[Array[Float]] = spark.read.parquet(s"$path/cent")
       .orderBy("cell").collect()
@@ -408,7 +414,8 @@ object Similarity {
     batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .withColumn("cell", nearestCell(col("cv")))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/post")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/post/__bid=$batchId")
   }
 
   /** PERSISTED IVF INDEX, query side: rebuilds the router from the

@@ -264,10 +264,39 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     next.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     val written = writtenBuckets(f, vdir).toSet
+    // a touched bucket ABSENT from the written set means the merge
+    // emitted zero rows for it (every group retracted): its manifest
+    // entry must be DROPPED, not carried — a stale pointer would
+    // resurrect the retracted rows on the next read
     val newEntries =
       if (compact) written.map(_ -> vdir).toMap
-      else entries ++ written.map(_ -> vdir)
+      else (entries -- (touched -- written)) ++ written.map(_ -> vdir)
     writeManifest(f, version, batchId, newEntries)
+    cleanup(f, version, newEntries)
+  }
+
+  /** Fold the WHOLE state into one fresh version, optionally
+    * transforming it on the way (maintenance pass — tombstone
+    * expiry, schema-preserving rewrites). Unlike [[applyBatch]]'s
+    * amortized compaction this is caller-triggered: O(state) IO,
+    * run it off the hot path. The version/manifest protocol is the
+    * same, so a crash mid-pass leaves the old state fully readable;
+    * the last-applied batch id is carried unchanged so the
+    * exactly-once replay guard survives the rewrite. Buckets whose
+    * rows the transform drops entirely leave the manifest. */
+  def compactNow(spark: SparkSession)(
+      transform: DataFrame => DataFrame): Unit = {
+    val f = fs(spark)
+    val (curVer, lastBatch, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.compactNow before init: $dir"))
+    val cur = stateRows(spark, entries, None)
+      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+    val version = curVer + 1
+    val vdir = s"v$version"
+    transform(cur).withColumn(BktCol, bkt)
+      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
+    val newEntries = writtenBuckets(f, vdir).map(_ -> vdir).toMap
+    writeManifest(f, version, lastBatch, newEntries)
     cleanup(f, version, newEntries)
   }
 

@@ -92,6 +92,29 @@ final case class SnapshotStore(dir: String, keyCol: String,
   def vacuum(spark: SparkSession, keepFrom: Long): Unit =
     log.vacuum(spark, keepFrom)
 
+  /** TOMBSTONE RETENTION: fold the state into one fresh version,
+    * dropping tombstones whose winning change ts is `< floor`.
+    * Without this a delete-heavy CDC feed grows the state
+    * monotonically — every deleted key keeps its tombstone row
+    * forever (the Delta/Iceberg retention problem). Dropping a
+    * tombstone is safe exactly when no change OLDER than `floor`
+    * can still arrive: a late 'U' with ts < floor would, absent the
+    * tombstone, insert as a new key and resurrect the delete. The
+    * caller picks `floor` from the source's lateness bound — with
+    * the `#batch=` guard already skipping whole-batch replays, the
+    * residual exposure is genuinely out-of-order data older than
+    * the floor, the same contract as a streaming watermark. Live
+    * rows are never dropped regardless of age. O(state) IO
+    * (maintenance pass, off the hot path); crash-safe via the
+    * manifest protocol; time-travel reads BELOW the current version
+    * still see pre-GC tombstone effects because retained manifests
+    * are untouched. */
+  def expireTombstones(spark: SparkSession, floor: org.apache.spark.sql.Column): Unit =
+    log.compactNow(spark) { state =>
+      state.where(!col(MergeInto.TombstoneCol) ||
+        col(MergeInto.VersionTsCol) >= floor)
+    }
+
   /** Raw versioned state incl. tombstones (specs + probes). */
   private[graft] def readState(spark: SparkSession): DataFrame =
     log.read(spark).select(stateCols.map(col): _*)

@@ -82,6 +82,72 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === expected)
   }
 
+  test("fully retracting a bucket's ONLY group drops it (no stale-manifest resurrection)") {
+    // the r12 latent: a touched bucket whose merge output is EMPTY
+    // writes no partition dir, and a stale manifest entry would
+    // resurrect the retracted groups on the next read. buckets=64
+    // isolates each group in its own bucket — assert that, so this
+    // test cannot silently degenerate into the collision case.
+    val dir = "/tmp/graft_aggview_spec_iso"
+    val v = AggView(dir, Seq("grp"), Seq("sum_units" -> col("units")),
+      signCol = Some("sig"), buckets = 64)
+    val bktOf = Seq("a", "b", "c", "d").toDF("grp")
+      .select(col("grp"), pmod(xxhash64(col("grp")), lit(64L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bktOf.values.toSet.size === 4,
+      s"groups must sit in distinct buckets for this test: $bktOf")
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts, 1L), 0L)
+    // retract ALL of c: its bucket's merge output is empty
+    v.applyBatch(df(Seq(("c", 10L), ("c", 1L)), -1L), 1L)
+    assert(read(v) === Map("a" -> (3L, 15L), "b" -> (2L, 6L),
+      "d" -> (3L, 18L)))
+    // and the manifest itself dropped the bucket (not just the read)
+    val entries = graft.streaming.BucketedLog(dir, Seq("grp"), 64)
+      .readManifest(spark).get._2
+    assert(!entries.contains(bktOf("c").toInt),
+      s"bucket ${bktOf("c")} must leave the manifest: $entries")
+    // retracting the remaining groups one bucket at a time still works
+    v.applyBatch(df(Seq(("a", 3L), ("a", 5L), ("a", 7L)), -1L), 2L)
+    assert(read(v) === Map("b" -> (2L, 6L), "d" -> (3L, 18L)))
+  }
+
+  test("torn commit: crash between dir-write and manifest-rename, then replay") {
+    // reconstruct the EXACT torn state — the post-batch-0 store plus
+    // batch 1's ORPHAN version dir, but batch 1's manifest missing
+    // (the crash window between the dir write and the rename; cleanup
+    // never ran, so the old manifest and its dirs are intact) — and
+    // assert the replayed batch re-derives the same state (overwrite
+    // dir + fresh manifest), not a double-fold or a lost batch
+    import java.nio.file.{Files, Path => JPath}
+    def copyRec(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    val dir = "/tmp/graft_aggview_spec_torn"
+    val torn = "/tmp/graft_aggview_spec_torn2"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(torn), true)
+    val v = view(dir)
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts.take(4), 1L), 0L)
+    copyRec(JPath.of(dir), JPath.of(torn)) // snapshot: state after batch 0
+    v.applyBatch(df(inserts.drop(4), 1L), 1L) // -> realistic v2 dir
+    copyRec(JPath.of(s"$dir/v2"), JPath.of(s"$torn/v2")) // orphan, no manifest
+    val vt = view(torn)
+    // engine replays batch 1 (at-least-once): the surviving manifest
+    // says lastBatch=0, so the fold re-runs over the orphan
+    vt.applyBatch(df(inserts.drop(4), 1L), 1L)
+    vt.applyBatch(df(retracts, -1L), 2L)
+    assert(read(vt) === expected)
+    v.applyBatch(df(retracts, -1L), 2L) // untorn control store agrees
+    assert(read(v) === expected)
+  }
+
   test("retained view supports time travel per commit") {
     val v = AggView("/tmp/graft_aggview_spec_tt", Seq("grp"),
       Seq("sum_units" -> col("units")), signCol = Some("sig"),

@@ -45,11 +45,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("replayed batch overwrites its own directory (no duplicate postings)") {
+    val dir = Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.ivfCentWrite(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, sampleSize = 64, iters = 2)
+    Similarity.ivfIndexAppend(emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", dir, batchId = 0L)
+    Similarity.ivfIndexAppend(emb.where(col("vec_id") >= 100),
+      "vec_id", "embedding", dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/post").count() === 200L)
+    // at-least-once delivery: batch 1 replays after a crash — the
+    // rewrite must land in its own __bid dir, not append a duplicate
+    Similarity.ivfIndexAppend(emb.where(col("vec_id") >= 100),
+      "vec_id", "embedding", dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/post").count() === 200L)
+  }
+
   test("lookup scan dynamically prunes to the probed cell partitions") {
     val dir = Files.createTempDirectory("ivfidx").toString + "/idx"
     Similarity.ivfIndexWrite(emb, "vec_id", "embedding", dir,
       nCentroids = 8, sampleSize = 64, iters = 2)
-    val nCells = new java.io.File(s"$dir/post").listFiles()
+    // postings live one __bid level down (idempotent per-batch dirs)
+    val nCells = new java.io.File(s"$dir/post/__bid=0").listFiles()
       .count(_.getName.startsWith("cell="))
     assert(nCells > 2, s"degenerate layout: $nCells cells")
 

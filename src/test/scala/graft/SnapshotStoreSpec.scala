@@ -152,6 +152,40 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(published(st) === oneShot)
   }
 
+  test("tombstone retention: delete-heavy churn stays bounded, recent deletes survive") {
+    import org.apache.spark.sql.functions.lit
+    val dir = "/tmp/graft_snapstore_ttl"
+    val st = store(dir, buckets = 4)
+    st.init(base, IntegerType, LongType)
+    // churn: insert then delete 40 transient keys over 8 batches; all
+    // the deletes are OLD (ts <= 16) except the final batch's (ts=100)
+    val churn = (0 until 40).map { i =>
+      val k = 100L + i
+      (Seq((k, "U", s"t$i", i.toDouble, 2 * (i % 8), 1000L + 2 * i),
+        (k, "D", "-", 0.0, 2 * (i % 8) + 1, 1001L + 2 * i)), i / 5)
+    }
+    (0 until 8).foreach { b =>
+      val rows = churn.filter(_._2 == b).flatMap(_._1)
+      st.applyBatch(changesDf(rows), b.toLong)
+    }
+    st.applyBatch(changesDf(Seq((1L, "D", "-", 0.0, 100, 9999L))), 8L)
+    val pubBefore = published(st)
+    assert(!pubBefore.contains(1L) && pubBefore.size === 5)
+    // every churned key + key 1 holds a tombstone: state = 5 live + 41
+    assert(st.readState(spark).count() === 46L)
+    // expire tombstones older than ts=50: the 40 churn tombstones go,
+    // key 1's recent delete (ts=100) must SURVIVE the pass
+    st.expireTombstones(spark, lit(50))
+    assert(st.readState(spark).count() === 6L)
+    assert(published(st) === pubBefore)
+    // a late change OLDER than key 1's surviving tombstone still loses
+    st.applyBatch(changesDf(Seq((1L, "U", "zombie", 0.0, 99, 9998L))), 9L)
+    assert(!published(st).contains(1L))
+    // and the store keeps folding correctly after the GC pass
+    st.applyBatch(changesDf(Seq((2L, "U", "b9", 29.0, 50, 10000L))), 10L)
+    assert(published(st)(2L) === ("b9", 29.0))
+  }
+
   test("vacuum drops history below the floor, keeps the rest readable") {
     val dir = "/tmp/graft_snapstore_vac"
     val st = SnapshotStore(dir, "k", "ts", "id", "op", Seq("seg", "bal"),
