@@ -239,6 +239,7 @@ object SparkEntry {
     "q175_stream_fingerprint", "q181_stream_merge_into",
     "q182_stream_leaderboard", "q186_stream_stratified",
     "q188_stream_agg_view", "q209_stream_lang_jsd",
+    "q212_stream_adversarial_view",
     "q215_stream_ivf_append", "q219_stream_trend",
     "q224_stream_rolling_mau")
 
@@ -2713,6 +2714,60 @@ object SparkEntry {
           greatest(col("doc_id"), col("idb")).as("doc_b"),
           levenshtein(col("key"), col("kb")).cast("long").as("dist"))
     }),
+    "q147_incr_bloom_index" -> ((s, dir) => {
+      // INCREMENTALLY-MAINTAINED BLOOM SHARD INDEX: q192's skipping
+      // index kept CURRENT under an appending table through the
+      // BucketedLog commit machinery — the last one-shot index build
+      // in the lakehouse family made incremental. The table arrives
+      // as three append batches; each refresh OR-merges ≤ one
+      // (shard, bitset) partial per touched shard and rewrites only
+      // those shards' log buckets: O(batch + touched index rows),
+      // never O(table) (`bloom_index_batch` probe pins the flat
+      // refresh). OR-merge is idempotent, so replay is safe even
+      // without the #batch= guard (the q195 HLL argument). The gate
+      // pins BIT-EXACT equality of the maintained index against the
+      // one-shot build driver-side, then serves a point lookup from
+      // it: only index-matched shard DIRECTORIES are read before the
+      // exact residual semi join. Oracle = the plain filter — the
+      // index buys IO skipping, never answers (q192's contract).
+      val base = s"/tmp/graft_q147_incbloom_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val idx = IncrementalBloomIndex(s"$base/idx", nShards = 64,
+        buckets = 16)
+      // the table itself lands in the same stable shard layout the
+      // index units name, so matched shards prune to directories
+      orders.withColumn("shard", idx.shardOf(col("o_orderkey")))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$base/tbl")
+      idx.init(s)
+      Seq(0, 1, 2).foreach { p =>
+        idx.applyBatch(orders.where(pmod(col("o_orderkey"), lit(3)) === p),
+          "o_orderkey", p.toLong)
+      }
+      // bit-exactness: maintained index == one-shot build
+      val stored = idx.read(s).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val oneShot = orders
+        .groupBy(idx.shardOf(col("o_orderkey")).as("shard"))
+        .agg(graft.expressions.BloomAggregate(
+          xxhash64(col("o_orderkey")), 1024, 7).as("bloom_bits"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      require(stored == oneShot,
+        "incrementally-maintained Bloom index diverged from one-shot build")
+      val probes = tbl(s, dir, "orders")
+        .where(col("o_orderkey") % 11 === 4)
+        .orderBy(col("o_orderkey")).limit(5).select("o_orderkey")
+      val shards = idx.matchingShards(s, probes, "o_orderkey")
+      require(shards.nonEmpty && shards.size < 64,
+        s"probe should prune some of 64 shards: ${shards.size}")
+      s.read.parquet(s"$base/tbl")
+        .where(col("shard").isin(shards.map(Long.box): _*))
+        .join(broadcast(probes), Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
     "q146_hll_sparse" -> ((s, dir) => {
       // SPARSE-mode HLL over a MANY-GROUP rollup: distinct users per
       // (event_type, day) — the long-tail shape where dense per-group
@@ -4397,6 +4452,148 @@ object SparkEntry {
         nCentroids = 16, sampleSize = 2000, iters = 3)
       Similarity.ivfIndexTopK(s, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", path, k = 5, nProbe = 4)
+    }),
+    "q211_vacuum_retention" -> ((s, dir) => {
+      // VACUUM/RETENTION under the oracle gate — the last un-oracled
+      // edge of the time-travel contract (q189): a RETAINED snapshot
+      // store takes three change commits (id mod 3 split of q177's
+      // feed -> versions 1..3), then VACUUMS history below version 2
+      // mid-history. The gate proves all three retention properties
+      // in one query: (a) surviving versions still answer the
+      // one-shot merge SQL verbatim (the output rows, hash-compared),
+      // (b) storage actually SHRANK (strict file-count assertion —
+      // vacuumed manifests and unreferenced version dirs are gone),
+      // (c) reads below the floor fail LOUDLY (readAt(0)/readAt(1)
+      // error rather than silently serving a newer snapshot). At
+      // 100 TB this is the Delta/Iceberg VACUUM contract: retention
+      // is a floor-version delete of manifests + unreferenced dirs,
+      // never a rewrite of surviving state.
+      val base = s"/tmp/graft_q211_vacuum_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      val snap = graft.streaming.SnapshotStore(s"$base/snap",
+        "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"), buckets = 16, retain = true)
+      snap.init(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        changes.schema("ts").dataType, changes.schema("id").dataType)
+      Seq(0, 1, 2).foreach { k =>
+        snap.applyBatch(changes.where(pmod(col("id"), lit(3)) === k),
+          k.toLong)
+      }
+      def fileCount: Int = {
+        def rec(p: org.apache.hadoop.fs.Path): Int =
+          fs.listStatus(p).map(st =>
+            if (st.isDirectory) rec(st.getPath) else 1).sum
+        rec(new org.apache.hadoop.fs.Path(s"$base/snap"))
+      }
+      val before = fileCount
+      snap.vacuum(s, keepFrom = 2L)
+      require(fileCount < before,
+        s"vacuum must shrink storage: $before -> $fileCount files")
+      Seq(0L, 1L).foreach { v =>
+        val failed = try { snap.readAt(s, v).collect(); false }
+          catch { case _: RuntimeException => true }
+        require(failed, s"readAt($v) below the vacuum floor must error")
+      }
+      Seq(2L, 3L).map(v => snap.readAt(s, v).withColumn("ver", lit(v)))
+        .reduce(_.unionByName(_))
+        .select("ver", "c_custkey", "c_mktsegment", "c_acctbal")
+    }),
+    "q212_stream_adversarial_view" -> ((s, dir) => {
+      // STREAMING IVM UNDER ADVERSARIAL DELIVERY — q188 widened to
+      // the arrival orders a real fact stream produces, the additive
+      // analog of q181's id-parity split:
+      //   b0  part-1 RETRACTIONS (before their inserts — the state
+      //       goes transiently negative; addition commutes, so the
+      //       fold still converges),
+      //   b1  parts {0,1} inserts (part-1-ONLY groups now cancel to
+      //       zero and must LEAVE the state — including buckets they
+      //       emptied, the r12 stale-manifest fix at gate level),
+      //   b2  part-2 inserts,
+      //   b3  EXACT DUPLICATE redelivery of b2 under a LATER batch id
+      //       — the one failure the view's #batch= guard CANNOT
+      //       absorb (it only skips same-id replays). Dedup
+      //       responsibility for re-delivered facts sits with the
+      //       SOURCE: the stream runs engine dropDuplicates on the
+      //       fact identity (l_orderkey, l_linenumber, occ, sig)
+      //       ahead of the view, so b3 reaches applyBatch empty,
+      //   b4  full retraction of ONE group, whose log bucket it
+      //       occupies ALONE (asserted) — the merge output for that
+      //       bucket is EMPTY and its manifest entry must drop.
+      // Oracle = the one-shot GROUP BY over parts {0,2} minus the
+      // retracted group. The view groups by (returnflag, linestatus)
+      // at buckets=64 so bucket isolation is checkable.
+      val base = s"/tmp/graft_q212_advview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+      // the fact identity needs a deterministic occurrence index or
+      // source dedup would collapse legitimate duplicate facts (rows
+      // identical in every ordering column tie arbitrarily, but both
+      // survive — the multiset is preserved, and the b3 redelivery
+      // re-derives the identical identity set)
+      val occW = Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val facts = tbl(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_orderkey"), lit(3)).as("part"))
+        .withColumn("occ", row_number().over(occW))
+      val isG = col("l_returnflag") === "R" && col("l_linestatus") === "F"
+      // bucket isolation precondition: the retracted group must sit
+      // ALONE in its bucket or the empty-bucket path isn't exercised
+      val grpBkt = facts.where(col("part") =!= 1)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .select(col("l_returnflag"), col("l_linestatus"),
+          pmod(xxhash64(col("l_returnflag"), col("l_linestatus")), lit(64L))
+            .as("b"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val gB = grpBkt.collectFirst { case ("R", "F", b) => b }
+        .getOrElse(sys.error("group (R,F) absent from parts {0,2}"))
+      require(grpBkt.count(_._3 == gB) == 1,
+        s"group (R,F) must occupy bucket $gB alone: $grpBkt")
+      def batch(df: DataFrame, sig: Long) =
+        df.withColumn("sig", lit(sig)).drop("part")
+      batch(facts.where(col("part") === 1), -1L).appendBatchTo(in, 0)
+      batch(facts.where(col("part") < 2), 1L).appendBatchTo(in, 1)
+      batch(facts.where(col("part") === 2), 1L).appendBatchTo(in, 2)
+      batch(facts.where(col("part") === 2), 1L).appendBatchTo(in, 3)
+      batch(facts.where(col("part") =!= 1 && isG), -1L).appendBatchTo(in, 4)
+      val view = graft.streaming.AggView(s"$base/view",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> round(col("l_quantity")).cast("long"),
+          "rev_cents" -> round(col("l_extendedprice")
+            * (lit(1.0) - col("l_discount")) * 100).cast("long")),
+        signCol = Some("sig"), buckets = 64)
+      view.init(batch(facts, 1L).where(lit(false)))
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        // SOURCE-side exactly-once for re-delivered facts: state-store
+        // dedup on the fact identity, upstream of the view
+        .dropDuplicates(Seq("l_orderkey", "l_linenumber", "occ", "sig"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          view.applyBatch(b, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      view.read(s)
     }),
     "q213_vocab_coverage" -> ((s, dir) => {
       // VOCABULARY COVERAGE CURVE for tokenizer/vocab-size planning:
@@ -8149,10 +8346,42 @@ object SparkEntry {
     // batching — the same SQL oracles the batch and streaming gates
     "q187_agg_view" -> aggViewSql,
     "q188_stream_agg_view" -> aggViewSql,
+    // q212: surviving facts = parts {0,2} minus the fully-retracted
+    // group; the duplicate b3 delivery and the out-of-order b0
+    // retraction leave no trace in the folded LONG state
+    "q212_stream_adversarial_view" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        |  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+        |    AS rev_cents
+        |FROM lineitem
+        |WHERE l_orderkey % 3 <> 1
+        |  AND NOT (l_returnflag = 'R' AND l_linestatus = 'F')
+        |GROUP BY 1, 2""".stripMargin,
     "q189_time_travel" -> timeTravelSql,
+    // q211: the two SURVIVING versions after the vacuum are each the
+    // one-shot merge over their change prefix (q189's contract); the
+    // shrink and fail-loud-below-floor properties are pinned
+    // driver-side inside the query (requires, not SQL)
+    "q211_vacuum_retention" ->
+      s"""SELECT 2::BIGINT AS ver, m1.*
+         |FROM (${mergeIntoSqlWhere("o_orderkey % 3 < 2")}) m1
+         |UNION ALL
+         |SELECT 3::BIGINT AS ver, m2.*
+         |FROM (${mergeIntoSqlWhere("TRUE")}) m2""".stripMargin,
     "q190_bfs_distances" -> bfsSql,
     "q191_exact_quantiles" -> quantilesSql,
     "q192_bloom_file_index" -> bloomIndexSql,
+    // same contract as q192: the (incrementally-maintained) index
+    // only decides which shard directories are READ; the residual
+    // semi join makes the answer independent of false positives, so
+    // the oracle is the plain filter. Index == one-shot bit-exactness
+    // is pinned driver-side inside the query (a require, not SQL).
+    "q147_incr_bloom_index" ->
+      """WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 4
+        |  ORDER BY o_orderkey LIMIT 5)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o JOIN p USING (o_orderkey)""".stripMargin,
     "q193_dedup_keep_best" -> keepBestSql,
     "q194_jsonl_roundtrip" -> jsonlSql,
     // register-wise max is associative + idempotent, so the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.{BloomAggregate, BloomMightContainCol}
@@ -59,4 +59,94 @@ object BloomIndex {
       .join(broadcast(probes.select(col(keyCol)).distinct()), Seq(keyCol),
         "left_semi")
   }
+}
+
+/** INCREMENTALLY-MAINTAINED Bloom shard index — [[BloomIndex]]'s
+  * skipping index kept current under an APPENDING table without ever
+  * rebuilding it, through the same [[graft.streaming.BucketedLog]]
+  * commit machinery the lakehouse family uses (SnapshotStore /
+  * AggView / sketch views). The index unit is a STABLE LOGICAL SHARD
+  * (`pmod(xxhash64(key), nShards)` — the hash-bucketed-table layout,
+  * where a shard is a directory of files at 100 TB), not a physical
+  * file name: appends land IN shards, so the index row for a shard
+  * is OR-merged, never orphaned by compaction renaming files.
+  *
+  * Refresh cost is the IVM discipline: a batch pre-reduces map-side
+  * to ≤ one (shard, bitset) partial row per touched shard, then
+  * rewrites only the log buckets those shards hash to —
+  * O(|batch| + touched index rows), never O(table). Bloom OR-merge
+  * is commutative, associative and IDEMPOTENT, so the maintained
+  * index is a pure function of the key multiset (any batching yields
+  * the bit-identical index a one-shot build would) and replay is
+  * safe even WITHOUT the log's `#batch=` guard — the q195 HLL
+  * argument, inherited here.
+  *
+  * Reference anchor: the reference's storage enables per-ROW Bloom
+  * filters at the HBase layer (`install/create_tables.sh:17-19`);
+  * this is the per-SHARD skipping analog at Spark granularity, kept
+  * fresh incrementally. */
+final case class IncrementalBloomIndex(dir: String, nShards: Int,
+    words: Int = 1024, numHashes: Int = 7, buckets: Int = 16) {
+
+  import graft.streaming.BucketedLog
+
+  private val log = BucketedLog(dir, Seq("shard"), buckets)
+
+  /** The stable shard of a key — the same function that lays the
+    * table out, so index-matched shards are directory-prunable. */
+  def shardOf(key: Column): Column =
+    pmod(xxhash64(key), lit(nShards.toLong))
+
+  /** ≤ one (shard, bloom_bits) partial row per shard present in the
+    * batch (map-side partial aggregation before the tiny shuffle). */
+  private def partial(batch: DataFrame, keyCol: String): DataFrame =
+    batch.groupBy(shardOf(col(keyCol)).as("shard"))
+      .agg(BloomAggregate(xxhash64(col(keyCol)), words, numHashes)
+        .as("bloom_bits"))
+
+  /** OR-merge stored shard bitsets with a batch's partials: a
+    * full-outer join of two ≤nShards-row frames, word-wise `|`.
+    * Absent sides contribute the empty bitset. */
+  private def orMerge(cur: Option[DataFrame], p: DataFrame): DataFrame = {
+    val zeros = array_repeat(lit(0L), words)
+    cur match {
+      case None => p
+      case Some(c) =>
+        c.select(col("shard"), col("bloom_bits").as("__a"))
+          .join(p.select(col("shard"), col("bloom_bits").as("__b")),
+            Seq("shard"), "full_outer")
+          .select(col("shard"),
+            zip_with(coalesce(col("__a"), zeros), coalesce(col("__b"), zeros),
+              (x, y) => x.bitwiseOR(y)).as("bloom_bits"))
+    }
+  }
+
+  /** Seed an EMPTY index (version 0 holds no shard rows — the first
+    * batch creates them all). */
+  def init(spark: SparkSession): Unit = {
+    import spark.implicits._
+    log.init(Seq.empty[(Long, Array[Long])].toDF("shard", "bloom_bits"))
+  }
+
+  /** Fold one appended batch of table rows into the index. */
+  def applyBatch(batch: DataFrame, keyCol: String, batchId: Long): Unit =
+    log.applyBatch(partial(batch, keyCol), batchId) { (cur, p) =>
+      orMerge(cur, p)
+    }
+
+  /** The current index: one (shard, bloom_bits) row per non-empty
+    * shard. */
+  def read(spark: SparkSession): DataFrame =
+    log.read(spark).select("shard", "bloom_bits")
+
+  /** Shards that might contain ANY probe key (the planner-side
+    * probe: broadcast probe hashes against ≤nShards bitset rows,
+    * collect only shard ids). */
+  def matchingShards(spark: SparkSession, probes: DataFrame,
+      probeKeyCol: String): Seq[Long] =
+    read(spark).join(broadcast(
+        probes.select(xxhash64(col(probeKeyCol)).as("__h")).distinct()))
+      .where(BloomMightContainCol(col("__h"), col("bloom_bits"), numHashes))
+      .select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
 }

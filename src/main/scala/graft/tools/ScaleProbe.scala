@@ -524,6 +524,29 @@ object ScaleProbe {
       println(f"[probe] agg_view_batch $m%4d $rows%10d $sec%8.2f")
     }
 
+    // Incremental Bloom shard-index REFRESH cost vs TABLE size
+    // (q147's index): seed the index over a 200k·m-row table
+    // (untimed), nShards and log buckets ∝ m (constant per-shard
+    // density and per-bucket size — the production sizing), then time
+    // ONE fixed 50-key append batch. The refresh OR-merges ≤50
+    // touched shard rows and rewrites only their log buckets, so the
+    // per-batch wall must stay FLAT as the table grows — O(|batch| +
+    // touched index rows), never O(table).
+    if (opFilter.forall("bloom_index_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_bloomidx_$m"
+      val idx = graft.operators.IncrementalBloomIndex(dir,
+        nShards = 1024 * m, buckets = 64 * m)
+      idx.init(spark)
+      val seed = spark.range(200000L * m).select(col("id").as("k"))
+      idx.applyBatch(seed, "k", 0L)
+      val batch = spark.range(50).select((col("id") * 4099L + 7L).as("k"))
+      val t0 = System.nanoTime()
+      idx.applyBatch(batch, "k", 1L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = idx.read(spark).count()
+      println(f"[probe] bloom_index_batch $m%4d $rows%10d $sec%8.2f")
+    }
+
     // IVF-index LOOKUP cost vs INDEX size (q210's serving claim):
     // build the cell-partitioned index over an m×-grown embedding
     // corpus (untimed — build is the amortized cost), then time ONE
