@@ -2734,8 +2734,11 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // six consumers (table write, 3 index commits, one-shot pin,
+      // probe set) of one scan — materialize it once
       val orders = tbl(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint()
       val idx = IncrementalBloomIndex(s"$base/idx", nShards = 64,
         buckets = 16)
       // the table itself lands in the same stable shard layout the
@@ -4548,12 +4551,16 @@ object SparkEntry {
         .partitionBy(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_returnflag"), col("l_linestatus"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      // SIX consumers (isolation check + 5 batch writes) of one
+      // scan+window lineage — materialize it once (the iterative-
+      // DataFrame discipline; blocks freed when the session drops it)
       val facts = tbl(s, dir, "lineitem").select(
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_orderkey"), col("l_linenumber"),
         pmod(col("l_orderkey"), lit(3)).as("part"))
         .withColumn("occ", row_number().over(occW))
+        .localCheckpoint()
       val isG = col("l_returnflag") === "R" && col("l_linestatus") === "F"
       // bucket isolation precondition: the retracted group must sit
       // ALONE in its bucket or the empty-bucket path isn't exercised
@@ -5082,6 +5089,67 @@ object SparkEntry {
         Seq("bucket"), Seq(col("event_id"), col("user_id"),
           col("event_type"), unix_micros(col("ts").cast("timestamp")),
           scaledLong(col("value"), 2)))
+    }),
+    "q230_incr_zone_map" -> ((s, dir) => {
+      // INCREMENTALLY-MAINTAINED ZONE-MAP INDEX — the RANGE-predicate
+      // sibling of q147, i.e. the Delta/Iceberg add-file-stats
+      // discipline as an operator: per-UNIT (min, max, rows) stats
+      // over an ordered key, collected AT APPEND TIME through the
+      // BucketedLog machine, O(batch + touched index rows) per
+      // refresh, never a table rescan. Units are contiguous orderkey
+      // ranges (the append pattern: auto-increment PK / log-offset
+      // windows per ingest batch), which is what makes per-unit
+      // ranges TIGHT — a hash shard would span the domain and prune
+      // nothing (exactly why q147 hashes and this one must not).
+      // min/max fold idempotently; rows is ADDITIVE and exact only
+      // under the #batch= replay guard (the q199 argument, spec-
+      // pinned). Gate pins stored == one-shot stats driver-side,
+      // then serves a RANGE scan reading only index-matched unit
+      // DIRECTORIES + the exact residual predicate. Oracle = the
+      // plain range filter (q192's contract: the index buys IO
+      // skipping, never answers).
+      val base = s"/tmp/graft_q230_zonemap_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = mx / 8 + 1
+      // seven consumers (table write, 4 index commits, one-shot pin,
+      // lookup) of one scan — materialize it once
+      val withUnit = orders
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      withUnit.write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl")
+      val idx = ZoneMapIndex(s"$base/idx")
+      idx.init(s, "int", "long")
+      // four arrival batches of two consecutive units each
+      Seq(0, 1, 2, 3).foreach { k =>
+        idx.applyBatch(
+          withUnit.where(col("unit") === 2 * k || col("unit") === 2 * k + 1),
+          "unit", "o_orderkey", k.toLong)
+      }
+      val stored = idx.read(s).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val oneShot = withUnit.groupBy("unit")
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+          count(lit(1)).as("rows"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      require(stored == oneShot,
+        "incrementally-maintained zone map diverged from one-shot stats")
+      val (lo, hi) = (mx / 5, mx / 5 + mx / 10)
+      val units = idx.matchingUnits(s, lit(lo), lit(hi))
+      require(units.nonEmpty && units.size < stored.size,
+        s"range probe should prune some of ${stored.size} units: $units")
+      s.read.parquet(s"$base/tbl")
+        .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     })
   )
 
@@ -8372,6 +8440,15 @@ object SparkEntry {
     "q190_bfs_distances" -> bfsSql,
     "q191_exact_quantiles" -> quantilesSql,
     "q192_bloom_file_index" -> bloomIndexSql,
+    // q230: same contract as q192/q147 — the maintained zone map only
+    // decides which unit directories are READ; the residual range
+    // predicate makes the answer exact, so the oracle is the plain
+    // range filter (integer floor-div bounds on both engines)
+    "q230_incr_zone_map" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o, m
+        |WHERE o.o_orderkey BETWEEN m.mx // 5 AND m.mx // 5 + m.mx // 10""".stripMargin,
     // same contract as q192: the (incrementally-maintained) index
     // only decides which shard directories are READ; the residual
     // semi join makes the answer independent of false positives, so
