@@ -4554,11 +4554,17 @@ object SparkEntry {
       // SIX consumers (isolation check + 5 batch writes) of one
       // scan+window lineage — materialize it once (the iterative-
       // DataFrame discipline; blocks freed when the session drops it)
-      val facts = tbl(s, dir, "lineitem").select(
-        col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_orderkey"), col("l_linenumber"),
-        pmod(col("l_orderkey"), lit(3)).as("part"))
+      // even-orderkey half: the gate's test is the adversarial batch
+      // STRUCTURE (5 batches, dedup state, bucket-emptying retract),
+      // not data volume — the half keeps the stream cost in line with
+      // the other replay gates (the oracle filters identically)
+      val facts = tbl(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_orderkey"), lit(3)).as("part"))
         .withColumn("occ", row_number().over(occW))
         .localCheckpoint()
       val isG = col("l_returnflag") === "R" && col("l_linestatus") === "F"
@@ -8423,7 +8429,7 @@ object SparkEntry {
         |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
         |    AS rev_cents
         |FROM lineitem
-        |WHERE l_orderkey % 3 <> 1
+        |WHERE l_orderkey % 2 = 0 AND l_orderkey % 3 <> 1
         |  AND NOT (l_returnflag = 'R' AND l_linestatus = 'F')
         |GROUP BY 1, 2""".stripMargin,
     "q189_time_travel" -> timeTravelSql,

@@ -81,6 +81,19 @@ object BloomIndex {
   * safe even WITHOUT the log's `#batch=` guard — the q195 HLL
   * argument, inherited here.
   *
+  * FRESHNESS/SOUNDNESS contract: pruning with a STALE index is
+  * unsound for rows appended after the index's last commit (an
+  * uncovered key would be skipped — a false NEGATIVE, the one error
+  * class a Bloom filter must never make). The log's `#batch=`
+  * high-water mark is the coverage receipt: a reader prunes with the
+  * index over appends ≤ that batch id and reads newer appends
+  * UNCONDITIONALLY until their refresh commits (Delta avoids the gap
+  * by committing stats in the data transaction; with separate logs
+  * the high-water mark is the equivalent fence). Deletes are the
+  * dual limit: Bloom bits cannot unlearn, so deleted keys only decay
+  * the false-positive rate (never correctness) until a rebuild —
+  * fold one in at vacuum/compaction time.
+  *
   * Reference anchor: the reference's storage enables per-ROW Bloom
   * filters at the HBase layer (`install/create_tables.sh:17-19`);
   * this is the per-SHARD skipping analog at Spark granularity, kept

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * units to the read set, and the residual exact predicate runs over
   * whatever is read.
   *
+  * FRESHNESS/SOUNDNESS contract (shared with
+  * [[IncrementalBloomIndex]]): pruning with a STALE index is unsound
+  * for units appended after the index's last commit — an absent unit
+  * row reads as "prunable", a false negative. The log's `#batch=`
+  * high-water mark is the coverage receipt: prune units covered by
+  * it, read newer appends unconditionally until their refresh
+  * commits. Deletes only leave stats stale-WIDE (sound, coarser
+  * pruning) until a compaction-time rebuild.
+  *
   * Reference anchor: the reference's scans prune by HBase row-key
   * ranges built from (market, code, day)
   * (`/root/reference/marketdb-core/src/main/scala/com/ergodicity/marketdb/core/MarketDb.scala:66-85`);
