@@ -241,7 +241,7 @@ object SparkEntry {
     "q188_stream_agg_view", "q209_stream_lang_jsd",
     "q212_stream_adversarial_view",
     "q215_stream_ivf_append", "q219_stream_trend",
-    "q224_stream_rolling_mau")
+    "q224_stream_rolling_mau", "q231_indexed_ingest")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -5096,6 +5096,68 @@ object SparkEntry {
           col("event_type"), unix_micros(col("ts").cast("timestamp")),
           scaledLong(col("value"), 2)))
     }),
+    "q231_indexed_ingest" -> ((s, dir) => {
+      // INDEXED INGEST — the composition the freshness fence exists
+      // for: a micro-batch stream of appends maintains BOTH the
+      // unit-partitioned data layout AND its zone-map skipping index
+      // in ONE foreachBatch loop. Each batch (a) lands its rows in an
+      // idempotent per-batch data dir (`__bid=<id>` overwrite — the
+      // q215 discipline, so a replayed batch replaces itself) and
+      // (b) folds per-unit stats through the #batch=-guarded index
+      // commit. After the drain the gate CHECKS THE FENCE — the
+      // index's coverage receipt equals the last appended batch id,
+      // so pruning with it is sound for every landed row — then
+      // serves a range lookup reading only index-matched unit
+      // directories + the exact residual. This is how a 100 TB
+      // ingest keeps its skipping index live: O(batch) data write +
+      // O(batch + touched index rows) refresh per arrival, never a
+      // rescan, never an unsound prune. Oracle = the plain range
+      // filter (the index buys IO skipping, never answers).
+      val base = s"/tmp/graft_q231_ingidx_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = mx / 8 + 1
+      val withUnit = orders
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      // four arrival batches of two consecutive units each (the
+      // append pattern: contiguous key windows per ingest batch)
+      Seq(0, 1, 2, 3).foreach { k =>
+        withUnit
+          .where(col("unit") === 2 * k || col("unit") === 2 * k + 1)
+          .appendBatchTo(in, k)
+      }
+      val idx = ZoneMapIndex(s"$base/idx")
+      idx.init(s, "int", "long")
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode("overwrite").partitionBy("unit")
+            .parquet(s"$base/tbl/__bid=$bid")
+          idx.applyBatch(b, "unit", "o_orderkey", bid)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      // the fence: every landed batch is covered -> pruning is sound
+      require(idx.coveredBatch(s) == 3L,
+        s"index coverage receipt must equal the last appended batch: " +
+          s"${idx.coveredBatch(s)}")
+      val (lo, hi) = (mx / 3, mx / 3 + mx / 12)
+      val units = idx.matchingUnits(s, lit(lo), lit(hi))
+      require(units.nonEmpty && units.size < 8,
+        s"range probe should prune some of 8 units: $units")
+      s.read.parquet(s"$base/tbl")
+        .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
     "q230_incr_zone_map" -> ((s, dir) => {
       // INCREMENTALLY-MAINTAINED ZONE-MAP INDEX — the RANGE-predicate
       // sibling of q147, i.e. the Delta/Iceberg add-file-stats
@@ -8455,6 +8517,14 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o, m
         |WHERE o.o_orderkey BETWEEN m.mx // 5 AND m.mx // 5 + m.mx // 10""".stripMargin,
+    // q231: the plain range filter again — streaming co-maintenance
+    // changes WHEN stats land (per ingest batch, fence-checked), not
+    // what a lookup answers
+    "q231_indexed_ingest" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o, m
+        |WHERE o.o_orderkey BETWEEN m.mx // 3 AND m.mx // 3 + m.mx // 12""".stripMargin,
     // same contract as q192: the (incrementally-maintained) index
     // only decides which shard directories are READ; the residual
     // semi join makes the answer independent of false positives, so

@@ -81,6 +81,13 @@ final case class ZoneMapIndex(dir: String, buckets: Int = 16) {
   def read(spark: SparkSession): DataFrame =
     log.read(spark).select("unit", "mn", "mx", "rows")
 
+  /** The COVERAGE RECEIPT — the last applied batch id from the
+    * manifest (`#batch=`): appends ≤ it are covered and prunable;
+    * newer appends must be read unconditionally until their refresh
+    * commits (the freshness fence in the class doc). */
+  def coveredBatch(spark: SparkSession): Long =
+    log.readManifestFull(spark).map(_._2).getOrElse(-1L)
+
   /** Units whose [mn, mx] INTERSECTS [lo, hi] — the planner-side
     * probe (≤units rows scanned, unit ids collected, never data). */
   def matchingUnits(spark: SparkSession, lo: Column, hi: Column): Seq[Long] =

@@ -221,7 +221,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
 
   /** Seed version 0 from full initial state (full write — done once;
-    * every later batch rewrites only touched buckets). */
+    * every later batch rewrites only touched buckets). Also anchors
+    * the state SCHEMA in `_schema` (one zero-row parquet footer) so a
+    * state whose every bucket later empties — a full retraction —
+    * reads back as the EMPTY frame instead of an error. */
   def init(state: DataFrame): Unit = {
     val spark = state.sparkSession
     val f = fs(spark)
@@ -229,8 +232,16 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val vdir = "v0"
     state.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
+    state.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_schema")
     writeManifest(f, 0L, -1L, writtenBuckets(f, vdir).map(_ -> vdir).toMap)
   }
+
+  /** The typed EMPTY state — the `_schema` anchor written at init
+    * (underscore-prefixed: invisible to cleanup/vacuum, which only
+    * touch `v*` dirs and manifests). */
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/_schema")
 
   /** Fold one batch into the store: read ONLY the buckets the batch's
     * keys hash to, `merge(currentStateOfThoseBuckets, batch)` (state
@@ -289,8 +300,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val f = fs(spark)
     val (curVer, lastBatch, entries) = readManifestFull(spark)
       .getOrElse(sys.error(s"BucketedLog.compactNow before init: $dir"))
-    val cur = stateRows(spark, entries, None)
-      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+    val cur = stateRows(spark, entries, None).getOrElse(emptyState(spark))
     val version = curVer + 1
     val vdir = s"v$version"
     transform(cur).withColumn(BktCol, bkt)
@@ -300,12 +310,13 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     cleanup(f, version, newEntries)
   }
 
-  /** Full current state (all buckets). */
+  /** Full current state (all buckets); the typed empty frame when
+    * every bucket has emptied (a full retraction is a legitimate
+    * state, not an error — only a missing manifest is). */
   def read(spark: SparkSession): DataFrame = {
     val entries = readManifest(spark).map(_._2)
       .getOrElse(sys.error(s"BucketedLog.read before init: $dir"))
-    stateRows(spark, entries, None)
-      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+    stateRows(spark, entries, None).getOrElse(emptyState(spark))
   }
 
   /** Full state AS OF `version` — the snapshot the highest manifest
@@ -314,7 +325,6 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val entries = readManifestAt(spark, version).map(_._2).getOrElse(
       sys.error(s"BucketedLog.readAt($version): no manifest ≤ $version " +
         s"under $dir (vacuumed or never written)"))
-    stateRows(spark, entries, None)
-      .getOrElse(sys.error(s"BucketedLog at $dir has an empty manifest"))
+    stateRows(spark, entries, None).getOrElse(emptyState(spark))
   }
 }

@@ -112,6 +112,18 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === Map("b" -> (2L, 6L), "d" -> (3L, 18L)))
   }
 
+  test("retracting EVERYTHING reads as the typed empty view, then repopulates") {
+    val v = view("/tmp/graft_aggview_spec_empty")
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(inserts, 1L), 0L)
+    v.applyBatch(df(inserts, -1L), 1L) // full retraction: every bucket empties
+    val empty = v.read(spark)
+    assert(empty.columns.toSeq === Seq("grp", "cnt", "sum_units"))
+    assert(empty.count() === 0L) // a legitimate state, not an error
+    v.applyBatch(df(inserts.take(4), 1L), 2L) // the store keeps working
+    assert(read(v) === Map("a" -> (3L, 15L), "b" -> (1L, 2L)))
+  }
+
   test("torn commit: crash between dir-write and manifest-rename, then replay") {
     // reconstruct the EXACT torn state — the post-batch-0 store plus
     // batch 1's ORPHAN version dir, but batch 1's manifest missing
