@@ -270,6 +270,11 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val cur = stateRows(spark, entries, scope)
     val next = merge(cur, batch)
     val vdir = s"v$version"
+    // a store seeded by its FIRST batch (no init) still needs the
+    // schema anchor for empty-state reads
+    if (curVer == -1L)
+      next.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_schema")
     // overwrite: a replay whose prior attempt crashed between the dir
     // write and the manifest rename re-derives the same content
     next.withColumn(BktCol, bkt)

@@ -64,6 +64,45 @@ class ZoneMapIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(hit.size < all, s"probe should prune some of $all units")
   }
 
+  test("pruned lookup READS fewer unit directories than exist (scan metric)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("zmread").toString
+    val idx = ZoneMapIndex(s"$base/idx")
+    idx.init(spark, "int", "long")
+    idx.applyBatch(table, "unit", "v", 0L)
+    // one shuffle on unit so each directory is one task's file (the
+    // ivfIndexAppend write discipline — no tiny-file explosion)
+    table.repartition(col("unit")).write.mode("overwrite")
+      .partitionBy("unit").parquet(s"$base/tbl")
+    val nUnits = new java.io.File(s"$base/tbl").listFiles()
+      .count(_.getName.startsWith("unit="))
+    assert(nUnits > 3, s"degenerate layout: $nUnits units")
+    def dataFiles: Long = Files.walk(java.nio.file.Path.of(s"$base/tbl"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nFiles = dataFiles
+    assert(nFiles >= nUnits)
+    val (lo, hi) = (2500L, 3200L)
+    val units = idx.matchingUnits(spark, lit(lo), lit(hi))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.parquet(s"$base/tbl")
+        .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("v") >= lo && col("v") <= hi)
+      // exact: the pruned read + residual equals the plain filter
+      assert(q.select(sum(col("v"))).head().getLong(0) ===
+        table.where(col("v") >= lo && col("v") <= hi)
+          .select(sum(col("v"))).head().getLong(0))
+      val plan = q.queryExecution.executedPlan
+      plan.execute().count()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scanned = plan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.getOrElse(-1L)
+      assert(scanned > 0 && scanned < nFiles,
+        s"expected pruned read: 0 < $scanned < $nFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("refresh rewrites only the touched units' log buckets") {
     val dir = "/tmp/graft_zmidx_d"
     val idx = ZoneMapIndex(dir, buckets = 16)
