@@ -112,6 +112,21 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === Map("b" -> (2L, 6L), "d" -> (3L, 18L)))
   }
 
+  test("store seeded by its FIRST batch (no init) still supports empty reads") {
+    val v = view("/tmp/graft_aggview_spec_noinit")
+    // no init: the first applyBatch seeds the store AND its schema
+    // anchor (wipe any prior run's dir first — init normally does it)
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(
+        "/tmp/graft_aggview_spec_noinit"), true)
+    v.applyBatch(df(inserts, 1L), 0L)
+    v.applyBatch(df(retracts, -1L), 1L)
+    assert(read(v) === expected)
+    v.applyBatch(df(inserts, -1L).unionByName(df(retracts, 1L)), 2L)
+    assert(v.read(spark).count() === 0L) // fully retracted, typed empty
+  }
+
   test("retracting EVERYTHING reads as the typed empty view, then repopulates") {
     val v = view("/tmp/graft_aggview_spec_empty")
     v.init(df(Nil, 1L))

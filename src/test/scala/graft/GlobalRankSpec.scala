@@ -58,6 +58,18 @@ class GlobalRankSpec extends AnyFunSuite with SparkTestBase {
     assert(diff > 0L, "epoch 2 must shuffle differently")
   }
 
+  test("scratch/output column collisions fail loudly instead of corrupting") {
+    // withColumn would silently overwrite same-named caller columns
+    val withScratch = keyed.withColumn("__gr_b", lit(7))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRank(withScratch, $"h", Seq($"id"), "rank")
+    }
+    val withRankName = keyed.withColumn("rank", lit(1))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRank(withRankName, $"h", Seq($"id"), "rank")
+    }
+  }
+
   test("plan: the data crosses one bucket exchange, never a funnel") {
     val df = GlobalRank.withRank(keyed, $"h", Seq($"id"), "rank")
     df.queryExecution.executedPlan.execute().count()
