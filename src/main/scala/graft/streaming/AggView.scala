@@ -67,7 +67,16 @@ final case class AggView(dir: String, groupCols: Seq[String],
         }: _*)
 
   /** Re-fold stored group rows with a batch's partials — LONG sums,
-    * exact; groups whose live count reaches zero leave the state. */
+    * exact. A group leaves the state only when its ENTIRE row is
+    * zero (count and every measure): under out-of-order delivery a
+    * group can transiently sit at count 0 with nonzero sums (its
+    * retraction landed, one of its inserts is still in flight —
+    * retract(3)+insert(5) before insert(3) reads (0, +2)), and
+    * dropping on count alone would lose the pending sums
+    * (`BucketedLogPropertySpec` found exactly this). For a
+    * CONSISTENT final multiset — every retraction mirrors an insert —
+    * count 0 implies all-zero sums, so fully-retracted groups still
+    * leave the state at quiescence. */
   private def refold(cur: Option[DataFrame], p: DataFrame): DataFrame = {
     val u = cur.map(_.unionByName(p)).getOrElse(p)
     u.groupBy(groupCols.map(col): _*)
@@ -75,7 +84,8 @@ final case class AggView(dir: String, groupCols: Seq[String],
         measures.map { case (n, _) =>
           sum(col(n)).cast("long").as(n)
         }: _*)
-      .where(col(cntCol) =!= 0L)
+      .where(measures.map { case (n, _) => col(n) =!= 0L }
+        .foldLeft(col(cntCol) =!= 0L)(_ || _))
   }
 
   /** Seed version 0 (pass `facts.where(lit(false))` for an empty

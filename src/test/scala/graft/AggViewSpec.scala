@@ -112,6 +112,26 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === Map("b" -> (2L, 6L), "d" -> (3L, 18L)))
   }
 
+  test("transient count-zero with NONZERO sum survives (pending retraction state)") {
+    // out-of-order delivery: retract(e,3) lands, insert(e,5) lands,
+    // insert(e,3) still in flight -> state (0, +2). Dropping on
+    // count alone here loses the pending sum and the late insert
+    // would read (1, 3) instead of (1, 5) — the bug
+    // BucketedLogPropertySpec caught. Only the ALL-ZERO row leaves.
+    val v = view("/tmp/graft_aggview_spec_transient")
+    v.init(df(Nil, 1L))
+    v.applyBatch(df(Seq(("e", 3L)), -1L), 0L) // retraction first
+    v.applyBatch(df(Seq(("e", 5L)), 1L), 1L)  // other insert: (0, +2)
+    assert(v.read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      === Map("e" -> (0L, 2L)))
+    v.applyBatch(df(Seq(("e", 3L)), 1L), 2L)  // the in-flight insert
+    assert(read(v) === Map("e" -> (1L, 5L)))
+    // exact inverse retraction -> all-zero -> leaves at quiescence
+    v.applyBatch(df(Seq(("e", 5L)), -1L), 3L)
+    assert(read(v) === Map.empty[String, (Long, Long)])
+  }
+
   test("store seeded by its FIRST batch (no init) still supports empty reads") {
     val v = view("/tmp/graft_aggview_spec_noinit")
     // no init: the first applyBatch seeds the store AND its schema

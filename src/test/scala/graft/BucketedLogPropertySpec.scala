@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.AggView
+
+/** Randomized adversarial sequences against the flagship BucketedLog/
+  * AggView machinery, checked against an in-memory reference fold:
+  * arbitrary signed batches (retraction-heavy, so buckets empty and
+  * refill constantly), crash replays of arbitrary batches (exactly-
+  * once by the #batch= guard), amortized compaction firing mid-
+  * sequence, at bucket counts where groups collide (4) and sit alone
+  * (64 — the bucket-emptying path of the r12 manifest fix). Fixed
+  * ScalaCheck seeds (the PropertySpec discipline) — failures are
+  * reproducible. */
+class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // a batch: up to 12 signed facts over a 10-group universe, biased
+  // toward retraction so groups regularly reach zero
+  private val factGen = Gen.zip(
+    Gen.chooseNum(0, 9).map(g => s"g$g"),
+    Gen.chooseNum(1L, 50L),
+    Gen.frequency(3 -> 1L, 2 -> -1L))
+  private val batchGen = Gen.choose(1, 12)
+    .flatMap(n => Gen.listOfN(n, factGen))
+  private val seqGen = Gen.zip(
+    Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, batchGen)),
+    Gen.listOfN(7, Gen.prob(0.4)))
+
+  private def df(rows: Seq[(String, Long, Long)]): DataFrame =
+    rows.toDF("grp", "units", "sig")
+
+  /** The reference: a driver-side exactly-once fold (each batch once,
+    * replays ignored); only ALL-ZERO rows leave — count alone hitting
+    * zero with a nonzero sum is a transient in-flight state the view
+    * must retain (the bug this spec caught on first run). */
+  private def reference(batches: Seq[Seq[(String, Long, Long)]])
+      : Map[String, (Long, Long)] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    batches.foreach(_.foreach { case (g, u, s) =>
+      val (c0, u0) = acc.getOrElse(g, (0L, 0L))
+      acc(g) = (c0 + s, u0 + s * u)
+    })
+    acc.filter { case (_, (c, u)) => c != 0L || u != 0L }.toMap
+  }
+
+  private def run(batches: Seq[Seq[(String, Long, Long)]],
+      replay: Seq[Boolean], buckets: Int, compactAfter: Int,
+      dir: String): Map[String, (Long, Long)] = {
+    val v = AggView(dir, Seq("grp"), Seq("sum_units" -> col("units")),
+      signCol = Some("sig"), buckets = buckets,
+      compactAfter = compactAfter)
+    v.init(df(Nil))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      v.applyBatch(df(b), i.toLong)
+      if (replay(i % replay.size))
+        v.applyBatch(df(b), i.toLong) // crash replay: must be a no-op
+    }
+    v.read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("random signed sequences + replays == reference fold (colliding buckets)") {
+    samples(seqGen, 5).zipWithIndex.foreach { case ((batches, replay), i) =>
+      val got = run(batches, replay, buckets = 4, compactAfter = 2,
+        s"/tmp/graft_blprop_c$i")
+      assert(got === reference(batches), s"seed $i: $batches")
+    }
+  }
+
+  test("random signed sequences + replays == reference fold (isolated buckets)") {
+    samples(seqGen, 5).zipWithIndex.foreach { case ((batches, replay), i) =>
+      val got = run(batches, replay, buckets = 64, compactAfter = 16,
+        s"/tmp/graft_blprop_i$i")
+      assert(got === reference(batches), s"seed $i: $batches")
+    }
+  }
+}
