@@ -82,4 +82,53 @@ class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(got === reference(batches), s"seed $i: $batches")
     }
   }
+
+  // ── the CDC flagship under the same randomized treatment ────────────
+
+  // random change histories: ~8 keys, multiple versions per key with
+  // colliding ts (id is the tiebreak), ~1 in 4 a delete
+  private val changeGen = Gen.zip(
+    Gen.chooseNum(1L, 8L),
+    Gen.frequency(3 -> "U", 1 -> "D"),
+    Gen.chooseNum(0, 5))
+  private val cdcGen = Gen.zip(
+    Gen.choose(6, 20).flatMap(n => Gen.listOfN(n, changeGen)),
+    Gen.choose(2, 5), Gen.listOfN(5, Gen.prob(0.4)))
+
+  test("random CDC splits + replays == one-shot MergeInto") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "seg", "bal")
+    samples(cdcGen, 5).zipWithIndex.foreach {
+      case ((raw, nBatches, replay), i) =>
+        // unique monotone id per change = the deterministic tiebreak
+        val changes = raw.zipWithIndex.map { case ((k, op, t), j) =>
+          (k, op, s"s$j", j * 1.5, t, 1000L + j)
+        }
+        val changesDf =
+          changes.toDF("k", "op", "seg", "bal", "ts", "id")
+        val expected = graft.operators.MergeInto(base, changesDf,
+            "k", "ts", "id", "op", Seq("seg", "bal"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+        val st = graft.streaming.SnapshotStore(
+          s"/tmp/graft_blprop_cdc$i", "k", "ts", "id", "op",
+          Seq("seg", "bal"), buckets = 8, compactAfter = 3)
+        st.init(base, IntegerType, LongType)
+        // deal changes round-robin into batches: every key's history
+        // scatters across batches in generator order (arbitrary vs ts)
+        (0 until nBatches).foreach { b =>
+          val rows = changes.zipWithIndex
+            .filter(_._2 % nBatches == b).map(_._1)
+          st.applyBatch(rows.toDF("k", "op", "seg", "bal", "ts", "id"),
+            b.toLong)
+          if (replay(b % replay.size))
+            st.applyBatch(rows.toDF("k", "op", "seg", "bal", "ts", "id"),
+              b.toLong)
+        }
+        val got = st.read(spark).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+        assert(got === expected, s"seed $i: $changes split $nBatches")
+    }
+  }
 }
