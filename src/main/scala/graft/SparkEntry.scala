@@ -5158,6 +5158,85 @@ object SparkEntry {
         .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q232_optimize_compact" -> ((s, dir) => {
+      // OPTIMIZE — small-file compaction closing the lakehouse loop
+      // (ingest q231 -> optimize HERE -> serve): the per-batch
+      // `__bid=` append dirs that make ingest idempotent accumulate
+      // small files; compaction rewrites them into ONE file per unit
+      // (repartition on unit — the ivfIndexAppend write discipline)
+      // WITHOUT touching the index, because the index is keyed on
+      // LOGICAL units, not file names: the rewrite preserves each
+      // unit's row multiset, so per-unit (min, max, rows) stats are
+      // unchanged and the maintained index serves the compacted
+      // layout as-is. This is the q147/q230 design argument made
+      // operational — a file-keyed index (Delta's add-file stats)
+      // must be rewritten on OPTIMIZE; a unit-keyed one survives
+      // physical re-layout. The gate builds the q231 ingest layout,
+      // compacts, proves the file count strictly shrank while the
+      // stored index still pins bit-exact against one-shot stats
+      // over the COMPACTED table, then serves the same pruned range
+      // lookup from the new layout. Oracle = the plain range filter.
+      val base = s"/tmp/graft_q232_optimize_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = mx / 8 + 1
+      val withUnit = orders
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      val idx = ZoneMapIndex(s"$base/idx")
+      idx.init(s, "int", "long")
+      // KEY-INTERLEAVED arrival (stragglers for old units in every
+      // batch): each of the 4 batches touches EVERY unit, so the
+      // __bid= layout holds 4 small files per unit — exactly the
+      // small-file accumulation OPTIMIZE exists for (the index folds
+      // per-unit stats correctly under any batching)
+      Seq(0, 1, 2, 3).foreach { k =>
+        val b = withUnit.where(pmod(col("o_orderkey"), lit(4)) === k)
+        b.write.mode("overwrite").partitionBy("unit")
+          .parquet(s"$base/tbl/__bid=$k")
+        idx.applyBatch(b, "unit", "o_orderkey", k.toLong)
+      }
+      def files(p: String): Long = {
+        def rec(q: org.apache.hadoop.fs.Path): Long =
+          fs.listStatus(q).map(st =>
+            if (st.isDirectory) rec(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L).sum
+        rec(new org.apache.hadoop.fs.Path(p))
+      }
+      val before = files(s"$base/tbl")
+      // OPTIMIZE: one file per unit, unit dirs written by one task
+      s.read.parquet(s"$base/tbl")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "unit")
+        .repartition(col("unit"))
+        .write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/opt")
+      require(files(s"$base/opt") < before,
+        s"compaction must shrink files: $before -> ${files(s"$base/opt")}")
+      // the unit-keyed index survives the re-layout bit-exactly
+      val stored = idx.read(s).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val oneShot = s.read.parquet(s"$base/opt").groupBy("unit")
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+          count(lit(1)).as("rows"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      require(stored == oneShot,
+        "unit-keyed index must survive compaction unchanged")
+      val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+      val units = idx.matchingUnits(s, lit(lo), lit(hi))
+      require(units.nonEmpty && units.size < stored.size,
+        s"range probe should prune some of ${stored.size} units: $units")
+      s.read.parquet(s"$base/opt")
+        .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
     "q230_incr_zone_map" -> ((s, dir) => {
       // INCREMENTALLY-MAINTAINED ZONE-MAP INDEX — the RANGE-predicate
       // sibling of q147, i.e. the Delta/Iceberg add-file-stats
@@ -8525,6 +8604,14 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o, m
         |WHERE o.o_orderkey BETWEEN m.mx // 3 AND m.mx // 3 + m.mx // 12""".stripMargin,
+    // q232: compaction changes the physical layout only — the lookup
+    // answers the identical plain range filter; shrink + index-
+    // survival are pinned driver-side (requires, not SQL)
+    "q232_optimize_compact" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o, m
+        |WHERE o.o_orderkey BETWEEN m.mx // 4 AND m.mx // 4 + m.mx // 10""".stripMargin,
     // same contract as q192: the (incrementally-maintained) index
     // only decides which shard directories are READ; the residual
     // semi join makes the answer independent of false positives, so
