@@ -95,6 +95,68 @@ class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
     Gen.choose(6, 20).flatMap(n => Gen.listOfN(n, changeGen)),
     Gen.choose(2, 5), Gen.listOfN(5, Gen.prob(0.4)))
 
+  // ── both skipping indexes under random batchings ────────────────────
+
+  // random key multisets dealt into random batch counts; overlap
+  // across batches is common (re-added keys exercise OR/min/max
+  // idempotence under the fold, not just the replay guard)
+  private val idxGen = Gen.zip(
+    Gen.choose(50, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 5000L))),
+    Gen.choose(2, 5), Gen.listOfN(5, Gen.prob(0.4)))
+
+  test("random batchings build the one-shot Bloom index bit-for-bit") {
+    import graft.operators.IncrementalBloomIndex
+    import graft.expressions.BloomAggregate
+    samples(idxGen, 4).zipWithIndex.foreach {
+      case ((keys, nBatches, replay), i) =>
+        val idx = IncrementalBloomIndex(s"/tmp/graft_blprop_bloom$i",
+          nShards = 16, words = 256)
+        idx.init(spark)
+        (0 until nBatches).foreach { b =>
+          val rows = keys.zipWithIndex.filter(_._2 % nBatches == b)
+            .map(_._1).toDF("k")
+          idx.applyBatch(rows, "k", b.toLong)
+          if (replay(b % replay.size)) idx.applyBatch(rows, "k", b.toLong)
+        }
+        val got = idx.read(spark).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        val want = keys.toDF("k")
+          .groupBy(idx.shardOf(col("k")).as("shard"))
+          .agg(BloomAggregate(xxhash64(col("k")), 256, 7).as("bits"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        assert(got === want, s"seed $i")
+    }
+  }
+
+  test("random batchings build the one-shot zone-map stats exactly") {
+    import graft.operators.ZoneMapIndex
+    samples(idxGen, 4).zipWithIndex.foreach {
+      case ((keys, nBatches, replay), i) =>
+        val idx = ZoneMapIndex(s"/tmp/graft_blprop_zm$i")
+        idx.init(spark, "int", "long")
+        def withUnit(ks: Seq[Long]) = ks.toDF("v")
+          .select(col("v"), (col("v") / 1000L).cast("int").as("unit"))
+        (0 until nBatches).foreach { b =>
+          val rows = withUnit(
+            keys.zipWithIndex.filter(_._2 % nBatches == b).map(_._1))
+          idx.applyBatch(rows, "unit", "v", b.toLong)
+          if (replay(b % replay.size))
+            idx.applyBatch(rows, "unit", "v", b.toLong)
+        }
+        val got = idx.read(spark).collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        val want = withUnit(keys).groupBy("unit")
+          .agg(min("v").as("mn"), max("v").as("mx"),
+            count(lit(1)).as("rows"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        assert(got === want, s"seed $i")
+    }
+  }
+
   test("random CDC splits + replays == one-shot MergeInto") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
