@@ -362,7 +362,7 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/post"), true)
     ivfCentWrite(candidates, idCol, vecCol, path, nCentroids,
       sampleSize, iters)
-    ivfIndexAppend(candidates, idCol, vecCol, path)
+    ivfIndexAppend(candidates, idCol, vecCol, path, batchId = 0L)
   }
 
   /** Trains the coarse quantizer (id-ordered sample → driver Lloyd,
@@ -402,7 +402,11 @@ object Similarity {
     * partition level and never select it; cell-level directory
     * pruning is unaffected because `cell` remains a partition key. */
   def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Long = 0L): Unit = {
+      path: String, batchId: Long): Unit = {
+    // batchId is REQUIRED (no default): two appends silently sharing
+    // an id would overwrite each other's `__bid=` dir — the replay
+    // contract is same-id == same-content, distinct batches get
+    // distinct ids
     val spark = batch.sparkSession
     val centroids: Array[Array[Float]] = spark.read.parquet(s"$path/cent")
       .orderBy("cell").collect()

@@ -100,7 +100,14 @@ final case class AggView(dir: String, groupCols: Seq[String],
       refold(cur, partial(batch)).select(viewCols: _*)
     }
 
-  /** The current view: group columns + count + measure sums. */
+  /** The current view: group columns + count + measure sums.
+    *
+    * Under out-of-order delivery a NON-quiescent view can surface
+    * transient rows with `cnt = 0` and nonzero sums (a retraction
+    * landed before its mirrored insert — see [[refold]]); consumers
+    * deriving read-time ratios must guard the division
+    * (`sum / nullif(cnt, 0)`). At quiescence of a consistent delta
+    * stream, `cnt = 0` rows have left the state. */
   def read(spark: SparkSession): DataFrame =
     log.read(spark).select(viewCols: _*)
 

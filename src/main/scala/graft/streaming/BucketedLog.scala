@@ -4,6 +4,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Thrown when a commit LOSES an optimistic-concurrency race: another
+  * writer published the same manifest version first. The loser's data
+  * dir is unreferenced (writer-unique names — no surviving manifest
+  * can point at it) and deleted best-effort; the store remains fully
+  * readable at the winner's state. A lost MAINTENANCE pass
+  * ([[BucketedLog.compactNow]], vacuum-style rewrites) is safe to
+  * re-run from a fresh read; a lost [[BucketedLog.applyBatch]] means
+  * two committers raced the SAME store — a deployment error (the
+  * streaming engine serializes batch ids by contract), surfaced
+  * loudly instead of silently dropping one side's commit. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** The ONE log-structured bucketed-state machine — manifest protocol,
   * hash-bucketed version dirs, touched-bucket rewrite, amortized
   * compaction — shared by every operator that maintains a large
@@ -51,6 +64,33 @@ import org.apache.spark.sql.functions._
   * ([[AggView]]'s additive state, where a re-applied batch would
   * otherwise double-count; spec-pinned in `AggViewSpec`).
   *
+  * == Concurrent commits: loud losers, never silent loss ==
+  *
+  * Two writers racing from the same base version (a maintenance
+  * [[compactNow]] against a live [[applyBatch]]) both target
+  * `_MANIFEST.v<j>`. The commit is OPTIMISTIC-CONCURRENCY:
+  *
+  *   1. every writer's data dir is WRITER-UNIQUE (`v<j>-<nonce>`),
+  *      so no manifest can ever reference another writer's data —
+  *      the loser's dir is structurally orphaned, never aliased;
+  *   2. the manifest publish is put-if-absent: an existing
+  *      `_MANIFEST.v<j>` with different bytes throws
+  *      [[ConcurrentCommitException]] before any rename;
+  *   3. after the rename the writer RE-READS the manifest and
+  *      requires it byte-identical to what it produced — a loser
+  *      whose rename was replaced in a photo finish also throws.
+  *
+  * The loser deletes its orphan dir and surfaces the exception; the
+  * winner's state is fully readable throughout. On HDFS the rename
+  * step is itself no-overwrite (true CAS); on object stores map it
+  * to conditional put; on local FS steps 2+3 close every interleave
+  * except a sub-µs double-rename photo finish, which step 1 keeps
+  * CONSISTENT (worst case: the later rename wins, exactly one
+  * writer's commit survives, both dirs remain self-contained).
+  * Reference anchor: the reference serializes UID allocation with an
+  * HBase RowLock + double-checked re-read for the same reason
+  * (`/root/reference/marketdb-core/src/main/scala/com/ergodicity/marketdb/uid/UIDProvider.scala:267-336`).
+  *
   * == Time travel ==
   *
   * With `retain = true` nothing is ever deleted: every `_MANIFEST.v<j>`
@@ -71,6 +111,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
 
   private val BktCol = "__bkt"
   private val ManifestName = """_MANIFEST\.v(\d{19})""".r
+  private val ManifestTmp = """_MANIFEST\.v(\d{19})\.tmp\..*""".r
 
   private def manifestFile(version: Long): String =
     f"_MANIFEST.v$version%019d"
@@ -147,19 +188,51 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     Some((version, parseManifest(f, path)._2))
   }
 
+  /** A writer-unique commit nonce — names this writer's data dir and
+    * manifest tmp file so concurrent writers can never alias each
+    * other's in-flight artifacts. */
+  private def newNonce(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def readBytes(f: FileSystem, path: Path): Array[Byte] = {
+    val in = f.open(path)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Optimistic-concurrency manifest publish (class doc): put-if-
+    * absent + post-rename byte-verify. Throws
+    * [[ConcurrentCommitException]] when another writer's
+    * `_MANIFEST.v<version>` wins — the caller's data dir is orphaned
+    * by construction (writer-unique name) and should be deleted. */
   private def writeManifest(f: FileSystem, version: Long,
-      lastBatch: Long, entries: Map[Int, String]): Unit = {
+      lastBatch: Long, entries: Map[Int, String], nonce: String): Unit = {
     val body = (s"#batch=$lastBatch" +: entries.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }).mkString("\n")
-    val tmp = new Path(s"$dir/${manifestFile(version)}.tmp")
+      .getBytes("UTF-8")
     val dst = new Path(s"$dir/${manifestFile(version)}")
-    // pre-existing dst = a replay of this batch crashed after its
-    // rename; content re-derives deterministically, so keep it (a
-    // delete-then-rename would open a zero-manifest window)
-    if (f.exists(dst)) return
+    def verify(who: String): Unit =
+      if (!java.util.Arrays.equals(readBytes(f, dst), body))
+        throw new ConcurrentCommitException(
+          s"lost commit race on $dst ($who): another writer published " +
+            s"version $version first; this writer's state is orphaned, " +
+            "the store is intact at the winner's state")
+    // pre-existing dst with IDENTICAL bytes = a replay of this very
+    // commit crashed after its rename — keep it; different bytes = a
+    // concurrent writer won this version
+    if (f.exists(dst)) { verify("pre-publish"); return }
+    val tmp = new Path(s"$dir/${manifestFile(version)}.tmp.$nonce")
     val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try out.write(body) finally out.close()
     f.rename(tmp, dst)
+    // double-checked re-read: on a local FS a racing rename REPLACES
+    // dst silently — the loser must detect and fail loudly
+    verify("post-publish")
   }
 
   private def cleanup(f: FileSystem, cur: Long,
@@ -169,6 +242,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     f.listStatus(new Path(dir)).foreach { st =>
       st.getPath.getName match {
         case ManifestName(v) if v.toLong < cur => f.delete(st.getPath, false)
+        // a crashed writer's manifest tmp: stale once its version is
+        // superseded (an in-flight racer always targets ≥ cur)
+        case ManifestTmp(v) if v.toLong < cur => f.delete(st.getPath, false)
         case n if n.startsWith("v") && !live.contains(n) &&
             !n.endsWith(".tmp") => f.delete(st.getPath, true)
         case _ => ()
@@ -234,7 +310,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     state.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_schema")
-    writeManifest(f, 0L, -1L, writtenBuckets(f, vdir).map(_ -> vdir).toMap)
+    writeManifest(f, 0L, -1L,
+      writtenBuckets(f, vdir).map(_ -> vdir).toMap, newNonce())
   }
 
   /** The typed EMPTY state — the `_schema` anchor written at init
@@ -264,19 +341,30 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // distinct buckets of the batch's keys — bounded by |batch|
     val touched = batch.select(bkt.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
+    // an EMPTY batch still advances the `#batch=` high-water mark:
+    // the mark is the coverage receipt downstream freshness fences
+    // read (ZoneMapIndex.coveredBatch), and a legitimately-empty
+    // ingest micro-batch IS fully covered — under-reporting it would
+    // fail a strict `coveredBatch == n` fence spuriously
+    if (touched.isEmpty) {
+      if (curVer >= 0L) writeManifest(f, version, batchId, entries, newNonce())
+      return
+    }
     val compact = !retain && entries.values.toSet.size > compactAfter
     val scope = if (compact) None else Some(touched)
     val cur = stateRows(spark, entries, scope)
     val next = merge(cur, batch)
-    val vdir = s"v$version"
+    val nonce = newNonce()
+    // writer-unique dir: a concurrent writer at the same version can
+    // never overwrite this data, and no manifest can alias it; a
+    // crash-replay re-derives the same content under a FRESH name
+    // (the crashed attempt's dir is unreferenced — swept by cleanup)
+    val vdir = s"v$version-$nonce"
     // a store seeded by its FIRST batch (no init) still needs the
     // schema anchor for empty-state reads
     if (curVer == -1L)
       next.limit(0).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/_schema")
-    // overwrite: a replay whose prior attempt crashed between the dir
-    // write and the manifest rename re-derives the same content
     next.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     val written = writtenBuckets(f, vdir).toSet
@@ -287,7 +375,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val newEntries =
       if (compact) written.map(_ -> vdir).toMap
       else (entries -- (touched -- written)) ++ written.map(_ -> vdir)
-    writeManifest(f, version, batchId, newEntries)
+    try writeManifest(f, version, batchId, newEntries, nonce)
+    catch { case e: ConcurrentCommitException =>
+      f.delete(new Path(s"$dir/$vdir"), true); throw e
+    }
     cleanup(f, version, newEntries)
   }
 
@@ -307,11 +398,17 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       .getOrElse(sys.error(s"BucketedLog.compactNow before init: $dir"))
     val cur = stateRows(spark, entries, None).getOrElse(emptyState(spark))
     val version = curVer + 1
-    val vdir = s"v$version"
+    val nonce = newNonce()
+    val vdir = s"v$version-$nonce"
     transform(cur).withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     val newEntries = writtenBuckets(f, vdir).map(_ -> vdir).toMap
-    writeManifest(f, version, lastBatch, newEntries)
+    // a lost race here (a live applyBatch published this version
+    // first) throws LOUDLY; re-run the pass from a fresh read
+    try writeManifest(f, version, lastBatch, newEntries, nonce)
+    catch { case e: ConcurrentCommitException =>
+      f.delete(new Path(s"$dir/$vdir"), true); throw e
+    }
     cleanup(f, version, newEntries)
   }
 

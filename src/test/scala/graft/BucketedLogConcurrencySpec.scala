@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{BucketedLog, ConcurrentCommitException}
+import java.util.concurrent.CountDownLatch
+
+/** Concurrent-commit protection (BucketedLog class doc): a
+  * maintenance pass racing a live applyBatch at the same base version
+  * must make the LOSER fail loudly — never a silently-dropped commit,
+  * never a manifest pointing at another writer's data dir. The
+  * interleave is forced deterministically: the loser blocks inside
+  * its merge/transform callback (after it has read the base manifest
+  * and fixed its target version) while the winner commits to
+  * completion. */
+class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def newLog(dir: String): BucketedLog = {
+    val f = new java.io.File(dir)
+    if (f.exists()) { def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) }
+    // retain = true: history stays readable, so the loser's lazily-
+    // read base is never deleted out from under it mid-race
+    val log = BucketedLog(dir, Seq("k"), buckets = 4, retain = true)
+    log.init(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    log
+  }
+
+  private def sumMerge(cur: Option[DataFrame], b: DataFrame): DataFrame =
+    cur.map(_.unionByName(b)).getOrElse(b)
+      .groupBy("k").agg(sum("v").cast("long").as("v"))
+
+  private def state(log: BucketedLog): Map[Long, Long] =
+    log.read(spark).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Structural invariant: every dir any manifest references exists,
+    * and every `v*` dir on disk is referenced by SOME manifest (the
+    * loser's orphan is deleted, the winner's data can't be aliased). */
+  private def assertNoDanglingOrOrphan(dir: String): Unit = {
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    val referenced = files.filter(_.matches("""_MANIFEST\.v\d{19}"""))
+      .flatMap { m =>
+        scala.io.Source.fromFile(s"$dir/$m").getLines()
+          .filterNot(_.startsWith("#")).map(_.split("=", 2)(1))
+      }.toSet
+    val onDisk = files.filter(n => n.startsWith("v")).toSet
+    assert(referenced.subsetOf(onDisk),
+      s"dangling manifest entries: ${referenced -- onDisk}")
+    assert(onDisk.subsetOf(referenced),
+      s"orphan version dirs survived: ${onDisk -- referenced}")
+  }
+
+  test("live applyBatch loses loudly to a compactNow that won its version") {
+    val dir = "/tmp/graft_blconc_a"
+    val log = newLog(dir)
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    @volatile var failure: Option[Throwable] = None
+    val t = new Thread(() => {
+      try log.applyBatch(Seq((1L, 100L)).toDF("k", "v"), 0L) { (cur, b) =>
+        entered.countDown(); proceed.await(); sumMerge(cur, b)
+      } catch { case e: Throwable => failure = Some(e) }
+    })
+    t.start()
+    entered.await() // applyBatch has read base v0 and targets v1
+    log.compactNow(spark)(_.withColumn("v", col("v") * 2L)) // wins v1
+    proceed.countDown()
+    t.join()
+    assert(failure.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"expected a loud ConcurrentCommitException, got $failure")
+    // the winner's state is intact and fully readable
+    assert(state(log) === Map(1L -> 20L, 2L -> 40L, 3L -> 60L))
+    assertNoDanglingOrOrphan(dir)
+  }
+
+  test("compactNow loses loudly to a live applyBatch, then succeeds on re-run") {
+    val dir = "/tmp/graft_blconc_b"
+    val log = newLog(dir)
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    @volatile var failure: Option[Throwable] = None
+    val t = new Thread(() => {
+      try log.compactNow(spark) { cur =>
+        entered.countDown(); proceed.await()
+        cur.withColumn("v", col("v") * 2L)
+      } catch { case e: Throwable => failure = Some(e) }
+    })
+    t.start()
+    entered.await() // compactNow has read base v0 and targets v1
+    log.applyBatch(Seq((1L, 100L)).toDF("k", "v"), 0L)(sumMerge) // wins v1
+    proceed.countDown()
+    t.join()
+    assert(failure.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"expected a loud ConcurrentCommitException, got $failure")
+    // the live commit survived untouched...
+    assert(state(log) === Map(1L -> 110L, 2L -> 20L, 3L -> 30L))
+    // ...its exactly-once batch mark included (the maintenance loser
+    // must not regress the replay guard)
+    assert(log.readManifestFull(spark).get._2 === 0L)
+    assertNoDanglingOrOrphan(dir)
+    // a lost maintenance pass is safe to re-run from a fresh read
+    log.compactNow(spark)(_.withColumn("v", col("v") * 2L))
+    assert(state(log) === Map(1L -> 220L, 2L -> 40L, 3L -> 60L))
+    assertNoDanglingOrOrphan(dir)
+  }
+
+  test("racing maintenance passes: ≥1 winner, losers loud, store consistent") {
+    val dir = "/tmp/graft_blconc_c"
+    val log = newLog(dir)
+    val start = new CountDownLatch(1)
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val threads = (0 until 6).map { _ =>
+      new Thread(() => {
+        start.await()
+        try log.compactNow(spark)(_.withColumn("v", col("v") + 1L))
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.forall(_.isInstanceOf[ConcurrentCommitException]),
+      s"only loud commit-race losses allowed: ${failures.asScala.toList}")
+    val successes = 6 - failures.size()
+    assert(successes >= 1, "at least one racer must commit")
+    // every surviving manifest is parseable, points only at live dirs,
+    // and the final state reflects between 1 and `successes` applied
+    // increments (a photo-finish replacement loses a commit LOUDLY on
+    // one side but never corrupts the winner's chain)
+    val got = state(log)
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val applied = got(1L) - 10L
+    assert(applied >= 1L && applied <= successes.toLong,
+      s"applied=$applied successes=$successes")
+    assert(got === Map(1L -> (10L + applied), 2L -> (20L + applied),
+      3L -> (30L + applied)))
+    assertNoDanglingOrOrphan(dir)
+  }
+}

@@ -83,6 +83,7 @@ class ZoneMapIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(nFiles >= nUnits)
     val (lo, hi) = (2500L, 3200L)
     val units = idx.matchingUnits(spark, lit(lo), lit(hi))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q = spark.read.parquet(s"$base/tbl")
@@ -100,7 +101,7 @@ class ZoneMapIndexSpec extends AnyFunSuite with SparkTestBase {
       }.getOrElse(-1L)
       assert(scanned > 0 && scanned < nFiles,
         s"expected pruned read: 0 < $scanned < $nFiles files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("refresh rewrites only the touched units' log buckets") {
