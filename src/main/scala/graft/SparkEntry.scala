@@ -241,7 +241,8 @@ object SparkEntry {
     "q188_stream_agg_view", "q209_stream_lang_jsd",
     "q212_stream_adversarial_view",
     "q215_stream_ivf_append", "q219_stream_trend",
-    "q224_stream_rolling_mau", "q231_indexed_ingest")
+    "q224_stream_rolling_mau", "q231_indexed_ingest",
+    "q233_schema_evolution")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -2870,6 +2871,70 @@ object SparkEntry {
         .option("checkpointLocation", ckpt).start()
       q.awaitTermination()
       snap.read(s)
+    }),
+    "q233_schema_evolution" -> ((s, dir) => {
+      // ADD-COLUMN SCHEMA EVOLUTION MID-REPLAY: q181's streamed CDC
+      // merge, but the dimension GROWS a payload column between
+      // micro-batches — batch 0 (even ids) applies under the original
+      // (c_mktsegment, c_acctbal) shape; the store then evolves
+      // (zero-IO anchor re-commit, data dirs untouched) and batch 1
+      // (odd ids) carries the new c_status attribute. Pre-evolution
+      // rows read back null-filled, so the final snapshot equals the
+      // ONE-SHOT merge over the union schema in which even-id changes
+      // never observed c_status; time travel BELOW the evolution
+      // still serves the old column set (require-guarded), and that
+      // pre-evolution snapshot is also emitted under the oracle
+      // (snap=0 rows) — the q189 time-travel discipline applied
+      // across a schema boundary.
+      val base0 = "/tmp/graft_q233_evo"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base0), true)
+      val in = s"$base0/in"; val ckpt = s"$base0/ckpt"
+      val changes = tbl(s, dir, "orders").select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderstatus").as("c_status"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+      // the SOURCE feed is union-schema'd (one parquet stream schema);
+      // the STORE starts narrow and widens mid-replay
+      changes.where(pmod(col("id"), lit(2)) === 0).appendBatchTo(in, 0)
+      changes.where(pmod(col("id"), lit(2)) === 1).appendBatchTo(in, 1)
+      var snap = graft.streaming.SnapshotStore(s"$base0/snap",
+        "c_custkey", "ts", "id", "op",
+        Seq("c_mktsegment", "c_acctbal"), buckets = 16, retain = true)
+      snap.init(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        changes.schema("ts").dataType, changes.schema("id").dataType)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          if (batchId == 0L) snap.applyBatch(b.drop("c_status"), batchId)
+          else {
+            // the evolution is a DDL, caller-coordinated like Delta's
+            // ALTER TABLE — guard so a foreachBatch retry cannot
+            // double-add the column
+            if (!snap.payloadCols.contains("c_status"))
+              snap = snap.evolvePayload(s, Seq("c_status" -> "string"))
+            snap.applyBatch(b, batchId)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      // version 1 = batch 0's commit, BELOW the evolution commit: the
+      // versioned anchor must serve the pre-evolution column set
+      val pre = snap.readAt(s, 1L)
+      require(!pre.columns.contains("c_status"),
+        "pre-evolution readAt must serve the old shape")
+      pre.withColumn("c_status", lit(null).cast("string"))
+        .withColumn("snap", lit(0L))
+        .unionByName(snap.read(s).withColumn("snap", lit(1L)))
     }),
     "q177_merge_into" -> ((s, dir) => {
       // CDC MERGE INTO (the lakehouse upsert): an order-driven change
@@ -5520,6 +5585,50 @@ object SparkEntry {
       |SELECT c_custkey, c_mktsegment, c_acctbal FROM m
       |WHERE op IS NULL OR op <> 'D'""".stripMargin
 
+  /** q233's oracle: snap 0 = the one-shot merge over the even-id
+    * change prefix in the PRE-evolution shape (c_status never
+    * observed — NULL), snap 1 = the one-shot merge over ALL changes
+    * in the union schema where only odd-id changes carry c_status
+    * (they arrived after the evolution; a key whose winning change is
+    * even-id keeps c_status NULL even in the final snapshot). */
+  private def schemaEvolutionSql: String =
+    """WITH ch AS (SELECT
+      |    CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS c_custkey,
+      |    CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    o_orderpriority AS c_mktsegment, o_totalprice AS c_acctbal,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS c_status,
+      |    o_orderdate AS ts, o_orderkey AS id
+      |  FROM orders),
+      |l0 AS (SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY ts DESC, id DESC) AS rn FROM ch WHERE id % 2 = 0)
+      |  WHERE rn = 1),
+      |m0 AS (SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
+      |         ELSE b.c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+      |         ELSE b.c_acctbal END AS c_acctbal,
+      |    l.op AS op
+      |  FROM customer b FULL JOIN l0 l ON b.c_custkey = l.c_custkey),
+      |l1 AS (SELECT c_custkey, op, c_mktsegment, c_acctbal, c_status
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY ts DESC, id DESC) AS rn FROM ch) WHERE rn = 1),
+      |m1 AS (SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment
+      |         ELSE b.c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+      |         ELSE b.c_acctbal END AS c_acctbal,
+      |    CASE WHEN l.c_custkey IS NOT NULL THEN l.c_status END AS c_status,
+      |    l.op AS op
+      |  FROM customer b FULL JOIN l1 l ON b.c_custkey = l.c_custkey)
+      |SELECT 0::BIGINT AS snap, c_custkey, c_mktsegment, c_acctbal,
+      |  NULL AS c_status
+      |FROM m0 WHERE op IS NULL OR op <> 'D'
+      |UNION ALL
+      |SELECT 1::BIGINT AS snap, c_custkey, c_mktsegment, c_acctbal, c_status
+      |FROM m1 WHERE op IS NULL OR op <> 'D'""".stripMargin
+
   /** q187's (and q188's) oracle: the one-shot GROUP BY over the
     * facts that survive the insert/insert/retract commit sequence
     * (parts {0, 2}) — the incrementally-folded LONG state equals it
@@ -8071,6 +8180,7 @@ object SparkEntry {
     // event-time-ordered batches make the sequential apply equal the
     // one-shot merge — q177's SQL verbatim
     "q181_stream_merge_into" -> mergeIntoSql,
+    "q233_schema_evolution" -> schemaEvolutionSql,
     // latest-change-wins under the (ts, id) total order; D deletes,
     // U upserts, untouched base keys pass through the full join
     "q177_merge_into" -> mergeIntoSql,

@@ -111,7 +111,28 @@ final case class AggView(dir: String, groupCols: Seq[String],
   def read(spark: SparkSession): DataFrame =
     log.read(spark).select(viewCols: _*)
 
-  /** The view AS OF `version` (requires `retain = true`). */
-  def readAt(spark: SparkSession, version: Long): DataFrame =
-    log.readAt(spark, version).select(viewCols: _*)
+  /** The view AS OF `version` (requires `retain = true`). Below an
+    * [[evolveMeasures]] commit the log's versioned anchor serves the
+    * PRE-evolution column set — the projection adapts. */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val state = log.readAt(spark, version)
+    val have = state.columns.toSet
+    state.select((groupCols ++ (cntCol +: measures.map(_._1)))
+      .filter(have).map(col): _*)
+  }
+
+  /** ADD-MEASURE evolution: re-anchor the stored schema with the new
+    * measure sums (LONG) and return the evolved view — use the
+    * RETURNED instance afterwards. Pre-evolution group rows read back
+    * with the new sums NULL (never observed), and [[refold]]'s
+    * `sum` skips nulls, so a group's new-measure sum is exactly the
+    * fold of post-evolution facts — identical to the one-shot
+    * aggregate over a union-schema fact set where pre-evolution facts
+    * carry null for the new measure's inputs. Time-travel below the
+    * evolution still serves the old column set. */
+  def evolveMeasures(spark: SparkSession,
+      add: Seq[(String, Column)]): AggView = {
+    log.evolveSchema(spark, add.map { case (n, _) => (n, "long") })
+    copy(measures = measures ++ add)
+  }
 }

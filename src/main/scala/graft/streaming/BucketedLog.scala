@@ -112,9 +112,16 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   private val BktCol = "__bkt"
   private val ManifestName = """_MANIFEST\.v(\d{19})""".r
   private val ManifestTmp = """_MANIFEST\.v(\d{19})\.tmp\..*""".r
+  // no leading underscore (Spark warns on underscore-rooted reads);
+  // excluded from cleanup/vacuum by name: those only touch `v*` dirs
+  // and `_MANIFEST*` files
+  private val SchemaName = """schema\.v(\d{19})""".r
 
   private def manifestFile(version: Long): String =
     f"_MANIFEST.v$version%019d"
+
+  private def schemaDir(version: Long): String =
+    f"schema.v$version%019d"
 
   /** The bucket of a row — a pure function of the key columns. */
   def bkt: Column =
@@ -273,15 +280,26 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
 
   /** State rows of `which` buckets (all if None), each read from its
     * manifest-pointed version dir with directory-level partition
-    * pruning on `__bkt`. Column order = the written state schema. */
-  private def stateRows(spark: SparkSession,
-      entries: Map[Int, String], which: Option[Set[Int]]): Option[DataFrame] = {
+    * pruning on `__bkt`, ALIGNED to `target` — the schema anchor in
+    * force at the version being read. Dirs written before an
+    * add-column evolution lack the added columns; they read back
+    * null-filled (`unionByName(allowMissingColumns)` semantics,
+    * expressed as an explicit typed projection so column ORDER is the
+    * anchor's, not the write order's). */
+  private def stateRows(spark: SparkSession, entries: Map[Int, String],
+      which: Option[Set[Int]],
+      target: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val wanted = which.fold(entries)(w =>
       entries.view.filterKeys(w).toMap)
     val parts = wanted.groupBy(_._2).map { case (vdir, bs) =>
-      spark.read.parquet(s"$dir/$vdir")
+      val df = spark.read.parquet(s"$dir/$vdir")
         .where(col(BktCol).isin(bs.keys.toSeq.map(Integer.valueOf): _*))
         .drop(BktCol)
+      val have = df.columns.toSet
+      df.select(target.fields.toSeq.map { fld =>
+        if (have(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
     }.toSeq
     parts.reduceOption(_.unionByName(_))
   }
@@ -298,7 +316,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
 
   /** Seed version 0 from full initial state (full write — done once;
     * every later batch rewrites only touched buckets). Also anchors
-    * the state SCHEMA in `_schema` (one zero-row parquet footer) so a
+    * the state SCHEMA in a versioned `schema.v*` anchor (zero-row parquet footer) so a
     * state whose every bucket later empties — a full retraction —
     * reads back as the EMPTY frame instead of an error. */
   def init(state: DataFrame): Unit = {
@@ -309,16 +327,33 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     state.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     state.limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_schema")
+      .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
     writeManifest(f, 0L, -1L,
       writtenBuckets(f, vdir).map(_ -> vdir).toMap, newNonce())
   }
 
-  /** The typed EMPTY state — the `_schema` anchor written at init
-    * (underscore-prefixed: invisible to cleanup/vacuum, which only
-    * touch `v*` dirs and manifests). */
-  private def emptyState(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$dir/_schema")
+  /** The typed EMPTY state as of `version` — the highest `schema.v*`
+    * anchor ≤ `version` (underscore-prefixed: invisible to cleanup/
+    * vacuum, which only touch `v*` dirs and manifests). Anchors are
+    * VERSIONED so [[readAt]] below an add-column evolution serves the
+    * pre-evolution column set. */
+  private def emptyStateAt(spark: SparkSession, version: Long): DataFrame = {
+    val anchors = allSchemaAnchors(fs(spark)).filter(_._1 <= version)
+    if (anchors.isEmpty)
+      sys.error(s"BucketedLog: no schema.v* anchor ≤ $version under $dir")
+    spark.read.parquet(anchors.maxBy(_._1)._2.toString)
+  }
+
+  private def allSchemaAnchors(f: FileSystem): Seq[(Long, Path)] = {
+    val d = new Path(dir)
+    if (!f.exists(d)) return Seq.empty
+    f.listStatus(d).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SchemaName(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
 
   /** Fold one batch into the store: read ONLY the buckets the batch's
     * keys hash to, `merge(currentStateOfThoseBuckets, batch)` (state
@@ -352,7 +387,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
     val compact = !retain && entries.values.toSet.size > compactAfter
     val scope = if (compact) None else Some(touched)
-    val cur = stateRows(spark, entries, scope)
+    val cur = if (curVer == -1L) None
+      else stateRows(spark, entries, scope,
+        emptyStateAt(spark, curVer).schema)
     val next = merge(cur, batch)
     val nonce = newNonce()
     // writer-unique dir: a concurrent writer at the same version can
@@ -361,10 +398,11 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // (the crashed attempt's dir is unreferenced — swept by cleanup)
     val vdir = s"v$version-$nonce"
     // a store seeded by its FIRST batch (no init) still needs the
-    // schema anchor for empty-state reads
+    // schema anchor for empty-state reads (anchored at version 0: it
+    // governs every version from the first commit on)
     if (curVer == -1L)
       next.limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/_schema")
+        .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
     next.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     val written = writtenBuckets(f, vdir).toSet
@@ -396,7 +434,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val f = fs(spark)
     val (curVer, lastBatch, entries) = readManifestFull(spark)
       .getOrElse(sys.error(s"BucketedLog.compactNow before init: $dir"))
-    val cur = stateRows(spark, entries, None).getOrElse(emptyState(spark))
+    val empty = emptyStateAt(spark, curVer)
+    val cur = stateRows(spark, entries, None, empty.schema).getOrElse(empty)
     val version = curVer + 1
     val nonce = newNonce()
     val vdir = s"v$version-$nonce"
@@ -416,17 +455,49 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * every bucket has emptied (a full retraction is a legitimate
     * state, not an error — only a missing manifest is). */
   def read(spark: SparkSession): DataFrame = {
-    val entries = readManifest(spark).map(_._2)
+    val (ver, _, entries) = readManifestFull(spark)
       .getOrElse(sys.error(s"BucketedLog.read before init: $dir"))
-    stateRows(spark, entries, None).getOrElse(emptyState(spark))
+    val empty = emptyStateAt(spark, ver)
+    stateRows(spark, entries, None, empty.schema).getOrElse(empty)
   }
 
   /** Full state AS OF `version` — the snapshot the highest manifest
     * ≤ `version` published (requires `retain`). */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
-    val entries = readManifestAt(spark, version).map(_._2).getOrElse(
+    val (actual, entries) = readManifestAt(spark, version).getOrElse(
       sys.error(s"BucketedLog.readAt($version): no manifest ≤ $version " +
         s"under $dir (vacuumed or never written)"))
-    stateRows(spark, entries, None).getOrElse(emptyState(spark))
+    // the schema anchor in force AT that manifest: a read below an
+    // add-column evolution serves the pre-evolution column set
+    val empty = emptyStateAt(spark, actual)
+    stateRows(spark, entries, None, empty.schema).getOrElse(empty)
+  }
+
+  /** ADD-COLUMN SCHEMA EVOLUTION: re-anchor the state schema with
+    * `add` (name → Spark SQL type string) appended, as a zero-IO
+    * metadata commit — data dirs are untouched, existing manifest
+    * entries are carried, and every PRE-evolution dir reads back with
+    * the new columns null-filled ([[stateRows]]' typed alignment).
+    * [[readAt]] below the evolution version still serves the old
+    * column set (versioned anchors). The manifest is published FIRST:
+    * a crash between the two writes leaves a bumped version still
+    * governed by the old anchor — "evolution not applied", safe to
+    * re-run — never an orphan anchor a later commit would silently
+    * activate. A lost commit race throws [[ConcurrentCommitException]]
+    * before the anchor exists. */
+  def evolveSchema(spark: SparkSession, add: Seq[(String, String)]): Unit = {
+    val f = fs(spark)
+    val (curVer, lastBatch, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.evolveSchema before init: $dir"))
+    val old = emptyStateAt(spark, curVer)
+    val clash = add.map(_._1).toSet.intersect(old.columns.toSet)
+    require(clash.isEmpty, s"evolveSchema: columns already present: $clash")
+    val version = curVer + 1
+    writeManifest(f, version, lastBatch, entries, newNonce())
+    old.select(old.columns.map(col).toSeq ++ add.map { case (n, t) =>
+      lit(null).cast(t).as(n) }: _*)
+      .limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/${schemaDir(version)}")
+    cleanup(f, version, entries)
   }
 }

@@ -82,15 +82,36 @@ final case class SnapshotStore(dir: String, keyCol: String,
 
   /** The snapshot AS OF `version` (requires `retain = true`):
     * exactly what [[read]] returned after the batch that committed
-    * the highest version ≤ `version`. */
-  def readAt(spark: SparkSession, version: Long): DataFrame =
-    MergeInto.publish(
-      log.readAt(spark, version).select(stateCols.map(col): _*),
-      keyCol, payloadCols)
+    * the highest version ≤ `version`. Below an [[evolvePayload]]
+    * commit the log's versioned anchor serves the PRE-evolution
+    * column set — the projection adapts to whatever shape that
+    * version published. */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val state = log.readAt(spark, version)
+    val have = state.columns.toSet
+    MergeInto.publish(state.select(stateCols.filter(have).map(col): _*),
+      keyCol, payloadCols.filter(have))
+  }
 
   /** Drop retained history strictly older than version `keepFrom`. */
   def vacuum(spark: SparkSession, keepFrom: Long): Unit =
     log.vacuum(spark, keepFrom)
+
+  /** ADD-COLUMN payload evolution (the first thing a long-lived
+    * dimension needs): re-anchor the stored schema with `add`
+    * (name → Spark SQL type string) and return the evolved store —
+    * use the RETURNED instance for every later applyBatch/read (its
+    * payload set includes the new columns). Zero data IO
+    * ([[BucketedLog.evolveSchema]]): pre-evolution rows read back
+    * null-filled; time-travel reads below the evolution version still
+    * serve the old column set. Change batches fed to the evolved
+    * store must carry the new columns (null for rows that predate the
+    * attribute — exactly what a widened CDC feed emits). */
+  def evolvePayload(spark: SparkSession,
+      add: Seq[(String, String)]): SnapshotStore = {
+    log.evolveSchema(spark, add)
+    copy(payloadCols = payloadCols ++ add.map(_._1))
+  }
 
   /** TOMBSTONE RETENTION: fold the state into one fresh version,
     * dropping tombstones whose winning change ts is `< floor`.

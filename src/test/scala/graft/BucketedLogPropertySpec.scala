@@ -193,4 +193,54 @@ class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
         assert(got === expected, s"seed $i: $changes split $nBatches")
     }
   }
+
+  test("random CDC splits with mid-replay ADD-COLUMN evolution == one-shot over the union schema") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "seg", "bal")
+    samples(cdcGen, 5).zipWithIndex.foreach {
+      case ((raw, nBatches, replay), i) =>
+        val changes = raw.zipWithIndex.map { case ((k, op, t), j) =>
+          (k, op, s"s$j", j * 1.5, t, 1000L + j, s"t${j % 3}")
+        }
+        val evolveAt = 1 + (i % (nBatches - 1)) // after this many batches
+        // one-shot reference over the UNION schema: a change applied
+        // before the evolution never observed the new attribute (null)
+        val unioned = changes.zipWithIndex.map { case (c, j) =>
+          if (j % nBatches < evolveAt)
+            (c._1, c._2, c._3, c._4, c._5, c._6, null: String)
+          else c
+        }
+        val expected = graft.operators.MergeInto(
+            base.withColumn("tier", lit(null).cast("string")),
+            unioned.toDF("k", "op", "seg", "bal", "ts", "id", "tier"),
+            "k", "ts", "id", "op", Seq("seg", "bal", "tier"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+        var st = graft.streaming.SnapshotStore(
+          s"/tmp/graft_blprop_evo$i", "k", "ts", "id", "op",
+          Seq("seg", "bal"), buckets = 8, compactAfter = 3, retain = true)
+        st.init(base, IntegerType, LongType)
+        def deal(b: Int, withTier: Boolean): Unit = {
+          val rows = changes.zipWithIndex
+            .filter(_._2 % nBatches == b).map(_._1)
+          val df0 = rows.toDF("k", "op", "seg", "bal", "ts", "id", "tier")
+          val df = if (withTier) df0 else df0.drop("tier")
+          st.applyBatch(df, b.toLong)
+          if (replay(b % replay.size)) st.applyBatch(df, b.toLong)
+        }
+        (0 until evolveAt).foreach(deal(_, withTier = false))
+        val verBefore = st.readManifest(spark).get._1
+        st = st.evolvePayload(spark, Seq("tier" -> "string"))
+        (evolveAt until nBatches).foreach(deal(_, withTier = true))
+        val got = st.read(spark).collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+        assert(got === expected, s"seed $i: evolveAt=$evolveAt of $nBatches")
+        // time travel below the evolution serves the OLD column set
+        assert(!st.readAt(spark, verBefore).columns.contains("tier"),
+          s"seed $i: pre-evolution readAt must not grow the new column")
+    }
+  }
 }
