@@ -30,15 +30,15 @@ final class ConcurrentCommitException(msg: String)
   * State under `dir` is bucket files tied together by a versioned
   * manifest:
   *
-  *   - `v<j>/__bkt=<k>/` — bucket `k`'s state rows as of the batch
-  *     that produced version `j`, hash-bucketed by
+  *   - `data/v<j>-<nonce>/__bkt=<k>/` — bucket `k`'s state rows as
+  *     of the batch that produced version `j`, hash-bucketed by
   *     `pmod(xxhash64(hashCols*), buckets)` and written via
   *     `partitionBy("__bkt")` so bucket reads are DIRECTORY-pruned
   *     (the bucket is a pure function of the key — recomputed, never
   *     trusted from data);
   *   - `_MANIFEST.v<j>` — one line per live bucket mapping it to the
-  *     version dir holding its current rows. Untouched buckets keep
-  *     pointing at older dirs — that is the whole point.
+  *     (relative) version dir holding its current rows. Untouched
+  *     buckets keep pointing at older dirs — that is the whole point.
   *
   * == Per-batch cost (the 100 TB argument) ==
   *
@@ -93,25 +93,58 @@ final class ConcurrentCommitException(msg: String)
   *
   * == Time travel ==
   *
-  * With `retain = true` nothing is ever deleted: every `_MANIFEST.v<j>`
-  * stays readable, and because untouched buckets point BACKWARD at
-  * older dirs, manifest `j` IS the full snapshot as of version `j` —
-  * [[readAt]] serves any historical version with zero extra storage
-  * beyond the per-batch deltas already written (the Delta/Iceberg
-  * time-travel contract). Storage grows O(Σ touched buckets); call
-  * [[vacuum]] to drop history older than a floor version once it is
-  * out of audit scope.
+  * With `retain = true` nothing is ever deleted: every version's
+  * manifest stays readable, and because untouched buckets point
+  * BACKWARD at older dirs, manifest `j` IS the full snapshot as of
+  * version `j` — [[readAt]] serves any historical version with zero
+  * extra storage beyond the per-batch deltas already written (the
+  * Delta/Iceberg time-travel contract). Storage grows
+  * O(Σ touched buckets); call [[vacuum]] to drop history older than
+  * a floor version once it is out of audit scope.
+  *
+  * == Manifest checkpointing: O(1) hot-path discovery ==
+  *
+  * A retained store committing once a minute accumulates ~0.5 M
+  * manifest files a year; a flat layout makes EVERY read pay an
+  * O(versions) directory listing just to find the newest manifest
+  * (the problem Delta's `_last_checkpoint` solves). Here the listing
+  * stays BOUNDED by construction:
+  *
+  *   - data dirs live under `data/` — never siblings of the
+  *     manifests (entry values are relative paths, so readers are
+  *     agnostic);
+  *   - once more than `checkpointEvery` manifests sit at the top
+  *     level, the next commit FOLDS all but the newest into one
+  *     immutable segment file `_history/_CHECKPOINT.v<lo>-<hi>`
+  *     (the folded manifests' texts, verbatim, one `!version=`
+  *     block each) and deletes the folded files.
+  *
+  * Top-level children are then ≤ checkpointEvery manifests + `data/`
+  * + `_history/` + schema anchors, independent of total version
+  * count — [[read]]'s discovery is a flat-latency listing plus ONE
+  * manifest parse (the `checkpoint_read` probe pins this at 10×/100×
+  * version counts). [[readAt]] below the fold floor is the rare
+  * audit path: it lists `_history/` (O(versions/checkpointEvery)
+  * segment files) and parses the one segment covering the target
+  * version (O(checkpointEvery) blocks). Each manifest is folded into
+  * exactly one segment over the store's lifetime — O(history) total
+  * checkpoint IO, not O(history²). Segment publish reuses the
+  * put-if-absent + byte-verify commit; a lost or crashed fold leaves
+  * the manifests in place and the next commit re-folds (overlapping
+  * segments carry byte-identical blocks, readers take any).
   *
   * Reference anchor: the reference's point-upsert store commits each
   * batch through one HBase put per row
   * (`/root/reference/marketdb-core/src/main/scala/com/ergodicity/marketdb/core/MarketDb.scala:103-133`);
   * here the same contract is a bucketed parquet log + manifest. */
 final case class BucketedLog(dir: String, hashCols: Seq[String],
-    buckets: Int, compactAfter: Int = 16, retain: Boolean = false) {
+    buckets: Int, compactAfter: Int = 16, retain: Boolean = false,
+    checkpointEvery: Int = 64) {
 
   private val BktCol = "__bkt"
   private val ManifestName = """_MANIFEST\.v(\d{19})""".r
   private val ManifestTmp = """_MANIFEST\.v(\d{19})\.tmp\..*""".r
+  private val SegmentName = """_CHECKPOINT\.v(\d{19})-(\d{19})""".r
   // no leading underscore (Spark warns on underscore-rooted reads);
   // excluded from cleanup/vacuum by name: those only touch `v*` dirs
   // and `_MANIFEST*` files
@@ -141,21 +174,77 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
   }
 
+  private def segmentFile(lo: Long, hi: Long): String =
+    f"_history/_CHECKPOINT.v$lo%019d-$hi%019d"
+
+  private def allSegments(f: FileSystem): Seq[(Long, Long, Path)] = {
+    val h = new Path(s"$dir/_history")
+    if (!f.exists(h)) return Seq.empty
+    f.listStatus(h).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SegmentName(lo, hi) => Some((lo.toLong, hi.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  /** A segment's (version, manifestText) blocks — folded manifests
+    * verbatim, one `!version=` header each. */
+  private def parseSegment(f: FileSystem, path: Path): Seq[(Long, String)] = {
+    val text = new String(readBytes(f, path), "UTF-8")
+    val blocks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, StringBuilder)]
+    text.linesIterator.foreach { l =>
+      if (l.startsWith("!version="))
+        blocks += ((l.drop("!version=".length).toLong, new StringBuilder))
+      else if (blocks.nonEmpty) {
+        val b = blocks.last._2
+        if (b.nonEmpty) b.append('\n')
+        b.append(l)
+      }
+    }
+    blocks.toSeq.map { case (v, b) => (v, b.toString) }
+  }
+
+  /** Fold all top-level manifests but the newest into one immutable
+    * `_history` segment once more than `checkpointEvery` accumulate
+    * (class doc) — keeps hot-path discovery listing BOUNDED on
+    * retained stores. Best-effort maintenance: a lost race or crash
+    * leaves the manifests in place and the next commit re-folds. */
+  private def maybeCheckpoint(f: FileSystem): Unit = {
+    if (!retain) return
+    val manifests = allManifests(f).sortBy(_._1)
+    if (manifests.size <= checkpointEvery) return
+    val fold = manifests.dropRight(1) // the newest stays at top level
+    val body = fold.map { case (v, p) =>
+      s"!version=$v\n" + new String(readBytes(f, p), "UTF-8")
+    }.mkString("\n").getBytes("UTF-8")
+    val dst = new Path(s"$dir/${segmentFile(fold.head._1, fold.last._1)}")
+    if (f.exists(dst)) {
+      // same name ⇒ same folded set ⇒ identical bytes (manifests are
+      // immutable); anything else is alien — keep the manifests
+      if (!java.util.Arrays.equals(readBytes(f, dst), body)) return
+    } else {
+      val tmp = new Path(s"$dir/_history/.tmp.${newNonce()}")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
+      f.rename(tmp, dst)
+      if (!java.util.Arrays.equals(readBytes(f, dst), body)) return
+    }
+    // archived and verified: the folded files can go
+    fold.foreach { case (_, p) => f.delete(p, false) }
+  }
+
   /** (last-applied batchId, bucket -> dir). The `#batch=` header is
     * the EXACTLY-ONCE guard: a crash-replayed micro-batch (foreachBatch
     * re-runs a batch whose commit beat the engine checkpoint) is
     * skipped by id, so even NON-idempotent merges (AggView's additive
     * fold) stay exact under at-least-once delivery. */
   private def parseManifest(f: FileSystem, path: Path)
-      : (Long, Map[Int, String]) = {
-    val in = f.open(path)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, "UTF-8")
-    } finally in.close()
+      : (Long, Map[Int, String]) =
+    parseManifestText(new String(readBytes(f, path), "UTF-8"))
+
+  private def parseManifestText(text: String): (Long, Map[Int, String]) = {
     var lastBatch = -1L
     val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { l =>
@@ -185,14 +274,26 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
 
   /** Highest manifest with version ≤ `asOf` (time travel; requires
     * `retain` — vacuumed history is an error, not a silent newer
-    * snapshot). */
+    * snapshot). Falls back to the `_history` checkpoint segments
+    * below the fold floor: the covering segment(s) plus the highest
+    * segment entirely below `asOf` (the union is exact even when a
+    * crashed fold left overlapping segments — overlapping blocks are
+    * byte-identical). */
   private def readManifestAt(spark: SparkSession, asOf: Long)
       : Option[(Long, Map[Int, String])] = {
     val f = fs(spark)
-    val versions = allManifests(f).filter(_._1 <= asOf)
-    if (versions.isEmpty) return None
-    val (version, path) = versions.maxBy(_._1)
-    Some((version, parseManifest(f, path)._2))
+    val top = allManifests(f).filter(_._1 <= asOf)
+    if (top.nonEmpty) {
+      val (version, path) = top.maxBy(_._1)
+      return Some((version, parseManifest(f, path)._2))
+    }
+    val segs = allSegments(f).filter(_._1 <= asOf)
+    val toParse = (segs.filter(_._2 >= asOf) ++
+      segs.filter(_._2 < asOf).sortBy(_._2).lastOption).distinct
+    toParse.iterator
+      .flatMap { case (_, _, p) => parseSegment(f, p) }
+      .filter(_._1 <= asOf).maxByOption(_._1)
+      .map { case (v, text) => (v, parseManifestText(text)._2) }
   }
 
   /** A writer-unique commit nonce — names this writer's data dir and
@@ -252,30 +353,69 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         // a crashed writer's manifest tmp: stale once its version is
         // superseded (an in-flight racer always targets ≥ cur)
         case ManifestTmp(v) if v.toLong < cur => f.delete(st.getPath, false)
-        case n if n.startsWith("v") && !live.contains(n) &&
-            !n.endsWith(".tmp") => f.delete(st.getPath, true)
         case _ => ()
       }
+    }
+    deleteDeadDataDirs(f, live)
+  }
+
+  /** Delete every `data/v*` dir `live` does not reference (the loser/
+    * superseded sweep shared by [[cleanup]] and [[vacuum]]). */
+  private def deleteDeadDataDirs(f: FileSystem, live: Set[String]): Unit = {
+    val d = new Path(s"$dir/data")
+    if (!f.exists(d)) return
+    f.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && !n.endsWith(".tmp") &&
+        !live.contains(s"data/$n")) f.delete(st.getPath, true)
     }
   }
 
   /** Drop retained history strictly older than `keepFrom`: delete
-    * manifests `< keepFrom` and any version dir no surviving manifest
-    * references. The oldest surviving manifest still serves every
-    * bucket (its entries point at dirs the deletion spares). */
+    * manifests `< keepFrom` (top-level files AND checkpoint-segment
+    * blocks — whole segments below the floor are deleted, the
+    * boundary segment is rewritten without its dropped blocks) and
+    * any version dir no surviving manifest references. The oldest
+    * surviving manifest still serves every bucket (its entries point
+    * at dirs the deletion spares). Refuses a floor that would drop
+    * the newest top-level manifest (the current state). */
   def vacuum(spark: SparkSession, keepFrom: Long): Unit = {
     val f = fs(spark)
     val manifests = allManifests(f)
     val (drop, keep) = manifests.partition(_._1 < keepFrom)
-    if (keep.isEmpty || drop.isEmpty) return
-    val live = keep.flatMap { case (_, p) =>
-      parseManifest(f, p)._2.values }.toSet
+    if (keep.isEmpty) return
+    val segs = allSegments(f).map { case (lo, hi, p) =>
+      (lo, hi, p, parseSegment(f, p)) }
+    val segDrop = segs.exists(_._4.exists(_._1 < keepFrom))
+    if (drop.isEmpty && !segDrop) return
+    val keptBlocks = segs.flatMap(_._4).filter(_._1 >= keepFrom)
+    val live = (keep.map { case (_, p) => parseManifest(f, p)._2 } ++
+      keptBlocks.map { case (_, t) => parseManifestText(t)._2 })
+      .flatMap(_.values).toSet
     drop.foreach { case (_, p) => f.delete(p, false) }
+    segs.foreach { case (_, _, p, blocks) =>
+      val (dead, alive) = blocks.partition(_._1 < keepFrom)
+      if (dead.nonEmpty) {
+        if (alive.nonEmpty) {
+          // rewrite the boundary segment under its narrowed range
+          val body = alive.map { case (v, t) => s"!version=$v\n$t" }
+            .mkString("\n").getBytes("UTF-8")
+          val nd = new Path(
+            s"$dir/${segmentFile(alive.map(_._1).min, alive.map(_._1).max)}")
+          val tmp = new Path(s"$dir/_history/.tmp.${newNonce()}")
+          val out = f.create(tmp, true)
+          try out.write(body) finally out.close()
+          if (nd != p) { f.rename(tmp, nd); f.delete(p, false) }
+          else { f.delete(p, false); f.rename(tmp, nd) }
+        } else f.delete(p, false)
+      }
+    }
     f.listStatus(new Path(dir)).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && !n.endsWith(".tmp") && !live.contains(n) &&
         !n.startsWith("_")) f.delete(st.getPath, true)
     }
+    deleteDeadDataDirs(f, live)
   }
 
   /** State rows of `which` buckets (all if None), each read from its
@@ -323,7 +463,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val spark = state.sparkSession
     val f = fs(spark)
     f.delete(new Path(dir), true)
-    val vdir = "v0"
+    val vdir = "data/v0"
     state.withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     state.limit(0).coalesce(1)
@@ -382,7 +522,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // ingest micro-batch IS fully covered — under-reporting it would
     // fail a strict `coveredBatch == n` fence spuriously
     if (touched.isEmpty) {
-      if (curVer >= 0L) writeManifest(f, version, batchId, entries, newNonce())
+      if (curVer >= 0L) {
+        writeManifest(f, version, batchId, entries, newNonce())
+        maybeCheckpoint(f)
+      }
       return
     }
     val compact = !retain && entries.values.toSet.size > compactAfter
@@ -395,8 +538,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // writer-unique dir: a concurrent writer at the same version can
     // never overwrite this data, and no manifest can alias it; a
     // crash-replay re-derives the same content under a FRESH name
-    // (the crashed attempt's dir is unreferenced — swept by cleanup)
-    val vdir = s"v$version-$nonce"
+    // (the crashed attempt's dir is unreferenced — swept by cleanup).
+    // Under data/ so top-level discovery listings stay BOUNDED
+    // (manifest-checkpointing doc)
+    val vdir = s"data/v$version-$nonce"
     // a store seeded by its FIRST batch (no init) still needs the
     // schema anchor for empty-state reads (anchored at version 0: it
     // governs every version from the first commit on)
@@ -418,6 +563,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       f.delete(new Path(s"$dir/$vdir"), true); throw e
     }
     cleanup(f, version, newEntries)
+    maybeCheckpoint(f)
   }
 
   /** Fold the WHOLE state into one fresh version, optionally
@@ -438,7 +584,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val cur = stateRows(spark, entries, None, empty.schema).getOrElse(empty)
     val version = curVer + 1
     val nonce = newNonce()
-    val vdir = s"v$version-$nonce"
+    val vdir = s"data/v$version-$nonce"
     transform(cur).withColumn(BktCol, bkt)
       .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
     val newEntries = writtenBuckets(f, vdir).map(_ -> vdir).toMap
@@ -449,6 +595,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       f.delete(new Path(s"$dir/$vdir"), true); throw e
     }
     cleanup(f, version, newEntries)
+    maybeCheckpoint(f)
   }
 
   /** Full current state (all buckets); the typed empty frame when

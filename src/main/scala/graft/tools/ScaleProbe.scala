@@ -567,6 +567,52 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] ivf_lookup $m%4d $n%10d $sec%8.2f")
     }
+
+    // Manifest-checkpoint DISCOVERY cost vs VERSION COUNT (retained
+    // stores): fabricate 200·m committed versions (byte-true
+    // manifests, all pointing at the seed dir — the read path only
+    // exercises discovery), trigger ONE real commit (folds all but
+    // the newest into a `_history` segment on the checkpointing
+    // store), then time the hot-path manifest discovery
+    // (readManifestFull, 50 reps). The folded store's top level is
+    // BOUNDED (≤ checkpointEvery+1 manifests + data/ + _history/ +
+    // anchors), so discovery must stay FLAT as versions grow
+    // 10×/100×; the unfolded twin pays the O(versions) listing
+    // Delta's _last_checkpoint exists to avoid. Run with mults
+    // 1,10,100. Columns: mult, versions, folded-ms, flat-ms.
+    if (opFilter.forall("checkpoint_read".contains)) mults.foreach { m =>
+      val versions = 200 * m
+      def build(ckptEvery: Int, tag: String): graft.streaming.BucketedLog = {
+        val dir = s"/tmp/graft_probe_ckpt_${tag}_$m"
+        val f = new java.io.File(dir)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+        rm(f)
+        val log = graft.streaming.BucketedLog(dir, Seq("k"), buckets = 1,
+          retain = true, checkpointEvery = ckptEvery)
+        log.init(spark.range(10).select(col("id").as("k"), col("id").as("v")))
+        (1 until versions).foreach { v =>
+          java.nio.file.Files.write(
+            java.nio.file.Path.of(f"$dir/_MANIFEST.v$v%019d"),
+            s"#batch=${v - 1}\n0=data/v0".getBytes("UTF-8"))
+        }
+        log.applyBatch(
+          spark.range(1).select((col("id") + 100L).as("k"),
+            col("id").as("v")), versions.toLong) { (cur, b) =>
+          cur.map(_.unionByName(b)).getOrElse(b)
+        }
+        log
+      }
+      def discoveryMs(log: graft.streaming.BucketedLog): Double = {
+        val t0 = System.nanoTime()
+        (0 until 50).foreach(_ => log.readManifestFull(spark))
+        (System.nanoTime() - t0) / 1e6 / 50
+      }
+      val folded = build(64, "fold")
+      val flat = build(Int.MaxValue, "flat")
+      println(f"[probe] checkpoint_read $m%4d $versions%10d " +
+        f"${discoveryMs(folded)}%8.3f ${discoveryMs(flat)}%8.3f")
+    }
     spark.stop()
   }
 }

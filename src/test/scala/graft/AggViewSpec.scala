@@ -184,9 +184,10 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     v.applyBatch(df(inserts.take(4), 1L), 0L)
     copyRec(JPath.of(dir), JPath.of(torn)) // snapshot: state after batch 0
     v.applyBatch(df(inserts.drop(4), 1L), 1L) // -> realistic v2-<nonce> dir
-    val v2 = new java.io.File(dir).listFiles()
+    val v2 = new java.io.File(s"$dir/data").listFiles()
       .map(_.getName).filter(_.startsWith("v2")).head
-    copyRec(JPath.of(s"$dir/$v2"), JPath.of(s"$torn/$v2")) // orphan, no manifest
+    copyRec(JPath.of(s"$dir/data/$v2"),
+      JPath.of(s"$torn/data/$v2")) // orphan, no manifest
     val vt = view(torn)
     // engine replays batch 1 (at-least-once): the surviving manifest
     // says lastBatch=0, so the fold re-runs over the orphan

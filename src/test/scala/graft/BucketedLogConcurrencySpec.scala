@@ -36,8 +36,9 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     log.read(spark).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Structural invariant: every dir any manifest references exists,
-    * and every `v*` dir on disk is referenced by SOME manifest (the
-    * loser's orphan is deleted, the winner's data can't be aliased). */
+    * and every `data/v*` dir on disk is referenced by SOME manifest
+    * (the loser's orphan is deleted, the winner's data can't be
+    * aliased). */
   private def assertNoDanglingOrOrphan(dir: String): Unit = {
     val files = new java.io.File(dir).listFiles().map(_.getName)
     val referenced = files.filter(_.matches("""_MANIFEST\.v\d{19}"""))
@@ -45,7 +46,8 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
         scala.io.Source.fromFile(s"$dir/$m").getLines()
           .filterNot(_.startsWith("#")).map(_.split("=", 2)(1))
       }.toSet
-    val onDisk = files.filter(n => n.startsWith("v")).toSet
+    val onDisk = Option(new java.io.File(s"$dir/data").listFiles())
+      .fold(Set.empty[String])(_.map("data/" + _.getName).toSet)
     assert(referenced.subsetOf(onDisk),
       s"dangling manifest entries: ${referenced -- onDisk}")
     assert(onDisk.subsetOf(referenced),
