@@ -5362,6 +5362,108 @@ object SparkEntry {
         .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
         .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q234_optimize_retighten" -> ((s, dir) => {
+      // DELETE-PATH INDEX RE-TIGHTENING AT OPTIMIZE — the missing
+      // maintenance hook on the q147/q230 skipping indexes: deletes
+      // leave zone-map stats stale-WIDE (sound, coarser pruning) and
+      // Bloom bits CANNOT unlearn (fpp decays). The OPTIMIZE pass
+      // that rewrites the survivors also recomputes the TOUCHED
+      // units' stats and rebuilds the TOUCHED shards' bitsets —
+      // touched-bucket maintenance rewrites (O(touched index rows),
+      // never O(index)) that carry the coverage receipt (#batch=)
+      // UNCHANGED, because a rebuild rewrites covered state, it is
+      // not new coverage. Gate: delete each doomed unit's LOW key
+      // span, OPTIMIZE, rebuild, then require-pin (a) unit 2's min
+      // rose STRICTLY, (b) a probe range inside the deleted span no
+      // longer matches, (c) deleted keys' Bloom matches collapse
+      // (fresh fpp). Serve a pruned range lookup + Bloom point
+      // lookups from the compacted layout; oracle = the plain
+      // post-delete filters.
+      val base = s"/tmp/graft_q234_retighten_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = mx / 8 + 1
+      val cut = 2 * w / 5
+      val withUnit = orders
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      withUnit.write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl")
+      val idx = ZoneMapIndex(s"$base/idx")
+      idx.init(s, "int", "long")
+      idx.applyBatch(withUnit, "unit", "o_orderkey", 0L)
+      val bloom = graft.operators.IncrementalBloomIndex(s"$base/bidx",
+        nShards = 64, words = 1024)
+      bloom.init(s)
+      bloom.applyBatch(withUnit, "o_orderkey", 0L)
+      // DELETE the low 40% of units 2 and 3's key spans, then
+      // OPTIMIZE: compact the survivors (one file per unit)
+      val doomed = col("unit").isin(2, 3) && (col("o_orderkey") % w) < cut
+      s.read.parquet(s"$base/tbl").where(!doomed)
+        .repartition(col("unit"))
+        .write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/opt")
+      val opt = s.read.parquet(s"$base/opt")
+      // stale-wide: a probe inside the DELETED span still matches
+      def mn2: Long = idx.read(s).where(col("unit") === 2)
+        .head().getLong(1)
+      val mnBefore = mn2
+      val probeBefore = idx.matchingUnits(s, lit(2 * w), lit(2 * w + cut / 2))
+      require(probeBefore.contains(2L),
+        "stale-wide stats must still match the deleted span")
+      // deleted keys still Bloom-match their shards (bits can't unlearn)
+      import graft.expressions.BloomMightContainCol
+      val deletedProbes = withUnit.where(doomed)
+        .select("o_orderkey").orderBy("o_orderkey").limit(40)
+        .localCheckpoint()
+      def bloomPairs: Long = bloom.read(s).join(broadcast(
+          deletedProbes.select(xxhash64(col("o_orderkey")).as("__h"))
+            .distinct()))
+        .where(BloomMightContainCol(col("__h"), col("bloom_bits"), 7))
+        .count()
+      val pairsBefore = bloomPairs
+      require(pairsBefore >= 40L, "pre-rebuild bits must cover deleted keys")
+      // the OPTIMIZE pass re-tightens BOTH indexes for the touched
+      // units/shards in the same rewrite
+      idx.rebuildUnits(opt, "unit", "o_orderkey",
+        withUnit.where(doomed).select("unit").distinct())
+      bloom.rebuildShards(opt, "o_orderkey",
+        withUnit.where(doomed)
+          .select(bloom.shardOf(col("o_orderkey")).as("shard")).distinct())
+      require(mn2 > mnBefore, "unit 2's min must rise strictly")
+      val probeAfter = idx.matchingUnits(s, lit(2 * w), lit(2 * w + cut / 2))
+      require(!probeAfter.contains(2L) && probeAfter.size < probeBefore.size,
+        s"re-tightened stats must stop matching the deleted span: " +
+          s"$probeBefore -> $probeAfter")
+      val pairsAfter = bloomPairs
+      require(pairsAfter * 4 <= pairsBefore,
+        s"rebuilt shards must shed deleted keys: $pairsBefore -> $pairsAfter")
+      // serve from the compacted layout: a pruned range lookup over
+      // the surviving half-span + Bloom point lookups (pre-delete
+      // probe set; survivors answer, deleted keys die in the exact
+      // residual)
+      val (lo2, hi2) = (2 * w + cut, 2 * w + cut + w / 5)
+      val units2 = idx.matchingUnits(s, lit(lo2), lit(hi2))
+      val rangeRows = opt
+        .where(col("unit").isin(units2.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("o_orderkey") >= lo2 && col("o_orderkey") <= hi2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("src", lit("range"))
+      val probes = withUnit.where(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey")
+      val shardSet = bloom.matchingShards(s, probes, "o_orderkey")
+      val pointRows = opt
+        .where(bloom.shardOf(col("o_orderkey"))
+          .isin(shardSet.map(Long.box): _*))
+        .join(broadcast(probes.distinct()), Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("src", lit("point"))
+      rangeRows.unionByName(pointRows)
     })
   )
 
@@ -5628,6 +5730,24 @@ object SparkEntry {
       |UNION ALL
       |SELECT 1::BIGINT AS snap, c_custkey, c_mktsegment, c_acctbal, c_status
       |FROM m1 WHERE op IS NULL OR op <> 'D'""".stripMargin
+
+  /** q234's oracle: the post-DELETE table filters, plain — the
+    * re-tightened indexes buy IO skipping, never answers (q192's
+    * contract). `w`/`cut` re-derive the gate's unit math from the
+    * data (max orderkey // 8 + 1), so the SQL holds at every sf. */
+  private def optimizeRetightenSql: String =
+    """WITH mw AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders),
+      |alive AS (SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders, mw
+      |  WHERE NOT ((o_orderkey // w) IN (2, 3)
+      |    AND (o_orderkey % w) < (2 * w // 5)))
+      |SELECT o_orderkey, o_custkey, o_totalprice, 'range' AS src
+      |FROM alive, mw
+      |WHERE o_orderkey >= 2 * w + (2 * w // 5)
+      |  AND o_orderkey <= 2 * w + (2 * w // 5) + w // 5
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, 'point' AS src
+      |FROM alive WHERE o_orderkey % 97 = 0""".stripMargin
 
   /** q187's (and q188's) oracle: the one-shot GROUP BY over the
     * facts that survive the insert/insert/retract commit sequence
@@ -8722,6 +8842,11 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o, m
         |WHERE o.o_orderkey BETWEEN m.mx // 4 AND m.mx // 4 + m.mx // 10""".stripMargin,
+    // q234: the DELETE-path sibling — re-tightening is pinned
+    // driver-side (strictly narrower min, probe stops matching,
+    // Bloom pairs collapse); the served lookups answer the plain
+    // post-delete filters
+    "q234_optimize_retighten" -> optimizeRetightenSql,
     // same contract as q192: the (incrementally-maintained) index
     // only decides which shard directories are READ; the residual
     // semi join makes the answer independent of false positives, so

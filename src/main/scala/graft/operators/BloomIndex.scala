@@ -147,6 +147,29 @@ final case class IncrementalBloomIndex(dir: String, nShards: Int,
       orMerge(cur, p)
     }
 
+  /** DELETE-path rebuild (the OPTIMIZE hook): Bloom bits cannot
+    * unlearn, so after deletes the affected shards' bitsets are
+    * REBUILT from the current table keys and REPLACED — the
+    * false-positive rate resets to the fresh-build rate (deleted
+    * keys stop matching). `shards` is a one-column LONG frame of
+    * shard ids. Touched-bucket maintenance rewrite: O(|shards| +
+    * touched index rows), never O(table beyond the rebuilt shards'
+    * rows); the coverage receipt (`#batch=`) carries UNCHANGED. A
+    * shard with no keys left leaves the index. */
+  def rebuildShards(tableRows: DataFrame, keyCol: String,
+      shards: DataFrame): Unit = {
+    val sh = shards.toDF("shard")
+    val fresh = partial(
+      tableRows.join(broadcast(sh), shardOf(col(keyCol)) === sh("shard"),
+        "left_semi"),
+      keyCol)
+    log.rewriteBuckets(sh) { (cur, _) =>
+      cur.map(_.join(broadcast(sh), Seq("shard"), "left_anti")
+          .unionByName(fresh))
+        .getOrElse(fresh)
+    }
+  }
+
   /** The current index: one (shard, bloom_bits) row per non-empty
     * shard. */
   def read(spark: SparkSession): DataFrame =

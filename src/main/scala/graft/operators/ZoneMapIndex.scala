@@ -77,6 +77,30 @@ final case class ZoneMapIndex(dir: String, buckets: Int = 16) {
       (cur, p) => refold(cur, p)
     }
 
+  /** DELETE-path re-tightening (the OPTIMIZE hook): recompute the
+    * given units' stats from the CURRENT table rows and REPLACE their
+    * index rows — stale-WIDE ranges narrow back to exact, counts
+    * re-count, and a unit with no rows left LEAVES the index.
+    * `units` is a one-column frame of unit ids (same type as the
+    * table's unit column — it keys the touched-bucket hash).
+    * Touched-bucket maintenance rewrite: O(|units| + touched index
+    * rows), never O(index); the coverage receipt (`#batch=`) carries
+    * UNCHANGED — a rebuild rewrites covered state, it is not new
+    * coverage, so [[coveredBatch]] fences stay exact. */
+  def rebuildUnits(tableRows: DataFrame, unitCol: String, valCol: String,
+      units: DataFrame): Unit = {
+    val u = units.toDF("unit")
+    val fresh = partial(
+      tableRows.join(broadcast(u), tableRows(unitCol) === u("unit"),
+        "left_semi"),
+      unitCol, valCol)
+    log.rewriteBuckets(u) { (cur, _) =>
+      cur.map(_.join(broadcast(u), Seq("unit"), "left_anti")
+          .unionByName(fresh))
+        .getOrElse(fresh)
+    }
+  }
+
   /** The current index: one (unit, mn, mx, rows) row per unit. */
   def read(spark: SparkSession): DataFrame =
     log.read(spark).select("unit", "mn", "mx", "rows")

@@ -566,6 +566,44 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     maybeCheckpoint(f)
   }
 
+  /** Touched-bucket MAINTENANCE rewrite — [[applyBatch]]'s bounded
+    * touched-set commit OUTSIDE the batch-id sequence: `keys` names
+    * the touched buckets (hashed on `hashCols` like state rows),
+    * `merge(currentStateOfThoseBuckets, keys)` returns those buckets'
+    * REPLACEMENT rows, and the manifest carries the last-applied
+    * batch id UNCHANGED — this rewrites COVERED state (delete-path
+    * index re-tightening), it is not new coverage, so downstream
+    * freshness fences reading `#batch=` stay exact. O(|keys| +
+    * touched-bucket rows); a lost commit race throws
+    * [[ConcurrentCommitException]] like every other writer. */
+  def rewriteBuckets(keys: DataFrame)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val spark = keys.sparkSession
+    val f = fs(spark)
+    val (curVer, lastBatch, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.rewriteBuckets before init: $dir"))
+    val touched = keys.select(bkt.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val version = curVer + 1
+    val cur = stateRows(spark, entries, Some(touched),
+      emptyStateAt(spark, curVer).schema)
+    val next = merge(cur, keys)
+    val nonce = newNonce()
+    val vdir = s"data/v$version-$nonce"
+    next.withColumn(BktCol, bkt)
+      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
+    val written = writtenBuckets(f, vdir).toSet
+    val newEntries =
+      (entries -- (touched -- written)) ++ written.map(_ -> vdir)
+    try writeManifest(f, version, lastBatch, newEntries, nonce)
+    catch { case e: ConcurrentCommitException =>
+      f.delete(new Path(s"$dir/$vdir"), true); throw e
+    }
+    cleanup(f, version, newEntries)
+    maybeCheckpoint(f)
+  }
+
   /** Fold the WHOLE state into one fresh version, optionally
     * transforming it on the way (maintenance pass — tombstone
     * expiry, schema-preserving rewrites). Unlike [[applyBatch]]'s

@@ -75,4 +75,35 @@ class IncrementalBloomIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(trueShards.subsetOf(hit.toSet))
     assert(hit.size < 64, s"probe should prune some of 64 shards: ${hit.size}")
   }
+
+  test("rebuildShards sheds deleted keys (fresh fpp), keeps survivors; receipt unchanged") {
+    import graft.expressions.BloomAggregate
+    val idx = IncrementalBloomIndex("/tmp/graft_incbloom_e", nShards = 16,
+      words = 256)
+    idx.init(spark)
+    idx.applyBatch(table, "k", 0L)
+    val log = graft.streaming.BucketedLog("/tmp/graft_incbloom_e",
+      Seq("shard"), 16)
+    val receipt = log.readManifestFull(spark).get._2
+    // DELETE every key divisible by 3, rebuild the touched shards
+    // (all of them — every shard holds some deleted key)
+    val alive = table.where(col("k") % 3 =!= 0)
+    idx.rebuildShards(alive, "k",
+      table.select(idx.shardOf(col("k")).as("shard")).distinct())
+    // bit-exact vs a fresh one-shot build over the survivors
+    val got = idx.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val want = alive
+      .groupBy(idx.shardOf(col("k")).as("shard"))
+      .agg(BloomAggregate(xxhash64(col("k")), 256, 7).as("bloom_bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got === want)
+    // survivors still probe true; the receipt carries unchanged
+    val present = alive.limit(5)
+    val trueShards = present.select(idx.shardOf(col("k")).as("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(trueShards.subsetOf(
+      idx.matchingShards(spark, present, "k").toSet))
+    assert(log.readManifestFull(spark).get._2 === receipt)
+  }
 }

@@ -116,4 +116,26 @@ class ZoneMapIndexSpec extends AnyFunSuite with SparkTestBase {
     val moved = after.filter { case (b, d) => before.get(b) != Some(d) }
     assert(moved.size === 1, s"expected one rewritten bucket: $moved")
   }
+
+  test("rebuildUnits re-tightens deleted units exactly; coverage receipt unchanged") {
+    val idx = ZoneMapIndex("/tmp/graft_zmidx_e")
+    idx.init(spark, "int", "long")
+    idx.applyBatch(table, "unit", "v", 0L)
+    val receipt = idx.coveredBatch(spark)
+    // DELETE unit 2's low half and ALL of unit 5, then rebuild both
+    val alive = table.where(
+      !(col("unit") === 2 && col("v") < 2500L) && col("unit") =!= 5)
+    idx.rebuildUnits(alive, "unit", "v",
+      Seq(2, 5).toDF("unit"))
+    val got = stored(idx)
+    val want = alive.groupBy("unit")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("rows"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want) // unit 2 narrowed, unit 5 GONE, others untouched
+    assert(got(2)._1 >= 2500L && !got.contains(5))
+    // a rebuild rewrites covered state — it is NOT new coverage
+    assert(idx.coveredBatch(spark) === receipt)
+  }
 }
