@@ -26,11 +26,18 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).schema
       catch { case _: Throwable => }
     }
+    // optional args = query-name prefixes: bench only the matching
+    // queries (single-query investigation); no args = the full
+    // catalog (the driver's invocation — unchanged)
+    def wanted(name: String): Boolean =
+      args.isEmpty || args.exists(name.startsWith)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
-      catch { case _: Throwable => }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted(n) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => }
+      }
     // best-of-3 per query: single-pass numbers on a shared box swing
     // 2x on scheduler/GC noise — and two rounds running, a single
     // query has shown a phantom 16-20x outlier that reproduces nowhere
@@ -46,9 +53,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn)).min
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted(n) }
+      .map { case (name, fn) =>
+        name -> Seq.fill(3)(timeOnce(fn)).min
+      }
     // keep the one-line JSON small so the harness's tail capture holds
     // the WHOLE line (round 7's full-name/full-precision line was
     // truncated head-first and never parsed): keys shrink to the

@@ -242,7 +242,7 @@ object SparkEntry {
     "q212_stream_adversarial_view",
     "q215_stream_ivf_append", "q219_stream_trend",
     "q224_stream_rolling_mau", "q231_indexed_ingest",
-    "q233_schema_evolution")
+    "q233_schema_evolution", "q235_watermark_dedup_view")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -4673,6 +4673,81 @@ object SparkEntry {
       q.awaitTermination()
       view.read(s)
     }),
+    "q235_watermark_dedup_view" -> ((s, dir) => {
+      // WATERMARK-BOUNDED SOURCE DEDUP IN FRONT OF THE VIEW — q212's
+      // source-side dedup contract made FINITE. q212 screens
+      // redelivered facts with engine dropDuplicates, whose state is
+      // every identity EVER seen (the lateness contract that form
+      // leaves with the source: redelivery may arrive arbitrarily
+      // late, so nothing is evictable — see SCALE.md). Here the
+      // source declares its lateness bound (220 days of event time)
+      // and the screen is dropDuplicatesWithinWatermark: the
+      // duplicate redelivery arrives INSIDE the window (dropped — the
+      // view never double-counts), and once the watermark passes an
+      // identity's ts + delay its dedup row is EVICTED — state is
+      // O(identities within the lateness window), never O(stream
+      // history). Require-pinned: eviction happened (numRowsRemoved
+      // > 0 after the 1998 watermark jump clears the 1996 keys) and
+      // the final dedup state is strictly smaller than the full
+      // identity set. Oracle = the one-shot GROUP BY over the
+      // distinct fact multiset.
+      val base = s"/tmp/graft_q235_wmview_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val occW = Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val facts = tbl(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(2)) === 0 &&
+          year(col("l_shipdate")).isin(1996, 1998))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").as("ts"))
+        .withColumn("occ", row_number().over(occW))
+        .withColumn("sig", lit(1L))
+        .localCheckpoint()
+      val y96 = year(col("ts")) === 1996
+      facts.where(y96 && month(col("ts")) <= 6).appendBatchTo(in, 0)
+      // Jul–Dec 1996 plus an EXACT duplicate redelivery of the
+      // May–Jun slice — late, but inside the 220-day lateness window
+      facts.where(y96 && month(col("ts")) > 6)
+        .unionByName(facts.where(y96 && month(col("ts")).isin(5, 6)))
+        .appendBatchTo(in, 1)
+      // the 1998 facts advance the watermark far enough to EVICT
+      // every 1996 identity's dedup row
+      facts.where(year(col("ts")) === 1998).appendBatchTo(in, 2)
+      val view = graft.streaming.AggView(s"$base/view",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> round(col("l_quantity")).cast("long"),
+          "rev_cents" -> round(col("l_extendedprice")
+            * (lit(1.0) - col("l_discount")) * 100).cast("long")),
+        signCol = Some("sig"), buckets = 64)
+      view.init(facts.where(lit(false)))
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "220 days")
+        .dropDuplicatesWithinWatermark("l_orderkey", "l_linenumber", "occ")
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          view.applyBatch(b, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val st = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      val removed = st.flatMap(_.stateOperators.toSeq.map(_.numRowsRemoved)).sum
+      val finalRows = st.last.stateOperators.head.numRowsTotal
+      val idents = facts.count()
+      require(removed > 0L,
+        "the watermark jump must evict expired dedup state")
+      require(finalRows > 0L && finalRows < idents,
+        s"dedup state must stay bounded by the window: $finalRows vs $idents")
+      view.read(s)
+    }),
     "q213_vocab_coverage" -> ((s, dir) => {
       // VOCABULARY COVERAGE CURVE for tokenizer/vocab-size planning:
       // the smallest top-k word prefix (by count desc, word asc)
@@ -5464,6 +5539,78 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("src", lit("point"))
       rangeRows.unionByName(pointRows)
+    }),
+    "q236_multicol_zonemap" -> ((s, dir) => {
+      // MULTI-COLUMN ZONE MAP over a Z-ORDERED layout — ZoneMapIndex
+      // generalized to the full Delta add-file-stats shape: per-unit
+      // (mn, mx) for EVERY indexed column, folded incrementally
+      // through the same BucketedLog machine, pruning on
+      // CONJUNCTIONS. The layout is 16 equal-depth slices of the
+      // z-order over (custkey, orderday) scaled to a common 8-bit
+      // grid — contiguous z-slices are rectangles in value space
+      // (q169/q183), so BOTH columns' per-unit ranges are tight and
+      // the two-predicate box reads STRICTLY fewer units than either
+      // single-column predicate allows (require-pinned — the whole
+      // point of N-column stats). Stats fold over any batching ==
+      // one-shot (require-pinned); oracle = the plain box filter
+      // (the index buys IO skipping, never answers).
+      val base = s"/tmp/graft_q236_mczm_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val t = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+            .as("dd"))
+      val (ckMax, ddMax) = {
+        val r = t.agg(max(col("ck")), max(col("dd"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // normalize both dims to one 8-bit grid before interleaving so
+      // neither dominates the slice order (raw widths differ: ck is
+      // dense, dd spans ~2400 days)
+      val z = graft.operators.ZOrder.zValue(
+        col("ck") * 256L / (ckMax + 1L), col("dd") * 256L / (ddMax + 1L), 8)
+      val withUnit = t.withColumn("unit",
+          ntile(16).over(Window.orderBy(z, col("o_orderkey"))).cast("int"))
+        .localCheckpoint()
+      withUnit.write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl")
+      val idx = graft.operators.MultiColZoneMapIndex(s"$base/idx",
+        Seq("ck", "dd"))
+      idx.init(s, "int", Seq("long", "long"))
+      Seq(0, 1, 2, 3).foreach { k =>
+        idx.applyBatch(
+          withUnit.where(pmod(col("o_orderkey"), lit(4)) === k),
+          "unit", k.toLong)
+      }
+      val stored = idx.read(s).collect()
+        .map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      val oneShot = withUnit.groupBy("unit")
+        .agg(count(lit(1)).cast("long").as("rows"),
+          min("ck").as("mn_ck"), max("ck").as("mx_ck"),
+          min("dd").as("mn_dd"), max("dd").as("mx_dd"))
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      require(stored == oneShot,
+        "incrementally-folded multi-column stats diverged from one-shot")
+      val (ckLo, ckHi) = (ckMax / 4, ckMax / 2)
+      val (ddLo, ddHi) = (ddMax / 4, ddMax / 2)
+      val ckOnly = idx.matchingUnits(s,
+        Seq(("ck", lit(ckLo), lit(ckHi))))
+      val ddOnly = idx.matchingUnits(s,
+        Seq(("dd", lit(ddLo), lit(ddHi))))
+      val both = idx.matchingUnits(s,
+        Seq(("ck", lit(ckLo), lit(ckHi)), ("dd", lit(ddLo), lit(ddHi))))
+      require(both.nonEmpty && both.size < ckOnly.size &&
+        both.size < ddOnly.size,
+        s"conjunction must out-prune both single predicates: " +
+          s"ck=${ckOnly.size} dd=${ddOnly.size} both=${both.size}")
+      s.read.parquet(s"$base/tbl")
+        .where(col("unit").isin(both.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("ck").between(ckLo, ckHi) &&
+          col("dd").between(ddLo, ddHi))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     })
   )
 
@@ -8803,6 +8950,17 @@ object SparkEntry {
         |WHERE l_orderkey % 2 = 0 AND l_orderkey % 3 <> 1
         |  AND NOT (l_returnflag = 'R' AND l_linestatus = 'F')
         |GROUP BY 1, 2""".stripMargin,
+    // q235: the screened stream applies each distinct fact exactly
+    // once — duplicates die inside the lateness window, eviction and
+    // the state bound are pinned driver-side (requires, not SQL)
+    "q235_watermark_dedup_view" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        |  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+        |    AS rev_cents
+        |FROM lineitem
+        |WHERE l_orderkey % 2 = 0 AND year(l_shipdate) IN (1996, 1998)
+        |GROUP BY 1, 2""".stripMargin,
     "q189_time_travel" -> timeTravelSql,
     // q211: the two SURVIVING versions after the vacuum are each the
     // one-shot merge over their change prefix (q189's contract); the
@@ -8847,6 +9005,19 @@ object SparkEntry {
     // Bloom pairs collapse); the served lookups answer the plain
     // post-delete filters
     "q234_optimize_retighten" -> optimizeRetightenSql,
+    // q236: conjunction pruning is pinned driver-side (strictly
+    // fewer units than either single predicate); the served box
+    // lookup answers the plain two-predicate filter
+    "q236_multicol_zonemap" ->
+      """WITH mx AS (SELECT max(o_custkey) AS ckmax,
+        |    max(datediff('day', DATE '1995-01-01', o_orderdate::DATE))
+        |      AS ddmax
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, mx
+        |WHERE o_custkey BETWEEN ckmax // 4 AND ckmax // 2
+        |  AND datediff('day', DATE '1995-01-01', o_orderdate::DATE)
+        |      BETWEEN ddmax // 4 AND ddmax // 2""".stripMargin,
     // same contract as q192: the (incrementally-maintained) index
     // only decides which shard directories are READ; the residual
     // semi join makes the answer independent of false positives, so

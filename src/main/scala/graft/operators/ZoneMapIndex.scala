@@ -119,3 +119,102 @@ final case class ZoneMapIndex(dir: String, buckets: Int = 16) {
       .select(col("unit").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
 }
+
+/** MULTI-COLUMN incrementally-maintained zone-map index —
+  * [[ZoneMapIndex]] generalized to a stats struct per column, the
+  * full Delta add-file-stats shape: one (unit, rows, mn_c/mx_c per
+  * indexed column) row per unit, min/max folding idempotently PER
+  * COLUMN through the same [[graft.streaming.BucketedLog]] commit
+  * machinery (rows additive under the `#batch=` guard, the
+  * [[ZoneMapIndex]] contract — freshness fence, stale-wide deletes,
+  * soundness all inherited).
+  *
+  * The point of N columns is CONJUNCTION pruning: a unit survives
+  * [[matchingUnits]] only if EVERY predicate's range intersects its
+  * per-column stats, so a two-predicate query reads a strict subset
+  * of what either single-column index allows — provided the layout
+  * correlates BOTH columns with the unit, which is exactly what a
+  * Z-ORDER unit gives (contiguous z-slices are rectangles in value
+  * space; [[ZOrder]], q169/q183). Indexing a column the layout does
+  * NOT correlate with is sound but prunes nothing — the same rule as
+  * the single-column index's arrival-correlation requirement. */
+final case class MultiColZoneMapIndex(dir: String, valCols: Seq[String],
+    buckets: Int = 16) {
+
+  import graft.streaming.BucketedLog
+
+  require(valCols.nonEmpty, "at least one stats column")
+  private val log = BucketedLog(dir, Seq("unit"), buckets)
+  private def statCols: Seq[String] =
+    valCols.flatMap(c => Seq(s"mn_$c", s"mx_$c"))
+
+  /** ≤ one stats partial per unit present in the batch. */
+  private def partial(batch: DataFrame, unitCol: String): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +:
+      valCols.flatMap(c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    batch.groupBy(col(unitCol).as("unit")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def refold(cur: Option[DataFrame], p: DataFrame): DataFrame = {
+    val aggs = sum(col("rows")).cast("long").as("rows") +:
+      valCols.flatMap(c =>
+        Seq(min(col(s"mn_$c")).as(s"mn_$c"), max(col(s"mx_$c")).as(s"mx_$c")))
+    cur.map(_.unionByName(p)).getOrElse(p)
+      .groupBy(col("unit")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `valTypes` pairs positionally with `valCols`. */
+  def init(spark: SparkSession, unitType: String,
+      valTypes: Seq[String]): Unit = {
+    require(valTypes.size == valCols.size, "one type per stats column")
+    val cols = col("id").cast(unitType).as("unit") +: lit(0L).as("rows") +:
+      valCols.zip(valTypes).flatMap { case (c, t) =>
+        Seq(lit(null).cast(t).as(s"mn_$c"), lit(null).cast(t).as(s"mx_$c"))
+      }
+    log.init(spark.range(0).select(cols: _*).where(lit(false)))
+  }
+
+  def applyBatch(batch: DataFrame, unitCol: String, batchId: Long): Unit =
+    log.applyBatch(partial(batch, unitCol), batchId) {
+      (cur, p) => refold(cur, p)
+    }
+
+  def read(spark: SparkSession): DataFrame =
+    log.read(spark).select(("unit" +: "rows" +: statCols).map(col): _*)
+
+  /** The coverage receipt (see [[ZoneMapIndex.coveredBatch]]). */
+  def coveredBatch(spark: SparkSession): Long =
+    log.readManifestFull(spark).map(_._2).getOrElse(-1L)
+
+  /** Units surviving EVERY `(column, lo, hi)` predicate — the
+    * conjunction prune: intersection per column, AND across
+    * columns. */
+  def matchingUnits(spark: SparkSession,
+      preds: Seq[(String, Column, Column)]): Seq[Long] = {
+    require(preds.nonEmpty && preds.forall(p => valCols.contains(p._1)),
+      s"predicates must name indexed columns: $valCols")
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"mx_$c") >= lo && col(s"mn_$c") <= hi
+    }.reduce(_ && _)
+    read(spark).where(cond)
+      .select(col("unit").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  /** DELETE-path re-tightening — [[ZoneMapIndex.rebuildUnits]] over
+    * every stats column at once. */
+  def rebuildUnits(tableRows: DataFrame, unitCol: String,
+      units: DataFrame): Unit = {
+    val u = units.toDF("unit")
+    val fresh = partial(
+      tableRows.join(broadcast(u), tableRows(unitCol) === u("unit"),
+        "left_semi"),
+      unitCol)
+    log.rewriteBuckets(u) { (cur, _) =>
+      cur.map(_.join(broadcast(u), Seq("unit"), "left_anti")
+          .unionByName(fresh))
+        .getOrElse(fresh)
+    }
+  }
+}
