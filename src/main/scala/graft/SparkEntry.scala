@@ -4594,7 +4594,9 @@ object SparkEntry {
       //       responsibility for re-delivered facts sits with the
       //       SOURCE: the stream runs engine dropDuplicates on the
       //       fact identity (l_orderkey, l_linenumber, occ, sig)
-      //       ahead of the view, so b3 reaches applyBatch empty,
+      //       ahead of the view, so b3 reaches applyBatch empty
+      //       (UNBOUNDED dedup state — q235 is the watermark-bounded
+      //       production form; SCALE.md states the contract),
       //   b4  full retraction of ONE group, whose log bucket it
       //       occupies ALONE (asserted) — the merge output for that
       //       bucket is EMPTY and its manifest entry must drop.

@@ -198,6 +198,37 @@ class AggViewSpec extends AnyFunSuite with SparkTestBase {
     assert(read(v) === expected)
   }
 
+  test("evolveMeasures: new sums fold only post-evolution facts; old shape travels") {
+    // facts carry a second measure (wt) the view does not track yet
+    def dfw(rows: Seq[(String, Long, Long)], sig: Long): DataFrame =
+      rows.map { case (g, u, w) => (g, u, w, sig) }
+        .toDF("grp", "units", "wt", "sig")
+    val b0 = Seq(("a", 3L, 30L), ("a", 5L, 50L), ("b", 2L, 20L))
+    val b1 = Seq(("a", 7L, 70L), ("b", 4L, 40L), ("c", 10L, 100L))
+    var v = AggView("/tmp/graft_aggview_spec_evo", Seq("grp"),
+      Seq("sum_units" -> col("units")), signCol = Some("sig"),
+      buckets = 4, retain = true)
+    v.init(dfw(Nil, 1L))
+    v.applyBatch(dfw(b0, 1L), 0L) // -> version 1, old shape
+    v = v.evolveMeasures(spark, Seq("sum_wt" -> col("wt"))) // -> version 2
+    v.applyBatch(dfw(b1, 1L), 1L) // -> version 3, new shape
+    val got = v.read(spark).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3))))
+      .toMap
+    // pre-evolution facts never observed wt: groups untouched since
+    // the evolution read NULL; a re-folded group sums only
+    // post-evolution wt (sum skips nulls) — exactly the one-shot over
+    // a union-schema fact set with pre-evolution wt = null
+    assert(got === Map(
+      "a" -> (3L, 15L, Some(70L)), // refolded: wt from b1's a-row only
+      "b" -> (2L, 6L, Some(40L)),
+      "c" -> (1L, 10L, Some(100L))))
+    // time travel below the evolution serves the old column set
+    assert(v.readAt(spark, 1L).columns.toSeq ===
+      Seq("grp", "cnt", "sum_units"))
+  }
+
   test("retained view supports time travel per commit") {
     val v = AggView("/tmp/graft_aggview_spec_tt", Seq("grp"),
       Seq("sum_units" -> col("units")), signCol = Some("sig"),

@@ -77,6 +77,34 @@ class ManifestCheckpointSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("schema evolution mid-history survives the fold: segment readAt keeps shapes") {
+    val dir = "/tmp/graft_ckpt_evo"; rm(dir)
+    val log = BucketedLog(dir, Seq("k"), buckets = 4, retain = true,
+      checkpointEvery = 3)
+    log.init(Seq((1L, 10L)).toDF("k", "v"))
+    (0 until 4).foreach { b =>
+      log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), b.toLong)(sumMerge)
+    }
+    log.evolveSchema(spark, Seq("w" -> "long")) // -> version 5
+    (4 until 8).foreach { b =>
+      log.applyBatch(Seq((1L, 1L, 100L)).toDF("k", "v", "w"), b.toLong) {
+        (cur, batch) =>
+          cur.map(_.unionByName(batch)).getOrElse(batch)
+            .groupBy("k").agg(sum("v").cast("long").as("v"),
+              sum("w").cast("long").as("w"))
+      }
+    }
+    // versions 0..~7 folded into segments (checkpointEvery = 3)
+    assert(segments(dir).nonEmpty)
+    // below the evolution (version ≤ 4): OLD column set, served from
+    // a segment; above: new set with w folded from new batches only
+    assert(log.readAt(spark, 3L).columns.toSeq === Seq("k", "v"))
+    assert(log.readAt(spark, 3L).head().getLong(1) === 13L)
+    assert(log.readAt(spark, 5L).columns.toSeq === Seq("k", "v", "w"))
+    val fin = log.read(spark).head()
+    assert(fin.getLong(1) === 18L && fin.getLong(2) === 400L)
+  }
+
   test("vacuum drops segment blocks below the floor; reads above survive") {
     val n = 14
     val (folded, flat) = buildPair(n)
