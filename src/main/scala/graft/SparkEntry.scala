@@ -5506,8 +5506,16 @@ object SparkEntry {
       val pairsBefore = bloomPairs
       require(pairsBefore >= 40L, "pre-rebuild bits must cover deleted keys")
       // the OPTIMIZE pass re-tightens BOTH indexes for the touched
-      // units/shards in the same rewrite
-      idx.rebuildUnits(opt, "unit", "o_orderkey",
+      // units/shards in the same rewrite. The zone rebuild reads ONLY
+      // the touched units' directories (static literal pruning — at
+      // 100 TB a rebuild must never rescan the table); the Bloom
+      // rebuild scans here because THIS table is unit-laid — in the
+      // q147 shard layout the same call prunes by shard directory
+      val touchedUnits = Seq(2, 3)
+      idx.rebuildUnits(
+        opt.where(col("unit")
+          .isin(touchedUnits.map(Integer.valueOf(_)): _*)),
+        "unit", "o_orderkey",
         withUnit.where(doomed).select("unit").distinct())
       bloom.rebuildShards(opt, "o_orderkey",
         withUnit.where(doomed)
@@ -5610,6 +5618,84 @@ object SparkEntry {
           s"ck=${ckOnly.size} dd=${ddOnly.size} both=${both.size}")
       s.read.parquet(s"$base/tbl")
         .where(col("unit").isin(both.map(u => Integer.valueOf(u.toInt)): _*))
+        .where(col("ck").between(ckLo, ckHi) &&
+          col("dd").between(ddLo, ddHi))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q237_optimize_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER BY — RE-CLUSTERING, the layout-CHANGING
+      // maintenance pass (q232 compacts within units; this one
+      // replaces the unit scheme entirely): the table starts in the
+      // q230 arrival layout (linear orderkey ranges), where a
+      // (custkey, orderday) box prunes NOTHING — neither column
+      // correlates with arrival, so every unit's stats span the
+      // domain. The pass rewrites into z-order slices over the two
+      // query columns and the multi-column index is REBUILT RIDING
+      // THE REWRITE (stats collected from the data the pass already
+      // moves — Delta's ZORDER recomputes file stats the same way;
+      // an index keyed on the OLD units cannot survive a
+      // re-clustering, which is exactly the difference from q232).
+      // Require-pinned: the same box reads at most HALF the rows
+      // under the new layout's index that it read under the old
+      // one's. Oracle = the plain box filter.
+      val base = s"/tmp/graft_q237_zopt_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val t = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+            .as("dd"))
+      val r0 = t.agg(max(col("o_orderkey")), max(col("ck")),
+        max(col("dd"))).head()
+      val (okMax, ckMax, ddMax) = (r0.getLong(0), r0.getLong(1),
+        r0.getLong(2))
+      val w = okMax / 8 + 1
+      // BEFORE: arrival layout + its multi-column index
+      val arrival = t
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      arrival.write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl0")
+      val idx0 = graft.operators.MultiColZoneMapIndex(s"$base/idx0",
+        Seq("ck", "dd"))
+      idx0.init(s, "int", Seq("long", "long"))
+      idx0.applyBatch(arrival, "unit", 0L)
+      val (ckLo, ckHi) = (ckMax / 8, ckMax / 4)
+      val (ddLo, ddHi) = (ddMax / 2, 3 * ddMax / 4)
+      val box = Seq(("ck", lit(ckLo), lit(ckHi)),
+        ("dd", lit(ddLo), lit(ddHi)))
+      def rowsRead(idx: graft.operators.MultiColZoneMapIndex): Long = {
+        val units = idx.matchingUnits(s, box)
+        idx.read(s).where(col("unit").cast("long")
+            .isin(units.map(Long.box): _*))
+          .agg(sum(col("rows"))).head().getLong(0)
+      }
+      val before = rowsRead(idx0)
+      // OPTIMIZE ZORDER BY (ck, dd): one pass rewrites the layout
+      // AND rebuilds the index from the rows it already moves
+      val z = graft.operators.ZOrder.zValue(
+        col("ck") * 256L / (ckMax + 1L), col("dd") * 256L / (ddMax + 1L), 8)
+      val zed = s.read.parquet(s"$base/tbl0").drop("unit")
+        .withColumn("unit",
+          ntile(16).over(Window.orderBy(z, col("o_orderkey"))).cast("int"))
+        .localCheckpoint()
+      zed.repartition(col("unit"))
+        .write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl1")
+      val idx1 = graft.operators.MultiColZoneMapIndex(s"$base/idx1",
+        Seq("ck", "dd"))
+      idx1.init(s, "int", Seq("long", "long"))
+      idx1.applyBatch(zed, "unit", 0L)
+      val after = rowsRead(idx1)
+      require(after * 2 <= before,
+        s"re-clustering must at least halve the box's read set: " +
+          s"$before -> $after rows")
+      // serve the box from the re-clustered layout
+      val units1 = idx1.matchingUnits(s, box)
+      s.read.parquet(s"$base/tbl1")
+        .where(col("unit").isin(units1.map(u => Integer.valueOf(u.toInt)): _*))
         .where(col("ck").between(ckLo, ckHi) &&
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -9007,6 +9093,19 @@ object SparkEntry {
     // Bloom pairs collapse); the served lookups answer the plain
     // post-delete filters
     "q234_optimize_retighten" -> optimizeRetightenSql,
+    // q237: the re-clustering benefit is pinned driver-side (the box
+    // reads at most half the rows under the new layout's index); the
+    // served lookup answers the plain box filter
+    "q237_optimize_zorder" ->
+      """WITH mx AS (SELECT max(o_custkey) AS ckmax,
+        |    max(datediff('day', DATE '1995-01-01', o_orderdate::DATE))
+        |      AS ddmax
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, mx
+        |WHERE o_custkey BETWEEN ckmax // 8 AND ckmax // 4
+        |  AND datediff('day', DATE '1995-01-01', o_orderdate::DATE)
+        |      BETWEEN ddmax // 2 AND 3 * ddmax // 4""".stripMargin,
     // q236: conjunction pruning is pinned driver-side (strictly
     // fewer units than either single predicate); the served box
     // lookup answers the plain two-predicate filter

@@ -154,8 +154,11 @@ final case class IncrementalBloomIndex(dir: String, nShards: Int,
     * keys stop matching). `shards` is a one-column LONG frame of
     * shard ids. Touched-bucket maintenance rewrite: O(|shards| +
     * touched index rows), never O(table beyond the rebuilt shards'
-    * rows); the coverage receipt (`#batch=`) carries UNCHANGED. A
-    * shard with no keys left leaves the index. */
+    * rows) — `tableRows` should be the shard-directory-pruned read
+    * (the shard IS the table layout at 100 TB, class doc), not a full
+    * scan the semi-join then filters. The coverage receipt
+    * (`#batch=`) carries UNCHANGED. A shard with no keys left leaves
+    * the index. */
   def rebuildShards(tableRows: DataFrame, keyCol: String,
       shards: DataFrame): Unit = {
     val sh = shards.toDF("shard")

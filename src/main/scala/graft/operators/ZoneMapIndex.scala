@@ -82,11 +82,15 @@ final case class ZoneMapIndex(dir: String, buckets: Int = 16) {
     * index rows — stale-WIDE ranges narrow back to exact, counts
     * re-count, and a unit with no rows left LEAVES the index.
     * `units` is a one-column frame of unit ids (same type as the
-    * table's unit column — it keys the touched-bucket hash).
-    * Touched-bucket maintenance rewrite: O(|units| + touched index
-    * rows), never O(index); the coverage receipt (`#batch=`) carries
-    * UNCHANGED — a rebuild rewrites covered state, it is not new
-    * coverage, so [[coveredBatch]] fences stay exact. */
+    * table's unit column — it keys the touched-bucket hash), and
+    * `tableRows` should be the unit-directory-pruned read of those
+    * units (the unit is the table's partition key — at 100 TB a
+    * rebuild must never rescan the table; the semi-join inside is a
+    * correctness guard, not the pruning mechanism). Touched-bucket
+    * maintenance rewrite: O(|units| + touched index rows), never
+    * O(index); the coverage receipt (`#batch=`) carries UNCHANGED —
+    * a rebuild rewrites covered state, it is not new coverage, so
+    * [[coveredBatch]] fences stay exact. */
   def rebuildUnits(tableRows: DataFrame, unitCol: String, valCol: String,
       units: DataFrame): Unit = {
     val u = units.toDF("unit")

@@ -282,18 +282,25 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   private def readManifestAt(spark: SparkSession, asOf: Long)
       : Option[(Long, Map[Int, String])] = {
     val f = fs(spark)
-    val top = allManifests(f).filter(_._1 <= asOf)
-    if (top.nonEmpty) {
-      val (version, path) = top.maxBy(_._1)
-      return Some((version, parseManifest(f, path)._2))
+    def resolve(): Option[(Long, Map[Int, String])] = {
+      val top = allManifests(f).filter(_._1 <= asOf)
+      if (top.nonEmpty) {
+        val (version, path) = top.maxBy(_._1)
+        return Some((version, parseManifest(f, path)._2))
+      }
+      val segs = allSegments(f).filter(_._1 <= asOf)
+      val toParse = (segs.filter(_._2 >= asOf) ++
+        segs.filter(_._2 < asOf).sortBy(_._2).lastOption).distinct
+      toParse.iterator
+        .flatMap { case (_, _, p) => parseSegment(f, p) }
+        .filter(_._1 <= asOf).maxByOption(_._1)
+        .map { case (v, text) => (v, parseManifestText(text)._2) }
     }
-    val segs = allSegments(f).filter(_._1 <= asOf)
-    val toParse = (segs.filter(_._2 >= asOf) ++
-      segs.filter(_._2 < asOf).sortBy(_._2).lastOption).distinct
-    toParse.iterator
-      .flatMap { case (_, _, p) => parseSegment(f, p) }
-      .filter(_._1 <= asOf).maxByOption(_._1)
-      .map { case (v, text) => (v, parseManifestText(text)._2) }
+    // a concurrent checkpoint fold can delete a manifest between this
+    // reader's listing and its parse — the content is already in a
+    // segment by then, so one fresh resolution finds it
+    try resolve()
+    catch { case _: java.io.FileNotFoundException => resolve() }
   }
 
   /** A writer-unique commit nonce — names this writer's data dir and
@@ -411,9 +418,21 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       }
     }
     f.listStatus(new Path(dir)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("v") && !n.endsWith(".tmp") && !live.contains(n) &&
-        !n.startsWith("_")) f.delete(st.getPath, true)
+      st.getPath.getName match {
+        // crashed writers' manifest tmps: stale once below the floor
+        case ManifestTmp(v) if v.toLong < keepFrom =>
+          f.delete(st.getPath, false)
+        case n if n.startsWith("v") && !n.endsWith(".tmp") &&
+            !live.contains(n) && !n.startsWith("_") =>
+          f.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    // crashed segment-fold tmps (no version of their own — any live
+    // fold simply re-runs; a racing fold's rename then fails loud)
+    val hist = new Path(s"$dir/_history")
+    if (f.exists(hist)) f.listStatus(hist).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp.")) f.delete(st.getPath, false)
     }
     deleteDeadDataDirs(f, live)
   }
@@ -524,6 +543,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     if (touched.isEmpty) {
       if (curVer >= 0L) {
         writeManifest(f, version, batchId, entries, newNonce())
+        cleanup(f, version, entries)
         maybeCheckpoint(f)
       }
       return
@@ -669,7 +689,13 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * governed by the old anchor — "evolution not applied", safe to
     * re-run — never an orphan anchor a later commit would silently
     * activate. A lost commit race throws [[ConcurrentCommitException]]
-    * before the anchor exists. */
+    * before the anchor exists. ADD-column is the whole surface BY
+    * DESIGN: rename and drop would re-key data already written under
+    * the old names (Delta needs explicit column-mapping metadata for
+    * the same reason), and type changes silently corrupt folded
+    * LONG-exact states — both are rejected rather than approximated.
+    * Evolution is a DDL: caller-coordinated, NOT replay-idempotent
+    * (re-adding an existing column throws). */
   def evolveSchema(spark: SparkSession, add: Seq[(String, String)]): Unit = {
     val f = fs(spark)
     val (curVer, lastBatch, entries) = readManifestFull(spark)

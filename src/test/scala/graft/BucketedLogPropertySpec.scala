@@ -157,6 +157,74 @@ class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("random deletes + rebuild re-tighten BOTH indexes to the one-shot over survivors") {
+    import graft.operators.{IncrementalBloomIndex, ZoneMapIndex}
+    import graft.expressions.BloomAggregate
+    samples(idxGen, 4).zipWithIndex.foreach {
+      case ((keys, nBatches, replay), i) =>
+        val mod = 2 + i % 4 // delete every mod-th key
+        val alive = keys.filter(_ % mod != 0)
+        // ── zone map: delete, rebuild touched units, == one-shot ──
+        val zm = ZoneMapIndex(s"/tmp/graft_blprop_rbzm$i")
+        zm.init(spark, "int", "long")
+        def withUnit(ks: Seq[Long]) = ks.toDF("v")
+          .select(col("v"), (col("v") / 1000L).cast("int").as("unit"))
+        (0 until nBatches).foreach { b =>
+          zm.applyBatch(withUnit(
+            keys.zipWithIndex.filter(_._2 % nBatches == b).map(_._1)),
+            "unit", "v", b.toLong)
+          if (replay(b % replay.size))
+            zm.applyBatch(withUnit(
+              keys.zipWithIndex.filter(_._2 % nBatches == b).map(_._1)),
+              "unit", "v", b.toLong)
+        }
+        val touchedUnits = keys.filter(_ % mod == 0).map(_ / 1000L)
+          .distinct.map(_.toInt)
+        zm.rebuildUnits(withUnit(alive), "unit", "v",
+          touchedUnits.toDF("unit"))
+        val zGot = zm.read(spark).collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        val zWant = withUnit(alive).groupBy("unit")
+          .agg(min("v").as("mn"), max("v").as("mx"),
+            count(lit(1)).as("rows"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        assert(zGot === zWant, s"seed $i zone map (mod $mod)")
+        // ── Bloom: rebuild touched shards == fresh build bit-for-bit ──
+        val bl = IncrementalBloomIndex(s"/tmp/graft_blprop_rbbl$i",
+          nShards = 16, words = 256)
+        bl.init(spark)
+        (0 until nBatches).foreach { b =>
+          val rows = keys.zipWithIndex.filter(_._2 % nBatches == b)
+            .map(_._1).toDF("k")
+          bl.applyBatch(rows, "k", b.toLong)
+        }
+        bl.rebuildShards(alive.toDF("k"), "k",
+          keys.filter(_ % mod == 0).toDF("k")
+            .select(bl.shardOf(col("k")).as("shard")).distinct())
+        val bGot = bl.read(spark).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        // expected: touched shards rebuilt from survivors, untouched
+        // shards keep the full-key bits (deletes only decay fpp there)
+        val touchedShards = keys.filter(_ % mod == 0).toDF("k")
+          .select(bl.shardOf(col("k")).as("s")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        def bits(ks: Seq[Long]): Map[Long, List[Long]] = ks.toDF("k")
+          .groupBy(bl.shardOf(col("k")).as("shard"))
+          .agg(BloomAggregate(xxhash64(col("k")), 256, 7).as("bits"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+          .toMap
+        val full = bits(keys); val fresh = bits(alive)
+        val bWant = full.flatMap { case (s, b0) =>
+          if (touchedShards(s)) fresh.get(s).map(s -> _) // None = emptied
+          else Some(s -> b0)
+        }
+        assert(bGot === bWant, s"seed $i bloom (mod $mod)")
+    }
+  }
+
   test("random CDC splits + replays == one-shot MergeInto") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
