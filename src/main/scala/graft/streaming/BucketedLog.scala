@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * writer published the same manifest version first. The loser's data
   * dir is unreferenced (writer-unique names — no surviving manifest
   * can point at it) and deleted best-effort; the store remains fully
-  * readable at the winner's state. A lost MAINTENANCE pass
-  * ([[BucketedLog.compactNow]], vacuum-style rewrites) is safe to
-  * re-run from a fresh read; a lost [[BucketedLog.applyBatch]] means
-  * two committers raced the SAME store — a deployment error (the
-  * streaming engine serializes batch ids by contract), surfaced
-  * loudly instead of silently dropping one side's commit. */
+  * readable at the winner's state. EVERY commit path is safe to
+  * re-run from a fresh read — a lost maintenance pass
+  * ([[BucketedLog.compactNow]], vacuum-style rewrites) simply
+  * re-reads and re-transforms, and a lost [[BucketedLog.applyBatch]]
+  * re-reads the new base and re-merges (the merge is a pure function
+  * of (currentState, batch), so a rebase recomputes the right
+  * result; the batch/txn watermark makes an already-landed replay a
+  * no-op). [[BucketedLog.retrying]] packages that re-run loop;
+  * writers that would rather treat a race as a deployment error
+  * (single-stream ingest) just don't wrap. */
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
@@ -64,6 +68,21 @@ final class ConcurrentCommitException(msg: String)
   * ([[AggView]]'s additive state, where a re-applied batch would
   * otherwise double-count; spec-pinned in `AggViewSpec`).
   *
+  * == Multiple writers: per-writer txn watermarks ==
+  *
+  * `#batch=` is ONE scalar — correct for the single-stream contract,
+  * but a second independent ingest stream whose batch ids trail the
+  * first's would have its batches silently skipped by the shared
+  * mark. [[applyBatch]] therefore takes an optional `writerId`: a
+  * named writer's exactly-once guard is its OWN `#txn.<writerId>=`
+  * manifest line (the Delta `txn`/appId discipline), advanced only
+  * by that writer's commits and carried untouched by everyone
+  * else's — N streams with independent batch-id sequences each get
+  * exactly-once, and a crash-replay of any one stream is a no-op
+  * regardless of how far the others advanced the version chain.
+  * Named-writer commits leave `#batch=` unchanged (it remains the
+  * default stream's coverage receipt).
+  *
   * == Concurrent commits: loud losers, never silent loss ==
   *
   * Two writers racing from the same base version (a maintenance
@@ -81,7 +100,13 @@ final class ConcurrentCommitException(msg: String)
   *      whose rename was replaced in a photo finish also throws.
   *
   * The loser deletes its orphan dir and surfaces the exception; the
-  * winner's state is fully readable throughout. On HDFS the rename
+  * winner's state is fully readable throughout. Because every commit
+  * path re-reads the manifest at entry and the merge/transform is a
+  * pure function of what it read, a loser can always REBASE by
+  * simply re-running — [[retrying]] wraps any commit in that loop
+  * (bounded attempts, linear backoff), turning the loud loss into
+  * Delta-style re-check-and-retry for writers that want liveness
+  * over fail-fast. On HDFS the rename
   * step is itself no-overwrite (true CAS); on object stores map it
   * to conditional put; on local FS steps 2+3 close every interleave
   * except a sub-µs double-rename photo finish, which step 1 keeps
@@ -244,17 +269,34 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       : (Long, Map[Int, String]) =
     parseManifestText(new String(readBytes(f, path), "UTF-8"))
 
+  /** Full parse including per-writer txn watermarks
+    * (`#txn.<writerId>=<batchId>` lines, absent on pre-txn stores). */
+  private def parseManifestTxns(f: FileSystem, path: Path)
+      : (Long, Map[String, Long], Map[Int, String]) =
+    parseManifestTextTxns(new String(readBytes(f, path), "UTF-8"))
+
   private def parseManifestText(text: String): (Long, Map[Int, String]) = {
+    val (lastBatch, _, entries) = parseManifestTextTxns(text)
+    (lastBatch, entries)
+  }
+
+  private def parseManifestTextTxns(text: String)
+      : (Long, Map[String, Long], Map[Int, String]) = {
     var lastBatch = -1L
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { l =>
         if (l.startsWith("#batch=")) {
           lastBatch = l.drop("#batch=".length).toLong; None
+        } else if (l.startsWith("#txn.")) {
+          val body = l.drop("#txn.".length)
+          val i = body.lastIndexOf('=')
+          txns(body.take(i)) = body.drop(i + 1).toLong; None
         } else {
           val i = l.indexOf('='); Some((l.take(i).toInt, l.drop(i + 1)))
         }
       }.toMap
-    (lastBatch, entries)
+    (lastBatch, txns.toMap, entries)
   }
 
   /** (version, bucket -> version-dir-name). Highest manifest wins. */
@@ -263,13 +305,28 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     readManifestFull(spark).map { case (v, _, e) => (v, e) }
 
   private[graft] def readManifestFull(spark: SparkSession)
-      : Option[(Long, Long, Map[Int, String])] = {
+      : Option[(Long, Long, Map[Int, String])] =
+    readManifestFullTxns(spark).map { case (v, b, _, e) => (v, b, e) }
+
+  /** (version, lastBatch, per-writer txns, entries) — the complete
+    * head-manifest state. `txns(writerId)` is that writer's
+    * last-applied batch id (its exactly-once watermark). */
+  private[graft] def readManifestFullTxns(spark: SparkSession)
+      : Option[(Long, Long, Map[String, Long], Map[Int, String])] = {
     val f = fs(spark)
     val versions = allManifests(f)
     if (versions.isEmpty) return None
     val (version, path) = versions.maxBy(_._1)
-    val (lastBatch, entries) = parseManifest(f, path)
-    Some((version, lastBatch, entries))
+    val (lastBatch, txns, entries) = parseManifestTxns(f, path)
+    Some((version, lastBatch, txns, entries))
+  }
+
+  /** A named writer's exactly-once watermark: the highest batch id it
+    * has committed (−1 before its first commit). */
+  def txnWatermark(spark: SparkSession, writerId: String): Long = {
+    require(writerId.nonEmpty, "txnWatermark: empty writerId")
+    readManifestFullTxns(spark)
+      .fold(-1L)(_._3.getOrElse(writerId, -1L))
   }
 
   /** Highest manifest with version ≤ `asOf` (time travel; requires
@@ -309,6 +366,28 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   private def newNonce(): String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Classify a failure inside a commit's read-merge-write span: on a
+    * NON-retained store a concurrent winner's cleanup can delete the
+    * superseded base dirs this writer is still LAZILY reading, so the
+    * job dies with an IO error instead of losing the manifest race.
+    * If the manifest moved past the version this commit based on, the
+    * failure IS a lost race — surface it as the retryable
+    * [[ConcurrentCommitException]] (cause attached; a caller bug that
+    * merely coincided with a race re-fails identically on the rebase
+    * and exhausts the retry loop loudly). Otherwise rethrow as-is. */
+  private def raceOrRethrow(f: FileSystem, basedOn: Long,
+      e: Throwable): Nothing = {
+    val nowVer = allManifests(f).map(_._1).maxOption.getOrElse(-1L)
+    if (nowVer > basedOn) {
+      val ex = new ConcurrentCommitException(
+        s"commit based on version $basedOn failed after a concurrent " +
+          s"writer advanced the store to $nowVer; re-run to rebase")
+      ex.initCause(e)
+      throw ex
+    }
+    throw e
+  }
+
   private def readBytes(f: FileSystem, path: Path): Array[Byte] = {
     val in = f.open(path)
     try {
@@ -326,10 +405,12 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * `_MANIFEST.v<version>` wins — the caller's data dir is orphaned
     * by construction (writer-unique name) and should be deleted. */
   private def writeManifest(f: FileSystem, version: Long,
-      lastBatch: Long, entries: Map[Int, String], nonce: String): Unit = {
-    val body = (s"#batch=$lastBatch" +: entries.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }).mkString("\n")
-      .getBytes("UTF-8")
+      lastBatch: Long, entries: Map[Int, String], nonce: String,
+      txns: Map[String, Long]): Unit = {
+    val body = (s"#batch=$lastBatch" +:
+      (txns.toSeq.sortBy(_._1).map { case (w, b) => s"#txn.$w=$b" } ++
+        entries.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }))
+      .mkString("\n").getBytes("UTF-8")
     val dst = new Path(s"$dir/${manifestFile(version)}")
     def verify(who: String): Unit =
       if (!java.util.Arrays.equals(readBytes(f, dst), body))
@@ -367,14 +448,32 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   }
 
   /** Delete every `data/v*` dir `live` does not reference (the loser/
-    * superseded sweep shared by [[cleanup]] and [[vacuum]]). */
+    * superseded sweep shared by [[cleanup]] and [[vacuum]]).
+    * `.tmp` dirs are IN-FLIGHT writes (the write-then-rename
+    * protocol: a dir gets its final name only once its content is
+    * complete) — sweeping one mid-write would fail the writer's
+    * tasks with an unretryable IO error instead of a loud commit
+    * loss, so they are spared unless old enough to be a crashed
+    * writer's litter ([[BucketedLog.SweepGraceMs]]; a LIVE write
+    * keeps refreshing its dir mtime as files land). A COMPLETE
+    * unreferenced dir is always safe to sweep: its owner either
+    * already lost the manifest race or is about to lose it
+    * (put-if-absent on a contiguous version chain — some manifest
+    * at its target version exists by the time the sweep can see the
+    * dir as unreferenced), and a loser's own best-effort delete
+    * no-ops. */
   private def deleteDeadDataDirs(f: FileSystem, live: Set[String]): Unit = {
     val d = new Path(s"$dir/data")
     if (!f.exists(d)) return
+    val now = System.currentTimeMillis()
     f.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && !n.endsWith(".tmp") &&
-        !live.contains(s"data/$n")) f.delete(st.getPath, true)
+      if (n.startsWith("v")) {
+        if (!n.endsWith(".tmp")) {
+          if (!live.contains(s"data/$n")) f.delete(st.getPath, true)
+        } else if (now - st.getModificationTime > BucketedLog.SweepGraceMs)
+          f.delete(st.getPath, true)
+      }
     }
   }
 
@@ -488,7 +587,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     state.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
     writeManifest(f, 0L, -1L,
-      writtenBuckets(f, vdir).map(_ -> vdir).toMap, newNonce())
+      writtenBuckets(f, vdir).map(_ -> vdir).toMap, newNonce(), Map.empty)
   }
 
   /** The typed EMPTY state as of `version` — the highest `schema.v*`
@@ -522,16 +621,36 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * it names the version. `merge` must return rows whose keys hash
     * back into the touched set (same keys in = same buckets out). */
   def applyBatch(batch: DataFrame, batchId: Long)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit =
+    applyBatch(batch, batchId, writerId = "")(merge)
+
+  /** [[applyBatch]] with a named writer: the exactly-once guard is
+    * this writer's OWN `#txn.<writerId>=` watermark (class doc,
+    * "Multiple writers"), so independent ingest streams with
+    * independent batch-id sequences can share one store — each
+    * stream's crash-replays are no-ops by ITS mark, and other
+    * writers' commits never advance it. Named-writer versions are
+    * `curVer + 1` (batch ids are per-writer, so they cannot name
+    * global versions) and `#batch=` is carried unchanged. */
+  def applyBatch(batch: DataFrame, batchId: Long, writerId: String)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark)
-    val (curVer, lastBatch, entries) = readManifestFull(spark)
-      .getOrElse((-1L, -1L, Map.empty[Int, String]))
+    val (curVer, lastBatch0, txns, entries) =
+      readManifestFullTxns(spark)
+        .getOrElse((-1L, -1L, Map.empty[String, Long],
+          Map.empty[Int, String]))
     // exactly-once by batch id: a crash-replayed micro-batch whose
     // commit already landed is a no-op — required for NON-idempotent
     // merges (additive AggView folds) under at-least-once delivery
-    if (batchId <= lastBatch) return
-    val version = math.max(curVer + 1, batchId + 1)
+    val mark = if (writerId.isEmpty) lastBatch0
+      else txns.getOrElse(writerId, -1L)
+    if (batchId <= mark) return
+    val lastBatch = if (writerId.isEmpty) batchId else lastBatch0
+    val newTxns = if (writerId.isEmpty) txns
+      else txns.updated(writerId, batchId)
+    val version = if (writerId.isEmpty) math.max(curVer + 1, batchId + 1)
+      else curVer + 1
     // distinct buckets of the batch's keys — bounded by |batch|
     val touched = batch.select(bkt.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -542,7 +661,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // fail a strict `coveredBatch == n` fence spuriously
     if (touched.isEmpty) {
       if (curVer >= 0L) {
-        writeManifest(f, version, batchId, entries, newNonce())
+        writeManifest(f, version, lastBatch, entries, newNonce(), newTxns)
         cleanup(f, version, entries)
         maybeCheckpoint(f)
       }
@@ -550,10 +669,6 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
     val compact = !retain && entries.values.toSet.size > compactAfter
     val scope = if (compact) None else Some(touched)
-    val cur = if (curVer == -1L) None
-      else stateRows(spark, entries, scope,
-        emptyStateAt(spark, curVer).schema)
-    val next = merge(cur, batch)
     val nonce = newNonce()
     // writer-unique dir: a concurrent writer at the same version can
     // never overwrite this data, and no manifest can alias it; a
@@ -562,15 +677,30 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // Under data/ so top-level discovery listings stay BOUNDED
     // (manifest-checkpointing doc)
     val vdir = s"data/v$version-$nonce"
-    // a store seeded by its FIRST batch (no init) still needs the
-    // schema anchor for empty-state reads (anchored at version 0: it
-    // governs every version from the first commit on)
-    if (curVer == -1L)
-      next.limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
-    next.withColumn(BktCol, bkt)
-      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
-    val written = writtenBuckets(f, vdir).toSet
+    val written = try {
+      val cur = if (curVer == -1L) None
+        else stateRows(spark, entries, scope,
+          emptyStateAt(spark, curVer).schema)
+      val next = merge(cur, batch)
+      // a store seeded by its FIRST batch (no init) still needs the
+      // schema anchor for empty-state reads (anchored at version 0: it
+      // governs every version from the first commit on)
+      if (curVer == -1L)
+        next.limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
+      // write-then-rename: the dir carries its final name only once its
+      // content is complete, so a concurrent winner's sweep can never
+      // fail THIS writer's in-flight tasks (deleteDeadDataDirs doc)
+      next.withColumn(BktCol, bkt)
+        .write.mode("overwrite").partitionBy(BktCol)
+        .parquet(s"$dir/$vdir.tmp")
+      val w = writtenBuckets(f, s"$vdir.tmp").toSet
+      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      w
+    } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
+      raceOrRethrow(f, curVer, e)
+    }
     // a touched bucket ABSENT from the written set means the merge
     // emitted zero rows for it (every group retracted): its manifest
     // entry must be DROPPED, not carried — a stale pointer would
@@ -578,13 +708,25 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val newEntries =
       if (compact) written.map(_ -> vdir).toMap
       else (entries -- (touched -- written)) ++ written.map(_ -> vdir)
-    try writeManifest(f, version, batchId, newEntries, nonce)
+    try writeManifest(f, version, lastBatch, newEntries, nonce, newTxns)
     catch { case e: ConcurrentCommitException =>
       f.delete(new Path(s"$dir/$vdir"), true); throw e
     }
     cleanup(f, version, newEntries)
     maybeCheckpoint(f)
   }
+
+  /** [[applyBatch]] wrapped in [[BucketedLog.retrying]]: a lost
+    * optimistic-concurrency race re-reads the new base and re-merges
+    * (rebase — the merge is a pure function of what it read), so
+    * concurrent writers to one store all land without coordination;
+    * an already-landed replay exits via the batch/txn watermark. */
+  def applyBatchWithRetry(batch: DataFrame, batchId: Long,
+      writerId: String = "", maxAttempts: Int = 8)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit =
+    BucketedLog.retrying(maxAttempts) {
+      applyBatch(batch, batchId, writerId)(merge)
+    }
 
   /** Touched-bucket MAINTENANCE rewrite — [[applyBatch]]'s bounded
     * touched-set commit OUTSIDE the batch-id sequence: `keys` names
@@ -600,23 +742,30 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val spark = keys.sparkSession
     val f = fs(spark)
-    val (curVer, lastBatch, entries) = readManifestFull(spark)
+    val (curVer, lastBatch, txns, entries) = readManifestFullTxns(spark)
       .getOrElse(sys.error(s"BucketedLog.rewriteBuckets before init: $dir"))
     val touched = keys.select(bkt.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
     val version = curVer + 1
-    val cur = stateRows(spark, entries, Some(touched),
-      emptyStateAt(spark, curVer).schema)
-    val next = merge(cur, keys)
     val nonce = newNonce()
     val vdir = s"data/v$version-$nonce"
-    next.withColumn(BktCol, bkt)
-      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
-    val written = writtenBuckets(f, vdir).toSet
+    val written = try {
+      val cur = stateRows(spark, entries, Some(touched),
+        emptyStateAt(spark, curVer).schema)
+      merge(cur, keys).withColumn(BktCol, bkt)
+        .write.mode("overwrite").partitionBy(BktCol)
+        .parquet(s"$dir/$vdir.tmp")
+      val w = writtenBuckets(f, s"$vdir.tmp").toSet
+      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      w
+    } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
+      raceOrRethrow(f, curVer, e)
+    }
     val newEntries =
       (entries -- (touched -- written)) ++ written.map(_ -> vdir)
-    try writeManifest(f, version, lastBatch, newEntries, nonce)
+    try writeManifest(f, version, lastBatch, newEntries, nonce, txns)
     catch { case e: ConcurrentCommitException =>
       f.delete(new Path(s"$dir/$vdir"), true); throw e
     }
@@ -636,19 +785,29 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   def compactNow(spark: SparkSession)(
       transform: DataFrame => DataFrame): Unit = {
     val f = fs(spark)
-    val (curVer, lastBatch, entries) = readManifestFull(spark)
+    val (curVer, lastBatch, txns, entries) = readManifestFullTxns(spark)
       .getOrElse(sys.error(s"BucketedLog.compactNow before init: $dir"))
-    val empty = emptyStateAt(spark, curVer)
-    val cur = stateRows(spark, entries, None, empty.schema).getOrElse(empty)
     val version = curVer + 1
     val nonce = newNonce()
     val vdir = s"data/v$version-$nonce"
-    transform(cur).withColumn(BktCol, bkt)
-      .write.mode("overwrite").partitionBy(BktCol).parquet(s"$dir/$vdir")
-    val newEntries = writtenBuckets(f, vdir).map(_ -> vdir).toMap
+    val written = try {
+      val empty = emptyStateAt(spark, curVer)
+      val cur = stateRows(spark, entries, None, empty.schema)
+        .getOrElse(empty)
+      transform(cur).withColumn(BktCol, bkt)
+        .write.mode("overwrite").partitionBy(BktCol)
+        .parquet(s"$dir/$vdir.tmp")
+      val w = writtenBuckets(f, s"$vdir.tmp")
+      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      w
+    } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
+      raceOrRethrow(f, curVer, e)
+    }
+    val newEntries = written.map(_ -> vdir).toMap
     // a lost race here (a live applyBatch published this version
     // first) throws LOUDLY; re-run the pass from a fresh read
-    try writeManifest(f, version, lastBatch, newEntries, nonce)
+    try writeManifest(f, version, lastBatch, newEntries, nonce, txns)
     catch { case e: ConcurrentCommitException =>
       f.delete(new Path(s"$dir/$vdir"), true); throw e
     }
@@ -698,17 +857,49 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * (re-adding an existing column throws). */
   def evolveSchema(spark: SparkSession, add: Seq[(String, String)]): Unit = {
     val f = fs(spark)
-    val (curVer, lastBatch, entries) = readManifestFull(spark)
+    val (curVer, lastBatch, txns, entries) = readManifestFullTxns(spark)
       .getOrElse(sys.error(s"BucketedLog.evolveSchema before init: $dir"))
     val old = emptyStateAt(spark, curVer)
     val clash = add.map(_._1).toSet.intersect(old.columns.toSet)
     require(clash.isEmpty, s"evolveSchema: columns already present: $clash")
     val version = curVer + 1
-    writeManifest(f, version, lastBatch, entries, newNonce())
+    writeManifest(f, version, lastBatch, entries, newNonce(), txns)
     old.select(old.columns.map(col).toSeq ++ add.map { case (n, t) =>
       lit(null).cast(t).as(n) }: _*)
       .limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${schemaDir(version)}")
     cleanup(f, version, entries)
+  }
+}
+
+object BucketedLog {
+  /** Age past which an in-flight `.tmp` data dir is presumed a
+    * CRASHED writer's litter and swept by the next commit's cleanup
+    * (deleteDeadDataDirs doc). Live writes finish far inside this at
+    * any sane bucket sizing; a loser's orphan never waits on it (the
+    * loser deletes its own dir synchronously). */
+  private[streaming] val SweepGraceMs: Long = 60L * 60L * 1000L
+
+  /** Run `commit` until it lands, retrying ONLY lost optimistic-
+    * concurrency races (class doc: every commit path re-reads the
+    * manifest at entry, so a re-run IS a rebase against the winner's
+    * state — the Delta re-check-and-retry discipline). Linear
+    * backoff de-synchronizes herds; any other failure propagates
+    * immediately; after `maxAttempts` losses the last
+    * [[ConcurrentCommitException]] propagates (starvation surfaces
+    * loudly rather than spinning forever). */
+  def retrying[T](maxAttempts: Int = 8, backoffMs: Long = 20L)(
+      commit: => T): T = {
+    require(maxAttempts >= 1, s"retrying: maxAttempts=$maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return commit
+      catch { case e: ConcurrentCommitException =>
+        if (attempt >= maxAttempts) throw e
+        Thread.sleep(backoffMs * attempt)
+        attempt += 1
+      }
+    }
+    sys.error("unreachable")
   }
 }

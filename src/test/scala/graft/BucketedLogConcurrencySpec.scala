@@ -140,4 +140,104 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
       3L -> (30L + applied)))
     assertNoDanglingOrOrphan(dir)
   }
+
+  test("applyBatchWithRetry rebases a lost race against the winner's state") {
+    val dir = "/tmp/graft_blconc_d"
+    val log = newLog(dir)
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    @volatile var failure: Option[Throwable] = None
+    val t = new Thread(() => {
+      // first attempt blocks inside merge targeting v1; the compactNow
+      // below wins v1; the retry re-reads v1 as base and lands at v2 —
+      // the batch is merged against the DOUBLED state, not the stale one
+      try log.applyBatchWithRetry(Seq((1L, 100L)).toDF("k", "v"), 0L) {
+        (cur, b) => entered.countDown(); proceed.await(); sumMerge(cur, b)
+      } catch { case e: Throwable => failure = Some(e) }
+    })
+    t.start()
+    entered.await()
+    log.compactNow(spark)(_.withColumn("v", col("v") * 2L)) // wins v1
+    proceed.countDown()
+    t.join()
+    assert(failure.isEmpty, s"retry must land, got $failure")
+    assert(state(log) === Map(1L -> 120L, 2L -> 40L, 3L -> 60L))
+    // the rebase committed the batch watermark exactly once
+    assert(log.readManifestFull(spark).get._2 === 0L)
+    assertNoDanglingOrOrphan(dir)
+  }
+
+  test("named writers: per-writer txn watermarks, not the shared #batch mark") {
+    val dir = "/tmp/graft_blconc_e"
+    val log = newLog(dir)
+    // writer A lands its batches 0 and 1
+    log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), 0L, "wA")(sumMerge)
+    log.applyBatch(Seq((1L, 2L)).toDF("k", "v"), 1L, "wA")(sumMerge)
+    // writer B's batch 0 TRAILS A's ids — under the scalar #batch mark
+    // it would be silently skipped; its own txn mark admits it
+    log.applyBatch(Seq((2L, 5L)).toDF("k", "v"), 0L, "wB")(sumMerge)
+    assert(state(log) === Map(1L -> 13L, 2L -> 25L, 3L -> 30L))
+    // crash-replays of every landed batch are no-ops BY THE RIGHT MARK
+    log.applyBatch(Seq((1L, 999L)).toDF("k", "v"), 0L, "wA")(sumMerge)
+    log.applyBatch(Seq((1L, 999L)).toDF("k", "v"), 1L, "wA")(sumMerge)
+    log.applyBatch(Seq((2L, 999L)).toDF("k", "v"), 0L, "wB")(sumMerge)
+    assert(state(log) === Map(1L -> 13L, 2L -> 25L, 3L -> 30L))
+    assert(log.txnWatermark(spark, "wA") === 1L)
+    assert(log.txnWatermark(spark, "wB") === 0L)
+    assert(log.txnWatermark(spark, "wC") === -1L)
+    // named commits leave the default stream's #batch= receipt alone
+    assert(log.readManifestFull(spark).get._2 === -1L)
+    // ...and the default stream's own mark still works beside them
+    log.applyBatch(Seq((3L, 7L)).toDF("k", "v"), 0L)(sumMerge)
+    log.applyBatch(Seq((3L, 999L)).toDF("k", "v"), 0L)(sumMerge) // replay
+    assert(state(log) === Map(1L -> 13L, 2L -> 25L, 3L -> 37L))
+    assert(log.readManifestFull(spark).get._2 === 0L)
+    assertNoDanglingOrOrphan(dir)
+  }
+
+  test("txn watermarks survive maintenance rewrites and schema evolution") {
+    val dir = "/tmp/graft_blconc_f"
+    val log = newLog(dir)
+    log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), 3L, "wA")(sumMerge)
+    log.compactNow(spark)(identity)
+    assert(log.txnWatermark(spark, "wA") === 3L)
+    log.evolveSchema(spark, Seq(("note", "string")))
+    assert(log.txnWatermark(spark, "wA") === 3L)
+    // an empty batch still advances the NAMED writer's mark
+    log.applyBatch(Seq.empty[(Long, Long)].toDF("k", "v"), 4L, "wA")(sumMerge)
+    assert(log.txnWatermark(spark, "wA") === 4L)
+    // ...and a replay below it is a no-op
+    log.applyBatch(Seq((1L, 999L)).toDF("k", "v"), 4L, "wA")(sumMerge)
+    assert(state(log) === Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("concurrent named writers all land with retry, additive state exact") {
+    val dir = "/tmp/graft_blconc_g"
+    val log = newLog(dir)
+    val start = new CountDownLatch(1)
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        start.await()
+        try (0 until 3).foreach { b =>
+          log.applyBatchWithRetry(
+            Seq((1L, 1L), (2L + w, 10L)).toDF("k", "v"),
+            b.toLong, s"w$w", maxAttempts = 64)(sumMerge)
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.isEmpty,
+      s"every writer must land via retry: ${failures.asScala.toList}")
+    // 12 commits, each exactly once: key 1 gains 12, keys 2..5 gain 30
+    val got = state(log)
+    assert(got(1L) === 22L, s"got $got")
+    assert(got(2L) === 50L && got(3L) === 60L &&
+      got(4L) === 30L && got(5L) === 30L, s"got $got")
+    (0 until 4).foreach(w =>
+      assert(log.txnWatermark(spark, s"w$w") === 2L))
+    assertNoDanglingOrOrphan(dir)
+  }
 }
