@@ -5622,6 +5622,148 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q239_deletion_vectors" -> ((s, dir) => {
+      // DELETE WITHOUT REWRITE — equality deletion vectors, merge-on-
+      // read (the Iceberg equality-delete / Delta DV discipline; the
+      // copy-on-write sibling is q234). Three delete batches land as
+      // O(|keys|) sidecar commits while the table's data files stay
+      // BYTE-UNTOUCHED (full recursive listing pinned identical —
+      // mtime and length of every file); a replayed delete batch is
+      // a no-op by the sidecar's #batch= watermark. The read path
+      // splits by the bounded dirty-unit set: clean units stream
+      // through VERBATIM (no join), only dirty units pay a broadcast
+      // anti-join. OPTIMIZE purge then rewrites ONLY the dirty units
+      // (require-pinned: clean units' files byte-identical across
+      // the purge, sidecar drained) and the served aggregate must be
+      // bit-identical before and after — the purge trades read-time
+      // work for storage hygiene, never answers. Oracle = the plain
+      // NOT-deleted filter, emitted once per phase.
+      val base = s"/tmp/graft_q239_dv_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = mx / 8 + 1
+      val withUnit = orders
+        .withColumn("unit", expr(s"o_orderkey div $w").cast("int"))
+        .localCheckpoint()
+      withUnit.write.mode("overwrite").partitionBy("unit")
+        .parquet(s"$base/tbl")
+      val dv = graft.operators.DeletionVectors(s"$base/tbl", s"$base/dv",
+        keyCol = "o_orderkey")
+      dv.init(withUnit)
+      def listing(): Map[String, (Long, Long)] = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/tbl"),
+          true)
+        val b = Map.newBuilder[String, (Long, Long)]
+        while (it.hasNext) { val f = it.next()
+          b += f.getPath.toString -> (f.getModificationTime, f.getLen) }
+        b.result()
+      }
+      val before = listing()
+      dv.delete(withUnit.where(col("unit").isin(2, 3) &&
+          col("o_orderkey") % 7 === 0)
+        .select("unit", "o_orderkey"), 0L)
+      dv.delete(withUnit.where(col("unit") === 5 &&
+          col("o_custkey") % 5 === 0)
+        .select("unit", "o_orderkey"), 1L)
+      dv.delete(withUnit.where(col("unit") === 2 &&
+          col("o_orderkey") % 11 === 3)
+        .select("unit", "o_orderkey"), 2L)
+      // crash-replay of batch 1 with a WIDER key set: screened
+      // outright by the sidecar's #batch= watermark
+      dv.delete(withUnit.where(col("unit") === 5)
+        .select("unit", "o_orderkey"), 1L)
+      require(listing() == before,
+        "a DV delete must not touch a single table data file")
+      require(dv.dirtyUnits(s) == Seq(2, 3, 5),
+        s"dirty units: ${dv.dirtyUnits(s)}")
+      def served: DataFrame = dv.read(s).groupBy("unit")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val mor = served.withColumn("phase", lit("mor")).localCheckpoint()
+      val rewritten = dv.purge(s)
+      require(rewritten == Seq(2, 3, 5), s"purged units: $rewritten")
+      require(dv.dirtyUnits(s).isEmpty, "sidecar must drain at purge")
+      val after = listing()
+      def clean(m: Map[String, (Long, Long)]) = m.view.filterKeys(p =>
+        !p.matches(""".*unit=(2|3|5)/.*""")).toMap
+      require(clean(after) == clean(before),
+        "purge must leave clean units' files byte-identical")
+      Seq(2, 3, 5).foreach { u =>
+        val files = after.keySet.filter(_.contains(s"unit=$u/"))
+          .filter(_.endsWith(".parquet"))
+        require(files.size == 1, s"unit $u must compact to one file")
+      }
+      mor.unionByName(served.withColumn("phase", lit("purged")))
+    }),
+    "q238_multiwriter_store" -> ((s, dir) => {
+      // CONCURRENT MULTI-WRITER INGEST — the Delta txn/appId
+      // discipline on the BucketedLog: THREE named writers with
+      // INDEPENDENT batch-id sequences (0,1,2 each — under the old
+      // scalar #batch= mark, whichever writer committed first would
+      // silently swallow the others' batches) fold additive facts
+      // into ONE store from three real threads, every commit racing
+      // through optimistic concurrency with rebase-on-loss
+      // (applyBatchWithRetry: a lost race re-reads the winner's
+      // state and re-merges — the merge is a pure function of what
+      // it read, so the retry IS the rebase). After landing, each
+      // writer crash-REPLAYS a batch with poisoned values (×999):
+      // a no-op by ITS OWN txn watermark even though the other
+      // writers advanced the version chain arbitrarily far past it.
+      // The final state must equal the one-shot GROUP BY over all
+      // nine batches — exactly-once per writer, no interleave
+      // dependence, no coordination. Long-exact measures (cents)
+      // so the additive fold is order-independent bit-for-bit.
+      val base = s"/tmp/graft_q238_multi_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val facts = tbl(s, dir, "orders").select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(256L)).as("g"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      def batchOf(w: Int, b: Int): DataFrame = facts
+        .where(pmod(col("o_orderkey"), lit(3L)) === w &&
+          pmod(expr("o_orderkey div 3"), lit(3L)) === b)
+        .groupBy("g").agg(count(lit(1)).cast("long").as("cnt"),
+          sum("cents").cast("long").as("cents"))
+      def add(cur: Option[DataFrame], b: DataFrame): DataFrame =
+        cur.map(_.unionByName(b)).getOrElse(b).groupBy("g")
+          .agg(sum("cnt").cast("long").as("cnt"),
+            sum("cents").cast("long").as("cents"))
+      val log = graft.streaming.BucketedLog(s"$base/log", Seq("g"),
+        buckets = 32)
+      log.init(batchOf(0, 0).limit(0))
+      val failures = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Throwable]())
+      val threads = (0 until 3).map { w =>
+        new Thread(() => {
+          try {
+            (0 until 3).foreach { b =>
+              log.applyBatchWithRetry(batchOf(w, b), b.toLong,
+                s"w$w", maxAttempts = 64)(add)
+            }
+            // poisoned crash-replay: the writer's own mark screens it
+            log.applyBatchWithRetry(
+              batchOf(w, 1).withColumn("cents", col("cents") * 999L),
+              1L, s"w$w", maxAttempts = 64)(add)
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      require(failures.asScala.isEmpty,
+        s"every writer must land via retry: ${failures.asScala.toList}")
+      (0 until 3).foreach { w =>
+        require(log.txnWatermark(s, s"w$w") == 2L,
+          s"writer w$w watermark must be 2")
+      }
+      log.read(s)
+    }),
     "q237_optimize_zorder" -> ((s, dir) => {
       // OPTIMIZE ZORDER BY — RE-CLUSTERING, the layout-CHANGING
       // maintenance pass (q232 compacts within units; this one
@@ -9093,6 +9235,35 @@ object SparkEntry {
     // Bloom pairs collapse); the served lookups answer the plain
     // post-delete filters
     "q234_optimize_retighten" -> optimizeRetightenSql,
+    // q238: the nine per-writer batches PARTITION orders (3 writers ×
+    // 3 batches on o_orderkey residues), so the store's final additive
+    // state is the plain one-shot GROUP BY — exactly-once per writer
+    // (poisoned replays screened by each writer's own txn watermark)
+    // and interleave-independence are what the gate proves
+    // q239: delete-without-rewrite is pinned driver-side (file
+    // listing identical across deletes; purge touches only dirty
+    // units, drains the sidecar); the served aggregate answers the
+    // plain NOT-deleted filter, once per phase
+    "q239_deletion_vectors" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |t AS (SELECT o.*, (o.o_orderkey // (m.mx // 8 + 1))::INT AS unit
+        |  FROM orders o, m),
+        |live AS (SELECT * FROM t WHERE NOT (
+        |  (unit IN (2, 3) AND o_orderkey % 7 = 0)
+        |  OR (unit = 5 AND o_custkey % 5 = 0)
+        |  OR (unit = 2 AND o_orderkey % 11 = 3))),
+        |a AS (SELECT unit, count(*)::BIGINT AS cnt,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM live GROUP BY 1)
+        |SELECT unit, cnt, cents, 'mor' AS phase FROM a
+        |UNION ALL
+        |SELECT unit, cnt, cents, 'purged' AS phase FROM a""".stripMargin,
+    "q238_multiwriter_store" ->
+      """SELECT o_custkey % 256 AS g, count(*)::BIGINT AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // q237: the re-clustering benefit is pinned driver-side (the box
     // reads at most half the rows under the new layout's index); the
     // served lookup answers the plain box filter
