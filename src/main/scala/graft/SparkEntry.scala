@@ -5622,6 +5622,39 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q240_incr_inverted_index" -> ((s, dir) => {
+      // INCREMENTALLY-MAINTAINED INVERTED INDEX — q100's BM25
+      // answered FROM STORED STATE: the corpus arrives in four
+      // ingest batches, each folding its postings into a TERM-keyed
+      // BucketedLog (touched buckets only) and its (n, sumdl) into an
+      // additive stats row; a poisoned replay of batch 2 is screened
+      // by the #batch= watermark. The query path never re-tokenizes
+      // the corpus: it reads ONLY the buckets the query's terms hash
+      // to (BucketedLog.readFor — a directory-pruned point lookup,
+      // O(query-term postings), never O(index)), derives df exactly
+      // within the slice (a term's postings live wholly in its
+      // bucket), and reuses Retrieval.bm25Rank verbatim — so the
+      // stored-index answer is bit-identical to q100's from-scratch
+      // form and q100's SQL is the oracle, unchanged.
+      val base = s"/tmp/graft_q240_invidx_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 4).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      // poisoned crash-replay: batch 2 re-delivered with doubled text
+      // (would double every tf) — a no-op by the #batch= watermark
+      idx.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 2L)
+      idx.bm25TopK(docs.where(pmod(col("doc_id"), lit(101L)) === 0),
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q239_deletion_vectors" -> ((s, dir) => {
       // DELETE WITHOUT REWRITE — equality deletion vectors, merge-on-
       // read (the Iceberg equality-delete / Delta DV discipline; the
@@ -6672,6 +6705,35 @@ object SparkEntry {
 
   private val toksCte =
     "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
+
+  /** q100's AND q240's oracle: the full inverted-index BM25
+    * derivation — postings + df + corpus stats from ONE tokenize,
+    * Lucene-variant idf, identical round(·,6) on the per-(query,cand)
+    * sum (rule 9), (score desc, cand_id) rank with rank <= 5; %101
+    * docs as queries, self excluded. q240 answers it from the
+    * incrementally-maintained stored index, which must be
+    * bit-identical to this from-scratch form. */
+  private def bm25RetrievalSql: String =
+    s"""WITH toks AS ($toksCte),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
+       |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
+       |    unnest(t) AS term FROM toks),
+       |tfc AS (SELECT cand_id, term, dl, count(*) AS tf
+       |  FROM terms GROUP BY cand_id, term, dl),
+       |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       |  FROM toks WHERE doc_id % 101 = 0),
+       |scored AS (SELECT query_id, cand_id,
+       |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
+       |  FROM tfc JOIN dfc USING (term) JOIN q USING (term), stats s
+       |  WHERE query_id <> cand_id
+       |  GROUP BY query_id, cand_id)
+       |SELECT query_id, cand_id, score, rank FROM (
+       |  SELECT query_id, cand_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   /** q159/q160's oracle: replay the WHOLE unigram-LM hard-EM training
     * ([[graft.operators.UnigramLm]]) in DuckDB — substring seeding,
@@ -9029,26 +9091,12 @@ object SparkEntry {
       // from ONE tokenize, Lucene-variant idf, identical round(·,6)
       // on the per-(query,cand) sum (rule 9), (score desc, cand_id)
       // rank with rank <= 5; %101 docs as queries, self excluded.
-      s"""WITH toks AS ($toksCte),
-         |stats AS (SELECT count(*)::DOUBLE AS n,
-         |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
-         |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
-         |    unnest(t) AS term FROM toks),
-         |tfc AS (SELECT cand_id, term, dl, count(*) AS tf
-         |  FROM terms GROUP BY cand_id, term, dl),
-         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
-         |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
-         |  FROM toks WHERE doc_id % 101 = 0),
-         |scored AS (SELECT query_id, cand_id,
-         |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
-         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
-         |  FROM tfc JOIN dfc USING (term) JOIN q USING (term), stats s
-         |  WHERE query_id <> cand_id
-         |  GROUP BY query_id, cand_id)
-         |SELECT query_id, cand_id, score, rank FROM (
-         |  SELECT query_id, cand_id, score, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
-         |  FROM scored) WHERE rank <= 5""".stripMargin,
+      bm25RetrievalSql,
+    // q240: the SAME retrieval answered from the incrementally-
+    // maintained index — the stored postings/stats must reproduce
+    // the from-scratch BM25 bit-identically, so q100's SQL is the
+    // oracle verbatim
+    "q240_incr_inverted_index" -> bm25RetrievalSql,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

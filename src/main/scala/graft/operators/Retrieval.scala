@@ -58,7 +58,18 @@ object Retrieval {
         .cast("double").as("__sumdl"))
     val qTerms = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    bm25Rank(postings, qTerms, stats, k, k1, b, excludeSelf)
+  }
 
+  /** The BM25 scoring + ranking tail shared by [[bm25TopK]] (postings
+    * derived in-plan) and [[InvertedIndex.bm25TopK]] (postings read
+    * from the stored index) — ONE formula, so the stored-index path
+    * is bit-identical to the from-scratch one. `postings` carries
+    * `(cand_id, term, dl, tf, df)`, `stats` one `(__n, __sumdl)` row,
+    * `qTerms` `(query_id, term)` distinct pairs. */
+  private[operators] def bm25Rank(postings: DataFrame, qTerms: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean): DataFrame = {
     val idf = log(lit(1.0) +
       (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfWeight = (col("tf") * lit(k1 + 1.0)) /

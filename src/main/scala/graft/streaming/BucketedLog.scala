@@ -825,6 +825,24 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     stateRows(spark, entries, None, empty.schema).getOrElse(empty)
   }
 
+  /** State rows of ONLY the buckets `keys` hash to — the directory-
+    * pruned POINT-LOOKUP read path (posting-list probes, key
+    * lookups): O(touched buckets) IO, never O(state). Returns the
+    * touched buckets' FULL rows (the bucket is the unit of pruning,
+    * like every skipping index here) — the caller applies its exact
+    * key predicate as the residual. `keys` must be bounded (its
+    * distinct buckets are collected). */
+  def readFor(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val (ver, _, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.readFor before init: $dir"))
+    val touched = keys.select(bkt.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val empty = emptyStateAt(spark, ver)
+    stateRows(spark, entries, Some(touched), empty.schema)
+      .getOrElse(empty)
+  }
+
   /** Full state AS OF `version` — the snapshot the highest manifest
     * ≤ `version` published (requires `retain`). */
   def readAt(spark: SparkSession, version: Long): DataFrame = {

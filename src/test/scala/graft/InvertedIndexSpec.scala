@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{InvertedIndex, Retrieval}
+import graft.streaming.BucketedLog
+
+/** Stored-index BM25 (InvertedIndex class doc): incremental ingest
+  * must reproduce the from-scratch Retrieval.bm25TopK answer exactly
+  * for ANY batch split, the point-lookup read must touch only the
+  * query terms' buckets, and replays must be screened per state. */
+class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a quick brown dog outpaces a lazy fox"),
+    (3L, "lorem ipsum dolor sit amet"),
+    (4L, "the dog sat on the mat"),
+    (5L, "quick quick quick fox"),
+    (6L, "entirely unrelated tokens here"),
+    (7L, "fox and dog and fox and dog"),
+    (8L, "")).toDF("doc_id", "text")
+
+  private def fresh(name: String, nBatches: Int): InvertedIndex = {
+    val base = s"/tmp/graft_invidx_spec_$name"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    (0 until nBatches).foreach { b =>
+      idx.ingest(corpus.where(pmod(col("doc_id"), lit(nBatches)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    idx
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+  test("stored index == from-scratch BM25, for any batch split") {
+    val direct = rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 2), corpus, "doc_id", "text", k = 3,
+      excludeSelf = true))
+    Seq(1, 2, 4).foreach { nb =>
+      val idx = fresh(s"split$nb", nb)
+      val got = rows(idx.bm25TopK(corpus.where(col("doc_id") <= 2),
+        "doc_id", "text", k = 3, excludeSelf = true))
+      assert(got === direct, s"diverged at $nb-batch ingest")
+    }
+  }
+
+  test("a replayed ingest batch is a no-op in both states") {
+    val idx = fresh("replay", 2)
+    idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("text", concat(col("text"), lit(" poison poison"))),
+      "doc_id", "text", 1L)
+    val direct = rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 2), corpus, "doc_id", "text", k = 3,
+      excludeSelf = true))
+    val got = rows(idx.bm25TopK(corpus.where(col("doc_id") <= 2),
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(got === direct)
+  }
+
+  test("readFor touches only the keys' buckets, with complete rows") {
+    val base = "/tmp/graft_invidx_spec_readfor"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val log = BucketedLog(base, Seq("term"), buckets = 8)
+    val all = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("term", "v")
+    log.init(all)
+    val slice = log.readFor(Seq("alpha", "gamma").toDF("term"))
+    val got = slice.select("term").collect().map(_.getString(0)).toSet
+    // the probe terms are present IN FULL...
+    assert(Set("alpha", "gamma").subsetOf(got))
+    // ...and the slice is bucket-pruned: co-bucketed terms may ride
+    // along, but at least one other bucket must have been skipped
+    assert(got.size < 6, s"slice should not be the whole state: $got")
+    // residual equi-join recovers the exact probe rows
+    val exact = slice.join(Seq("alpha", "gamma").toDF("term"), "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("alpha" -> 0L, "gamma" -> 2L))
+  }
+}
