@@ -547,6 +547,97 @@ object ScaleProbe {
       println(f"[probe] bloom_index_batch $m%4d $rows%10d $sec%8.2f")
     }
 
+    // Deletion-vector DELETE cost vs TABLE size (q239's claim:
+    // delete-without-rewrite): lay a 200k·m-row table out in m×16
+    // units (constant unit size — the production sizing), seed the DV
+    // sidecar, then time ONE fixed 50-key delete batch. The delete is
+    // an O(|keys| + touched DV buckets) sidecar commit with ZERO
+    // table IO, so the wall must stay FLAT as the table grows.
+    if (opFilter.forall("dv_delete_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_dv_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f)
+      val t = spark.range(200000L * m).select(col("id").as("k"),
+        (col("id") % (16L * m)).cast("int").as("unit"),
+        (col("id") * 3L).as("v"))
+      t.write.partitionBy("unit").parquet(s"$dir/tbl")
+      val dv = graft.operators.DeletionVectors(s"$dir/tbl", s"$dir/dv",
+        buckets = 32 * m)
+      dv.init(t)
+      val batch = spark.range(50).select(
+        ((col("id") * 4099L) % (200000L * m)).as("k"))
+        .withColumn("unit", (col("k") % (16L * m)).cast("int"))
+      val t0 = System.nanoTime()
+      dv.delete(batch, 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = dv.dirtyUnits(spark).size
+      println(f"[probe] dv_delete_batch $m%4d $n%10d $sec%8.2f")
+    }
+
+    // Stored-index BM25 QUERY cost vs INDEX size (q240's claim:
+    // O(query-term postings), never O(index)): ingest the m×-grown
+    // decorrelated corpus (untimed — replica tokens are prefixed, so
+    // a replica-0 query's terms match only replica-0 postings and the
+    // matched posting volume stays ~constant), postings buckets ∝ m
+    // (constant bucket size), then time ONE fixed 5-doc query. FLAT
+    // wall = the readFor point lookup + pruned df, not an index scan.
+    if (opFilter.forall("inverted_query".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_invidx_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f)
+      val idx = graft.operators.InvertedIndex(dir, buckets = 64 * m)
+      idx.init(spark)
+      val corpus = scaledDocs(m).localCheckpoint()
+      (0 until m).foreach { i =>
+        idx.ingest(corpus.where(col("doc_id") >= i * 1000000L &&
+          col("doc_id") < (i + 1) * 1000000L), "doc_id", "text", i.toLong)
+      }
+      val queries = docsBase.where(pmod(col("doc_id"), lit(997L)) === 0)
+        .limit(5).localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = idx.bm25TopK(queries, "doc_id", "text", k = 5,
+        excludeSelf = true).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] inverted_query $m%4d $n%10d $sec%8.2f")
+    }
+
+    // Concurrent multi-writer COMMIT cost vs STORE size (q238's
+    // claim): seed a 200k·m-group additive store (buckets ∝ groups),
+    // then time THREE named writers committing one fixed 50-group
+    // batch each CONCURRENTLY with rebase-on-loss retry. The wall
+    // (slowest writer incl. its retries) must stay FLAT vs the store:
+    // contention depends on writer count, never on state size.
+    if (opFilter.forall("multiwriter_commit".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_mw_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f)
+      val log = graft.streaming.BucketedLog(dir, Seq("g"),
+        buckets = 256 * m)
+      log.init(spark.range(200000L * m)
+        .select(col("id").as("g"), (col("id") % 100).as("x")))
+      def add(cur: Option[DataFrame], b: DataFrame): DataFrame =
+        cur.map(_.unionByName(b)).getOrElse(b).groupBy("g")
+          .agg(sum("x").cast("long").as("x"))
+      val t0 = System.nanoTime()
+      val threads = (0 until 3).map { w =>
+        new Thread(() => {
+          val batch = spark.range(50)
+            .select((col("id") * 4096L + w).as("g"), lit(7L).as("x"))
+          log.applyBatchWithRetry(batch, 0L, s"w$w", maxAttempts = 64)(add)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = log.read(spark).count()
+      println(f"[probe] multiwriter_commit $m%4d $rows%10d $sec%8.2f")
+    }
+
     // IVF-index LOOKUP cost vs INDEX size (q210's serving claim):
     // build the cell-partitioned index over an m×-grown embedding
     // corpus (untimed — build is the amortized cost), then time ONE
