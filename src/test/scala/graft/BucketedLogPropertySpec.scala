@@ -311,4 +311,64 @@ class BucketedLogPropertySpec extends AnyFunSuite with SparkTestBase {
           s"seed $i: pre-evolution readAt must not grow the new column")
     }
   }
+
+  // ── randomized CONCURRENT writers (the q238 machinery) ──────────────
+
+  // per-writer random batch lists over a shared group universe
+  // (overlapping groups on purpose — additive merges commute); each
+  // writer randomly crash-replays some of its own batches
+  private val mwGen = Gen.zip(
+    Gen.choose(2, 4),                      // writers
+    Gen.listOfN(4, Gen.choose(1, 3)),      // batches per writer
+    Gen.listOfN(4, batchGen),              // batch content pool
+    Gen.listOfN(8, Gen.prob(0.35)))        // replay pattern
+
+  test("random concurrent writers + retry == reference fold, any interleave") {
+    import graft.streaming.BucketedLog
+    samples(mwGen, 4).zipWithIndex.foreach {
+      case ((nWriters, nBatchesPer, pool, replay), i) =>
+        val dir = s"/tmp/graft_blprop_mw$i"
+        val f = new java.io.File(dir)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+        rm(f)
+        // writer w's batch b = pool((w + 2*b) % pool.size), signs
+        // folded into the units (plain additive sum merge)
+        def batchRows(w: Int, b: Int): Seq[(String, Long)] =
+          pool((w + 2 * b) % pool.size).map { case (g, u, s) => (g, u * s) }
+        val log = BucketedLog(dir, Seq("grp"), buckets = 8)
+        log.init(Seq.empty[(String, Long)].toDF("grp", "units"))
+        def add(cur: Option[DataFrame], b: DataFrame): DataFrame =
+          cur.map(_.unionByName(b)).getOrElse(b).groupBy("grp")
+            .agg(sum("units").cast("long").as("units"))
+        val failures = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Throwable]())
+        val threads = (0 until nWriters).map { w =>
+          new Thread(() => {
+            try (0 until nBatchesPer(w % nBatchesPer.size)).foreach { b =>
+              val rows = batchRows(w, b).toDF("grp", "units")
+              log.applyBatchWithRetry(rows, b.toLong, s"w$w",
+                maxAttempts = 64)(add)
+              if (replay((w + b) % replay.size))
+                log.applyBatchWithRetry(rows, b.toLong, s"w$w",
+                  maxAttempts = 64)(add) // replay: no-op by w's mark
+            } catch { case e: Throwable => failures.add(e) }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        import scala.jdk.CollectionConverters._
+        assert(failures.asScala.isEmpty,
+          s"seed $i: ${failures.asScala.toList}")
+        val want = scala.collection.mutable.Map.empty[String, Long]
+        (0 until nWriters).foreach { w =>
+          (0 until nBatchesPer(w % nBatchesPer.size)).foreach { b =>
+            batchRows(w, b).foreach { case (g, u) =>
+              want(g) = want.getOrElse(g, 0L) + u }
+          }
+        }
+        val got = log.read(spark).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === want.toMap, s"seed $i: writers=$nWriters")
+    }
+  }
 }
