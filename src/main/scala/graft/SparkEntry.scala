@@ -242,7 +242,8 @@ object SparkEntry {
     "q212_stream_adversarial_view",
     "q215_stream_ivf_append", "q219_stream_trend",
     "q224_stream_rolling_mau", "q231_indexed_ingest",
-    "q233_schema_evolution", "q235_watermark_dedup_view")
+    "q233_schema_evolution", "q235_watermark_dedup_view",
+    "q241_stream_search_index")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -5622,6 +5623,77 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q242_stored_proximity" -> ((s, dir) => {
+      // POSITIONAL POSTINGS — q221's phrase-proximity ranking
+      // answered FROM THE STORE: the index keeps per-(term, doc)
+      // token positions (the Lucene positional-postings discipline —
+      // what separates "can do BM25" from "can do phrases"), so the
+      // query reads ONLY the two terms' buckets (readFor point
+      // lookup), explodes their stored position lists and ranks by
+      // minimum pair distance — O(two posting lists), the corpus is
+      // never re-tokenized. min-dist is shift-invariant, so the
+      // store's 0-based positions agree with the oracle's 1-based
+      // numbering. Oracle = q221's SQL verbatim.
+      val base = s"/tmp/graft_q242_prox_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      idx.proximityTopK(s, "order", "table", k = 20)
+    }),
+    "q241_stream_search_index" -> ((s, dir) => {
+      // STREAMING SEARCH INGEST — the q231 co-maintenance discipline
+      // applied to retrieval: one foreachBatch loop lands each
+      // micro-batch of documents in an idempotent `__bid=` data dir
+      // AND folds its postings + corpus stats into the stored
+      // inverted index (term-keyed touched-bucket commits, replay-
+      // screened per state). After the drain the gate checks the
+      // fence — coveredBatch (the MIN of the two states' #batch=
+      // receipts: postings commit first, so min is sound) equals the
+      // last arrived batch — then answers q100's BM25 FROM THE STORE,
+      // never re-tokenizing the landed corpus. This is how a search
+      // deployment keeps its index live against a 100 TB firehose:
+      // O(batch) data write + O(batch postings + touched buckets)
+      // index refresh per arrival. Oracle = q100's SQL verbatim.
+      val base = s"/tmp/graft_q241_ssi_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text").localCheckpoint()
+      (0 until 4).foreach { k =>
+        docs.where(pmod(col("doc_id"), lit(4L)) === k)
+          .appendBatchTo(in, k)
+      }
+      val idx = graft.operators.InvertedIndex(s"$base/idx")
+      idx.init(s)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/tbl/__bid=$bid")
+          idx.ingest(b, "doc_id", "text", bid)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      require(idx.coveredBatch(s) == 3L,
+        s"index coverage receipt must equal the last arrived batch: " +
+          s"${idx.coveredBatch(s)}")
+      // queries drawn from the LANDED corpus (the __bid dirs), the
+      // answer from the stored index alone
+      val landed = s.read.parquet(s"$base/tbl")
+      require(landed.count() == docs.count(), "every doc must land")
+      idx.bm25TopK(landed.where(pmod(col("doc_id"), lit(101L)) === 0),
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q240_incr_inverted_index" -> ((s, dir) => {
       // INCREMENTALLY-MAINTAINED INVERTED INDEX — q100's BM25
       // answered FROM STORED STATE: the corpus arrives in four
@@ -6705,6 +6777,27 @@ object SparkEntry {
 
   private val toksCte =
     "SELECT doc_id, lang, n_chars, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents"
+
+  /** q221's AND q242's oracle: docs containing BOTH query terms
+    * ranked by minimum token-position distance (counts/dist exact
+    * ints; proximity one IEEE division). q242 answers it from the
+    * stored positional postings. */
+  private def proximitySql: String =
+    s"""WITH toks AS ($toksCte),
+       |p AS (SELECT doc_id, t[i] AS w, i AS pos
+       |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+       |a AS (SELECT doc_id, pos AS pa FROM p WHERE w = 'order'),
+       |b AS (SELECT doc_id, pos AS pb FROM p WHERE w = 'table'),
+       |m AS (SELECT doc_id, min(abs(pa - pb))::BIGINT AS min_dist,
+       |    count(DISTINCT pa)::BIGINT AS n_a,
+       |    count(DISTINCT pb)::BIGINT AS n_b
+       |  FROM a JOIN b USING (doc_id) GROUP BY 1)
+       |SELECT doc_id, min_dist, n_a, n_b,
+       |  1.0::DOUBLE / (1.0::DOUBLE + min_dist::DOUBLE) AS proximity,
+       |  rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY min_dist, doc_id)
+       |    AS rank FROM m)
+       |WHERE rank <= 20""".stripMargin
 
   /** q100's AND q240's oracle: the full inverted-index BM25
     * derivation — postings + df + corpus stats from ONE tokenize,
@@ -9097,6 +9190,9 @@ object SparkEntry {
     // the from-scratch BM25 bit-identically, so q100's SQL is the
     // oracle verbatim
     "q240_incr_inverted_index" -> bm25RetrievalSql,
+    // q241: the streaming co-maintenance changes WHEN postings land
+    // (per ingest batch, fence-checked), not what a query answers
+    "q241_stream_search_index" -> bm25RetrievalSql,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100
@@ -9542,22 +9638,11 @@ object SparkEntry {
         |  FROM sc) WHERE rank <= 5""".stripMargin,
     // positions are 1-based here vs posexplode's 0-based — distances
     // and counts are base-invariant; exact ints, one division
-    "q221_proximity" ->
-      s"""WITH toks AS ($toksCte),
-         |p AS (SELECT doc_id, t[i] AS w, i AS pos
-         |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
-         |a AS (SELECT doc_id, pos AS pa FROM p WHERE w = 'order'),
-         |b AS (SELECT doc_id, pos AS pb FROM p WHERE w = 'table'),
-         |m AS (SELECT doc_id, min(abs(pa - pb))::BIGINT AS min_dist,
-         |    count(DISTINCT pa)::BIGINT AS n_a,
-         |    count(DISTINCT pb)::BIGINT AS n_b
-         |  FROM a JOIN b USING (doc_id) GROUP BY 1)
-         |SELECT doc_id, min_dist, n_a, n_b,
-         |  1.0::DOUBLE / (1.0::DOUBLE + min_dist::DOUBLE) AS proximity,
-         |  rank
-         |FROM (SELECT *, row_number() OVER (ORDER BY min_dist, doc_id)
-         |    AS rank FROM m)
-         |WHERE rank <= 20""".stripMargin,
+    "q221_proximity" -> proximitySql,
+    // q242: the same proximity ranking answered from the stored
+    // POSITIONAL postings (min-dist is shift-invariant, so the
+    // store's 0-based positions and the SQL's 1-based agree)
+    "q242_stored_proximity" -> proximitySql,
     // q133's register rebuild, merged per TRAILING 7-day window —
     // register max is associative/idempotent, so the windowed merge
     // equals sketching the raw window directly

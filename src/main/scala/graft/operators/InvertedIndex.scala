@@ -45,25 +45,28 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
 
   def init(spark: SparkSession): Unit = {
     import spark.implicits._
-    postLog.init(Seq.empty[(String, Long, Double, Long)]
-      .toDF("term", "cand_id", "dl", "tf"))
+    postLog.init(Seq.empty[(String, Long, Double, Long, Seq[Int])]
+      .toDF("term", "cand_id", "dl", "tf", "positions"))
     statsLog.init(Seq.empty[(Int, Long, Long)].toDF("one", "n", "sumdl"))
   }
 
-  /** Fold one ingest batch of documents into the index: postings of
-    * the batch's docs appended into the term-keyed log (touched
-    * buckets only), corpus stats summed. Batch doc ids must be new
-    * (append-only corpus); a crash-replayed batch is a no-op in both
-    * states by its `#batch=` watermark. */
+  /** Fold one ingest batch of documents into the index: POSITIONAL
+    * postings of the batch's docs appended into the term-keyed log
+    * (touched buckets only — positions make the store answer phrase/
+    * proximity queries, the Lucene discipline), corpus stats summed.
+    * Batch doc ids must be new (append-only corpus); a crash-replayed
+    * batch is a no-op in both states by its `#batch=` watermark. */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
       batchId: Long): Unit = {
     val postings = docs
       .select(col(idCol).as("cand_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("cand_id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("term", "cand_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+      .select("term", "cand_id", "dl", "tf", "positions")
     postLog.applyBatch(postings, batchId) { (cur, b) =>
       cur.map(_.unionByName(b)).getOrElse(b)
     }
@@ -77,6 +80,40 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
         .agg(sum("n").cast("long").as("n"),
           sum("sumdl").cast("long").as("sumdl"))
     }
+  }
+
+  /** Coverage receipt — the highest ingest batch id BOTH states have
+    * applied (the q231 freshness-fence discipline). [[ingest]]
+    * commits postings THEN stats, so the min is the sound fence: a
+    * crash between the two leaves postings ahead, never claimed. */
+  def coveredBatch(spark: SparkSession): Long = math.min(
+    postLog.readManifestFull(spark).fold(-1L)(_._2),
+    statsLog.readManifestFull(spark).fold(-1L)(_._2))
+
+  /** Phrase-proximity ranking FROM THE STORE — docs containing BOTH
+    * terms, ranked by minimum token-position distance (the feature
+    * positional postings exist for; q221 is the from-scratch form).
+    * Reads only the two terms' buckets ([[BucketedLog.readFor]]);
+    * min-dist is shift-invariant, so the store's 0-based positions
+    * match any tokenizer's numbering. Output `(doc_id, min_dist,
+    * n_a, n_b, proximity, rank)`, rank 1..k by (min_dist, doc_id). */
+  def proximityTopK(spark: SparkSession, termA: String, termB: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val slice = postLog.readFor(Seq(termA, termB).toDF("term"))
+    def side(t: String, p: String) = slice.where(col("term") === t)
+      .select(col("cand_id").as("doc_id"),
+        explode(col("positions")).as(p))
+    side(termA, "pa").join(side(termB, "pb"), Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"),
+        countDistinct(col("pa")).cast("long").as("n_a"),
+        countDistinct(col("pb")).cast("long").as("n_b"))
+      .withColumn("proximity",
+        lit(1.0) / (lit(1.0) + col("min_dist").cast("double")))
+      .orderBy(col("min_dist"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("min_dist"), col("doc_id"))).cast("long"))
   }
 
   /** Top-k BM25 per query, answered FROM THE STORE — same output

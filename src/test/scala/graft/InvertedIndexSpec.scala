@@ -64,6 +64,22 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got === direct)
   }
 
+  test("stored positional postings answer proximity like a direct scan") {
+    val idx = fresh("prox", 2)
+    val got = idx.proximityTopK(spark, "quick", "fox", k = 10)
+      .select("doc_id", "min_dist", "n_a", "n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1: quick@1 fox@3 -> 2; doc 2: quick@1 fox@7 -> 6;
+    // doc 5: quick@0,1,2 fox@3 -> 1
+    assert(got === Set((1L, 2L, 1L, 1L), (2L, 6L, 1L, 1L),
+      (5L, 1L, 3L, 1L)))
+    val ranks = idx.proximityTopK(spark, "quick", "fox", k = 10)
+      .select("rank", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks === Map(1L -> 5L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("readFor touches only the keys' buckets, with complete rows") {
     val base = "/tmp/graft_invidx_spec_readfor"
     val f = org.apache.hadoop.fs.FileSystem.get(
