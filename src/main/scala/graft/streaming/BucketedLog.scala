@@ -695,7 +695,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         .write.mode("overwrite").partitionBy(BktCol)
         .parquet(s"$dir/$vdir.tmp")
       val w = writtenBuckets(f, s"$vdir.tmp").toSet
-      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      require(f.rename(new Path(s"$dir/$vdir.tmp"),
+        new Path(s"$dir/$vdir")),
+        s"BucketedLog: rename of $vdir.tmp failed — refusing to publish " +
+          "a manifest over a missing data dir")
       w
     } catch { case e: Throwable =>
       f.delete(new Path(s"$dir/$vdir.tmp"), true)
@@ -757,7 +760,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         .write.mode("overwrite").partitionBy(BktCol)
         .parquet(s"$dir/$vdir.tmp")
       val w = writtenBuckets(f, s"$vdir.tmp").toSet
-      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      require(f.rename(new Path(s"$dir/$vdir.tmp"),
+        new Path(s"$dir/$vdir")),
+        s"BucketedLog: rename of $vdir.tmp failed — refusing to publish " +
+          "a manifest over a missing data dir")
       w
     } catch { case e: Throwable =>
       f.delete(new Path(s"$dir/$vdir.tmp"), true)
@@ -798,7 +804,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         .write.mode("overwrite").partitionBy(BktCol)
         .parquet(s"$dir/$vdir.tmp")
       val w = writtenBuckets(f, s"$vdir.tmp")
-      f.rename(new Path(s"$dir/$vdir.tmp"), new Path(s"$dir/$vdir"))
+      require(f.rename(new Path(s"$dir/$vdir.tmp"),
+        new Path(s"$dir/$vdir")),
+        s"BucketedLog: rename of $vdir.tmp failed — refusing to publish " +
+          "a manifest over a missing data dir")
       w
     } catch { case e: Throwable =>
       f.delete(new Path(s"$dir/$vdir.tmp"), true)
