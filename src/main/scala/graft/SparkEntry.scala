@@ -5623,6 +5623,78 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q243_deep_clone" -> ((s, dir) => {
+      // DEEP CLONE — fork-for-experiment on the log-structured store
+      // (the Delta CLONE discipline): an additive store is cloned at
+      // a snapshot (verbatim bucket file copy, O(current state), no
+      // history, watermarks RESET), then the SOURCE ingests one more
+      // batch and the CLONE ingests a DIFFERENT one — reusing batch
+      // id 0 the source already consumed, legal precisely because a
+      // clone is a new store with fresh stream identities. Each side
+      // must equal its own one-shot fold: the snapshot plus only its
+      // own post-fork batch — full isolation both ways. Long-exact
+      // measures; oracle = the two folds in SQL, side-tagged.
+      val base = s"/tmp/graft_q243_clone_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val facts = tbl(s, dir, "orders").select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(128L)).as("g"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      def agg(d: DataFrame): DataFrame = d.groupBy("g")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum("cents").cast("long").as("cents"))
+      def add(cur: Option[DataFrame], b: DataFrame): DataFrame =
+        cur.map(_.unionByName(b)).getOrElse(b).groupBy("g")
+          .agg(sum("cnt").cast("long").as("cnt"),
+            sum("cents").cast("long").as("cents"))
+      val src = graft.streaming.BucketedLog(s"$base/src", Seq("g"),
+        buckets = 16)
+      src.init(agg(facts).limit(0))
+      (0 until 2).foreach { b =>
+        src.applyBatch(
+          agg(facts.where(pmod(col("o_orderkey"), lit(2L)) === b)),
+          b.toLong)(add)
+      }
+      val clone = src.cloneTo(s, s"$base/clone")
+      // the fork: source and clone each take a DIFFERENT extra batch;
+      // the clone reuses id 0 (fresh watermarks by contract)
+      src.applyBatch(
+        agg(facts.where(col("o_orderkey") % 5 === 0)), 2L)(add)
+      clone.applyBatch(
+        agg(facts.where(col("o_orderkey") % 7 === 0)), 0L)(add)
+      src.read(s).withColumn("side", lit("src"))
+        .unionByName(clone.read(s).withColumn("side", lit("clone")))
+    }),
+    "q244_ewma" -> ((s, dir) => {
+      // EWMA SMOOTHING per (user, day) — the classic recursive
+      // time-series filter s_i = (1-α)·s_{i-1} + α·x_i, which no
+      // distributive aggregate expresses: the fold is ORDER-EXACT, so
+      // the engine sorts each group's bounded event list once
+      // (sort_array over (ts, event_id, cents) — unique tiebreak,
+      // hard rule 4) and replays the recursion as ONE IEEE fold.
+      // α = 0.25 and the cents inputs are exactly representable, and
+      // DuckDB's list_reduce replays the IDENTICAL operation sequence
+      // (the list_prepend-seed trick, CLAUDE.md rule 11) — so both
+      // engines agree BIT-FOR-BIT with no rounding contract at all.
+      // 100 TB shape: one hash shuffle on (user, day); per-group
+      // state is the day's bounded event list, never a global sort.
+      val evs = tbl(s, dir, "events")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          struct(col("ts"), col("event_id"),
+            round(col("value") * 100).as("cents")).as("e"))
+        .groupBy("user_id", "day")
+        .agg(sort_array(collect_list(col("e"))).as("xs"))
+      evs.select(col("user_id"), col("day"),
+          size(col("xs")).cast("long").as("n"),
+          aggregate(col("xs"), lit(0.0),
+            (acc, x) => acc * lit(0.75) + x.getField("cents") * lit(0.25))
+            .as("ewma_cents"))
+        .where(col("n") >= 3)
+    }),
     "q242_stored_proximity" -> ((s, dir) => {
       // POSITIONAL POSTINGS — q221's phrase-proximity ranking
       // answered FROM THE STORE: the index keeps per-(term, doc)
@@ -9384,6 +9456,42 @@ object SparkEntry {
     // state is the plain one-shot GROUP BY — exactly-once per writer
     // (poisoned replays screened by each writer's own txn watermark)
     // and interleave-independence are what the gate proves
+    // q243: each side = the snapshot fold plus only its own
+    // post-fork batch (clone isolation is the claim; the reused
+    // batch id is fresh on the clone by contract)
+    "q243_deep_clone" ->
+      """WITH f AS (SELECT o_custkey % 128 AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |b AS (SELECT g, count(*)::BIGINT AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM f GROUP BY 1),
+        |e5 AS (SELECT g, count(*)::BIGINT AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM f
+        |  WHERE o_orderkey % 5 = 0 GROUP BY 1),
+        |e7 AS (SELECT g, count(*)::BIGINT AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM f
+        |  WHERE o_orderkey % 7 = 0 GROUP BY 1)
+        |SELECT b.g, (b.cnt + coalesce(e5.cnt, 0))::BIGINT AS cnt,
+        |  CAST(b.cents + coalesce(e5.cents, 0) AS BIGINT) AS cents,
+        |  'src' AS side
+        |FROM b LEFT JOIN e5 USING (g)
+        |UNION ALL
+        |SELECT b.g, (b.cnt + coalesce(e7.cnt, 0))::BIGINT,
+        |  CAST(b.cents + coalesce(e7.cents, 0) AS BIGINT), 'clone'
+        |FROM b LEFT JOIN e7 USING (g)""".stripMargin,
+    // q244: the identical IEEE fold replayed by list_reduce over the
+    // identically-ordered list (unique (ts, event_id) tiebreak) — the
+    // operands and operation order match bit-for-bit, so NO rounding
+    // contract is needed; λ literals cast ::DOUBLE per rule 11
+    "q244_ewma" ->
+      """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    list(round(value * 100) ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, len(xs)::BIGINT AS n,
+        |  list_reduce(list_prepend(0.0::DOUBLE, xs),
+        |    (a, x) -> a * 0.75::DOUBLE + x * 0.25::DOUBLE) AS ewma_cents
+        |FROM e WHERE len(xs) >= 3""".stripMargin,
     // q239: delete-without-rewrite is pinned driver-side (file
     // listing identical across deletes; purge touches only dirty
     // units, drains the sidecar); the served aggregate answers the

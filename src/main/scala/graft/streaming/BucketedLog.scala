@@ -572,6 +572,48 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       else None
     }
 
+  /** DEEP CLONE — a self-contained copy of the store's CURRENT state
+    * at `dst` (the Delta CLONE discipline: sandboxing, migration,
+    * fork-for-experiment). Every bucket the head manifest references
+    * is file-copied VERBATIM into the clone's `data/v0` (bucket
+    * layout preserved — no decode/re-encode, no shuffle, O(current
+    * state) driver-side IO), the schema anchor in force rides along,
+    * and a fresh version-0 manifest is published. History does NOT
+    * travel (a clone is the snapshot, not the log), and the
+    * batch/txn watermarks RESET — the clone is a new store with its
+    * own stream identities, not a resumption of the source's. The
+    * two stores then evolve fully independently. */
+  def cloneTo(spark: SparkSession, dst: String): BucketedLog = {
+    val f = fs(spark)
+    val (curVer, _, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.cloneTo before init: $dir"))
+    val clone = BucketedLog(dst, hashCols, buckets, compactAfter,
+      retain, checkpointEvery)
+    f.delete(new Path(dst), true)
+    f.mkdirs(new Path(s"$dst/data/v0"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.foreach { case (b, vdir) =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, new Path(s"$dir/$vdir/$BktCol=$b"),
+        f, new Path(s"$dst/data/v0/$BktCol=$b"),
+        false, false, conf)
+    }
+    val anchor = allSchemaAnchors(f).filter(_._1 <= curVer)
+      .maxByOption(_._1)
+      .getOrElse(sys.error(s"BucketedLog.cloneTo: no schema anchor ≤ " +
+        s"$curVer under $dir"))._2
+    org.apache.hadoop.fs.FileUtil.copy(f, anchor,
+      f, new Path(s"$dst/${schemaDir(0L)}"), false, false, conf)
+    clone.publishCloneManifest(f, entries.keySet)
+    clone
+  }
+
+  /** [[cloneTo]]'s target-side publish (fresh v0 manifest over the
+    * copied buckets, watermarks reset). */
+  private def publishCloneManifest(f: FileSystem, bkts: Set[Int]): Unit =
+    writeManifest(f, 0L, -1L, bkts.map(_ -> "data/v0").toMap,
+      newNonce(), Map.empty)
+
   /** Seed version 0 from full initial state (full write — done once;
     * every later batch rewrites only touched buckets). Also anchors
     * the state SCHEMA in a versioned `schema.v*` anchor (zero-row parquet footer) so a
