@@ -5623,6 +5623,100 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q246_rag_chunking" -> ((s, dir) => {
+      // RAG CHUNKING — overlapping token windows (size 32, stride
+      // 24), the retrieval-corpus preparation step between raw docs
+      // and the embedding/ANN family: each chunk carries its doc,
+      // index, bounds and an md5 content fingerprint (the chunk-level
+      // dedup key). Window count and slices are exact integer math on
+      // ONE tokenize; the fan-out is explode(sequence) — zero joins,
+      // zero shuffles before the final ordering, linear in total
+      // tokens at any corpus size.
+      val docs = tbl(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")))
+        .where(col("n") > 0)
+        .withColumn("k",
+          expr("1 + (greatest(n - 32, 0) + 23) div 24").cast("int"))
+      docs.select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0), col("k") - 1)).as("i"))
+        .withColumn("chunk", slice(col("t"), col("i") * 24 + 1, lit(32)))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          element_at(col("chunk"), 1).as("first_tok"),
+          element_at(col("chunk"), -1).as("last_tok"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("fp"))
+    }),
+    "q245_ingest_expectations" -> ((s, dir) => {
+      // INGEST EXPECTATIONS — declarative constraints screened at the
+      // lakehouse door (the Delta Live Tables EXPECT discipline):
+      // three arrival batches carry five deterministic corruption
+      // classes — null keys (%13), range violations (%17 negative
+      // cents), FK violations (%23 unknown custkey), within-batch
+      // duplicates (%11 copies), and re-ingests of keys already
+      // landed (%19 batch-0 keys replayed into batch 2). Every row
+      // either passes ALL checks or lands in quarantine tagged with
+      // the FIRST violated check (fixed precedence) — violations are
+      // data, never silent drops. The unique-vs-store check probes
+      // the key store through BucketedLog.readFor — O(batch-touched
+      // buckets), never O(store), which is what makes PK enforcement
+      // affordable against a 100 TB history. Oracle = the same
+      // injections + precedence as one SQL CASE chain.
+      val base = s"/tmp/graft_q245_expect_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      import graft.operators.Expectations
+      val o = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("ck0"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val baseRows = o.select(col("okey"),
+          pmod(col("okey"), lit(3L)).cast("int").as("b"), lit(0).as("seq"),
+          when(col("okey") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("okey")).as("k"),
+          when(col("okey") % 23 === 0, col("ck0") + 1000000000L)
+            .otherwise(col("ck0")).as("ck"),
+          when(col("okey") % 17 === 0, -col("cents0") - 1)
+            .otherwise(col("cents0")).as("cents"))
+      val dupInBatch = baseRows.where(col("okey") % 11 === 0)
+        .withColumn("seq", lit(1))
+        .withColumn("cents", col("cents") + 7L)
+      val dupVsStore = baseRows.where(col("okey") % 19 === 0 &&
+          col("b") === 0 && col("okey") % 13 =!= 0 &&
+          col("okey") % 17 =!= 0 && col("okey") % 23 =!= 0)
+        .withColumn("b", lit(2)).withColumn("seq", lit(2))
+      val rows = baseRows.unionByName(dupInBatch).unionByName(dupVsStore)
+        .localCheckpoint()
+      val custKeys = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("ck")).distinct()
+      val store = graft.streaming.BucketedLog(s"$base/keys", Seq("k"),
+        buckets = 32)
+      store.init(rows.select("k").limit(0))
+      val parts = (0 until 3).map { b =>
+        val batch = rows.where(col("b") === b)
+          .join(broadcast(custKeys.withColumn("__fk", lit(1))),
+            Seq("ck"), "left")
+        var sc = Expectations.screen(batch, Seq(
+          "null_key" -> col("k").isNotNull,
+          "range" -> (col("cents") >= 0),
+          "fk" -> (col("__fk") === 1)))
+        sc = Expectations.dedupInBatch(sc, Seq("k"), "seq", "dup_in_batch")
+        sc = Expectations.dedupVsStore(sc, store, "k", "dup_vs_store")
+        val out = sc.localCheckpoint()
+        store.applyBatch(
+          Expectations.accepted(out).select("k"), b.toLong) { (cur, bb) =>
+          cur.map(_.unionByName(bb)).getOrElse(bb).distinct()
+        }
+        out
+      }
+      parts.reduce(_ unionByName _)
+        .withColumn("reason",
+          coalesce(col(Expectations.ReasonCol), lit("accepted")))
+        .groupBy("reason")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("cents").cast("long").as("cents"))
+    }),
     "q243_deep_clone" -> ((s, dir) => {
       // DEEP CLONE — fork-for-experiment on the log-structured store
       // (the Delta CLONE discipline): an additive store is cloned at
@@ -9456,6 +9550,60 @@ object SparkEntry {
     // state is the plain one-shot GROUP BY — exactly-once per writer
     // (poisoned replays screened by each writer's own txn watermark)
     // and interleave-independence are what the gate proves
+    // q246: the identical window/slice integer math over the same
+    // tokenize; DuckDB list_slice clamps like Spark's slice
+    "q246_rag_chunking" ->
+      s"""WITH toks AS ($toksCte),
+         |d AS (SELECT doc_id, t, len(t) AS n,
+         |    1 + (greatest(len(t) - 32, 0) + 23) // 24 AS k
+         |  FROM toks WHERE doc_id % 5 = 0 AND len(t) > 0),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |    t[i * 24 + 1 : i * 24 + 32] AS chunk
+         |  FROM d, unnest(generate_series(0, k - 1)) AS g(i))
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |  len(chunk)::BIGINT AS n_tokens,
+         |  chunk[1] AS first_tok, chunk[-1] AS last_tok,
+         |  md5(array_to_string(chunk, ' ')) AS fp
+         |FROM c""".stripMargin,
+    // q245: same injections + precedence as one CASE chain; the
+    // dup-vs-store shortcut (seq=2 ⇒ replayed key) is valid because
+    // injected replays are exactly batch-0-accepted keys by
+    // construction — Spark runs the general readFor probe
+    "q245_ingest_expectations" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_custkey AS ck0,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents0
+        |  FROM orders),
+        |base AS (SELECT okey, (okey % 3)::INT AS b, 0 AS seq,
+        |    CASE WHEN okey % 13 = 0 THEN NULL ELSE okey END AS k,
+        |    CASE WHEN okey % 23 = 0 THEN ck0 + 1000000000 ELSE ck0 END
+        |      AS ck,
+        |    CASE WHEN okey % 17 = 0 THEN -cents0 - 1 ELSE cents0 END
+        |      AS cents
+        |  FROM o),
+        |dupb AS (SELECT okey, b, 1 AS seq, k, ck, cents + 7 AS cents
+        |  FROM base WHERE okey % 11 = 0),
+        |dups AS (SELECT okey, 2 AS b, 2 AS seq, k, ck, cents
+        |  FROM base WHERE okey % 19 = 0 AND b = 0 AND okey % 13 <> 0
+        |    AND okey % 17 <> 0 AND okey % 23 <> 0),
+        |rows_ AS (SELECT * FROM base UNION ALL SELECT * FROM dupb
+        |  UNION ALL SELECT * FROM dups),
+        |scr AS (SELECT *,
+        |    CASE WHEN k IS NULL THEN 'null_key'
+        |         WHEN cents < 0 THEN 'range'
+        |         WHEN ck NOT IN (SELECT c_custkey FROM customer)
+        |           THEN 'fk'
+        |    END AS r0 FROM rows_),
+        |db AS (SELECT *,
+        |    CASE WHEN r0 IS NULL AND
+        |      sum(CASE WHEN r0 IS NULL THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY b, k ORDER BY seq
+        |          ROWS UNBOUNDED PRECEDING) > 1
+        |      THEN 'dup_in_batch' ELSE r0 END AS r1 FROM scr),
+        |fin AS (SELECT *, CASE WHEN r1 IS NULL AND seq = 2
+        |    THEN 'dup_vs_store' ELSE r1 END AS reason FROM db)
+        |SELECT coalesce(reason, 'accepted') AS reason,
+        |  count(*)::BIGINT AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin GROUP BY 1""".stripMargin,
     // q243: each side = the snapshot fold plus only its own
     // post-fork batch (clone isolation is the claim; the reused
     // batch id is fresh on the clone by contract)
