@@ -5623,6 +5623,44 @@ object SparkEntry {
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q247_index_delete" -> ((s, dir) => {
+      // INDEX DELETE — the lifecycle step an append-only postings
+      // store lacks: after two ingest batches, every %9 doc is
+      // DELETED from the stored index — postings purged by a
+      // touched-bucket maintenance rewrite (only the buckets the
+      // docs' terms hash to, never O(index)) and the corpus stats
+      // decremented by the NAMED WRITER 'deletes' (its own batch-id
+      // sequence and txn watermark, independent of the ingest
+      // stream's — the multi-writer machinery in its natural
+      // deployment). A poisoned full replay of the delete batch is a
+      // no-op: the posting purge is idempotent, the stats decrement
+      // is screened by the deletes-writer's watermark. The surviving
+      // queries must then answer the REDUCED corpus bit-exactly —
+      // df, N and avgdl all shrink, indistinguishable from an index
+      // that never contained the docs. Oracle = q100's SQL over the
+      // filtered corpus.
+      val base = s"/tmp/graft_q247_idxdel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      val doomed = docs.where(pmod(col("doc_id"), lit(9L)) === 0)
+      idx.deleteDocs(doomed, "doc_id", "text", 0L)
+      // poisoned replay: same delete batch id, doubled text (would
+      // double the stats decrement) — watermark-screened
+      idx.deleteDocs(doomed
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 0L)
+      idx.bm25TopK(docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+          pmod(col("doc_id"), lit(9L)) =!= 0),
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q246_rag_chunking" -> ((s, dir) => {
       // RAG CHUNKING — overlapping token windows (size 32, stride
       // 24), the retrieval-corpus preparation step between raw docs
@@ -6973,7 +7011,14 @@ object SparkEntry {
     * incrementally-maintained stored index, which must be
     * bit-identical to this from-scratch form. */
   private def bm25RetrievalSql: String =
-    s"""WITH toks AS ($toksCte),
+    bm25RetrievalSqlFor("TRUE", "doc_id % 101 = 0")
+
+  /** [[bm25RetrievalSql]] with corpus/query filters — q247 grades the
+    * post-delete index against the REDUCED corpus (df/N/avgdl all
+    * shrink, bit-identical to an index never containing the docs). */
+  private def bm25RetrievalSqlFor(corpusCond: String,
+      queryCond: String): String =
+    s"""WITH toks AS (SELECT * FROM ($toksCte) WHERE $corpusCond),
        |stats AS (SELECT count(*)::DOUBLE AS n,
        |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
        |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
@@ -6982,7 +7027,7 @@ object SparkEntry {
        |  FROM terms GROUP BY cand_id, term, dl),
        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
-       |  FROM toks WHERE doc_id % 101 = 0),
+       |  FROM toks WHERE $queryCond),
        |scored AS (SELECT query_id, cand_id,
        |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
@@ -9550,6 +9595,11 @@ object SparkEntry {
     // state is the plain one-shot GROUP BY — exactly-once per writer
     // (poisoned replays screened by each writer's own txn watermark)
     // and interleave-independence are what the gate proves
+    // q247: the post-delete index must be indistinguishable from one
+    // never containing the docs — q100's derivation over the reduced
+    // corpus, surviving queries only
+    "q247_index_delete" -> bm25RetrievalSqlFor("doc_id % 9 <> 0",
+      "doc_id % 101 = 0 AND doc_id % 9 <> 0"),
     // q246: the identical window/slice integer math over the same
     // tokenize; DuckDB list_slice clamps like Spark's slice
     "q246_rag_chunking" ->

@@ -82,6 +82,49 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
     }
   }
 
+  /** DELETE documents from the index — the lifecycle step an
+    * append-only postings store lacks: re-tokenize the doomed docs
+    * (the caller supplies them; a term-keyed store cannot know a
+    * doc's terms without them), then (1) purge their postings with a
+    * touched-bucket maintenance rewrite ([[BucketedLog
+    * .rewriteBuckets]] — only the buckets the docs' terms hash to,
+    * O(doc terms + touched buckets), never O(index)), and (2) fold
+    * the NEGATIVE (n, sumdl) into the stats row as the NAMED WRITER
+    * `deletes` — the delete stream has its own batch-id sequence and
+    * its own exactly-once txn watermark, independent of the ingest
+    * stream's (the q238 multi-writer machinery in its natural
+    * deployment). After a delete, queries answer the REDUCED corpus
+    * exactly — df/N/avgdl all shrink, bit-identical to an index
+    * never containing the docs. */
+  def deleteDocs(docs: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Unit = {
+    val ids = docs.select(col(idCol).as("__dead")).distinct()
+      .localCheckpoint()
+    val terms = docs
+      .select(explode(array_distinct(
+        TextFunctions.tokens(col(textCol)))).as("term"))
+      .distinct()
+    val sparkSess = docs.sparkSession
+    import sparkSess.implicits._
+    val emptyPost = Seq.empty[(String, Long, Double, Long, Seq[Int])]
+      .toDF("term", "cand_id", "dl", "tf", "positions")
+    postLog.rewriteBuckets(terms) { (cur, _) =>
+      cur.map(_.join(broadcast(ids),
+          col("cand_id") === col("__dead"), "left_anti"))
+        .getOrElse(emptyPost)
+    }
+    val negStats = docs.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
+        lit(0L))).as("sumdl"))
+      .select(lit(1).as("one"), col("n"), col("sumdl"))
+    statsLog.applyBatch(negStats, batchId, "deletes") { (cur, b) =>
+      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sumdl").cast("long").as("sumdl"))
+    }
+  }
+
   /** Coverage receipt — the highest ingest batch id BOTH states have
     * applied (the q231 freshness-fence discipline). [[ingest]]
     * commits postings THEN stats, so the min is the sound fence: a

@@ -64,6 +64,23 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got === direct)
   }
 
+  test("deleteDocs == an index never containing the docs; replay no-op") {
+    val idx = fresh("del", 2)
+    val doomed = corpus.where(col("doc_id").isin(2L, 7L))
+    idx.deleteDocs(doomed, "doc_id", "text", 0L)
+    // poisoned replay: doubled text would double the stats decrement
+    idx.deleteDocs(doomed
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+      "doc_id", "text", 0L)
+    val reduced = corpus.where(!col("doc_id").isin(2L, 7L))
+    val want = rows(Retrieval.bm25TopK(
+      reduced.where(col("doc_id") === 1L), reduced, "doc_id", "text",
+      k = 3, excludeSelf = true))
+    val got = rows(idx.bm25TopK(corpus.where(col("doc_id") === 1L),
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(got === want)
+  }
+
   test("stored positional postings answer proximity like a direct scan") {
     val idx = fresh("prox", 2)
     val got = idx.proximityTopK(spark, "quick", "fox", k = 10)
