@@ -35,6 +35,14 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
   private def state(log: BucketedLog): Map[Long, Long] =
     log.read(spark).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Full stack (with causes) — a load-dependent race flake is only
+    * diagnosable if the failing run preserves WHERE it happened. */
+  private def stack(e: Throwable): String = {
+    val sw = new java.io.StringWriter()
+    e.printStackTrace(new java.io.PrintWriter(sw))
+    sw.toString
+  }
+
   /** Structural invariant: every dir any manifest references exists,
     * and every `data/v*` dir on disk is referenced by SOME manifest
     * (the loser's orphan is deleted, the winner's data can't be
@@ -124,7 +132,8 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
     import scala.jdk.CollectionConverters._
     assert(failures.asScala.forall(_.isInstanceOf[ConcurrentCommitException]),
-      s"only loud commit-race losses allowed: ${failures.asScala.toList}")
+      "only loud commit-race losses allowed:\n" +
+        failures.asScala.map(stack).mkString("\n---\n"))
     val successes = 6 - failures.size()
     assert(successes >= 1, "at least one racer must commit")
     // every surviving manifest is parseable, points only at live dirs,
@@ -230,7 +239,8 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
     import scala.jdk.CollectionConverters._
     assert(failures.asScala.isEmpty,
-      s"every writer must land via retry: ${failures.asScala.toList}")
+      "every writer must land via retry:\n" +
+        failures.asScala.map(stack).mkString("\n---\n"))
     // 12 commits, each exactly once: key 1 gains 12, keys 2..5 gain 30
     val got = state(log)
     assert(got(1L) === 22L, s"got $got")
