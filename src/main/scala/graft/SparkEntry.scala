@@ -2887,7 +2887,7 @@ object SparkEntry {
       // pre-evolution snapshot is also emitted under the oracle
       // (snap=0 rows) — the q189 time-travel discipline applied
       // across a schema boundary.
-      val base0 = "/tmp/graft_q233_evo"
+      val base0 = s"/tmp/graft_q233_evo_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base0), true)
@@ -5622,6 +5622,31 @@ object SparkEntry {
         .where(col("ck").between(ckLo, ckHi) &&
           col("dd").between(ddLo, ddHi))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q248_conjunctive_search" -> ((s, dir) => {
+      // CONJUNCTIVE (AND) SEARCH FROM THE STORE — the multi-term
+      // filter next to BM25 (OR) and proximity: docs containing ALL
+      // of {order, table, the}, answered from stored postings by the
+      // classic document-at-a-time walk — posting lists intersect
+      // SMALLEST-FIRST (k−1 equi-joins ordered by ascending df, each
+      // bounded by the rarest list's only-shrinking candidate set;
+      // spec-pinned in InvertedIndexSpec), never a groupBy-count
+      // that would shuffle the most common term's full postings.
+      // Reads only the three terms' buckets (readFor point lookup);
+      // ranking is exact integer math (total_tf desc, doc_id).
+      // Oracle = the plain multi-term HAVING-count filter.
+      val base = s"/tmp/graft_q248_conj_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      idx.conjunctiveTopK(s, Seq("order", "table", "the"), k = 20)
     }),
     "q247_index_delete" -> ((s, dir) => {
       // INDEX DELETE — the lifecycle step an append-only postings
@@ -9600,6 +9625,22 @@ object SparkEntry {
     // corpus, surviving queries only
     "q247_index_delete" -> bm25RetrievalSqlFor("doc_id % 9 <> 0",
       "doc_id % 101 = 0 AND doc_id % 9 <> 0"),
+    // q248: AND-retrieval is the plain multi-term filter — docs whose
+    // distinct matched terms count all 3, ranked by exact integer
+    // (total_tf desc, doc_id); the store's walk order (rarest-first
+    // intersection) is a plan property, invisible to the answer
+    "q248_conjunctive_search" ->
+      s"""WITH toks AS ($toksCte),
+         |tfc AS (SELECT doc_id, w, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+         |  WHERE w IN ('order', 'table', 'the') GROUP BY doc_id, w),
+         |m AS (SELECT doc_id, sum(tf) AS total_tf, min(tf) AS min_tf
+         |  FROM tfc GROUP BY doc_id HAVING count(*) = 3)
+         |SELECT doc_id, CAST(total_tf AS BIGINT) AS total_tf,
+         |  CAST(min_tf AS BIGINT) AS min_tf, rank
+         |FROM (SELECT *, row_number() OVER (
+         |    ORDER BY total_tf DESC, doc_id) AS rank FROM m)
+         |WHERE rank <= 20""".stripMargin,
     // q246: the identical window/slice integer math over the same
     // tokenize; DuckDB list_slice clamps like Spark's slice
     "q246_rag_chunking" ->

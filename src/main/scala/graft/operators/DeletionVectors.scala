@@ -30,10 +30,20 @@ import graft.streaming.BucketedLog
   * [[read]] splits the table by the (bounded, collected-once) set of
   * units that currently carry deletes: untouched units stream
   * through VERBATIM — no join, no shuffle, directory-pruned — and
-  * only dirty units pay an anti-join against the (broadcast-sized)
-  * DV slice. Deletes are typically concentrated (a bad ingest hour,
-  * one tenant) so the anti-join side stays a small fraction of the
-  * table regardless of total size.
+  * only dirty units pay an anti-join against the DV slice. Deletes
+  * are typically concentrated (a bad ingest hour, one tenant) so the
+  * anti-join side stays a small fraction of the table regardless of
+  * total size. The DV side is broadcast only while it fits
+  * (`broadcastMaxRows`, the screens' both-ways discipline): a
+  * delete-heavy stretch between purges — the GDPR-burst case — can
+  * grow the un-purged sidecar past executor broadcast limits, and
+  * past the cap the anti-join drops its hint and shuffles instead
+  * of dying (plan-guarded both ways in `DeletionVectorsSpec`).
+  * The sidecar is snapshotted ONCE per read/purge (`localCheckpoint`)
+  * and the dirty-unit set derived FROM that snapshot — two separate
+  * log reads would race a concurrent delete (rows in the DV set but
+  * not the dirty set escape the rewrite yet lose their DV rows:
+  * resurrection).
   *
   * == OPTIMIZE purge ==
   *
@@ -54,9 +64,25 @@ import graft.streaming.BucketedLog
   * @param dvPath    sidecar [[BucketedLog]] dir
   */
 final case class DeletionVectors(tablePath: String, dvPath: String,
-    keyCol: String = "k", buckets: Int = 32) {
+    keyCol: String = "k", buckets: Int = 32,
+    broadcastMaxRows: Long = Dedup.screenBroadcastMaxRows) {
 
   private def log = BucketedLog(dvPath, Seq(keyCol), buckets)
+
+  /** ONE consistent sidecar snapshot: the materialized DV set and
+    * the dirty units derived from IT (never a second log read). */
+  private def dvSnapshot(spark: SparkSession): (DataFrame, Seq[Int]) = {
+    val dv = log.read(spark).localCheckpoint()
+    val dirty = dv.select("unit").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    (dv, dirty)
+  }
+
+  /** Broadcast below the row cap, plain shuffle join above (the
+    * screens' both-ways-plan-guarded discipline — the count is one
+    * cheap action over the already-checkpointed snapshot). */
+  private def hinted(dv: DataFrame): DataFrame =
+    if (dv.count() <= broadcastMaxRows) broadcast(dv) else dv
 
   /** Seed an EMPTY sidecar for a table whose key column has the
     * sample frame's schema (init writes version 0 once). */
@@ -77,21 +103,20 @@ final case class DeletionVectors(tablePath: String, dvPath: String,
   /** Units currently carrying deletes — bounded driver fold (≤ the
     * table's unit count). */
   def dirtyUnits(spark: SparkSession): Seq[Int] =
-    log.read(spark).select("unit").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    dvSnapshot(spark)._2
 
   /** The LIVE table: clean units verbatim (no join), dirty units
-    * anti-joined against the broadcast DV slice. */
+    * anti-joined against the DV slice (broadcast under the cap,
+    * shuffled above — never a failed broadcast build). */
   def read(spark: SparkSession): DataFrame = {
     val t = spark.read.parquet(tablePath)
-    val dirty = dirtyUnits(spark)
+    val (dv, dirty) = dvSnapshot(spark)
     if (dirty.isEmpty) return t
-    val dv = log.read(spark)
     val boxed = dirty.map(Integer.valueOf)
     t.where(!col("unit").isin(boxed: _*))
       .unionByName(
         t.where(col("unit").isin(boxed: _*))
-          .join(broadcast(dv), Seq("unit", keyCol), "left_anti"))
+          .join(hinted(dv), Seq("unit", keyCol), "left_anti"))
   }
 
   /** OPTIMIZE: physically rewrite ONLY the dirty units (survivors,
@@ -100,16 +125,19 @@ final case class DeletionVectors(tablePath: String, dvPath: String,
     * touched; [[read]] is bit-identical across the purge. Returns
     * the units rewritten. */
   def purge(spark: SparkSession): Seq[Int] = {
-    val dirty = dirtyUnits(spark)
+    // ONE snapshot: the retire set at the end must exactly match the
+    // rewritten set — a delete committed between two separate log
+    // reads would have its unit skipped by the rewrite while its DV
+    // rows are retired, resurrecting the deleted rows
+    val (dv, dirty) = dvSnapshot(spark)
     if (dirty.isEmpty) return Nil
-    val dv = log.read(spark).localCheckpoint()
     val boxed = dirty.map(Integer.valueOf)
     val t = spark.read.parquet(tablePath)
     // survivors of the dirty units, compacted one file per unit; the
     // partitionBy-overwrite with dynamic mode replaces ONLY the unit
     // dirs this frame carries
     val survivors = t.where(col("unit").isin(boxed: _*))
-      .join(broadcast(dv), Seq("unit", keyCol), "left_anti")
+      .join(hinted(dv), Seq("unit", keyCol), "left_anti")
       .localCheckpoint()
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {

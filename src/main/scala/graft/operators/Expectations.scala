@@ -62,17 +62,34 @@ object Expectations {
   /** Among still-clean rows, quarantine keys ALREADY PRESENT in the
     * key store — a [[BucketedLog.readFor]] point lookup (the store's
     * rows for only the batch's buckets), broadcast into a left join.
-    * O(batch + touched buckets), never O(store). */
+    * O(batch + touched buckets) IO, never O(store) — and the
+    * BROADCAST side is first semi-joined down to the batch's own
+    * keys: `readFor` returns whole buckets by design, and with
+    * production-sized buckets (a few hundred MB each) a batch
+    * touching many buckets would otherwise broadcast GBs of
+    * unrelated keys; after the semi-join the broadcast carries
+    * ≤ |batch keys| rows (spec-pinned in `ExpectationsSpec`). */
   def dedupVsStore(screened: DataFrame, store: BucketedLog,
       keyCol: String, reason: String): DataFrame = {
-    val present = store.readFor(screened.select(keyCol))
-      .select(col(keyCol)).distinct()
+    val present = presentKeys(screened, store, keyCol)
       .withColumn("__seen", lit(1))
     screened.join(broadcast(present), Seq(keyCol), "left")
       .withColumn(ReasonCol,
         when(col(ReasonCol).isNull && col("__seen") === 1, lit(reason))
           .otherwise(col(ReasonCol)))
       .drop("__seen")
+  }
+
+  /** The broadcast side of [[dedupVsStore]]: the store's keys that
+    * ALSO appear in the batch (semi-join on the bucket-pruned slice)
+    * — by construction ≤ the batch's distinct keys, regardless of
+    * how full the touched buckets are. */
+  private[graft] def presentKeys(screened: DataFrame, store: BucketedLog,
+      keyCol: String): DataFrame = {
+    val batchKeys = screened.select(col(keyCol)).distinct()
+    store.readFor(batchKeys)
+      .select(col(keyCol)).distinct()
+      .join(batchKeys, Seq(keyCol), "left_semi")
   }
 
   def accepted(screened: DataFrame): DataFrame =

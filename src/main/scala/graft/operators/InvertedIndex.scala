@@ -15,10 +15,16 @@ import graft.streaming.BucketedLog
   * Two [[BucketedLog]] states:
   *
   *   - `post/` — postings `(term, cand_id, dl, tf)` hash-keyed by
-  *     TERM: an ingest batch appends its own docs' postings
-  *     (append-only union — new doc ids by contract, screened
-  *     exactly-once by `#batch=` on replay), touching only the
-  *     buckets its terms hash to;
+  *     TERM: an ingest batch appends its own docs' postings as an
+  *     immutable SEGMENT ([[BucketedLog.appendBatch]] — new doc ids
+  *     by contract, screened exactly-once by `#batch=` on replay).
+  *     Append-only matters here: a Zipfian text batch carries terms
+  *     hashing into essentially EVERY postings bucket, so a
+  *     rewrite-style merge would re-write ~the whole index per
+  *     batch; the segment commit writes O(batch postings) and folds
+  *     a bucket's segments only when its list fills (the Lucene
+  *     segment + amortized-merge discipline, `inverted_ingest_batch`
+  *     probe pins one fixed batch ~flat vs a 4× grown index);
   *   - `stats/` — ONE row `(n, sumdl)` folded additively per batch
   *     (exact longs; the `#batch=` guard is what makes additive
   *     folds replay-safe, the q199 argument).
@@ -52,10 +58,13 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
 
   /** Fold one ingest batch of documents into the index: POSITIONAL
     * postings of the batch's docs appended into the term-keyed log
-    * (touched buckets only — positions make the store answer phrase/
-    * proximity queries, the Lucene discipline), corpus stats summed.
-    * Batch doc ids must be new (append-only corpus); a crash-replayed
-    * batch is a no-op in both states by its `#batch=` watermark. */
+    * as one immutable segment (positions make the store answer
+    * phrase/proximity queries, the Lucene discipline), corpus stats
+    * summed. Per-batch cost is O(batch postings + rows of buckets
+    * whose segment lists fold this round) — amortized-flat in index
+    * size, never O(index). Batch doc ids must be new (append-only
+    * corpus); a crash-replayed batch is a no-op in both states by
+    * its `#batch=` watermark. */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
       batchId: Long): Unit = {
     val postings = docs
@@ -67,9 +76,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tf", size(col("positions")).cast("long"))
       .select("term", "cand_id", "dl", "tf", "positions")
-    postLog.applyBatch(postings, batchId) { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b)
-    }
+    postLog.appendBatch(postings, batchId)
     val stats = docs.agg(
       count(lit(1)).as("n"),
       coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
@@ -157,6 +164,69 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
       .orderBy(col("min_dist"), col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("min_dist"), col("doc_id"))).cast("long"))
+  }
+
+  /** Query terms with their EXACT document frequencies from the
+    * store, sorted rarest-first — the walk order for
+    * [[conjunctiveTopK]] (spec-pinned: intersection must start from
+    * the rarest term's postings). df is exact within the readFor
+    * slice because a term's postings live wholly in its bucket;
+    * a term absent from the corpus carries df 0 (and sorting FIRST
+    * empties the intersection immediately — the classic
+    * document-at-a-time short-circuit). */
+  /** The query terms' postings, bucket-pruned, filtered to the exact
+    * terms and memoized (the slice feeds the df count plus one frame
+    * per term — never re-read the store per consumer). */
+  private[graft] def postingsSlice(spark: SparkSession,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    postLog.readFor(terms.toDF("term"))
+      .where(col("term").isin(terms: _*))
+      .select("term", "cand_id", "tf")
+      .localCheckpoint()
+  }
+
+  private[graft] def conjunctionOrder(slice: DataFrame,
+      terms: Seq[String]): Seq[(String, Long)] = {
+    val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.map(t => t -> dfs.getOrElse(t, 0L)).sortBy { case (t, d) => (d, t) }
+  }
+
+  /** CONJUNCTIVE (AND / multi-term filter) retrieval FROM THE STORE —
+    * docs containing EVERY query term, the missing third of the
+    * stored-search surface next to BM25 (OR semantics) and 2-term
+    * proximity. The classic document-at-a-time walk: posting lists
+    * intersect SMALLEST-FIRST — k−1 equi-joins ordered by ascending
+    * df, so every join is bounded by the rarest list's (only-
+    * shrinking) candidate set, never by a stopword's postings; a
+    * groupBy-count formulation would shuffle ALL matched postings
+    * including the most common term's. Reads only the query terms'
+    * buckets ([[BucketedLog.readFor]]). Output `(doc_id, total_tf,
+    * min_tf, rank)`, rank 1..k by (total_tf desc, doc_id) — exact
+    * integer folds, no float rounding needed. */
+  def conjunctiveTopK(spark: SparkSession, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    val slice = postingsSlice(spark, terms)
+    val ordered = conjunctionOrder(slice, terms)
+    def posting(t: String, i: Int): DataFrame =
+      slice.where(col("term") === t)
+        .select(col("cand_id"), col("tf").as(s"tf_$i"))
+    val seed = posting(ordered.head._1, 0)
+    val joined = ordered.tail.zipWithIndex.foldLeft(seed) {
+      case (acc, ((t, _), i)) => acc.join(posting(t, i + 1), Seq("cand_id"))
+    }
+    val tfCols = ordered.indices.map(i => col(s"tf_$i"))
+    val minTf = if (tfCols.size == 1) tfCols.head else least(tfCols: _*)
+    joined.select(col("cand_id").as("doc_id"),
+        tfCols.reduce(_ + _).cast("long").as("total_tf"),
+        minTf.cast("long").as("min_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_tf").desc, col("doc_id"))).cast("long"))
   }
 
   /** Top-k BM25 per query, answered FROM THE STORE — same output

@@ -41,8 +41,12 @@ final class ConcurrentCommitException(msg: String)
   *     (the bucket is a pure function of the key — recomputed, never
   *     trusted from data);
   *   - `_MANIFEST.v<j>` — one line per live bucket mapping it to the
-  *     (relative) version dir holding its current rows. Untouched
-  *     buckets keep pointing at older dirs — that is the whole point.
+  *     `;`-separated (relative) version dirs holding its current
+  *     rows. Rewrite commits ([[applyBatch]]/[[rewriteBuckets]]/
+  *     [[compactNow]]) leave exactly ONE dir per bucket; segment
+  *     commits ([[appendBatch]]) APPEND dirs, and a bucket's rows
+  *     are the UNION of its listed dirs' rows. Untouched buckets
+  *     keep pointing at older dirs — that is the whole point.
   *
   * == Per-batch cost (the 100 TB argument) ==
   *
@@ -67,6 +71,14 @@ final class ConcurrentCommitException(msg: String)
   * at-least-once delivery — including non-idempotent merges
   * ([[AggView]]'s additive state, where a re-applied batch would
   * otherwise double-count; spec-pinned in `AggViewSpec`).
+  *
+  * Versions are CONTIGUOUS: every commit — default-writer batches
+  * included — targets `curVer + 1`, never a version derived from the
+  * batch id. A batch-id-derived jump would let a concurrent named
+  * writer or maintenance pass land at a DIFFERENT version in the
+  * same race (put-if-absent collides only on equal names), silently
+  * shadowing one commit instead of losing loudly; the batch id is
+  * already recorded in `#batch=`, it need not name the version.
   *
   * == Multiple writers: per-writer txn watermarks ==
   *
@@ -188,6 +200,14 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** Writer ids name `#txn.<id>=` manifest lines — restricted so an
+    * adversarial id (newline: splits the line, later parses throw;
+    * leading space or '=': round-trips surprisingly via the
+    * trim/lastIndexOf parse) can never corrupt the manifest. */
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.matches("[A-Za-z0-9_.-]*"),
+      s"writerId must match [A-Za-z0-9_.-]*: '$writerId'")
+
   private def allManifests(f: FileSystem): Seq[(Long, Path)] = {
     val d = new Path(dir)
     if (!f.exists(d)) return Seq.empty
@@ -260,28 +280,29 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     fold.foreach { case (_, p) => f.delete(p, false) }
   }
 
-  /** (last-applied batchId, bucket -> dir). The `#batch=` header is
+  /** (last-applied batchId, bucket -> dirs). The `#batch=` header is
     * the EXACTLY-ONCE guard: a crash-replayed micro-batch (foreachBatch
     * re-runs a batch whose commit beat the engine checkpoint) is
     * skipped by id, so even NON-idempotent merges (AggView's additive
     * fold) stay exact under at-least-once delivery. */
   private def parseManifest(f: FileSystem, path: Path)
-      : (Long, Map[Int, String]) =
+      : (Long, Map[Int, Seq[String]]) =
     parseManifestText(new String(readBytes(f, path), "UTF-8"))
 
   /** Full parse including per-writer txn watermarks
     * (`#txn.<writerId>=<batchId>` lines, absent on pre-txn stores). */
   private def parseManifestTxns(f: FileSystem, path: Path)
-      : (Long, Map[String, Long], Map[Int, String]) =
+      : (Long, Map[String, Long], Map[Int, Seq[String]]) =
     parseManifestTextTxns(new String(readBytes(f, path), "UTF-8"))
 
-  private def parseManifestText(text: String): (Long, Map[Int, String]) = {
+  private def parseManifestText(text: String)
+      : (Long, Map[Int, Seq[String]]) = {
     val (lastBatch, _, entries) = parseManifestTextTxns(text)
     (lastBatch, entries)
   }
 
   private def parseManifestTextTxns(text: String)
-      : (Long, Map[String, Long], Map[Int, String]) = {
+      : (Long, Map[String, Long], Map[Int, Seq[String]]) = {
     var lastBatch = -1L
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
@@ -293,26 +314,30 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
           val i = body.lastIndexOf('=')
           txns(body.take(i)) = body.drop(i + 1).toLong; None
         } else {
-          val i = l.indexOf('='); Some((l.take(i).toInt, l.drop(i + 1)))
+          // `;`-separated segment dirs (single-dir lines — every
+          // rewrite commit and all pre-segment manifests — parse as
+          // a one-element list, so old stores read unchanged)
+          val i = l.indexOf('=')
+          Some((l.take(i).toInt, l.drop(i + 1).split(';').toSeq))
         }
       }.toMap
     (lastBatch, txns.toMap, entries)
   }
 
-  /** (version, bucket -> version-dir-name). Highest manifest wins. */
+  /** (version, bucket -> version-dir-names). Highest manifest wins. */
   private[graft] def readManifest(spark: SparkSession)
-      : Option[(Long, Map[Int, String])] =
+      : Option[(Long, Map[Int, Seq[String]])] =
     readManifestFull(spark).map { case (v, _, e) => (v, e) }
 
   private[graft] def readManifestFull(spark: SparkSession)
-      : Option[(Long, Long, Map[Int, String])] =
+      : Option[(Long, Long, Map[Int, Seq[String]])] =
     readManifestFullTxns(spark).map { case (v, b, _, e) => (v, b, e) }
 
   /** (version, lastBatch, per-writer txns, entries) — the complete
     * head-manifest state. `txns(writerId)` is that writer's
     * last-applied batch id (its exactly-once watermark). */
   private[graft] def readManifestFullTxns(spark: SparkSession)
-      : Option[(Long, Long, Map[String, Long], Map[Int, String])] = {
+      : Option[(Long, Long, Map[String, Long], Map[Int, Seq[String]])] = {
     val f = fs(spark)
     val versions = allManifests(f)
     if (versions.isEmpty) return None
@@ -325,6 +350,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * has committed (−1 before its first commit). */
   def txnWatermark(spark: SparkSession, writerId: String): Long = {
     require(writerId.nonEmpty, "txnWatermark: empty writerId")
+    requireWriterId(writerId)
     readManifestFullTxns(spark)
       .fold(-1L)(_._3.getOrElse(writerId, -1L))
   }
@@ -337,9 +363,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * crashed fold left overlapping segments — overlapping blocks are
     * byte-identical). */
   private def readManifestAt(spark: SparkSession, asOf: Long)
-      : Option[(Long, Map[Int, String])] = {
+      : Option[(Long, Map[Int, Seq[String]])] = {
     val f = fs(spark)
-    def resolve(): Option[(Long, Map[Int, String])] = {
+    def resolve(): Option[(Long, Map[Int, Seq[String]])] = {
       val top = allManifests(f).filter(_._1 <= asOf)
       if (top.nonEmpty) {
         val (version, path) = top.maxBy(_._1)
@@ -405,11 +431,12 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * `_MANIFEST.v<version>` wins — the caller's data dir is orphaned
     * by construction (writer-unique name) and should be deleted. */
   private def writeManifest(f: FileSystem, version: Long,
-      lastBatch: Long, entries: Map[Int, String], nonce: String,
+      lastBatch: Long, entries: Map[Int, Seq[String]], nonce: String,
       txns: Map[String, Long]): Unit = {
     val body = (s"#batch=$lastBatch" +:
       (txns.toSeq.sortBy(_._1).map { case (w, b) => s"#txn.$w=$b" } ++
-        entries.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }))
+        entries.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=${v.mkString(";")}" }))
       .mkString("\n").getBytes("UTF-8")
     val dst = new Path(s"$dir/${manifestFile(version)}")
     def verify(who: String): Unit =
@@ -432,9 +459,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   }
 
   private def cleanup(f: FileSystem, cur: Long,
-      entries: Map[Int, String]): Unit = {
+      entries: Map[Int, Seq[String]]): Unit = {
     if (retain) return
-    val live = entries.values.toSet
+    val live = entries.values.flatten.toSet
     f.listStatus(new Path(dir)).foreach { st =>
       st.getPath.getName match {
         case ManifestName(v) if v.toLong < cur => f.delete(st.getPath, false)
@@ -447,6 +474,26 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     deleteDeadDataDirs(f, live)
   }
 
+  /** Newest modification time under `p` (bounded recursive walk): a
+    * LIVE Spark write lands files under nested `_temporary/` subdirs,
+    * which does NOT refresh the top-level dir's mtime — sweep grace
+    * must key on the deepest activity, or a merge+write phase longer
+    * than the grace would have its in-flight dir swept out from under
+    * it (repeated rebase retries, potential livelock for consistently
+    * long jobs). Only called once the CHEAP top-level check already
+    * exceeded the grace, so the walk never sits on the hot path. */
+  private def newestMtime(f: FileSystem, p: Path, depth: Int = 8): Long = {
+    val st = f.getFileStatus(p)
+    var newest = st.getModificationTime
+    if (st.isDirectory && depth > 0)
+      f.listStatus(p).foreach { c =>
+        newest = math.max(newest,
+          if (c.isDirectory) newestMtime(f, c.getPath, depth - 1)
+          else c.getModificationTime)
+      }
+    newest
+  }
+
   /** Delete every `data/v*` dir `live` does not reference (the loser/
     * superseded sweep shared by [[cleanup]] and [[vacuum]]).
     * `.tmp` dirs are IN-FLIGHT writes (the write-then-rename
@@ -454,10 +501,10 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * complete) — sweeping one mid-write would fail the writer's
     * tasks with an unretryable IO error instead of a loud commit
     * loss, so they are spared unless old enough to be a crashed
-    * writer's litter ([[BucketedLog.SweepGraceMs]]; a LIVE write
-    * keeps refreshing its dir mtime as files land). A COMPLETE
-    * unreferenced dir is always safe to sweep: its owner either
-    * already lost the manifest race or is about to lose it
+    * writer's litter ([[BucketedLog.SweepGraceMs]], keyed on the
+    * NEWEST mtime anywhere under the dir — see [[newestMtime]]). A
+    * COMPLETE unreferenced dir is always safe to sweep: its owner
+    * either already lost the manifest race or is about to lose it
     * (put-if-absent on a contiguous version chain — some manifest
     * at its target version exists by the time the sweep can see the
     * dir as unreferenced), and a loser's own best-effort delete
@@ -471,7 +518,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       if (n.startsWith("v")) {
         if (!n.endsWith(".tmp")) {
           if (!live.contains(s"data/$n")) f.delete(st.getPath, true)
-        } else if (now - st.getModificationTime > BucketedLog.SweepGraceMs)
+        } else if (now - st.getModificationTime > BucketedLog.SweepGraceMs
+            && now - newestMtime(f, st.getPath) > BucketedLog.SweepGraceMs)
           f.delete(st.getPath, true)
       }
     }
@@ -484,20 +532,26 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * any version dir no surviving manifest references. The oldest
     * surviving manifest still serves every bucket (its entries point
     * at dirs the deletion spares). Refuses a floor that would drop
-    * the newest top-level manifest (the current state). */
+    * the newest top-level manifest (the current state). A no-op
+    * vacuum (nothing below the floor) is decided from NAMES alone —
+    * segment files encode their folded version range, so the
+    * repeated-vacuum hot path parses nothing. */
   def vacuum(spark: SparkSession, keepFrom: Long): Unit = {
     val f = fs(spark)
     val manifests = allManifests(f)
     val (drop, keep) = manifests.partition(_._1 < keepFrom)
     if (keep.isEmpty) return
-    val segs = allSegments(f).map { case (lo, hi, p) =>
-      (lo, hi, p, parseSegment(f, p)) }
-    val segDrop = segs.exists(_._4.exists(_._1 < keepFrom))
+    val segNames = allSegments(f)
+    // a segment's name lo IS its minimum folded version: the
+    // below-floor check needs no content parse
+    val segDrop = segNames.exists(_._1 < keepFrom)
     if (drop.isEmpty && !segDrop) return
+    val segs = segNames.map { case (lo, hi, p) =>
+      (lo, hi, p, parseSegment(f, p)) }
     val keptBlocks = segs.flatMap(_._4).filter(_._1 >= keepFrom)
     val live = (keep.map { case (_, p) => parseManifest(f, p)._2 } ++
       keptBlocks.map { case (_, t) => parseManifestText(t)._2 })
-      .flatMap(_.values).toSet
+      .flatMap(_.values.flatten).toSet
     drop.foreach { case (_, p) => f.delete(p, false) }
     segs.foreach { case (_, _, p, blocks) =>
       val (dead, alive) = blocks.partition(_._1 < keepFrom)
@@ -537,21 +591,27 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
   }
 
   /** State rows of `which` buckets (all if None), each read from its
-    * manifest-pointed version dir with directory-level partition
+    * manifest-pointed version dir(s) with directory-level partition
     * pruning on `__bkt`, ALIGNED to `target` — the schema anchor in
-    * force at the version being read. Dirs written before an
+    * force at the version being read. A bucket's rows are the UNION
+    * over its listed dirs (one for rewrite commits, ≤ compactAfter
+    * segments for [[appendBatch]] stores). Dirs written before an
     * add-column evolution lack the added columns; they read back
     * null-filled (`unionByName(allowMissingColumns)` semantics,
     * expressed as an explicit typed projection so column ORDER is the
     * anchor's, not the write order's). */
-  private def stateRows(spark: SparkSession, entries: Map[Int, String],
+  private def stateRows(spark: SparkSession, entries: Map[Int, Seq[String]],
       which: Option[Set[Int]],
       target: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val wanted = which.fold(entries)(w =>
       entries.view.filterKeys(w).toMap)
-    val parts = wanted.groupBy(_._2).map { case (vdir, bs) =>
+    // invert to dir -> buckets-reading-it: one pruned scan per dir,
+    // a bucket's rows included exactly where its entry lists the dir
+    val parts = wanted.toSeq
+      .flatMap { case (b, dirs) => dirs.map(d => (d, b)) }
+      .groupBy(_._1).map { case (vdir, bs) =>
       val df = spark.read.parquet(s"$dir/$vdir")
-        .where(col(BktCol).isin(bs.keys.toSeq.map(Integer.valueOf): _*))
+        .where(col(BktCol).isin(bs.map(x => Integer.valueOf(x._2)): _*))
         .drop(BktCol)
       val have = df.columns.toSet
       df.select(target.fields.toSeq.map { fld =>
@@ -572,47 +632,95 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       else None
     }
 
+  private def listFilesUnder(f: FileSystem, p: Path): Seq[Path] = {
+    if (!f.exists(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) out += it.next().getPath
+    out.toSeq
+  }
+
   /** DEEP CLONE — a self-contained copy of the store's CURRENT state
     * at `dst` (the Delta CLONE discipline: sandboxing, migration,
-    * fork-for-experiment). Every bucket the head manifest references
-    * is file-copied VERBATIM into the clone's `data/v0` (bucket
-    * layout preserved — no decode/re-encode, no shuffle, O(current
-    * state) driver-side IO), the schema anchor in force rides along,
-    * and a fresh version-0 manifest is published. History does NOT
+    * fork-for-experiment). Every bucket dir the head manifest
+    * references is file-copied VERBATIM into the clone (bucket and
+    * segment layout preserved — no decode/re-encode, no shuffle; one
+    * clone dir per distinct referenced source dir), the schema anchor
+    * in force rides along, and a fresh version-0 manifest is
+    * published. The byte copy runs as an EXECUTOR JOB over the file
+    * list (the driver enumerates FS metadata only) — at 100 TB a
+    * driver-side loop serializes days of IO through one NIC; Delta's
+    * CLONE is distributed for the same reason. History does NOT
     * travel (a clone is the snapshot, not the log), and the
     * batch/txn watermarks RESET — the clone is a new store with its
     * own stream identities, not a resumption of the source's. The
-    * two stores then evolve fully independently. */
+    * two stores then evolve fully independently. Refuses a `dst`
+    * equal to or nested with the source dir (the clone starts by
+    * clearing `dst` — aliasing would destroy the source). */
   def cloneTo(spark: SparkSession, dst: String): BucketedLog = {
     val f = fs(spark)
+    val srcQ = f.makeQualified(new Path(dir)).toString
+    val dstQ = f.makeQualified(new Path(dst)).toString
+    require(dstQ != srcQ && !dstQ.startsWith(srcQ + "/") &&
+      !srcQ.startsWith(dstQ + "/"),
+      s"cloneTo: dst must not equal or nest with the source store " +
+        s"(src=$srcQ, dst=$dstQ) — the clone starts by clearing dst")
     val (curVer, _, entries) = readManifestFull(spark)
       .getOrElse(sys.error(s"BucketedLog.cloneTo before init: $dir"))
     val clone = BucketedLog(dst, hashCols, buckets, compactAfter,
       retain, checkpointEvery)
     f.delete(new Path(dst), true)
-    f.mkdirs(new Path(s"$dst/data/v0"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    entries.foreach { case (b, vdir) =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        f, new Path(s"$dir/$vdir/$BktCol=$b"),
-        f, new Path(s"$dst/data/v0/$BktCol=$b"),
-        false, false, conf)
+    // one clone dir per distinct referenced source dir, so segment
+    // structure (and the verbatim-bytes contract) survives the copy
+    val cloneDirOf: Map[String, String] = entries.values.flatten.toSeq
+      .distinct.sorted.zipWithIndex
+      .map { case (d, i) => d -> s"data/v0-$i" }.toMap
+    // driver: metadata-only enumeration of (src, dst) file pairs
+    val pairs: Seq[(String, String)] = entries.toSeq.flatMap {
+      case (b, dirs) => dirs.flatMap { d =>
+        val root = new Path(s"$dir/$d/$BktCol=$b")
+        val rootQ = f.makeQualified(root).toString
+        listFilesUnder(f, root).map { file =>
+          val rel = f.makeQualified(file).toString
+            .stripPrefix(rootQ).stripPrefix("/")
+          (file.toString, s"$dst/${cloneDirOf(d)}/$BktCol=$b/$rel")
+        }
+      }
+    }
+    if (pairs.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val confProps = spark.sparkContext.hadoopConfiguration
+        .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+      val slices = math.max(1,
+        math.min(pairs.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(pairs, slices).foreachPartition {
+        (it: Iterator[(String, String)]) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confProps.foreach { case (k, v) => conf.set(k, v) }
+          it.foreach { case (s, d) =>
+            val sp = new Path(s); val dp = new Path(d)
+            org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+              dp.getFileSystem(conf), dp, false, true, conf)
+          }
+      }
     }
     val anchor = allSchemaAnchors(f).filter(_._1 <= curVer)
       .maxByOption(_._1)
       .getOrElse(sys.error(s"BucketedLog.cloneTo: no schema anchor ≤ " +
         s"$curVer under $dir"))._2
     org.apache.hadoop.fs.FileUtil.copy(f, anchor,
-      f, new Path(s"$dst/${schemaDir(0L)}"), false, false, conf)
-    clone.publishCloneManifest(f, entries.keySet)
+      f, new Path(s"$dst/${schemaDir(0L)}"), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    clone.publishCloneManifest(f,
+      entries.map { case (b, dirs) => b -> dirs.map(cloneDirOf) })
     clone
   }
 
   /** [[cloneTo]]'s target-side publish (fresh v0 manifest over the
     * copied buckets, watermarks reset). */
-  private def publishCloneManifest(f: FileSystem, bkts: Set[Int]): Unit =
-    writeManifest(f, 0L, -1L, bkts.map(_ -> "data/v0").toMap,
-      newNonce(), Map.empty)
+  private def publishCloneManifest(f: FileSystem,
+      entries: Map[Int, Seq[String]]): Unit =
+    writeManifest(f, 0L, -1L, entries, newNonce(), Map.empty)
 
   /** Seed version 0 from full initial state (full write — done once;
     * every later batch rewrites only touched buckets). Also anchors
@@ -629,7 +737,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     state.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
     writeManifest(f, 0L, -1L,
-      writtenBuckets(f, vdir).map(_ -> vdir).toMap, newNonce(), Map.empty)
+      writtenBuckets(f, vdir).map(_ -> Seq(vdir)).toMap, newNonce(),
+      Map.empty)
   }
 
   /** The typed EMPTY state as of `version` — the highest `schema.v*`
@@ -659,9 +768,11 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * keys hash to, `merge(currentStateOfThoseBuckets, batch)` (state
     * is None when no touched bucket has rows yet — all-new-key
     * batches), write the result to a new version dir, commit the
-    * manifest. `batchId` must be monotone (the streaming engine's) —
-    * it names the version. `merge` must return rows whose keys hash
-    * back into the touched set (same keys in = same buckets out). */
+    * manifest at `curVer + 1`. `batchId` must be monotone (the
+    * streaming engine's) — it drives the `#batch=` exactly-once
+    * guard, NOT the version name (class doc, "Commit protocol").
+    * `merge` must return rows whose keys hash back into the touched
+    * set (same keys in = same buckets out). */
   def applyBatch(batch: DataFrame, batchId: Long)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit =
     applyBatch(batch, batchId, writerId = "")(merge)
@@ -671,17 +782,19 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * "Multiple writers"), so independent ingest streams with
     * independent batch-id sequences can share one store — each
     * stream's crash-replays are no-ops by ITS mark, and other
-    * writers' commits never advance it. Named-writer versions are
-    * `curVer + 1` (batch ids are per-writer, so they cannot name
-    * global versions) and `#batch=` is carried unchanged. */
+    * writers' commits never advance it. Every commit — default and
+    * named — targets `curVer + 1`, so concurrent writers always
+    * collide loudly on the version name. `#batch=` advances only on
+    * default-writer commits. */
   def applyBatch(batch: DataFrame, batchId: Long, writerId: String)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    requireWriterId(writerId)
     val spark = batch.sparkSession
     val f = fs(spark)
     val (curVer, lastBatch0, txns, entries) =
       readManifestFullTxns(spark)
         .getOrElse((-1L, -1L, Map.empty[String, Long],
-          Map.empty[Int, String]))
+          Map.empty[Int, Seq[String]]))
     // exactly-once by batch id: a crash-replayed micro-batch whose
     // commit already landed is a no-op — required for NON-idempotent
     // merges (additive AggView folds) under at-least-once delivery
@@ -691,8 +804,12 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val lastBatch = if (writerId.isEmpty) batchId else lastBatch0
     val newTxns = if (writerId.isEmpty) txns
       else txns.updated(writerId, batchId)
-    val version = if (writerId.isEmpty) math.max(curVer + 1, batchId + 1)
-      else curVer + 1
+    // ALWAYS curVer + 1 — a batch-id-derived jump would let a
+    // concurrent named writer/compactNow land at a DIFFERENT version
+    // in the same race and silently shadow one commit (put-if-absent
+    // collides only on equal version names); the batch id is already
+    // recorded in #batch=, it need not name the version
+    val version = curVer + 1
     // distinct buckets of the batch's keys — bounded by |batch|
     val touched = batch.select(bkt.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -709,7 +826,8 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       }
       return
     }
-    val compact = !retain && entries.values.toSet.size > compactAfter
+    val compact =
+      !retain && entries.values.flatten.toSet.size > compactAfter
     val scope = if (compact) None else Some(touched)
     val nonce = newNonce()
     // writer-unique dir: a concurrent writer at the same version can
@@ -751,8 +869,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // entry must be DROPPED, not carried — a stale pointer would
     // resurrect the retracted rows on the next read
     val newEntries =
-      if (compact) written.map(_ -> vdir).toMap
-      else (entries -- (touched -- written)) ++ written.map(_ -> vdir)
+      if (compact) written.map(_ -> Seq(vdir)).toMap
+      else (entries -- (touched -- written)) ++
+        written.map(_ -> Seq(vdir))
     try writeManifest(f, version, lastBatch, newEntries, nonce, newTxns)
     catch { case e: ConcurrentCommitException =>
       f.delete(new Path(s"$dir/$vdir"), true); throw e
@@ -773,6 +892,101 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       applyBatch(batch, batchId, writerId)(merge)
     }
 
+  /** APPEND one batch's rows WITHOUT reading or rewriting current
+    * state — the SEGMENT commit for append-only folds (inverted-index
+    * postings, event logs). [[applyBatch]]'s merge REWRITES every
+    * touched bucket's full contents: right for sparse-key states
+    * (CDC PKs, aggregate groups, DV keys), O(state)-per-batch for
+    * dense-coverage ones — a realistic Zipfian text batch carries
+    * terms hashing into essentially every postings bucket, so each
+    * micro-batch would rewrite ~the whole index. Here the batch's
+    * rows are written ALONE, partitioned by bucket, and the manifest
+    * APPENDS the new dir to each touched bucket's segment list — the
+    * Lucene immutable-segment discipline on the same manifest
+    * protocol (crash atomicity, exactly-once `#batch=`/`#txn.`
+    * guards, loud optimistic concurrency, `curVer + 1` versioning
+    * all inherited).
+    *
+    * Readers union a bucket's segments ([[stateRows]]); a touched
+    * bucket whose segment list has reached `compactAfter` is FOLDED
+    * in the same commit — its current rows are read and written
+    * alongside the batch's, and its entry collapses to the one new
+    * dir — so every read stays bounded at ≤ compactAfter segment
+    * dirs per bucket while per-batch cost stays
+    * O(|batch| + rows of folding buckets), amortized-FLAT in index
+    * size (the `inverted_ingest_batch` probe pins one fixed batch
+    * ~flat against a 1×/2×/4× grown index). Row semantics are pure
+    * multiset append: dedup or merge, if any is wanted, belongs to
+    * the reader or a [[rewriteBuckets]] maintenance pass. */
+  def appendBatch(batch: DataFrame, batchId: Long,
+      writerId: String = ""): Unit = {
+    requireWriterId(writerId)
+    val spark = batch.sparkSession
+    val f = fs(spark)
+    val (curVer, lastBatch0, txns, entries) =
+      readManifestFullTxns(spark)
+        .getOrElse((-1L, -1L, Map.empty[String, Long],
+          Map.empty[Int, Seq[String]]))
+    val mark = if (writerId.isEmpty) lastBatch0
+      else txns.getOrElse(writerId, -1L)
+    if (batchId <= mark) return
+    val lastBatch = if (writerId.isEmpty) batchId else lastBatch0
+    val newTxns = if (writerId.isEmpty) txns
+      else txns.updated(writerId, batchId)
+    val version = curVer + 1
+    val touched = batch.select(bkt.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) {
+      if (curVer >= 0L) {
+        writeManifest(f, version, lastBatch, entries, newNonce(), newTxns)
+        cleanup(f, version, entries)
+        maybeCheckpoint(f)
+      }
+      return
+    }
+    // buckets whose segment list is full fold NOW (amortized): their
+    // current rows ride along in this commit's single write and the
+    // entry collapses to the new dir
+    val folding = touched.filter(b =>
+      entries.getOrElse(b, Nil).size >= compactAfter)
+    val nonce = newNonce()
+    val vdir = s"data/v$version-$nonce"
+    val written = try {
+      if (curVer == -1L)
+        batch.limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
+      val toWrite =
+        if (folding.isEmpty) batch
+        else stateRows(spark, entries, Some(folding),
+            emptyStateAt(spark, curVer).schema)
+          .fold(batch)(cur => batch.unionByName(cur))
+      toWrite.withColumn(BktCol, bkt)
+        .write.mode("overwrite").partitionBy(BktCol)
+        .parquet(s"$dir/$vdir.tmp")
+      val w = writtenBuckets(f, s"$vdir.tmp").toSet
+      require(f.rename(new Path(s"$dir/$vdir.tmp"),
+        new Path(s"$dir/$vdir")),
+        s"BucketedLog: rename of $vdir.tmp failed — refusing to publish " +
+          "a manifest over a missing data dir")
+      w
+    } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
+      raceOrRethrow(f, curVer, e)
+    }
+    // every touched bucket is written (the batch has rows for it by
+    // construction); untouched entries carry; folding buckets collapse
+    val newEntries = entries ++ written.map { b =>
+      b -> (if (folding(b)) Seq(vdir)
+            else entries.getOrElse(b, Nil) :+ vdir)
+    }
+    try writeManifest(f, version, lastBatch, newEntries, nonce, newTxns)
+    catch { case e: ConcurrentCommitException =>
+      f.delete(new Path(s"$dir/$vdir"), true); throw e
+    }
+    cleanup(f, version, newEntries)
+    maybeCheckpoint(f)
+  }
+
   /** Touched-bucket MAINTENANCE rewrite — [[applyBatch]]'s bounded
     * touched-set commit OUTSIDE the batch-id sequence: `keys` names
     * the touched buckets (hashed on `hashCols` like state rows),
@@ -782,7 +996,9 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * index re-tightening), it is not new coverage, so downstream
     * freshness fences reading `#batch=` stay exact. O(|keys| +
     * touched-bucket rows); a lost commit race throws
-    * [[ConcurrentCommitException]] like every other writer. */
+    * [[ConcurrentCommitException]] like every other writer. On a
+    * segmented ([[appendBatch]]) store this also collapses the
+    * touched buckets' segment lists to the one new dir. */
   def rewriteBuckets(keys: DataFrame)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val spark = keys.sparkSession
@@ -812,7 +1028,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       raceOrRethrow(f, curVer, e)
     }
     val newEntries =
-      (entries -- (touched -- written)) ++ written.map(_ -> vdir)
+      (entries -- (touched -- written)) ++ written.map(_ -> Seq(vdir))
     try writeManifest(f, version, lastBatch, newEntries, nonce, txns)
     catch { case e: ConcurrentCommitException =>
       f.delete(new Path(s"$dir/$vdir"), true); throw e
@@ -855,7 +1071,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       f.delete(new Path(s"$dir/$vdir.tmp"), true)
       raceOrRethrow(f, curVer, e)
     }
-    val newEntries = written.map(_ -> vdir).toMap
+    val newEntries = written.map(_ -> Seq(vdir)).toMap
     // a lost race here (a live applyBatch published this version
     // first) throws LOUDLY; re-run the pass from a fresh read
     try writeManifest(f, version, lastBatch, newEntries, nonce, txns)

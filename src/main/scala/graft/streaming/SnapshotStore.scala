@@ -45,7 +45,7 @@ final case class SnapshotStore(dir: String, keyCol: String,
     MergeInto.VersionTsCol, MergeInto.VersionIdCol, MergeInto.TombstoneCol)
 
   private[graft] def readManifest(spark: SparkSession)
-      : Option[(Long, Map[Int, String])] = log.readManifest(spark)
+      : Option[(Long, Map[Int, Seq[String]])] = log.readManifest(spark)
 
   /** Seed version 0 from a plain base snapshot (full write — done
     * once; every later batch rewrites only touched buckets). */

@@ -704,6 +704,70 @@ object ScaleProbe {
       println(f"[probe] checkpoint_read $m%4d $versions%10d " +
         f"${discoveryMs(folded)}%8.3f ${discoveryMs(flat)}%8.3f")
     }
+
+    // Inverted-index INGEST cost vs INDEX size (the round-14 verdict's
+    // write-amplification finding, fixed by segment commits): grow the
+    // index with the m×-scaled decorrelated corpus (untimed), then
+    // time ONE fixed ~1k-doc batch. Buckets are held CONSTANT on
+    // purpose — Zipfian text touches essentially every term bucket
+    // regardless, so under the old union-and-rewrite fold this batch
+    // re-wrote the whole grown index (wall ∝ m); with appendBatch it
+    // writes only its own postings segment, so the wall must stay
+    // ~FLAT as the index grows 1×/2×/4×. (compactAfter folds stay out
+    // of frame at these mults: ≤ m+1 segments per bucket.)
+    if (opFilter.forall("inverted_ingest_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_invingest_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f)
+      val idx = graft.operators.InvertedIndex(dir, buckets = 64)
+      idx.init(spark)
+      val corpus = scaledDocs(m).localCheckpoint()
+      (0 until m).foreach { i =>
+        idx.ingest(corpus.where(col("doc_id") >= i * 1000000L &&
+          col("doc_id") < (i + 1) * 1000000L), "doc_id", "text", i.toLong)
+      }
+      // the fixed batch: same docs every m, fresh ids (append-only
+      // corpus contract), decorrelated tokens so matched volume is
+      // not the axis
+      val batch = docsBase.where(pmod(col("doc_id"), lit(13L)) < 2)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "([\\p{Alnum}]+)", "probe_$1"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      idx.ingest(batch, "doc_id", "text", m.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = batch.count()
+      println(f"[probe] inverted_ingest_batch $m%4d $n%10d $sec%8.2f")
+    }
+
+    // Deep-clone cost vs STATE size (q243's claim, distributed form):
+    // seed a 200k·m-row store (buckets ∝ m — constant bucket size),
+    // time ONE cloneTo. The copy is an executor job over the file
+    // list (never a driver-side loop), so the wall tracks state
+    // size / cluster throughput — ~linear in m here on a fixed box,
+    // and the per-m wall (sec/m, last column) must NOT grow, which is
+    // what a driver-serialized copy would show once state outruns one
+    // NIC.
+    if (opFilter.forall("clone_state".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_clone_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f); rm(new java.io.File(s"${dir}_dst"))
+      val log = graft.streaming.BucketedLog(dir, Seq("k"),
+        buckets = 64 * m)
+      log.init(spark.range(200000L * m).select(col("id").as("k"),
+        concat(lit("payload_"), col("id")).as("v")))
+      val t0 = System.nanoTime()
+      val clone = log.cloneTo(spark, s"${dir}_dst")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = clone.read(spark).count()
+      println(f"[probe] clone_state $m%4d $rows%10d $sec%8.2f " +
+        f"${sec / m}%8.2f")
+    }
     spark.stop()
   }
 }

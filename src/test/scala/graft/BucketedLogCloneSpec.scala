@@ -55,6 +55,43 @@ class BucketedLogCloneSpec extends AnyFunSuite with SparkTestBase {
     assert(src.txnWatermark(spark, "wA") === 3L)
   }
 
+  test("cloneTo refuses a dst equal to or nested with the source") {
+    rm("/tmp/graft_clone_src4")
+    val src = BucketedLog("/tmp/graft_clone_src4", Seq("k"), buckets = 4)
+    src.init(Seq((1L, 10L)).toDF("k", "v"))
+    // the clone starts by CLEARING dst — aliasing the source would
+    // read the manifest, delete the store, then fail mid-copy
+    Seq("/tmp/graft_clone_src4", "/tmp/graft_clone_src4/inner",
+      "/tmp").foreach { dst =>
+      intercept[IllegalArgumentException] { src.cloneTo(spark, dst) }
+    }
+    // the source survived every rejected attempt
+    assert(state(src) === Map(1L -> 10L))
+  }
+
+  test("a segmented (appendBatch) source clones verbatim, segments intact") {
+    rm("/tmp/graft_clone_src5"); rm("/tmp/graft_clone_dst5")
+    val src = BucketedLog("/tmp/graft_clone_src5", Seq("k"), buckets = 4,
+      compactAfter = 16)
+    src.init(Seq.empty[(Long, Long)].toDF("k", "v"))
+    Seq(Seq((1L, 10L), (2L, 20L)), Seq((1L, 11L)), Seq((2L, 21L), (3L, 30L)))
+      .zipWithIndex.foreach { case (b, i) =>
+        src.appendBatch(b.toDF("k", "v"), i.toLong)
+      }
+    def rows(log: BucketedLog): Seq[(Long, Long)] =
+      log.read(spark).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    val snap = rows(src)
+    assert(snap === Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L)))
+    val dst = src.cloneTo(spark, "/tmp/graft_clone_dst5")
+    assert(rows(dst) === snap)
+    // independent evolution both ways, appends included
+    dst.appendBatch(Seq((9L, 90L)).toDF("k", "v"), 0L)
+    assert(rows(src) === snap)
+    assert(rows(dst) === (snap :+ (9L, 90L)).sorted)
+  }
+
   test("a fully-retracted source clones to the typed empty store") {
     rm("/tmp/graft_clone_src3"); rm("/tmp/graft_clone_dst3")
     val src = BucketedLog("/tmp/graft_clone_src3", Seq("k"), buckets = 4)

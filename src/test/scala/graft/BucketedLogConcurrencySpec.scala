@@ -52,7 +52,8 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     val referenced = files.filter(_.matches("""_MANIFEST\.v\d{19}"""))
       .flatMap { m =>
         scala.io.Source.fromFile(s"$dir/$m").getLines()
-          .filterNot(_.startsWith("#")).map(_.split("=", 2)(1))
+          .filterNot(_.startsWith("#"))
+          .flatMap(_.split("=", 2)(1).split(";"))
       }.toSet
     val onDisk = Option(new java.io.File(s"$dir/data").listFiles())
       .fold(Set.empty[String])(_.map("data/" + _.getName).toSet)
@@ -249,5 +250,66 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     (0 until 4).foreach(w =>
       assert(log.txnWatermark(spark, s"w$w") === 2L))
     assertNoDanglingOrOrphan(dir)
+  }
+
+  test("versions stay contiguous: batch-id gaps never name the version") {
+    val dir = "/tmp/graft_blconc_h"
+    val log = newLog(dir)
+    // a checkpointed stream resumed against a recreated store arrives
+    // with batch ids far above the version chain — the version must
+    // still be curVer+1, or a concurrent writer targeting curVer+1
+    // would land at a DIFFERENT name and silently shadow one commit
+    log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), 100L)(sumMerge)
+    assert(log.readManifest(spark).get._1 === 1L,
+      "default commit must land at curVer+1, not batchId+1")
+    assert(log.readManifestFull(spark).get._2 === 100L)
+    log.applyBatch(Seq((1L, 2L)).toDF("k", "v"), 0L, "wA")(sumMerge)
+    assert(log.readManifest(spark).get._1 === 2L)
+    assert(state(log) === Map(1L -> 13L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("gapped default stream racing a named writer collides LOUDLY on one version") {
+    // the exact silent-shadow scenario: default batchId=7 (gap) and a
+    // named writer race from base v0. Both must target v1 — one wins,
+    // the loser throws — never two manifests at different versions
+    // where the higher (stale-based) silently shadows the lower
+    val dir = "/tmp/graft_blconc_i"
+    val log = newLog(dir)
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    @volatile var failure: Option[Throwable] = None
+    val t = new Thread(() => {
+      try log.applyBatch(Seq((1L, 100L)).toDF("k", "v"), 7L) { (cur, b) =>
+        entered.countDown(); proceed.await(); sumMerge(cur, b)
+      } catch { case e: Throwable => failure = Some(e) }
+    })
+    t.start()
+    entered.await() // default stream has read base v0, targets v1
+    log.applyBatch(Seq((2L, 5L)).toDF("k", "v"), 0L, "wA")(sumMerge) // wins v1
+    proceed.countDown()
+    t.join()
+    assert(failure.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"expected a loud collision at v1, got $failure")
+    // the named writer's commit is intact; nothing was shadowed
+    assert(state(log) === Map(1L -> 10L, 2L -> 25L, 3L -> 30L))
+    assert(log.txnWatermark(spark, "wA") === 0L)
+    assertNoDanglingOrOrphan(dir)
+    // the replayed default batch rebases cleanly on re-run
+    log.applyBatch(Seq((1L, 100L)).toDF("k", "v"), 7L)(sumMerge)
+    assert(state(log) === Map(1L -> 110L, 2L -> 25L, 3L -> 30L))
+  }
+
+  test("writer ids that would corrupt the manifest are rejected up front") {
+    val dir = "/tmp/graft_blconc_j"
+    val log = newLog(dir)
+    Seq("bad\nid", "sp ace", "eq=ual", " lead").foreach { id =>
+      val e = intercept[IllegalArgumentException] {
+        log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), 0L, id)(sumMerge)
+      }
+      assert(e.getMessage.contains("writerId"), s"$id: ${e.getMessage}")
+    }
+    // the store is untouched by the rejected attempts
+    assert(state(log) === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    assert(log.readManifest(spark).get._1 === 0L)
   }
 }

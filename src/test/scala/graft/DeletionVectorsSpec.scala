@@ -57,4 +57,60 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     dv.delete(Seq((0, 9L)).toDF("unit", "k"), 1L) // replay: no-op
     assert(keys(dv) === (0L until 40L).toSet -- Set(1L, 2L, 4L))
   }
+
+  test("DV side broadcasts under the cap, shuffles above — identical answers") {
+    // a delete-heavy stretch between purges (the GDPR burst) can grow
+    // the un-purged sidecar past broadcast limits: past the cap the
+    // anti-join must drop its hint and shuffle, never die building a
+    // broadcast — the screens' both-ways plan-guarded discipline
+    val thresholds = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    try {
+      // silence auto-broadcast so the join kind reflects ONLY the hint
+      thresholds.foreach(spark.conf.set(_, "-1"))
+      spark.sharedState.cacheManager.clearCache()
+      def mk(name: String, cap: Long) = {
+        val base = s"/tmp/graft_dv_spec_$name"
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(base), true)
+        val t = (0L until 40L).map(k => (k, (k / 10).toInt, k * 100L))
+          .toDF("k", "unit", "v")
+        t.write.partitionBy("unit").parquet(s"$base/tbl")
+        val dv = DeletionVectors(s"$base/tbl", s"$base/dv", buckets = 4,
+          broadcastMaxRows = cap)
+        dv.init(t); dv
+      }
+      def plan(dv: DeletionVectors): String = {
+        val df = dv.read(spark)
+        df.queryExecution.executedPlan.execute().count()
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+      }
+      val expect = (0L until 40L).toSet -- Set(3L, 7L)
+      val under = mk("bc", cap = 1000000L)
+      under.delete(Seq((0, 3L), (0, 7L)).toDF("unit", "k"), 0L)
+      val pUnder = plan(under)
+      assert(pUnder.contains("BroadcastHashJoin"),
+        s"under the cap the DV anti-join must broadcast:\n$pUnder")
+      assert(keys(under) === expect)
+      val over = mk("sh", cap = 0L)
+      over.delete(Seq((0, 3L), (0, 7L)).toDF("unit", "k"), 0L)
+      val pOver = plan(over)
+      assert(!pOver.contains("BroadcastHashJoin"),
+        s"past the cap the broadcast hint must be dropped:\n$pOver")
+      assert(keys(over) === expect)
+      // purge works in shuffle mode too, answers bit-identical
+      over.purge(spark)
+      assert(keys(over) === expect)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }

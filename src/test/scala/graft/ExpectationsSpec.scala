@@ -59,4 +59,32 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
     assert(got === Map(2L -> Some("replay"), 9L -> None))
   }
+
+  test("dedupVsStore broadcasts ≤ the batch's keys, however full the buckets") {
+    // readFor returns WHOLE buckets: with production-sized buckets a
+    // naive broadcast of the slice ships GBs of unrelated keys — the
+    // semi-join must cut the broadcast side to the batch's own keys
+    val dir = "/tmp/graft_expect_spec_wide"
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+    rm(new java.io.File(dir))
+    val store = BucketedLog(dir, Seq("k"), buckets = 2)
+    store.init((0L until 5000L).toDF("k")) // ~2500 keys PER bucket
+    val batch = Seq((7L, 1L), (9999L, 2L), (7L, 3L)).toDF("k", "v")
+    val present = Expectations.presentKeys(
+      Expectations.screen(batch, Nil), store, "k")
+    val rows = present.collect().map(_.getLong(0)).toSet
+    // exactly the already-landed batch keys — never the bucket slice
+    assert(rows === Set(7L))
+    assert(present.count() <= batch.select("k").distinct().count(),
+      "broadcast side must be bounded by the batch's distinct keys")
+    // end-to-end behavior unchanged
+    val sc = Expectations.dedupVsStore(
+      Expectations.screen(batch, Nil), store, "k", "replay")
+    val got = sc.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got === Map((7L, 1L) -> Some("replay"),
+      (7L, 3L) -> Some("replay"), (9999L, 2L) -> None))
+  }
 }

@@ -118,4 +118,48 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact === Map("alpha" -> 0L, "gamma" -> 2L))
   }
+
+  test("conjunctive AND retrieval == the brute-force multi-term filter") {
+    val idx = fresh("conj", 2)
+    // brute force: docs whose token sets contain ALL query terms,
+    // (total_tf desc, doc_id) ranked
+    val terms = Seq("fox", "dog", "quick")
+    val brute = corpus.collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        (r.getLong(0), terms.map(t => toks.count(_ == t)))
+      }
+      .filter(_._2.forall(_ > 0))
+      .map { case (id, tfs) => (id, tfs.sum.toLong, tfs.min.toLong) }
+      .sortBy { case (id, tot, _) => (-tot, id) }
+      .zipWithIndex.map { case ((id, tot, mn), i) => (id, tot, mn, i + 1L) }
+      .toSeq
+    val got = idx.conjunctiveTopK(spark, terms, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === brute)
+    // a single-term "conjunction" is the term's postings, ranked
+    val one = idx.conjunctiveTopK(spark, Seq("quick"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 5L))
+    // a term absent from the corpus empties the intersection
+    assert(idx.conjunctiveTopK(spark, Seq("fox", "nosuchterm"), 10)
+      .count() === 0L)
+  }
+
+  test("conjunction walks rarest-first: ascending df, ties by term") {
+    val idx = fresh("conjorder", 1)
+    val slice = idx.postingsSlice(spark,
+      Seq("quick", "dog", "fox", "nosuchterm"))
+    val order = idx.conjunctionOrder(slice,
+      Seq("quick", "dog", "fox", "nosuchterm"))
+    // dfs over the corpus: quick=3 (docs 1,2,5), dog=4, fox=4
+    assert(order.map(_._2) === order.map(_._2).sorted,
+      s"intersection must start from the rarest term: $order")
+    assert(order.head === ("nosuchterm", 0L),
+      "an absent term (df 0) must lead — it short-circuits the walk")
+    assert(order(1) === ("quick", 3L))
+    // tie between dog/fox (df 4) breaks lexicographically
+    assert(order.drop(2) === Seq(("dog", 4L), ("fox", 4L)))
+  }
 }

@@ -92,14 +92,14 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTestBase {
     val st = store(dir, buckets = 8)
     st.init(base, IntegerType, LongType)
     val m0 = st.readManifest(spark).get._2
-    assert(m0.values.toSet === Set("data/v0"))
+    assert(m0.values.toSet === Set(Seq("data/v0")))
     // one-key batch touches exactly one bucket
     val batch = Seq((1L, "U", "a1", 11.0, 1, 100L))
     st.applyBatch(changesDf(batch), 0L)
     val m1 = st.readManifest(spark).get._2
-    val moved = m1.filter(_._2 != "data/v0")
+    val moved = m1.filter(_._2 != Seq("data/v0"))
     assert(moved.size === 1, s"expected exactly one rewritten bucket: $m1")
-    assert(m1.filter(_._2 == "data/v0").size === m0.size - (
+    assert(m1.filter(_._2 == Seq("data/v0")).size === m0.size - (
       if (m0.contains(moved.head._1)) 1 else 0))
     val pub1 = published(st)
     // replay the same batch: stale tie loses, rows unchanged
