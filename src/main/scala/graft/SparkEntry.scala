@@ -2768,9 +2768,14 @@ object SparkEntry {
       val shards = idx.matchingShards(s, probes, "o_orderkey")
       require(shards.nonEmpty && shards.size < 64,
         s"probe should prune some of 64 shards: ${shards.size}")
-      s.read.parquet(s"$base/tbl")
-        .where(col("shard").isin(shards.map(Long.box): _*))
-        .join(broadcast(probes), Seq("o_orderkey"), "left_semi")
+      // serve through readWhere: the table is shard-laid, so the
+      // Bloom attachment names the layout column and matched shards
+      // prune to DIRECTORIES before the exact residual semi-join
+      graft.operators.IndexedTable(s"$base/tbl",
+          blooms = Seq(graft.operators.BloomAttachment("o_orderkey", idx,
+            shardCol = Some("shard"))))
+        .readWhere(s, Seq(graft.operators.IndexedTable.KeyIn(
+          "o_orderkey", probes)))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
     "q146_hll_sparse" -> ((s, dir) => {
@@ -5436,9 +5441,12 @@ object SparkEntry {
       val units = idx.matchingUnits(s, lit(lo), lit(hi))
       require(units.nonEmpty && units.size < stored.size,
         s"range probe should prune some of ${stored.size} units: $units")
-      s.read.parquet(s"$base/tbl")
-        .where(col("unit").isin(units.map(u => Integer.valueOf(u.toInt)): _*))
-        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      // serve through the readWhere facade: the attached index prunes
+      // unit directories by default, the exact range runs as residual
+      graft.operators.IndexedTable(s"$base/tbl",
+          zoneMaps = Map("o_orderkey" -> idx))
+        .readWhere(s, Seq(graft.operators.IndexedTable.Range(
+          "o_orderkey", lit(lo), lit(hi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
     "q234_optimize_retighten" -> ((s, dir) => {
@@ -5534,19 +5542,24 @@ object SparkEntry {
       // probe set; survivors answer, deleted keys die in the exact
       // residual)
       val (lo2, hi2) = (2 * w + cut, 2 * w + cut + w / 5)
-      val units2 = idx.matchingUnits(s, lit(lo2), lit(hi2))
-      val rangeRows = opt
-        .where(col("unit").isin(units2.map(u => Integer.valueOf(u.toInt)): _*))
-        .where(col("o_orderkey") >= lo2 && col("o_orderkey") <= hi2)
+      // both serves through the readWhere facade over the compacted
+      // layout: the re-tightened zone map prunes the range's unit
+      // dirs, the rebuilt Bloom's shard filter + exact semi-join
+      // answer the point lookups (this table is unit-laid, so the
+      // shard filter is row-group skipping, not a directory prune —
+      // BloomAttachment doc)
+      val table234 = graft.operators.IndexedTable(s"$base/opt",
+        zoneMaps = Map("o_orderkey" -> idx),
+        blooms = Seq(graft.operators.BloomAttachment("o_orderkey", bloom)))
+      val rangeRows = table234.readWhere(s, Seq(
+          graft.operators.IndexedTable.Range("o_orderkey",
+            lit(lo2), lit(hi2))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("src", lit("range"))
       val probes = withUnit.where(col("o_orderkey") % 97 === 0)
         .select("o_orderkey")
-      val shardSet = bloom.matchingShards(s, probes, "o_orderkey")
-      val pointRows = opt
-        .where(bloom.shardOf(col("o_orderkey"))
-          .isin(shardSet.map(Long.box): _*))
-        .join(broadcast(probes.distinct()), Seq("o_orderkey"), "left_semi")
+      val pointRows = table234.readWhere(s, Seq(
+          graft.operators.IndexedTable.KeyIn("o_orderkey", probes)))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("src", lit("point"))
       rangeRows.unionByName(pointRows)
@@ -5617,11 +5630,37 @@ object SparkEntry {
         both.size < ddOnly.size,
         s"conjunction must out-prune both single predicates: " +
           s"ck=${ckOnly.size} dd=${ddOnly.size} both=${both.size}")
-      s.read.parquet(s"$base/tbl")
-        .where(col("unit").isin(both.map(u => Integer.valueOf(u.toInt)): _*))
-        .where(col("ck").between(ckLo, ckHi) &&
-          col("dd").between(ddLo, ddHi))
+      // serve through readWhere: both ranges reach the multi-column
+      // index as ONE conjunction probe, residual box exact
+      graft.operators.IndexedTable(s"$base/tbl", multiCol = Some(idx))
+        .readWhere(s, Seq(
+          graft.operators.IndexedTable.Range("ck", lit(ckLo), lit(ckHi)),
+          graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q249_phrase_search" -> ((s, dir) => {
+      // EXACT PHRASE SEARCH FROM THE STORE — the quoted-string query
+      // ("big order scan"), completing the stored-search surface:
+      // BM25 (q240, OR), proximity (q242, near), AND (q248),
+      // adjacency (this). Term i's stored positions shift by −i so a
+      // phrase occurrence is one shared anchor; the intersection is
+      // the rarest-first document-at-a-time walk on (doc, anchor) —
+      // k−1 equi-joins bounded by the rarest term's postings, the
+      // corpus never re-tokenized. Counts/positions exact integers
+      // (0-based anchors, overlapping occurrences each count).
+      // Oracle = the plain 3-gram scan.
+      val base = s"/tmp/graft_q249_phrase_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      idx.phraseTopK(s, Seq("big", "order", "scan"), k = 20)
     }),
     "q248_conjunctive_search" -> ((s, dir) => {
       // CONJUNCTIVE (AND) SEARCH FROM THE STORE — the multi-term
@@ -6168,12 +6207,12 @@ object SparkEntry {
       require(after * 2 <= before,
         s"re-clustering must at least halve the box's read set: " +
           s"$before -> $after rows")
-      // serve the box from the re-clustered layout
-      val units1 = idx1.matchingUnits(s, box)
-      s.read.parquet(s"$base/tbl1")
-        .where(col("unit").isin(units1.map(u => Integer.valueOf(u.toInt)): _*))
-        .where(col("ck").between(ckLo, ckHi) &&
-          col("dd").between(ddLo, ddHi))
+      // serve the box from the re-clustered layout through readWhere
+      // (the rebuilt multi-column index prunes by default)
+      graft.operators.IndexedTable(s"$base/tbl1", multiCol = Some(idx1))
+        .readWhere(s, Seq(
+          graft.operators.IndexedTable.Range("ck", lit(ckLo), lit(ckHi)),
+          graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
   )
@@ -9625,6 +9664,21 @@ object SparkEntry {
     // corpus, surviving queries only
     "q247_index_delete" -> bm25RetrievalSqlFor("doc_id % 9 <> 0",
       "doc_id % 101 = 0 AND doc_id % 9 <> 0"),
+    // q249: exact phrase match is the plain 3-gram scan — each
+    // consecutive-token window tested literally; first_pos converts
+    // the oracle's 1-based token index to the store's 0-based
+    "q249_phrase_search" ->
+      s"""WITH toks AS ($toksCte),
+         |p AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, i
+         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         |m AS (SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+         |    (min(i) - 1)::BIGINT AS first_pos
+         |  FROM p WHERE w1 = 'big' AND w2 = 'order' AND w3 = 'scan'
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_occurrences, first_pos, rank
+         |FROM (SELECT *, row_number() OVER (
+         |    ORDER BY n_occurrences DESC, doc_id) AS rank FROM m)
+         |WHERE rank <= 20""".stripMargin,
     // q248: AND-retrieval is the plain multi-term filter — docs whose
     // distinct matched terms count all 3, ranked by exact integer
     // (total_tf desc, doc_id); the store's walk order (rarest-first

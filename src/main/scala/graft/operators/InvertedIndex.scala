@@ -229,6 +229,53 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
         Window.orderBy(col("total_tf").desc, col("doc_id"))).cast("long"))
   }
 
+  /** EXACT PHRASE retrieval FROM THE STORE — `terms` adjacent in
+    * order (the quoted-string query), the positional-postings
+    * feature [[proximityTopK]] generalizes to k terms with EXACT
+    * adjacency: term i's positions are shifted by −i, so one phrase
+    * occurrence is one shared ANCHOR position present in every
+    * term's shifted list, and the intersection is the same
+    * document-at-a-time walk as [[conjunctiveTopK]] — k−1 equi-joins
+    * on (doc, anchor) ordered rarest-term-first, each bounded by the
+    * rarest list's only-shrinking (doc, anchor) set. Repeated terms
+    * in the phrase are legal (each INSTANCE joins at its own
+    * offset). Reads only the phrase terms' buckets; anchors are
+    * exact integers (0-based, the store's numbering; overlapping
+    * occurrences each count). Output `(doc_id, n_occurrences,
+    * first_pos, rank)`, rank 1..k by (n_occurrences desc, doc_id). */
+  def phraseTopK(spark: SparkSession, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(terms.size >= 2, s"a phrase needs ≥2 terms: $terms")
+    import spark.implicits._
+    val slice = postLog.readFor(terms.distinct.toDF("term"))
+      .where(col("term").isin(terms.distinct: _*))
+      .select("term", "cand_id", "positions")
+      .localCheckpoint()
+    val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // instance walk order: rarest term's instance first (ties by
+    // phrase position) — an absent term (df 0) leads and empties
+    // the intersection immediately
+    val order = terms.indices.sortBy(i => (dfs.getOrElse(terms(i), 0L), i))
+    // explode first, shift after (a generator cannot nest in an
+    // expression, and a transform lambda would leave codegen)
+    def anchors(i: Int): DataFrame = slice.where(col("term") === terms(i))
+      .select(col("cand_id"), explode(col("positions")).as("__p"))
+      .select(col("cand_id"), (col("__p") - lit(i)).as("anchor"))
+    val joined = order.tail.foldLeft(anchors(order.head))((acc, i) =>
+      acc.join(anchors(i), Seq("cand_id", "anchor")))
+    joined.groupBy("cand_id")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .select(col("cand_id").as("doc_id"), col("n_occurrences"),
+        col("first_pos"))
+      .orderBy(col("n_occurrences").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("doc_id")))
+        .cast("long"))
+  }
+
   /** Top-k BM25 per query, answered FROM THE STORE — same output
     * contract (and bit-identical scores) as [[Retrieval.bm25TopK]]
     * over the ingested corpus. */

@@ -147,6 +147,33 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .count() === 0L)
   }
 
+  test("phrase match == brute-force adjacency; repeats and overlaps count") {
+    val idx = fresh("phrase", 2)
+    // doc 7 = "fox and dog and fox and dog": "fox and dog" occurs at
+    // anchors 0 and 4 (overlap-free here, but each window counts)
+    val got = idx.phraseTopK(spark, Seq("fox", "and", "dog"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((7L, 2L, 0L, 1L)))
+    // "quick brown" in docs 1 and 2 at anchors 1 and 1
+    val qb = idx.phraseTopK(spark, Seq("quick", "brown"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(qb === Seq((1L, 1L, 1L, 1L), (2L, 1L, 1L, 2L)))
+    // REPEATED term in the phrase: "quick quick" matches only doc 5
+    // ("quick quick quick fox") with two overlapping occurrences
+    val qq = idx.phraseTopK(spark, Seq("quick", "quick"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(qq === Seq((5L, 2L)))
+    // adjacency in the WRONG order never matches
+    assert(idx.phraseTopK(spark, Seq("brown", "quick"), 10).count() === 0L)
+    // absent term short-circuits
+    assert(idx.phraseTopK(spark, Seq("fox", "nosuchterm"), 10)
+      .count() === 0L)
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
