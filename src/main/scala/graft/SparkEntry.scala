@@ -5638,6 +5638,52 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q250_tombstone_delete" -> ((s, dir) => {
+      // DEFERRED (TOMBSTONED) INDEX DELETE — the merge-on-read dual
+      // of q247's eager purge: q247's touched-bucket rewrite hits
+      // every bucket the doomed docs' terms hash to (~O(index) for
+      // real text — the same amplification segment ingest removed),
+      // while a tombstone delete commits only the doomed ids
+      // (O(batch)) plus the watermark-screened stats decrement.
+      // Every query subtracts the tombstone set BEFORE df, so the
+      // answer is bit-identical to an index never containing the
+      // docs; ONE amortized purgeDeletes pass (Lucene's delete-then-
+      // merge) then physically drops the postings, drains the
+      // tombstones, and the gate require-pins the served answer
+      // IDENTICAL across the purge. A poisoned replay of the delete
+      // batch is a no-op (idempotent tombstone union by #batch=,
+      // stats screened by the deletes-writer's txn watermark).
+      // Oracle = q100's SQL over the reduced (%7 removed) corpus.
+      val base = s"/tmp/graft_q250_tombdel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      val doomed = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
+      idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+      // poisoned replay: doubled text would double the stats decrement
+      idx.deleteDocsDeferred(doomed
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 0L)
+      require(idx.tombstoneCount(s) > 0L, "tombstones must be pending")
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+        pmod(col("doc_id"), lit(7L)) =!= 0).localCheckpoint()
+      def answer() = idx.bm25TopK(queries, "doc_id", "text", k = 5,
+        excludeSelf = true)
+      val before = answer().orderBy("query_id", "rank").collect().toSeq
+      idx.purgeDeletes(s)
+      require(idx.tombstoneCount(s) == 0L, "purge must drain tombstones")
+      val after = answer().orderBy("query_id", "rank").collect().toSeq
+      require(before == after,
+        "served answer must be bit-identical across the purge")
+      answer()
+    }),
     "q249_phrase_search" -> ((s, dir) => {
       // EXACT PHRASE SEARCH FROM THE STORE — the quoted-string query
       // ("big order scan"), completing the stored-search surface:
@@ -9664,6 +9710,11 @@ object SparkEntry {
     // corpus, surviving queries only
     "q247_index_delete" -> bm25RetrievalSqlFor("doc_id % 9 <> 0",
       "doc_id % 101 = 0 AND doc_id % 9 <> 0"),
+    // q250: a tombstoned-then-purged index must be indistinguishable
+    // from one never containing the docs — q100's derivation over
+    // the reduced corpus (the q247 contract, merge-on-read flavor)
+    "q250_tombstone_delete" -> bm25RetrievalSqlFor("doc_id % 7 <> 0",
+      "doc_id % 101 = 0 AND doc_id % 7 <> 0"),
     // q249: exact phrase match is the plain 3-gram scan — each
     // consecutive-token window tested literally; first_pos converts
     // the oracle's 1-based token index to the store's 0-based

@@ -27,7 +27,20 @@ import graft.streaming.BucketedLog
   *     probe pins one fixed batch ~flat vs a 4× grown index);
   *   - `stats/` — ONE row `(n, sumdl)` folded additively per batch
   *     (exact longs; the `#batch=` guard is what makes additive
-  *     folds replay-safe, the q199 argument).
+  *     folds replay-safe, the q199 argument);
+  *   - `tomb/` — doc-id TOMBSTONES for deferred deletes
+  *     ([[deleteDocsDeferred]]): the merge-on-read dual of the
+  *     eager [[deleteDocs]] purge, because a purge-now delete pays
+  *     a touched-bucket rewrite of every bucket the doomed docs'
+  *     terms hash to — ~O(index) for Zipfian text, the same
+  *     amplification the segment commit removed from ingest. A
+  *     tombstone delete costs O(|batch|); every query subtracts the
+  *     (bounded, un-purged) tombstone set BEFORE df — answers are
+  *     bit-identical to an index never containing the docs — and
+  *     ONE amortized [[purgeDeletes]] pass physically drops the
+  *     postings and drains the tombstones (the Lucene
+  *     delete-then-merge discipline; the [[DeletionVectors]]
+  *     broadcast-cap rule bounds the read-time anti-join).
   *
   * == Query path (the 100 TB argument) ==
   *
@@ -44,16 +57,37 @@ import graft.streaming.BucketedLog
   * stored-index discipline for time series — persist once into
   * key-ordered storage, answer every query from a pruned scan of the
   * store (`/root/reference/marketdb-iteratee/src/main/scala/com/ergodicity/marketdb/iteratee/TimeSeriesEnumerator.scala:48-99`). */
-final case class InvertedIndex(path: String, buckets: Int = 64) {
+final case class InvertedIndex(path: String, buckets: Int = 64,
+    broadcastMaxRows: Long = Dedup.screenBroadcastMaxRows) {
 
   private def postLog = BucketedLog(s"$path/post", Seq("term"), buckets)
   private def statsLog = BucketedLog(s"$path/stats", Seq("one"), 1)
+  private def tombLog = BucketedLog(s"$path/tomb", Seq("cand_id"), 8)
 
   def init(spark: SparkSession): Unit = {
     import spark.implicits._
     postLog.init(Seq.empty[(String, Long, Double, Long, Seq[Int])]
       .toDF("term", "cand_id", "dl", "tf", "positions"))
     statsLog.init(Seq.empty[(Int, Long, Long)].toDF("one", "n", "sumdl"))
+    tombLog.init(Seq.empty[Long].toDF("cand_id"))
+  }
+
+  /** Subtract un-purged tombstones from a postings slice — applied by
+    * EVERY query path before df/scoring, so a tombstoned doc is
+    * indistinguishable from one never ingested. The tombstone set is
+    * bounded by deletes since the last [[purgeDeletes]]: broadcast
+    * under the row cap, shuffle anti-join above (the
+    * [[DeletionVectors]] discipline). Pre-tombstone stores (no
+    * `tomb/` state) pass through untouched. */
+  private def liveSlice(spark: SparkSession, slice: DataFrame): DataFrame = {
+    if (tombLog.readManifestFull(spark).isEmpty) return slice
+    val tomb = tombLog.read(spark).localCheckpoint()
+    val n = tomb.count()
+    if (n == 0L) slice
+    else {
+      val hinted = if (n <= broadcastMaxRows) broadcast(tomb) else tomb
+      slice.join(hinted, Seq("cand_id"), "left_anti")
+    }
   }
 
   /** Fold one ingest batch of documents into the index: POSITIONAL
@@ -132,6 +166,65 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
     }
   }
 
+  /** DEFERRED (tombstoned) DELETE — the merge-on-read dual of
+    * [[deleteDocs]]'s eager purge, and the shape a 100 TB deployment
+    * actually wants: the eager path's touched-bucket rewrite hits
+    * every bucket the doomed docs' terms hash to (~O(index) per
+    * delete batch for Zipfian text — the same amplification the
+    * segment commit removed from ingest), while this path commits
+    * only (1) the doomed doc ids into the tombstone log — O(|batch|)
+    * — and (2) the negative (n, sumdl) under the named writer
+    * `deletes` (its own exactly-once watermark, as in
+    * [[deleteDocs]]). Every query subtracts the tombstone set before
+    * df, so answers are bit-identical to an index never containing
+    * the docs; the physical postings drop is deferred to ONE
+    * amortized [[purgeDeletes]] pass (Lucene's delete-then-merge).
+    * Replay safety: the tombstone fold is an idempotent set union
+    * AND `#batch=`-screened; the stats decrement is watermark-
+    * screened (non-idempotent, like every additive fold here). */
+  def deleteDocsDeferred(docs: DataFrame, idCol: String,
+      textCol: String, batchId: Long): Unit = {
+    val ids = docs.select(col(idCol).as("cand_id")).distinct()
+    tombLog.applyBatch(ids, batchId) { (cur, b) =>
+      cur.map(_.unionByName(b)).getOrElse(b).distinct()
+    }
+    val negStats = docs.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
+        lit(0L))).as("sumdl"))
+      .select(lit(1).as("one"), col("n"), col("sumdl"))
+    statsLog.applyBatch(negStats, batchId, "deletes") { (cur, b) =>
+      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sumdl").cast("long").as("sumdl"))
+    }
+  }
+
+  /** OPTIMIZE for deferred deletes: physically drop every tombstoned
+    * doc's postings (one whole-store maintenance fold — a doc's
+    * terms are unknown without its text, so the purge is O(index) BY
+    * DESIGN and amortized over many O(|batch|) tombstone commits,
+    * exactly like [[DeletionVectors.purge]] vs its O(|keys|)
+    * deletes), then drain the tombstone log. Served answers are
+    * bit-identical before and after — the purge trades read-time
+    * anti-join work for storage hygiene, never answers. Crash-safe:
+    * a crash between the two folds leaves tombstones whose postings
+    * are already gone — the read-time anti-join of absent ids is a
+    * no-op, and re-running the purge completes the drain. */
+  def purgeDeletes(spark: SparkSession): Unit = {
+    val tomb = tombLog.read(spark).localCheckpoint()
+    if (tomb.count() == 0L) return
+    val hinted = if (tomb.count() <= broadcastMaxRows) broadcast(tomb)
+      else tomb
+    postLog.compactNow(spark)(cur =>
+      cur.join(hinted, Seq("cand_id"), "left_anti"))
+    tombLog.compactNow(spark)(cur => cur.where(lit(false)))
+  }
+
+  /** Un-purged tombstones (monitoring + spec pins). */
+  def tombstoneCount(spark: SparkSession): Long =
+    tombLog.readManifestFull(spark).fold(0L)(_ => tombLog.read(spark).count())
+
   /** Coverage receipt — the highest ingest batch id BOTH states have
     * applied (the q231 freshness-fence discipline). [[ingest]]
     * commits postings THEN stats, so the min is the sound fence: a
@@ -150,7 +243,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
   def proximityTopK(spark: SparkSession, termA: String, termB: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    val slice = postLog.readFor(Seq(termA, termB).toDF("term"))
+    val slice = liveSlice(spark,
+      postLog.readFor(Seq(termA, termB).toDF("term")))
     def side(t: String, p: String) = slice.where(col("term") === t)
       .select(col("cand_id").as("doc_id"),
         explode(col("positions")).as(p))
@@ -180,8 +274,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
   private[graft] def postingsSlice(spark: SparkSession,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    postLog.readFor(terms.toDF("term"))
-      .where(col("term").isin(terms: _*))
+    liveSlice(spark, postLog.readFor(terms.toDF("term"))
+        .where(col("term").isin(terms: _*)))
       .select("term", "cand_id", "tf")
       .localCheckpoint()
   }
@@ -248,8 +342,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
     require(k >= 1, s"k must be positive: $k")
     require(terms.size >= 2, s"a phrase needs ≥2 terms: $terms")
     import spark.implicits._
-    val slice = postLog.readFor(terms.distinct.toDF("term"))
-      .where(col("term").isin(terms.distinct: _*))
+    val slice = liveSlice(spark, postLog.readFor(terms.distinct.toDF("term"))
+        .where(col("term").isin(terms.distinct: _*)))
       .select("term", "cand_id", "positions")
       .localCheckpoint()
     val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
@@ -288,10 +382,10 @@ final case class InvertedIndex(path: String, buckets: Int = 64) {
         .as("term"))
     // point lookup: only the buckets the query's terms hash to; df is
     // exact within the slice because a term's postings live WHOLLY in
-    // its bucket
-    val slice = postLog.readFor(qTerms.select("term"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // its bucket — tombstones subtracted FIRST so df counts live docs
     val spark = queries.sparkSession
+    val slice = liveSlice(spark, postLog.readFor(qTerms.select("term")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val stats = statsLog.read(spark)
       .select(col("n").cast("double").as("__n"),
         col("sumdl").cast("double").as("__sumdl"))

@@ -118,12 +118,15 @@ final class ConcurrentCommitException(msg: String)
   * simply re-running — [[retrying]] wraps any commit in that loop
   * (bounded attempts, linear backoff), turning the loud loss into
   * Delta-style re-check-and-retry for writers that want liveness
-  * over fail-fast. On HDFS the rename
-  * step is itself no-overwrite (true CAS); on object stores map it
-  * to conditional put; on local FS steps 2+3 close every interleave
-  * except a sub-µs double-rename photo finish, which step 1 keeps
-  * CONSISTENT (worst case: the later rename wins, exactly one
-  * writer's commit survives, both dirs remain self-contained).
+  * over fail-fast. The publish step is a TRUE put-if-absent on
+  * every filesystem: HDFS rename is natively no-overwrite, object
+  * stores map it to conditional put, and on a local FS the publish
+  * is a `link(2)` (atomic, EEXIST on collision) because POSIX
+  * rename REPLACES silently — a double-rename photo finish would
+  * otherwise let BOTH racers pass their verify and the first's
+  * cleanup sweep the second's referenced data dir (found by the
+  * q238 gate under load; spec-forced in
+  * `BucketedLogConcurrencySpec`).
   * Reference anchor: the reference serializes UID allocation with an
   * HBase RowLock + double-checked re-read for the same reason
   * (`/root/reference/marketdb-core/src/main/scala/com/ergodicity/marketdb/uid/UIDProvider.scala:267-336`).
@@ -452,9 +455,30 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val tmp = new Path(s"$dir/${manifestFile(version)}.tmp.$nonce")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
-    f.rename(tmp, dst)
-    // double-checked re-read: on a local FS a racing rename REPLACES
-    // dst silently — the loser must detect and fail loudly
+    // TRUE put-if-absent publish. POSIX rename REPLACES an existing
+    // dst silently, so two racers can EACH pass a rename-then-verify
+    // (Y checks absent → X publishes and verifies → Y's rename
+    // replaces X's manifest → Y verifies its own bytes): both think
+    // they won, and the first's cleanup then sweeps the second's
+    // referenced data dir — a dangling head no rebase can repair
+    // (the q238 race). link(2) is the atomic no-overwrite primitive
+    // on a local FS (EEXIST when a rival's dst landed first); HDFS
+    // rename is natively no-overwrite, object stores map this to
+    // conditional put.
+    val scheme = Option(f.makeQualified(dst).toUri.getScheme)
+    if (scheme.contains("file")) {
+      val tmpLocal = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      val dstLocal = java.nio.file.Paths.get(f.makeQualified(dst).toUri)
+      try java.nio.file.Files.createLink(dstLocal, tmpLocal)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        // racing publishes on other providers surface at verify
+        case _: UnsupportedOperationException => f.rename(tmp, dst)
+      }
+      f.delete(tmp, false)
+    } else f.rename(tmp, dst)
+    // double-checked re-read: the loser of the link race (or of a
+    // non-CAS rename on exotic filesystems) must detect and fail loud
     verify("post-publish")
   }
 
@@ -471,7 +495,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         case _ => ()
       }
     }
-    deleteDeadDataDirs(f, live)
+    deleteDeadDataDirs(f, live, cur)
   }
 
   /** Newest modification time under `p` (bounded recursive walk): a
@@ -494,22 +518,37 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     newest
   }
 
+  private val DataDirVersion = """v(\d{1,19})(?:-.*)?""".r
+
   /** Delete every `data/v*` dir `live` does not reference (the loser/
-    * superseded sweep shared by [[cleanup]] and [[vacuum]]).
+    * superseded sweep shared by [[cleanup]] and [[vacuum]]), BOUNDED
+    * by `asOf` — the manifest version `live` was derived from.
+    *
+    * The version bound is load-bearing: a dir named `v<j>` with
+    * `j > asOf` belongs to a CONCURRENT writer this sweeper never
+    * saw — one that renamed its dir final and is about to publish
+    * (or already published) manifest `j`. Judging it against this
+    * sweeper's older entry set would delete a dir a HIGHER manifest
+    * references, leaving the store's head dangling (a reader then
+    * dies with PATH_NOT_FOUND and no rebase can save it — the q238
+    * race found exactly this). Dirs versioned `≤ asOf` that manifest
+    * `asOf` does not reference are dead FOREVER: future manifests
+    * only carry entries forward from `asOf`'s (contiguous versions,
+    * every commit based on the head), plus their own strictly-newer
+    * dirs — so the sweep is safe exactly up to its own version and
+    * no further. An orphaned higher dir (its writer crashed before
+    * publishing) is swept later, by the first cleanup whose version
+    * reaches it.
+    *
     * `.tmp` dirs are IN-FLIGHT writes (the write-then-rename
     * protocol: a dir gets its final name only once its content is
     * complete) — sweeping one mid-write would fail the writer's
     * tasks with an unretryable IO error instead of a loud commit
     * loss, so they are spared unless old enough to be a crashed
     * writer's litter ([[BucketedLog.SweepGraceMs]], keyed on the
-    * NEWEST mtime anywhere under the dir — see [[newestMtime]]). A
-    * COMPLETE unreferenced dir is always safe to sweep: its owner
-    * either already lost the manifest race or is about to lose it
-    * (put-if-absent on a contiguous version chain — some manifest
-    * at its target version exists by the time the sweep can see the
-    * dir as unreferenced), and a loser's own best-effort delete
-    * no-ops. */
-  private def deleteDeadDataDirs(f: FileSystem, live: Set[String]): Unit = {
+    * NEWEST mtime anywhere under the dir — see [[newestMtime]]). */
+  private def deleteDeadDataDirs(f: FileSystem, live: Set[String],
+      asOf: Long): Unit = {
     val d = new Path(s"$dir/data")
     if (!f.exists(d)) return
     val now = System.currentTimeMillis()
@@ -517,7 +556,12 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       val n = st.getPath.getName
       if (n.startsWith("v")) {
         if (!n.endsWith(".tmp")) {
-          if (!live.contains(s"data/$n")) f.delete(st.getPath, true)
+          val ver = n match {
+            case DataDirVersion(v) => v.toLong
+            case _ => Long.MaxValue
+          }
+          if (ver <= asOf && !live.contains(s"data/$n"))
+            f.delete(st.getPath, true)
         } else if (now - st.getModificationTime > BucketedLog.SweepGraceMs
             && now - newestMtime(f, st.getPath) > BucketedLog.SweepGraceMs)
           f.delete(st.getPath, true)
@@ -570,13 +614,21 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         } else f.delete(p, false)
       }
     }
+    // the sweep bound: live derives from the manifests kept at this
+    // vacuum's read — a CONCURRENT commit lands at a higher version
+    // and its dirs must survive this sweep (deleteDeadDataDirs doc)
+    val asOf = keep.map(_._1).max
     f.listStatus(new Path(dir)).foreach { st =>
       st.getPath.getName match {
         // crashed writers' manifest tmps: stale once below the floor
         case ManifestTmp(v) if v.toLong < keepFrom =>
           f.delete(st.getPath, false)
         case n if n.startsWith("v") && !n.endsWith(".tmp") &&
-            !live.contains(n) && !n.startsWith("_") =>
+            !live.contains(n) && !n.startsWith("_") &&
+            (n match {
+              case DataDirVersion(v) => v.toLong <= asOf
+              case _ => false
+            }) =>
           f.delete(st.getPath, true)
         case _ => ()
       }
@@ -587,7 +639,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     if (f.exists(hist)) f.listStatus(hist).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp.")) f.delete(st.getPath, false)
     }
-    deleteDeadDataDirs(f, live)
+    deleteDeadDataDirs(f, live, asOf)
   }
 
   /** State rows of `which` buckets (all if None), each read from its

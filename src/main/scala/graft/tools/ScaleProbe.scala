@@ -743,6 +743,37 @@ object ScaleProbe {
       println(f"[probe] inverted_ingest_batch $m%4d $n%10d $sec%8.2f")
     }
 
+    // Deferred-delete cost vs INDEX size (q250's claim): same grown
+    // index as inverted_ingest_batch, then time ONE fixed ~1k-doc
+    // deleteDocsDeferred. The tombstone commit is O(|batch| ids) +
+    // the O(1) stats decrement — FLAT vs the index, where the eager
+    // deleteDocs would rewrite every bucket the docs' terms hash to
+    // (~the whole store for Zipfian text).
+    if (opFilter.forall("inverted_delete_batch".contains)) mults.foreach { m =>
+      val dir = s"/tmp/graft_probe_invdel_$m"
+      val f = new java.io.File(dir)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }
+      rm(f)
+      val idx = graft.operators.InvertedIndex(dir, buckets = 64)
+      idx.init(spark)
+      val corpus = scaledDocs(m).localCheckpoint()
+      (0 until m).foreach { i =>
+        idx.ingest(corpus.where(col("doc_id") >= i * 1000000L &&
+          col("doc_id") < (i + 1) * 1000000L), "doc_id", "text", i.toLong)
+      }
+      // the FIXED batch: replica-0 docs only, so the doomed set does
+      // not grow with the corpus
+      val doomed = corpus.where(col("doc_id") < 1000000L &&
+          pmod(col("doc_id"), lit(13L)) < 2)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = doomed.count()
+      println(f"[probe] inverted_delete_batch $m%4d $n%10d $sec%8.2f")
+    }
+
     // Deep-clone cost vs STATE size (q243's claim, distributed form):
     // seed a 200k·m-row store (buckets ∝ m — constant bucket size),
     // time ONE cloneTo. The copy is an executor job over the file

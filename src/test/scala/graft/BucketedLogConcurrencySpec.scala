@@ -299,6 +299,45 @@ class BucketedLogConcurrencySpec extends AnyFunSuite with SparkTestBase {
     assert(state(log) === Map(1L -> 110L, 2L -> 25L, 3L -> 30L))
   }
 
+  test("cleanup never sweeps a concurrent writer's HIGHER-version dir") {
+    // the q238 race: writer X (based on v2) renames data/v3-x final,
+    // and BEFORE X publishes _MANIFEST.v3, an earlier committer's
+    // cleanup (cur = 2) runs — judging X's dir against ITS stale
+    // entry set would delete a dir manifest v3 is about to
+    // reference, dangling the store head. The sweep must be bounded
+    // by the sweeper's own version: dirs versioned PAST it survive;
+    // dead dirs at-or-below it (a loser's orphan) still go.
+    val dir = "/tmp/graft_blconc_k"
+    val f = new java.io.File(dir)
+    if (f.exists()) { def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) }
+    val log = BucketedLog(dir, Seq("k"), buckets = 4) // retain=false
+    log.init(Seq((1L, 10L)).toDF("k", "v")) // v0
+    log.applyBatch(Seq((1L, 1L)).toDF("k", "v"), 0L)(sumMerge) // v1
+    // the rival's renamed-but-unpublished dir at v3 (> next commit's
+    // target), and a genuinely dead loser orphan at v1
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(s"$dir/data/$name")
+      d.mkdirs()
+      val fl = new java.io.File(d, "part-fake")
+      val w = new java.io.FileWriter(fl); w.write("x"); w.close()
+      d
+    }
+    val rival = mk("v3-rival")
+    val orphan = mk("v1-loser")
+    log.applyBatch(Seq((1L, 2L)).toDF("k", "v"), 1L)(sumMerge) // v2 + cleanup
+    assert(rival.exists(),
+      "a dir versioned past the sweeper must survive its cleanup")
+    assert(!orphan.exists(),
+      "a dead orphan at-or-below the sweeper's version must be swept")
+    // once the version chain REACHES the rival's version, a crashed
+    // rival's orphan is finally sweepable
+    log.applyBatch(Seq((1L, 3L)).toDF("k", "v"), 2L)(sumMerge) // v3 + cleanup
+    assert(!rival.exists(),
+      "an orphaned higher dir is swept by the first cleanup at its version")
+    assert(state(log) === Map(1L -> 16L))
+  }
+
   test("writer ids that would corrupt the manifest are rejected up front") {
     val dir = "/tmp/graft_blconc_j"
     val log = newLog(dir)

@@ -174,6 +174,38 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .count() === 0L)
   }
 
+  test("deferred delete: tombstoned == never-ingested; purge bit-identical") {
+    val idx = fresh("tomb", 2)
+    val doomed = corpus.where(col("doc_id").isin(4L, 7L))
+    idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+    // poisoned replay: appended text would skew the stats decrement
+    idx.deleteDocsDeferred(
+      doomed.withColumn("text", concat(col("text"), lit(" poison"))),
+      "doc_id", "text", 0L)
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+    // every query path subtracts tombstones: doc 7's phrase is gone,
+    // and the conjunction no longer sees docs 4/7
+    assert(idx.phraseTopK(spark, Seq("fox", "and", "dog"), 10)
+      .count() === 0L)
+    assert(idx.conjunctiveTopK(spark, Seq("fox", "dog"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(idx.tombstoneCount(spark) === 2L)
+    idx.purgeDeletes(spark)
+    assert(idx.tombstoneCount(spark) === 0L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "served answer must survive the purge bit-identically")
+    // re-running a completed purge is a no-op
+    idx.purgeDeletes(spark)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
