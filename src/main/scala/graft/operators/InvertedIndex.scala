@@ -80,7 +80,12 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * [[DeletionVectors]] discipline). Pre-tombstone stores (no
     * `tomb/` state) pass through untouched. */
   private def liveSlice(spark: SparkSession, slice: DataFrame): DataFrame = {
-    if (tombLog.readManifestFull(spark).isEmpty) return slice
+    // emptiness is a METADATA fact: a state with no live buckets has
+    // no manifest entries — the common no-tombstones case costs one
+    // driver FS read, zero data IO (queries on an undeleted-from
+    // index pay nothing for the tombstone feature)
+    val pending = tombLog.readManifestFull(spark).exists(_._3.nonEmpty)
+    if (!pending) return slice
     val tomb = tombLog.read(spark).localCheckpoint()
     val n = tomb.count()
     if (n == 0L) slice
@@ -260,17 +265,10 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         Window.orderBy(col("min_dist"), col("doc_id"))).cast("long"))
   }
 
-  /** Query terms with their EXACT document frequencies from the
-    * store, sorted rarest-first — the walk order for
-    * [[conjunctiveTopK]] (spec-pinned: intersection must start from
-    * the rarest term's postings). df is exact within the readFor
-    * slice because a term's postings live wholly in its bucket;
-    * a term absent from the corpus carries df 0 (and sorting FIRST
-    * empties the intersection immediately — the classic
-    * document-at-a-time short-circuit). */
-  /** The query terms' postings, bucket-pruned, filtered to the exact
-    * terms and memoized (the slice feeds the df count plus one frame
-    * per term — never re-read the store per consumer). */
+  /** The query terms' postings, bucket-pruned, tombstone-subtracted,
+    * filtered to the exact terms and memoized (the slice feeds the
+    * df count plus one frame per term — never re-read the store per
+    * consumer). */
   private[graft] def postingsSlice(spark: SparkSession,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -280,6 +278,14 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .localCheckpoint()
   }
 
+  /** Query terms with their EXACT document frequencies from the
+    * store, sorted rarest-first — the walk order for
+    * [[conjunctiveTopK]] (spec-pinned: intersection must start from
+    * the rarest term's postings). df is exact within the readFor
+    * slice because a term's postings live wholly in its bucket;
+    * a term absent from the corpus carries df 0 (and sorting FIRST
+    * empties the intersection immediately — the classic
+    * document-at-a-time short-circuit). */
   private[graft] def conjunctionOrder(slice: DataFrame,
       terms: Seq[String]): Seq[(String, Long)] = {
     val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
