@@ -5638,6 +5638,59 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q251_multiwriter_search_ingest" -> ((s, dir) => {
+      // CONCURRENT MULTI-WRITER SEARCH INGEST — q238's txn machinery
+      // in the inverted index's natural deployment: TWO independent
+      // ingest streams (own batch-id sequences, real threads) fold
+      // disjoint halves of the corpus into ONE shared index, every
+      // postings append and stats fold racing through optimistic
+      // concurrency with rebase-on-loss (a lost segment append just
+      // re-appends against the new head — segment rows are version-
+      // independent). Each writer then crash-REPLAYS a poisoned
+      // batch (doubled text — would double tf and the stats), a
+      // no-op by ITS OWN #txn watermark regardless of how far the
+      // other advanced the chain. Fences are per-stream (coveredTxn
+      // = min of both states' marks). The served BM25 must equal
+      // q100's from-scratch form bit-exactly — the index cannot
+      // tell which writer landed which half. Oracle = q100's SQL.
+      val base = s"/tmp/graft_q251_mwsi_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      val failures = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Throwable]())
+      val threads = (0 until 2).map { w =>
+        new Thread(() => {
+          try {
+            (0 until 2).foreach { b =>
+              idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === w &&
+                  pmod(expr("doc_id div 2"), lit(2L)) === b),
+                "doc_id", "text", b.toLong, s"ing$w")
+            }
+            // poisoned crash-replay of this writer's batch 1
+            idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === w &&
+                  pmod(expr("doc_id div 2"), lit(2L)) === 1)
+                .withColumn("text",
+                  concat(col("text"), lit(" "), col("text"))),
+              "doc_id", "text", 1L, s"ing$w")
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      require(failures.asScala.isEmpty,
+        s"every ingest stream must land via retry: " +
+          s"${failures.asScala.toList}")
+      (0 until 2).foreach { w =>
+        require(idx.coveredTxn(s, s"ing$w") == 1L,
+          s"stream ing$w must be fenced at batch 1")
+      }
+      idx.bm25TopK(docs.where(pmod(col("doc_id"), lit(101L)) === 0),
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q250_tombstone_delete" -> ((s, dir) => {
       // DEFERRED (TOMBSTONED) INDEX DELETE — the merge-on-read dual
       // of q247's eager purge: q247's touched-bucket rewrite hits
@@ -9710,6 +9763,9 @@ object SparkEntry {
     // corpus, surviving queries only
     "q247_index_delete" -> bm25RetrievalSqlFor("doc_id % 9 <> 0",
       "doc_id % 101 = 0 AND doc_id % 9 <> 0"),
+    // q251: two racing ingest streams must produce the identical
+    // index a single stream would — q100's SQL verbatim
+    "q251_multiwriter_search_ingest" -> bm25RetrievalSql,
     // q250: a tombstoned-then-purged index must be indistinguishable
     // from one never containing the docs — q100's derivation over
     // the reduced corpus (the q247 contract, merge-on-read flavor)

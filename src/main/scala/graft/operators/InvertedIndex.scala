@@ -105,7 +105,19 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * corpus); a crash-replayed batch is a no-op in both states by
     * its `#batch=` watermark. */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    ingest(docs, idCol, textCol, batchId, writerId = "")
+
+  /** [[ingest]] as a NAMED WRITER — N independent ingest streams
+    * (each with its own batch-id sequence) share one index without
+    * coordination: each stream's exactly-once guard is its own
+    * `#txn.<writerId>=` watermark in BOTH states, and every commit
+    * races through optimistic concurrency with rebase-on-loss (a
+    * lost postings append re-appends against the new head — segment
+    * rows are version-independent; a lost stats fold re-reads and
+    * re-adds). Fence per stream with [[coveredTxn]]. */
+  def ingest(docs: DataFrame, idCol: String, textCol: String,
+      batchId: Long, writerId: String): Unit = {
     val postings = docs
       .select(col(idCol).as("cand_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -115,18 +127,30 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tf", size(col("positions")).cast("long"))
       .select("term", "cand_id", "dl", "tf", "positions")
-    postLog.appendBatch(postings, batchId)
+    // default writer keeps the single-stream fail-fast contract;
+    // named writers retry (concurrent streams race by design)
+    if (writerId.isEmpty) postLog.appendBatch(postings, batchId)
+    else postLog.appendBatchWithRetry(postings, batchId, writerId)
     val stats = docs.agg(
       count(lit(1)).as("n"),
       coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
         lit(0L)).as("sumdl"))
       .select(lit(1).as("one"), col("n"), col("sumdl"))
-    statsLog.applyBatch(stats, batchId) { (cur, b) =>
+    def addStats(cur: Option[DataFrame], b: DataFrame): DataFrame =
       cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
         .agg(sum("n").cast("long").as("n"),
           sum("sumdl").cast("long").as("sumdl"))
-    }
+    if (writerId.isEmpty) statsLog.applyBatch(stats, batchId)(addStats)
+    else statsLog.applyBatchWithRetry(stats, batchId, writerId)(addStats)
   }
+
+  /** A named ingest stream's coverage receipt — the highest batch id
+    * BOTH states have applied under ITS `#txn.<writerId>=` watermark
+    * (postings commit first, so the min is the sound fence — the
+    * [[coveredBatch]] argument per writer). */
+  def coveredTxn(spark: SparkSession, writerId: String): Long = math.min(
+    postLog.txnWatermark(spark, writerId),
+    statsLog.txnWatermark(spark, writerId))
 
   /** DELETE documents from the index — the lifecycle step an
     * append-only postings store lacks: re-tokenize the doomed docs

@@ -1039,6 +1039,17 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     maybeCheckpoint(f)
   }
 
+  /** [[appendBatch]] wrapped in [[BucketedLog.retrying]] — the
+    * segment commit for CONCURRENT writers: a lost race re-reads the
+    * new head and re-appends (the batch's rows are version-
+    * independent, so the re-run is trivially a rebase); an
+    * already-landed replay exits via the batch/txn watermark. */
+  def appendBatchWithRetry(batch: DataFrame, batchId: Long,
+      writerId: String = "", maxAttempts: Int = 8): Unit =
+    BucketedLog.retrying(maxAttempts) {
+      appendBatch(batch, batchId, writerId)
+    }
+
   /** Touched-bucket MAINTENANCE rewrite — [[applyBatch]]'s bounded
     * touched-set commit OUTSIDE the batch-id sequence: `keys` names
     * the touched buckets (hashed on `hashCols` like state rows),

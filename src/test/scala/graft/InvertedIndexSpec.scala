@@ -174,6 +174,40 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .count() === 0L)
   }
 
+  test("concurrent named ingest streams == the one-shot index") {
+    val base = "/tmp/graft_invidx_spec_mw"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === w),
+            "doc_id", "text", 0L, s"w$w")
+          // poisoned replay screened by THIS writer's mark
+          idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === w)
+              .withColumn("text", concat(col("text"), lit(" poison"))),
+            "doc_id", "text", 0L, s"w$w")
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.isEmpty,
+      s"both streams must land via retry: ${failures.asScala.toList}")
+    assert(idx.coveredTxn(spark, "w0") === 0L)
+    assert(idx.coveredTxn(spark, "w1") === 0L)
+    val direct = rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 2), corpus, "doc_id", "text", k = 3,
+      excludeSelf = true))
+    assert(rows(idx.bm25TopK(corpus.where(col("doc_id") <= 2),
+      "doc_id", "text", k = 3, excludeSelf = true)) === direct)
+  }
+
   test("deferred delete: tombstoned == never-ingested; purge bit-identical") {
     val idx = fresh("tomb", 2)
     val doomed = corpus.where(col("doc_id").isin(4L, 7L))
