@@ -243,7 +243,7 @@ object SparkEntry {
     "q215_stream_ivf_append", "q219_stream_trend",
     "q224_stream_rolling_mau", "q231_indexed_ingest",
     "q233_schema_evolution", "q235_watermark_dedup_view",
-    "q241_stream_search_index")
+    "q241_stream_search_index", "q252_stream_co_deletes")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -1802,7 +1802,7 @@ object SparkEntry {
       // necessarily emits as its own unmatched row and is filtered on
       // readback by its reserved id. Oracle = the batch LEFT interval
       // join, exact ids and timestamps.
-      val base = "/tmp/graft_q141_ssouter"
+      val base = s"/tmp/graft_q141_ssouter_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1861,7 +1861,7 @@ object SparkEntry {
       // the final watermark past every real session); the result
       // equals the batch sessions, so q70's lag/cumsum SQL is the
       // oracle verbatim.
-      val base = "/tmp/graft_q143_sessions"
+      val base = s"/tmp/graft_q143_sessions_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1899,7 +1899,7 @@ object SparkEntry {
       // and the oracle is SELECT DISTINCT over the same union. This
       // gates the ENGINE's dedup state machinery, complementing the
       // custom screens (q113-q115) and the idempotent sink (q88).
-      val base = "/tmp/graft_q142_sdedup"
+      val base = s"/tmp/graft_q142_sdedup_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1965,7 +1965,7 @@ object SparkEntry {
       // so the replay equals the batch interval join and plain SQL is
       // the oracle. Inner-join semantics: pairs emit in the batch
       // where the second side arrives; no flush sentinel needed.
-      val base = "/tmp/graft_q138_ssjoin"
+      val base = s"/tmp/graft_q138_ssjoin_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2030,7 +2030,7 @@ object SparkEntry {
       // O(groups × k × 8 B), the one sketch whose stored states
       // also compose under union/intersection estimation.
       val k = 64
-      val scratch = "/tmp/graft_q185_kmv"
+      val scratch = s"/tmp/graft_q185_kmv_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -2100,7 +2100,7 @@ object SparkEntry {
       // state store (matrix addition is order-free), and the final
       // snapshot answers the same top-20 point queries as batch
       // q132 — whose SQL is the oracle verbatim.
-      val base = "/tmp/graft_q135_stream_cms"
+      val base = s"/tmp/graft_q135_stream_cms_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2141,7 +2141,7 @@ object SparkEntry {
       // XOR / bounded sum / count are commutative and
       // arrival-order-free, so the replay snapshot equals the batch
       // digest table and q173's SQL is the oracle verbatim.
-      val base = "/tmp/graft_q175_stream_fp"
+      val base = s"/tmp/graft_q175_stream_fp_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2180,7 +2180,7 @@ object SparkEntry {
       // multiset), and the final complete-mode snapshot answers the
       // same p50/p90/p99 as batch q130 — whose SQL is the oracle
       // verbatim.
-      val base = "/tmp/graft_q165_stream_dd"
+      val base = s"/tmp/graft_q165_stream_dd_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2219,7 +2219,7 @@ object SparkEntry {
       // complete-mode snapshot after the replay must equal the batch
       // sketch over all events — register max is order-free, so the
       // oracle is q133's register rebuild minus the exact column.
-      val base = "/tmp/graft_q134_stream_hll"
+      val base = s"/tmp/graft_q134_stream_hll_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -2844,7 +2844,7 @@ object SparkEntry {
       // hash to are rewritten under a monotone versioned manifest
       // (O(batch + touched buckets), never O(base) — the
       // stream_merge_batch probe pins this flat vs a 1x/2x/4x base).
-      val base0 = "/tmp/graft_q181_smerge"
+      val base0 = s"/tmp/graft_q181_smerge_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base0), true)
@@ -2972,7 +2972,7 @@ object SparkEntry {
       // reader needed) and probing the summed cells. Equals the
       // direct sketch over all tokens, so q132's SQL is the oracle
       // verbatim.
-      val scratch = "/tmp/graft_q180_cms"
+      val scratch = s"/tmp/graft_q180_cms_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -3006,7 +3006,7 @@ object SparkEntry {
       // rollup equals sketching raw data and q130's SQL is the
       // oracle verbatim. The stored-state read is O(groups ×
       // occupied buckets), never the lineitem scan.
-      val scratch = "/tmp/graft_q179_ddsketches"
+      val scratch = s"/tmp/graft_q179_ddsketches_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -3037,7 +3037,7 @@ object SparkEntry {
       // idempotent, so the rollup equals sketching the raw data
       // directly, and q133's register-rebuild SQL (minus the exact
       // column) is the oracle verbatim.
-      val scratch = "/tmp/graft_q176_sketches"
+      val scratch = s"/tmp/graft_q176_sketches_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -3060,7 +3060,7 @@ object SparkEntry {
       // after the replay equals the batch heap — q174's window SQL
       // is the oracle verbatim (heap content is a pure function of
       // the input set under the DESC/DESC total order).
-      val base = "/tmp/graft_q182_leader"
+      val base = s"/tmp/graft_q182_leader_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -3165,7 +3165,7 @@ object SparkEntry {
       // own numFiles metric — is pinned by ZOrderSpec. Both dims are
       // sf-invariant (minute 0..1439; centi-value well under the
       // 16-bit interleave range).
-      val scratch = "/tmp/graft_q183_zread"
+      val scratch = s"/tmp/graft_q183_zread_${md5Hex(dir)}"
       val ev = tbl(s, dir, "events").select(
         col("event_id"),
         (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mofd"),
@@ -3222,7 +3222,7 @@ object SparkEntry {
       // one-shot q168 draw, whose SQL is the oracle verbatim (heap
       // capacity 200 bounds every possible quota: prop ≤ 200 total,
       // bal = 25).
-      val base = "/tmp/graft_q186_sstrat"
+      val base = s"/tmp/graft_q186_sstrat_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -4924,7 +4924,7 @@ object SparkEntry {
       // of the event multiset, and the batch OLS fold over it answers
       // q216's SQL verbatim. State = one long per (user, day) —
       // series-grid-bounded, never event-count-bounded.
-      val base = "/tmp/graft_q219_stream_trend"
+      val base = s"/tmp/graft_q219_stream_trend_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -5069,7 +5069,7 @@ object SparkEntry {
       // trailing-window merge over the snapshot answers q222's SQL
       // verbatim. State = 512 registers per day — O(days), never
       // O(users).
-      val base = "/tmp/graft_q224_stream_mau"
+      val base = s"/tmp/graft_q224_stream_mau_${md5Hex(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -5637,6 +5637,114 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("ck", lit(ckLo), lit(ckHi)),
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q253_maxscore_bm25" -> ((s, dir) => {
+      // TOP-K PRUNED BM25 (MaxScore) — the classic serving
+      // optimization the segment store makes possible: per-term
+      // score upper bounds (idf · max tf-weight, derived from the
+      // stored postings) let the document-at-a-time walk SKIP
+      // scoring docs that cannot enter the top-k. Query = one rare
+      // term ('dup', ~5% df) + two stopword-class terms ('the',
+      // 'scan', ~78% df): the rare term's candidates fix θ, the
+      // stopwords' summed bounds fall below it, and their postings
+      // score ONLY for accumulated docs — require-pinned strictly
+      // fewer postings scored than the unpruned path (the q248
+      // rarest-first discipline generalized to ranked OR). The
+      // pruning is answer-invisible BY CONSTRUCTION (candidates
+      // re-rank through Retrieval.bm25Rank with full-slice df), so
+      // the oracle is the plain exhaustive BM25 for the same terms.
+      val base = s"/tmp/graft_q253_maxscore_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      val report = idx.bm25TopKPrunedReport(s,
+        Seq("dup", "the", "scan"), k = 10)
+      require(report.scoredPostings < report.totalPostings,
+        s"MaxScore must score strictly fewer postings than the " +
+          s"unpruned path: ${report.scoredPostings} of " +
+          s"${report.totalPostings}")
+      report.result
+    }),
+    "q252_stream_co_deletes" -> ((s, dir) => {
+      // STREAMING CO-MAINTAINED DELETES — the missing lifecycle leg
+      // of q241's search-ingest loop: ONE foreachBatch drain carries
+      // BOTH an ingest stream and a delete stream against the same
+      // index. Each micro-batch lands its new docs (segment append +
+      // stats fold, #batch=-screened) AND tombstones the previous
+      // slice's %7 docs (deleteDocsDeferred — O(batch) tombstone
+      // union + the deletes-writer's watermark-screened stats
+      // decrement), so deletes arrive interleaved with ingest like a
+      // real CDC feed. Fences are per-stream: coveredBatch (min of
+      // postings/stats #batch=) AND coveredDeletes (min of the
+      // tombstone log's #batch= and the #txn.deletes= mark) must
+      // both equal the last micro-batch. Poisoned replays of BOTH
+      // streams are no-ops by their own marks; one amortized
+      // purgeDeletes then drops the doomed postings with the served
+      // answer require-pinned bit-identical across the purge.
+      // Oracle = q100's SQL over (ingested − deleted).
+      val base = s"/tmp/graft_q252_codel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text").localCheckpoint()
+      (0 until 4).foreach { k =>
+        val ins = docs.where(pmod(col("doc_id"), lit(4L)) === k)
+          .withColumn("op", lit("ins"))
+        val del =
+          if (k == 0) ins.limit(0)
+          else docs.where(pmod(col("doc_id"), lit(4L)) === (k - 1) &&
+              pmod(col("doc_id"), lit(7L)) === 0)
+            .withColumn("op", lit("del"))
+        ins.unionByName(del).appendBatchTo(in, k)
+      }
+      val idx = graft.operators.InvertedIndex(s"$base/idx")
+      idx.init(s)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          idx.ingest(b.where(col("op") === "ins"), "doc_id", "text", bid)
+          idx.deleteDocsDeferred(b.where(col("op") === "del"),
+            "doc_id", "text", bid)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      require(idx.coveredBatch(s) == 3L && idx.coveredDeletes(s) == 3L,
+        s"both streams must be fenced at the last micro-batch: " +
+          s"ingest=${idx.coveredBatch(s)} deletes=${idx.coveredDeletes(s)}")
+      require(idx.tombstoneCount(s) > 0L, "tombstones must be pending")
+      // poisoned crash-replays of BOTH streams: doubled text would
+      // double tf / the stats decrement — no-ops by each stream's mark
+      idx.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 2L)
+      idx.deleteDocsDeferred(
+        docs.where(pmod(col("doc_id"), lit(4L)) === 1 &&
+            pmod(col("doc_id"), lit(7L)) === 0)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 2L)
+      // live = ingested minus deleted: %7 docs of slices 0..2 are gone
+      val live = col("doc_id") % 7 =!= 0 || col("doc_id") % 4 === 3
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+        live).localCheckpoint()
+      def answer() = idx.bm25TopK(queries, "doc_id", "text", k = 5,
+        excludeSelf = true)
+      val before = answer().orderBy("query_id", "rank").collect().toSeq
+      idx.purgeDeletes(s)
+      require(idx.tombstoneCount(s) == 0L, "purge must drain tombstones")
+      require(before == answer().orderBy("query_id", "rank").collect()
+        .toSeq, "served answer must be bit-identical across the purge")
+      answer()
     }),
     "q251_multiwriter_search_ingest" -> ((s, dir) => {
       // CONCURRENT MULTI-WRITER SEARCH INGEST — q238's txn machinery
@@ -7201,6 +7309,31 @@ object SparkEntry {
        |  SELECT query_id, cand_id, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** q253's oracle: exhaustive single-query BM25 for the fixed term
+    * set — MaxScore pruning must be answer-invisible, so the SQL
+    * knows nothing about bounds or skipping. Same idf/tf-weight/
+    * round(·,6)/(score desc, doc_id) contract as [[bm25RetrievalSql]],
+    * one query, top 10. */
+  private def maxscoreBm25Sql: String =
+    s"""WITH toks AS ($toksCte),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |    coalesce(sum(len(t)), 0)::DOUBLE AS sumdl FROM toks),
+       |terms AS (SELECT doc_id AS cand_id, len(t)::DOUBLE AS dl,
+       |    unnest(t) AS term FROM toks),
+       |tfc AS (SELECT cand_id, term, dl, count(*) AS tf
+       |  FROM terms GROUP BY cand_id, term, dl),
+       |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+       |q AS (SELECT unnest(['dup', 'the', 'scan']) AS term),
+       |scored AS (SELECT cand_id AS doc_id,
+       |    round(sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (s.sumdl / s.n)))), 6) AS score
+       |  FROM tfc JOIN dfc USING (term) JOIN q USING (term), stats s
+       |  GROUP BY cand_id)
+       |SELECT doc_id, score, rank FROM (
+       |  SELECT doc_id, score, row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
 
   /** q159/q160's oracle: replay the WHOLE unigram-LM hard-EM training
     * ([[graft.operators.UnigramLm]]) in DuckDB — substring seeding,
@@ -9567,6 +9700,15 @@ object SparkEntry {
     // q241: the streaming co-maintenance changes WHEN postings land
     // (per ingest batch, fence-checked), not what a query answers
     "q241_stream_search_index" -> bm25RetrievalSql,
+    // q252: interleaved ingest+delete streams — the index must equal
+    // one never containing the deleted docs (df/N/avgdl all shrink);
+    // deleted = %7 docs of micro-batch slices 0..2 (slice 3's %7 docs
+    // had no later batch to carry their tombstones)
+    "q252_stream_co_deletes" -> bm25RetrievalSqlFor(
+      "doc_id % 7 <> 0 OR doc_id % 4 = 3", "doc_id % 101 = 0"),
+    // q253: MaxScore pruning is answer-invisible — the oracle is the
+    // plain exhaustive BM25 for the same fixed query terms
+    "q253_maxscore_bm25" -> maxscoreBm25Sql,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

@@ -92,9 +92,12 @@ final case class DeletionVectors(tablePath: String, dvPath: String,
 
   /** Mark `keys` (`unit`, key) deleted — O(|keys| + touched DV
     * buckets), NO table IO. Set-union fold: idempotent per batch,
-    * exactly-once past the `#batch=` guard. */
+    * exactly-once past the `#batch=` guard; rides
+    * [[BucketedLog.retrying]] so a delete racing a concurrent
+    * sidecar commit rebases (the fold is a pure set union of what it
+    * re-reads) instead of dying. */
   def delete(keys: DataFrame, batchId: Long): Unit =
-    log.applyBatch(
+    log.applyBatchWithRetry(
       keys.select(col("unit").cast("int").as("unit"), col(keyCol)),
       batchId) { (cur, b) =>
       cur.map(_.unionByName(b)).getOrElse(b).distinct()

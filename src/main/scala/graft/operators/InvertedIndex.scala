@@ -210,19 +210,40 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * amortized [[purgeDeletes]] pass (Lucene's delete-then-merge).
     * Replay safety: the tombstone fold is an idempotent set union
     * AND `#batch=`-screened; the stats decrement is watermark-
-    * screened (non-idempotent, like every additive fold here). */
+    * screened (non-idempotent, like every additive fold here). Both
+    * commits ride [[BucketedLog.retrying]] — a delete racing a
+    * concurrent ingest (the q251 deployment) rebases instead of
+    * dying, symmetric with the named-writer ingest path. Cross-batch
+    * repeat safety: the (n, sumdl) decrement counts only NEWLY-doomed
+    * docs (anti-joined against the current tombstone set, snapshotted
+    * BEFORE the tombstone commit lands), so re-deleting an already-
+    * tombstoned doc in a later batch is stats-neutral. Residual
+    * caller contract: each doc must currently exist LIVE in the
+    * index (deleting a never-ingested or already-purged doc still
+    * skews stats — the store cannot know a doc's existence without
+    * reading every posting bucket). */
   def deleteDocsDeferred(docs: DataFrame, idCol: String,
       textCol: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
     val ids = docs.select(col(idCol).as("cand_id")).distinct()
-    tombLog.applyBatch(ids, batchId) { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b).distinct()
-    }
-    val negStats = docs.agg(
+    // newly-doomed docs only: materialized (localCheckpoint) BEFORE
+    // the tombstone commit below adds these very ids — a lazy frame
+    // would re-read the post-commit tombstone set and decrement zero
+    val fresh =
+      if (tombLog.readManifestFull(spark).isEmpty) docs
+      else docs.join(
+        tombLog.read(spark).select(col("cand_id").as("__t")),
+        docs(idCol) === col("__t"), "left_anti")
+    val negStats = fresh.agg(
       (-count(lit(1))).as("n"),
       (-coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
         lit(0L))).as("sumdl"))
       .select(lit(1).as("one"), col("n"), col("sumdl"))
-    statsLog.applyBatch(negStats, batchId, "deletes") { (cur, b) =>
+      .localCheckpoint()
+    tombLog.applyBatchWithRetry(ids, batchId) { (cur, b) =>
+      cur.map(_.unionByName(b)).getOrElse(b).distinct()
+    }
+    statsLog.applyBatchWithRetry(negStats, batchId, "deletes") { (cur, b) =>
       cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
         .agg(sum("n").cast("long").as("n"),
           sum("sumdl").cast("long").as("sumdl"))
@@ -239,20 +260,69 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * anti-join work for storage hygiene, never answers. Crash-safe:
     * a crash between the two folds leaves tombstones whose postings
     * are already gone — the read-time anti-join of absent ids is a
-    * no-op, and re-running the purge completes the drain. */
-  def purgeDeletes(spark: SparkSession): Unit = {
+    * no-op, and re-running the purge completes the drain. Concurrent-
+    * delete-safe: the drain subtracts ONLY this purge's snapshot —
+    * a [[deleteDocsDeferred]] committing between the snapshot and
+    * the drain keeps its tombstones (its postings were not purged,
+    * so they must stay subtracted at read time; the next purge gets
+    * them). Draining unconditionally here would silently drop that
+    * racer's tombstones and resurrect its docs — the one-snapshot
+    * discipline of [[DeletionVectors.purge]], one level up. */
+  def purgeDeletes(spark: SparkSession): Unit =
+    purgeDeletes(spark, () => ())
+
+  /** [[purgeDeletes]] with a deterministic interleave hook:
+    * `beforeDrain` fires between the postings purge and the
+    * tombstone drain — the exact window a concurrent
+    * [[deleteDocsDeferred]] can land in, which the spec forces (the
+    * q238 latch discipline). Production callers use the no-hook
+    * overload. */
+  private[graft] def purgeDeletes(spark: SparkSession,
+      beforeDrain: () => Unit): Unit = {
     val tomb = tombLog.read(spark).localCheckpoint()
     if (tomb.count() == 0L) return
     val hinted = if (tomb.count() <= broadcastMaxRows) broadcast(tomb)
       else tomb
     postLog.compactNow(spark)(cur =>
       cur.join(hinted, Seq("cand_id"), "left_anti"))
-    tombLog.compactNow(spark)(cur => cur.where(lit(false)))
+    beforeDrain()
+    tombLog.compactNow(spark)(cur =>
+      cur.join(hinted, Seq("cand_id"), "left_anti"))
   }
 
   /** Un-purged tombstones (monitoring + spec pins). */
   def tombstoneCount(spark: SparkSession): Long =
     tombLog.readManifestFull(spark).fold(0L)(_ => tombLog.read(spark).count())
+
+  /** Segment-aware OPTIMIZE: collapse every postings bucket's segment
+    * list to ONE dir (the q232 discipline for [[BucketedLog
+    * .appendBatch]] stores). Ingest amortizes folds at `compactAfter`
+    * segments/bucket, so reads between folds union up to that many
+    * dirs per touched bucket; a read-heavy deployment pre-pays those
+    * unions off-peak with this one O(index) maintenance pass. Pure
+    * layout: answers are bit-identical, the `#batch=`/`#txn.` replay
+    * guards are carried unchanged, and a lost commit race throws
+    * loudly ([[BucketedLog.compactNow]] semantics). */
+  def optimizeSegments(spark: SparkSession): Unit =
+    postLog.compactNow(spark)(identity)
+
+  /** Segment dirs the CURRENT manifest references per postings bucket
+    * (spec pin for [[optimizeSegments]]: exactly one dir/bucket after
+    * the pass). */
+  private[graft] def postingsSegmentCounts(
+      spark: SparkSession): Map[Int, Int] =
+    postLog.readManifestFull(spark)
+      .fold(Map.empty[Int, Int])(_._3.map { case (b, ds) => b -> ds.size })
+
+  /** The DELETE stream's coverage receipt — the highest delete batch
+    * id BOTH its states have applied: the tombstone log's `#batch=`
+    * mark and the stats decrement's `#txn.deletes=` watermark.
+    * [[deleteDocsDeferred]] commits tombstones THEN stats, so the min
+    * is the sound fence (the [[coveredBatch]] argument, applied to
+    * the delete writer). */
+  def coveredDeletes(spark: SparkSession): Long = math.min(
+    tombLog.readManifestFull(spark).fold(-1L)(_._2),
+    statsLog.txnWatermark(spark, "deletes"))
 
   /** Coverage receipt — the highest ingest batch id BOTH states have
     * applied (the q231 freshness-fence discipline). [[ingest]]
@@ -421,4 +491,143 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         col("sumdl").cast("double").as("__sumdl"))
     Retrieval.bm25Rank(slice, qTerms, stats, k, k1, b, excludeSelf)
   }
+
+  /** TOP-K PRUNED BM25 (MaxScore) — the classic serving optimization
+    * the stored index makes possible: per-term score UPPER BOUNDS
+    * (`idf · max tf-weight`, derived from the term's own postings)
+    * let document-at-a-time evaluation SKIP scoring postings of docs
+    * that cannot enter the top-k (Turtle & Flood, "Query evaluation:
+    * strategies and optimizations", IP&M 1995). Terms are walked in
+    * descending bound order, accumulating exact partial scores; once
+    * the remaining terms' summed bounds fall below the current k-th
+    * best partial (minus [[InvertedIndex.PruneMargin]] — see its doc
+    * for why the slack makes the 6-dp-rounded ranking provably
+    * identical), every later term is NON-ESSENTIAL: a doc not yet
+    * accumulated can never reach the top-k, so only postings matching
+    * already-accumulated docs are scored. Candidates then re-rank
+    * through [[Retrieval.bm25Rank]] verbatim (df from the FULL live
+    * slice), so the answer is bit-identical to the unpruned
+    * [[bm25TopK]] — the pruning is answer-invisible by construction,
+    * and the spec pins that strictly fewer postings are SCORED.
+    * Output `(doc_id, score, rank)`, rank 1..k by (score desc,
+    * doc_id). */
+  def bm25TopKPruned(spark: SparkSession, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKPrunedReport(spark, terms, k, k1, b).result
+
+  /** [[bm25TopKPruned]] with the pruning evidence: how many stored
+    * postings were SCORED (selection walk + final re-rank) vs the
+    * query terms' total postings, which the unpruned path scores in
+    * full. */
+  private[graft] def bm25TopKPrunedReport(spark: SparkSession,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): PrunedBm25Report = {
+    require(k >= 1, s"k must be positive: $k")
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    import spark.implicits._
+    val emptyRes = Seq.empty[(Long, Double, Long)]
+      .toDF("doc_id", "score", "rank")
+    val st = statsLog.read(spark)
+      .select(col("n").cast("long"), col("sumdl").cast("long"))
+      .collect().headOption
+    if (st.isEmpty || st.get.getLong(0) == 0L)
+      return PrunedBm25Report(emptyRes, 0L, 0L)
+    val n = st.get.getLong(0).toDouble
+    val avgdl = st.get.getLong(1).toDouble / n
+    // live postings of the query terms, df attached from the FULL
+    // slice BEFORE any candidate restriction (df is a corpus fact,
+    // not a candidate fact) — memoized: the walk reads it per term
+    val slice = liveSlice(spark, postLog.readFor(terms.toDF("term"))
+        .where(col("term").isin(terms: _*)))
+      .select("term", "cand_id", "dl", "tf")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .localCheckpoint()
+    val tfW = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / lit(avgdl)))
+    val perTerm = slice.groupBy("term")
+      .agg(count(lit(1)).as("df"), max(tfW).as("maxw"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val totalPostings = perTerm.values.map(_._1).sum
+    val present = terms.filter(perTerm.contains)
+    if (present.isEmpty) return PrunedBm25Report(emptyRes, 0L, 0L)
+    def idfOf(t: String): Double = {
+      val df = perTerm(t)._1.toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    // walk order: per-term upper bound descending (ties by term) —
+    // the suffix-sum of bounds is what the skip test compares
+    val bounds = present.map(t => t -> idfOf(t) * perTerm(t)._2)
+      .sortBy { case (t, u) => (-u, t) }
+    val suffix = bounds.scanRight(0.0)(_._2 + _).toIndexedSeq
+    def contrib(t: String): DataFrame = slice.where(col("term") === t)
+      .select(col("cand_id"), (lit(idfOf(t)) * tfW).as("__c"))
+    var scored = perTerm(bounds.head._1)._1
+    var acc = contrib(bounds.head._1)
+      .select(col("cand_id"), col("__c").as("__partial"))
+      .localCheckpoint()
+    bounds.indices.drop(1).foreach { i =>
+      val t = bounds(i)._1
+      // θ: the k-th best accumulated partial — a LOWER bound on the
+      // k-th best final score (partials only grow)
+      val topk = acc.orderBy(col("__partial").desc).limit(k)
+        .collect().map(_.getDouble(1))
+      val theta =
+        if (topk.length < k) Double.NegativeInfinity else topk.last
+      if (suffix(i) < theta - InvertedIndex.PruneMargin) {
+        // NON-ESSENTIAL: a doc first seen here is bounded by
+        // suffix(i) < θ − margin — it cannot reach the rounded
+        // top-k. Score only postings of accumulated docs.
+        val joined = acc.join(contrib(t), Seq("cand_id"), "left")
+          .localCheckpoint()
+        scored += joined.where(col("__c").isNotNull).count()
+        acc = joined.select(col("cand_id"),
+          (col("__partial") + coalesce(col("__c"), lit(0.0)))
+            .as("__partial"))
+      } else {
+        // ESSENTIAL: full merge — every posting of the term scores
+        scored += perTerm(t)._1
+        acc = acc.join(contrib(t), Seq("cand_id"), "full_outer")
+          .select(col("cand_id"),
+            (coalesce(col("__partial"), lit(0.0)) +
+              coalesce(col("__c"), lit(0.0))).as("__partial"))
+          .localCheckpoint()
+      }
+    }
+    // exact re-rank of the candidates through the ONE shared formula
+    // — bit-identical scores/ranks to the unpruned path (candidates
+    // are a superset of the true top-k by the bound argument)
+    val candSlice = slice
+      .join(acc.select("cand_id"), Seq("cand_id"), "left_semi")
+      .localCheckpoint()
+    scored += candSlice.count()
+    val qTerms = present.toDF("term").withColumn("query_id", lit(0L))
+    val statsDf = statsLog.read(spark)
+      .select(col("n").cast("double").as("__n"),
+        col("sumdl").cast("double").as("__sumdl"))
+    val ranked = Retrieval.bm25Rank(candSlice, qTerms, statsDf, k, k1, b,
+        excludeSelf = false)
+      .select(col("cand_id").as("doc_id"), col("score"), col("rank"))
+    PrunedBm25Report(ranked, scored, totalPostings)
+  }
+}
+
+/** [[InvertedIndex.bm25TopKPruned]]'s answer plus pruning evidence:
+  * `scoredPostings` (selection walk + final re-rank) vs
+  * `totalPostings` (what the unpruned path scores). */
+final case class PrunedBm25Report(result: DataFrame,
+    scoredPostings: Long, totalPostings: Long)
+
+object InvertedIndex {
+  /** Safety slack for the MaxScore skip test, `suffix < θ − margin`.
+    * Scores rank after `round(·, 6)` (hard rule 9), so a skipped doc
+    * whose true score trails the k-th best by under 1 ulp-of-6dp
+    * could still TIE it after rounding and outrank it by id. A gap
+    * > 2·10⁻⁶ guarantees the rounded scores differ strictly
+    * (|round(x)−x| ≤ 5·10⁻⁷ each side); 4·10⁻⁶ doubles that and
+    * swamps double-precision fold noise (~10⁻¹⁵ per op) — the cost
+    * is only marginally less pruning, never a changed answer. */
+  private[operators] val PruneMargin: Double = 4e-6
 }

@@ -505,18 +505,25 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * than the grace would have its in-flight dir swept out from under
     * it (repeated rebase retries, potential livelock for consistently
     * long jobs). Only called once the CHEAP top-level check already
-    * exceeded the grace, so the walk never sits on the hot path. */
-  private def newestMtime(f: FileSystem, p: Path, depth: Int = 8): Long = {
-    val st = f.getFileStatus(p)
-    var newest = st.getModificationTime
-    if (st.isDirectory && depth > 0)
-      f.listStatus(p).foreach { c =>
-        newest = math.max(newest,
-          if (c.isDirectory) newestMtime(f, c.getPath, depth - 1)
-          else c.getModificationTime)
-      }
-    newest
-  }
+    * exceeded the grace, so the walk never sits on the hot path.
+    * A path that vanishes mid-walk (a live writer renamed its `.tmp`
+    * final, or a racing cleanup already swept it) answers
+    * `Long.MaxValue` — "fresh", skip the sweep — rather than letting
+    * the FileNotFoundException propagate out of a cleanup that runs
+    * AFTER a successful publish (a committed batch must never
+    * surface as a spurious failure over another writer's rename). */
+  private def newestMtime(f: FileSystem, p: Path, depth: Int = 8): Long =
+    try {
+      val st = f.getFileStatus(p)
+      var newest = st.getModificationTime
+      if (st.isDirectory && depth > 0)
+        f.listStatus(p).foreach { c =>
+          newest = math.max(newest,
+            if (c.isDirectory) newestMtime(f, c.getPath, depth - 1)
+            else c.getModificationTime)
+        }
+      newest
+    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   private val DataDirVersion = """v(\d{1,19})(?:-.*)?""".r
 

@@ -240,6 +240,197 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       excludeSelf = true)) === direct)
   }
 
+  test("a delete landing between purge snapshot and drain is never lost") {
+    // the round-15 weak: purgeDeletes snapshots the tombstones, purges
+    // postings against THAT snapshot, then drains the tombstone log —
+    // a deleteDocsDeferred committing in between must keep its
+    // tombstones (its postings were not purged), or its docs resurrect
+    val idx = fresh("purgerace", 2)
+    idx.deleteDocsDeferred(corpus.where(col("doc_id") === 4L),
+      "doc_id", "text", 0L)
+    // the racer lands inside the snapshot→drain window, deterministically
+    idx.purgeDeletes(spark, () =>
+      idx.deleteDocsDeferred(corpus.where(col("doc_id") === 7L),
+        "doc_id", "text", 1L))
+    // doc 7's tombstone survived the drain (its postings are un-purged)
+    assert(idx.tombstoneCount(spark) === 1L,
+      "the racer's tombstone must survive the drain")
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "BOTH delete batches must stay excluded after the racing purge")
+    assert(idx.phraseTopK(spark, Seq("fox", "and", "dog"), 10)
+      .count() === 0L, "doc 7 must not resurrect")
+    // the next purge completes the drain; answers bit-identical
+    idx.purgeDeletes(spark)
+    assert(idx.tombstoneCount(spark) === 0L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("re-deleting an already-tombstoned doc is stats-neutral") {
+    // cross-batch repeat: batch 0 dooms doc 4; batch 1 dooms {4, 7}.
+    // The (n, sumdl) decrement must count doc 4 ONCE — a double
+    // decrement would permanently skew every BM25 score
+    val idx = fresh("redelete", 2)
+    idx.deleteDocsDeferred(corpus.where(col("doc_id") === 4L),
+      "doc_id", "text", 0L)
+    idx.deleteDocsDeferred(corpus.where(col("doc_id").isin(4L, 7L)),
+      "doc_id", "text", 1L)
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "scores diverge iff the repeat double-decremented (n, sumdl)")
+    // the purge leaves the stats exact too
+    idx.purgeDeletes(spark)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("a delete thread racing an ingest thread: both land, one-shot answer") {
+    val base = "/tmp/graft_invidx_spec_delrace"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    idx.ingest(corpus.where(col("doc_id") <= 4), "doc_id", "text", 0L, "wA")
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ingester = new Thread(() => {
+      start.await()
+      try idx.ingest(corpus.where(col("doc_id") > 4), "doc_id", "text",
+        1L, "wA")
+      catch { case e: Throwable => failures.add(e) }
+    })
+    val deleter = new Thread(() => {
+      start.await()
+      try idx.deleteDocsDeferred(corpus.where(col("doc_id").isin(2L, 3L)),
+        "doc_id", "text", 0L)
+      catch { case e: Throwable => failures.add(e) }
+    })
+    ingester.start(); deleter.start(); start.countDown()
+    ingester.join(); deleter.join()
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.isEmpty,
+      s"both writers must land via retry: ${failures.asScala.toList}")
+    val reduced = corpus.where(!col("doc_id").isin(2L, 3L))
+    val queries = corpus.where(col("doc_id") === 1L)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("MaxScore-pruned BM25: identical answer, strictly fewer postings scored") {
+    // a stopword-shaped corpus: every doc carries `common`, few carry
+    // the rare terms — the MaxScore walk must make `common`
+    // NON-ESSENTIAL (its bound can't lift a new doc into the top-k)
+    // and skip scoring its postings for docs outside the accumulator
+    val base = "/tmp/graft_invidx_spec_maxscore"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = (1L to 40L).map { i =>
+      val rare = if (i <= 5) " raremarker rareother" else ""
+      (i, s"common filler tokens number$i$rare common")
+    }.toDF("doc_id", "text").localCheckpoint()
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    (0 until 2).foreach { b =>
+      idx.ingest(docs.where(pmod(col("doc_id"), lit(2)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    val terms = Seq("raremarker", "rareother", "common")
+    val report = idx.bm25TopKPrunedReport(spark, terms, k = 3)
+    // the unpruned stored-index answer for the same query terms
+    val want = idx.bm25TopK(
+        Seq((0L, terms.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .select(col("cand_id"), col("score"), col("rank"))
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val got = report.result.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got === want, "pruning must be answer-invisible")
+    assert(report.totalPostings >= 45L,
+      s"corpus shape: common has ~40 postings (${report.totalPostings})")
+    assert(report.scoredPostings < report.totalPostings,
+      s"MaxScore must score strictly fewer postings: " +
+        s"${report.scoredPostings} vs ${report.totalPostings}")
+    // the stopword's 35 non-candidate postings were never scored:
+    // 5 + 5 essential rare merges + 5 matched `common` rows for the
+    // accumulated docs + 15 candidate rows in the exact re-rank = 30
+    assert(report.scoredPostings <= 30L,
+      s"the stopword's tail must be skipped: ${report.scoredPostings}")
+    // pruning composes with tombstones: delete a top doc, answers
+    // still identical to the unpruned path over the live corpus
+    idx.deleteDocsDeferred(docs.where(col("doc_id") === 1L),
+      "doc_id", "text", 0L)
+    val got2 = idx.bm25TopKPruned(spark, terms, k = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val want2 = idx.bm25TopK(
+        Seq((0L, terms.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .select(col("cand_id"), col("score"), col("rank"))
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got2 === want2)
+  }
+
+  test("pruned BM25 edge cases: single term, absent terms, empty store") {
+    val idx = fresh("prunededge", 2)
+    // single term: trivially unprunable, still exact
+    val one = idx.bm25TopKPrunedReport(spark, Seq("quick"), k = 10)
+    assert(one.result.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 5L))
+    // absent term among present ones: df 0 contributes nothing
+    val mixed = idx.bm25TopKPruned(spark, Seq("quick", "nosuchterm"), 10)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 5L))
+    // all terms absent: empty result, nothing scored
+    val none = idx.bm25TopKPrunedReport(spark, Seq("nosuchterm"), 5)
+    assert(none.result.count() === 0L && none.scoredPostings === 0L)
+  }
+
+  test("optimizeSegments: one dir per bucket after, answers bit-identical") {
+    val base = "/tmp/graft_invidx_spec_optseg"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    (0 until 8).foreach { b =>
+      idx.ingest(corpus.where(pmod(col("doc_id"), lit(8)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    // 8 segment commits with compactAfter=16: buckets carry multiple
+    // segment dirs — the state OPTIMIZE exists to collapse
+    val before = idx.postingsSegmentCounts(spark)
+    assert(before.values.max > 1,
+      s"corpus shape: segments must have accumulated ($before)")
+    val queries = corpus.where(col("doc_id") <= 2)
+    val want = rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true))
+    idx.optimizeSegments(spark)
+    val after = idx.postingsSegmentCounts(spark)
+    assert(after.nonEmpty && after.values.forall(_ === 1),
+      s"post-OPTIMIZE reads must touch exactly one dir/bucket: $after")
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === want,
+      "OPTIMIZE is pure layout — answers bit-identical")
+    // the replay guard is carried: a poisoned replay is still a no-op
+    idx.ingest(corpus.where(pmod(col("doc_id"), lit(8)) === 3)
+        .withColumn("text", concat(col("text"), lit(" poison"))),
+      "doc_id", "text", 3L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === want)
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
