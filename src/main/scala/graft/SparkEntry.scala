@@ -5638,6 +5638,73 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q255_index_audit" -> ((s, dir) => {
+      // INDEX INTEGRITY AUDIT — the q229 divergence-localization
+      // discipline applied to search state: re-derive postings from
+      // a reference corpus, full-outer compare against the stored
+      // LIVE postings per (term, doc), and report per-TERM counts of
+      // missing / phantom / tf-drifted pairs, so a detected
+      // divergence names exactly which terms to rebuild (touched
+      // buckets only), never the whole index. The gate plants all
+      // three divergence kinds deliberately: %7 docs are tombstone-
+      // deleted from the INDEX (audit sees them missing — and via
+      // the un-purged tombstone subtraction, exactly what queries
+      // serve), %11 docs are dropped from the AUDIT corpus (their
+      // stored postings become phantom), %13≡1 docs get doubled
+      // text in the audit corpus (every shared pair tf-drifts).
+      // Oracle = the same per-term arithmetic over the tokenized
+      // corpus — exact longs, no floats anywhere.
+      val base = s"/tmp/graft_q255_audit_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      idx.deleteDocsDeferred(docs.where(pmod(col("doc_id"), lit(7L)) === 0),
+        "doc_id", "text", 0L)
+      val auditCorpus = docs.where(pmod(col("doc_id"), lit(11L)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 1,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      idx.audit(auditCorpus, "doc_id", "text")
+    }),
+    "q254_term_autocomplete" -> ((s, dir) => {
+      // TERM DICTIONARY / AUTOCOMPLETE — prefix search by document
+      // frequency, the query shape a hash-bucketed postings store
+      // cannot serve (a prefix is a RANGE of terms; hashing scatters
+      // it over every bucket). The dictionary state co-locates terms
+      // by FIRST CHARACTER (BucketedLog hash-keyed on the prefix
+      // char), so the lookup reads ONE letter bucket (readFor
+      // directory prune) with the exact startswith as residual;
+      // (df, cf) counts fold additively per ingest batch and a
+      // poisoned replay is a no-op by the #batch= watermark.
+      // All-integer ranking (df desc, term). Oracle = the plain
+      // LIKE 's%' term aggregation.
+      val base = s"/tmp/graft_q254_dict_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val dict = graft.operators.TermDictionary(base)
+      dict.init(s)
+      (0 until 2).foreach { b =>
+        dict.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      // poisoned crash-replay of batch 1: doubled text would double
+      // every count — a no-op by the #batch= watermark
+      dict.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 1L)
+      require(dict.coveredBatch(s) == 1L,
+        s"dictionary must be fenced at batch 1: ${dict.coveredBatch(s)}")
+      dict.prefixTopK(s, "s", k = 10)
+    }),
     "q253_maxscore_bm25" -> ((s, dir) => {
       // TOP-K PRUNED BM25 (MaxScore) — the classic serving
       // optimization the segment store makes possible: per-term
@@ -9709,6 +9776,40 @@ object SparkEntry {
     // q253: MaxScore pruning is answer-invisible — the oracle is the
     // plain exhaustive BM25 for the same fixed query terms
     "q253_maxscore_bm25" -> maxscoreBm25Sql,
+    // q254: prefix lookup from the letter-bucketed dictionary must
+    // equal the plain LIKE aggregation — exact long counts
+    "q254_term_autocomplete" ->
+      s"""WITH toks AS ($toksCte),
+         |pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |ptf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM pairs GROUP BY doc_id, term),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM ptf WHERE term LIKE 's%' GROUP BY term)
+         |SELECT term, df, cf, rank FROM (
+         |  SELECT term, df, cf, row_number() OVER (
+         |    ORDER BY df DESC, term) AS rank FROM d)
+         |WHERE rank <= 10""".stripMargin,
+    // q255: the audit's three divergence kinds re-derived from the
+    // corpus arithmetic — missing = %7-deleted (still in the audit
+    // corpus), phantom = %11-dropped (still in the store), drift =
+    // %13≡1 doubled text on pairs present in both
+    "q255_index_audit" ->
+      s"""WITH toks AS ($toksCte),
+         |pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |ptf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM pairs GROUP BY doc_id, term),
+         |agg AS (SELECT term,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         |    CAST(sum(CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_phantom,
+         |    CAST(sum(CASE WHEN doc_id % 13 = 1 AND doc_id % 7 <> 0
+         |      AND doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_drift
+         |  FROM ptf GROUP BY term)
+         |SELECT term, n_missing, n_phantom, n_drift FROM agg
+         |WHERE n_missing + n_phantom + n_drift > 0""".stripMargin,
     "q71_hash_split" ->
       // the split label re-derived from the same md5 arithmetic:
       // first 8 hex chars of md5(doc_id || ':s42') as int, mod 100

@@ -324,6 +324,44 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     tombLog.readManifestFull(spark).fold(-1L)(_._2),
     statsLog.txnWatermark(spark, "deletes"))
 
+  /** INDEX INTEGRITY AUDIT — re-derive postings from `corpus` and
+    * full-outer compare against the stored LIVE postings per
+    * (term, cand_id), localizing divergence per TERM (the q229
+    * divergence-localization discipline applied to search state):
+    * `n_missing` pairs the corpus has and the store lacks,
+    * `n_phantom` pairs the store has and the corpus lacks,
+    * `n_drift` pairs present in both with different tf. A healthy
+    * index audits EMPTY; a detected divergence names exactly which
+    * terms to rebuild ([[deleteDocs]]/[[ingest]] on the affected
+    * docs — touched buckets only), never the whole index. One
+    * term-hash-partitioned full-outer join of two postings frames —
+    * O(index + corpus tokenize) by design: this is the off-peak
+    * maintenance audit a 100 TB deployment schedules, not a query.
+    * Tombstones are subtracted first, so an un-purged deferred
+    * delete audits as absent (exactly what queries serve). */
+  def audit(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val want = corpus
+      .select(col(idCol).as("cand_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", "cand_id")
+      .agg(count(lit(1)).cast("long").as("__wtf"))
+    val have = liveSlice(spark, postLog.read(spark))
+      .select(col("term"), col("cand_id"),
+        col("tf").cast("long").as("__htf"))
+    want.join(have, Seq("term", "cand_id"), "full_outer")
+      .groupBy("term").agg(
+        sum(when(col("__htf").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_missing"),
+        sum(when(col("__wtf").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_phantom"),
+        sum(when(col("__wtf").isNotNull && col("__htf").isNotNull &&
+            col("__wtf") =!= col("__htf"), 1L).otherwise(0L))
+          .cast("long").as("n_drift"))
+      .where(col("n_missing") + col("n_phantom") + col("n_drift") > 0)
+  }
+
   /** Coverage receipt — the highest ingest batch id BOTH states have
     * applied (the q231 freshness-fence discipline). [[ingest]]
     * commits postings THEN stats, so the min is the sound fence: a

@@ -431,6 +431,38 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       excludeSelf = true)) === want)
   }
 
+  test("audit: healthy index is empty; divergences localize per term") {
+    val idx = fresh("audit", 2)
+    // healthy: store == corpus → empty
+    assert(idx.audit(corpus, "doc_id", "text").count() === 0L)
+    // missing: tombstone-delete doc 7 from the INDEX, audit vs full
+    idx.deleteDocsDeferred(corpus.where(col("doc_id") === 7L),
+      "doc_id", "text", 0L)
+    val m = idx.audit(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 7 = "fox and dog and fox and dog": terms fox/and/dog each
+    // miss exactly one (term, doc) pair; nothing phantom, no drift
+    assert(m === Map("fox" -> (1L, 0L, 0L), "and" -> (1L, 0L, 0L),
+      "dog" -> (1L, 0L, 0L)))
+    // phantom: drop doc 3 from the AUDIT corpus (store still has it)
+    val noDoc3 = corpus.where(col("doc_id") =!= 3L)
+    val p = idx.audit(noDoc3, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("lorem") === (0L, 1L, 0L) && p("ipsum") === (0L, 1L, 0L))
+    // drift: double doc 5's text in the audit corpus — its pairs
+    // (quick, fox) drift while staying present on both sides
+    val drifted = corpus.withColumn("text",
+      when(col("doc_id") === 5L,
+        concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")))
+    val d = idx.audit(drifted, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d("quick") === (0L, 0L, 1L) && d("fox")._3 === 1L)
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
