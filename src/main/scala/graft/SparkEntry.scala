@@ -5638,6 +5638,84 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q257_more_like_this" -> ((s, dir) => {
+      // MORE-LIKE-THIS FROM THE STORE — doc-as-query BM25 where the
+      // query doc's term vector comes from the FORWARD index (a
+      // doc-id point lookup on the postings transposed, q256's
+      // state), never from re-tokenizing text: the full query path
+      // is store-only — forward slice for the query terms, postings
+      // slice for the candidates, stats row for N/avgdl. Scoring is
+      // Retrieval.bm25Rank verbatim, so the oracle is q100's SQL
+      // with doc 101 as the one query.
+      val base = s"/tmp/graft_q257_mlt_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base, withForward = true)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      idx.moreLikeThis(s, docId = 101L, k = 5)
+    }),
+    "q256_delete_by_id" -> ((s, dir) => {
+      // DELETE BY ID — the erasure-request shape: the deployment
+      // holds doomed doc IDS, not their text, so the index must
+      // supply everything a delete needs from its own state. The
+      // FORWARD index (postings transposed, doc-keyed) makes that a
+      // point lookup: ids' stored (dl) drive the exact (n, sumdl)
+      // decrement, never-ingested ids are naturally absent and
+      // SKIPPED (the gate passes phantom ids to prove it), an
+      // already-tombstoned id is anti-joined out (the cross-batch
+      // repeat is require-pinned stats-neutral via a second delete
+      // call), and a poisoned same-batch replay is screened. The
+      // purge drops postings AND forward rows together (else a
+      // purged doc would be re-found and double-decremented), with
+      // the served answer require-pinned bit-identical across it.
+      // Oracle = q100's SQL over the reduced (%6 removed) corpus.
+      val base = s"/tmp/graft_q256_delbyid_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base, withForward = true)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      // doomed ids + phantom ids the corpus never contained — the
+      // delete must skip phantoms without skewing (n, sumdl)
+      val doomed = docs.where(pmod(col("doc_id"), lit(6L)) === 0)
+        .select("doc_id")
+      val withPhantoms = doomed.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id")).limit(5))
+      idx.deleteByIds(withPhantoms, "doc_id", 0L)
+      // same-batch replay: screened by the #batch= watermark
+      idx.deleteByIds(withPhantoms, "doc_id", 0L)
+      // cross-batch repeat: already-tombstoned ids are anti-joined
+      // out — stats-neutral by construction
+      idx.deleteByIds(doomed, "doc_id", 1L)
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+        pmod(col("doc_id"), lit(6L)) =!= 0).localCheckpoint()
+      def answer() = idx.bm25TopK(queries, "doc_id", "text", k = 5,
+        excludeSelf = true)
+      val before = answer().orderBy("query_id", "rank").collect().toSeq
+      idx.purgeDeletes(s)
+      require(idx.tombstoneCount(s) == 0L, "purge must drain tombstones")
+      require(before == answer().orderBy("query_id", "rank").collect()
+        .toSeq, "served answer must be bit-identical across the purge")
+      // post-purge: a repeat delete of purged ids finds no forward
+      // rows — nothing re-tombstoned, stats untouched
+      idx.deleteByIds(doomed, "doc_id", 2L)
+      require(idx.tombstoneCount(s) == 0L,
+        "purged ids must not re-tombstone (forward rows are gone)")
+      require(before == answer().orderBy("query_id", "rank").collect()
+        .toSeq, "a post-purge repeat delete must be answer-neutral")
+      answer()
+    }),
     "q255_index_audit" -> ((s, dir) => {
       // INDEX INTEGRITY AUDIT — the q229 divergence-localization
       // discipline applied to search state: re-derive postings from
@@ -9776,6 +9854,13 @@ object SparkEntry {
     // q253: MaxScore pruning is answer-invisible — the oracle is the
     // plain exhaustive BM25 for the same fixed query terms
     "q253_maxscore_bm25" -> maxscoreBm25Sql,
+    // q256: delete-by-id must equal an index never containing the %6
+    // docs — same reduced-corpus discipline as q247/q250
+    "q256_delete_by_id" -> bm25RetrievalSqlFor("doc_id % 6 <> 0",
+      "doc_id % 101 = 0"),
+    // q257: more-like-this from the stored forward vector == the
+    // from-scratch BM25 with doc 101 as the one (self-excluded) query
+    "q257_more_like_this" -> bm25RetrievalSqlFor("TRUE", "doc_id = 101"),
     // q254: prefix lookup from the letter-bucketed dictionary must
     // equal the plain LIKE aggregation — exact long counts
     "q254_term_autocomplete" ->

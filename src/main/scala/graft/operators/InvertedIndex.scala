@@ -58,11 +58,19 @@ import graft.streaming.BucketedLog
   * key-ordered storage, answer every query from a pruned scan of the
   * store (`/root/reference/marketdb-iteratee/src/main/scala/com/ergodicity/marketdb/iteratee/TimeSeriesEnumerator.scala:48-99`). */
 final case class InvertedIndex(path: String, buckets: Int = 64,
-    broadcastMaxRows: Long = Dedup.screenBroadcastMaxRows) {
+    broadcastMaxRows: Long = Dedup.screenBroadcastMaxRows,
+    withForward: Boolean = false) {
 
   private def postLog = BucketedLog(s"$path/post", Seq("term"), buckets)
   private def statsLog = BucketedLog(s"$path/stats", Seq("one"), 1)
   private def tombLog = BucketedLog(s"$path/tomb", Seq("cand_id"), 8)
+  /** OPT-IN forward index — the postings TRANSPOSED, hash-keyed by
+    * DOC id, so a doc's stored term vector is a point lookup. Powers
+    * [[deleteByIds]] (delete with ids alone — no caller-supplied
+    * text) and [[moreLikeThis]] (doc-as-query from the store). The
+    * standard storage trade: ~2× index bytes for doc-keyed access;
+    * off by default so text-only deployments pay nothing. */
+  private def fwdLog = BucketedLog(s"$path/fwd", Seq("cand_id"), 32)
 
   def init(spark: SparkSession): Unit = {
     import spark.implicits._
@@ -70,6 +78,9 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .toDF("term", "cand_id", "dl", "tf", "positions"))
     statsLog.init(Seq.empty[(Int, Long, Long)].toDF("one", "n", "sumdl"))
     tombLog.init(Seq.empty[Long].toDF("cand_id"))
+    if (withForward)
+      fwdLog.init(Seq.empty[(Long, String, Double, Long)]
+        .toDF("cand_id", "term", "dl", "tf"))
   }
 
   /** Subtract un-purged tombstones from a postings slice — applied by
@@ -131,6 +142,23 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // named writers retry (concurrent streams race by design)
     if (writerId.isEmpty) postLog.appendBatch(postings, batchId)
     else postLog.appendBatchWithRetry(postings, batchId, writerId)
+    if (withForward) {
+      // the postings transposed + a zero-token SENTINEL row per
+      // empty doc (term "", tf 0 — the tokenizer drops empties, so
+      // "" can never collide with a real term): every ingested doc
+      // has a doc-keyed presence, so deleteByIds can decrement
+      // (n, sumdl) exactly even for docs with no postings. Committed
+      // AFTER postings, BEFORE stats — coveredBatch (min post/stats)
+      // stays the sound fence with fwd between the two
+      val sentinels = docs
+        .where(TextFunctions.tokenCount(col(textCol)) === 0)
+        .select(col(idCol).as("cand_id"), lit("").as("term"),
+          lit(0.0).as("dl"), lit(0L).as("tf"))
+      val fwdRows = postings.select("cand_id", "term", "dl", "tf")
+        .unionByName(sentinels)
+      if (writerId.isEmpty) fwdLog.appendBatch(fwdRows, batchId)
+      else fwdLog.appendBatchWithRetry(fwdRows, batchId, writerId)
+    }
     val stats = docs.agg(
       count(lit(1)).as("n"),
       coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
@@ -250,6 +278,72 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     }
   }
 
+  /** DELETE BY ID — [[deleteDocsDeferred]] without caller-supplied
+    * text: the erasure-request shape (a deployment holds doomed doc
+    * IDS, not their text). Requires `withForward`: the doc-keyed
+    * forward slice supplies each id's stored (dl) for the exact
+    * (n, sumdl) decrement — a doc-id point lookup
+    * ([[BucketedLog.readFor]]), O(ids' buckets) IO. Ids NOT in the
+    * store (never ingested, or already purged) are naturally absent
+    * from the slice and are skipped — the caller contract
+    * [[deleteDocsDeferred]] needs ("doc must currently exist live")
+    * is ENFORCED here, not assumed. Already-tombstoned ids are
+    * anti-joined out (cross-batch repeat is stats-neutral); both
+    * commits ride the retry wrapper. */
+  def deleteByIds(ids: DataFrame, idCol: String, batchId: Long): Unit = {
+    require(withForward,
+      "deleteByIds needs withForward = true (the doc-keyed state)")
+    val spark = ids.sparkSession
+    val keys = ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+    val slice = fwdLog.readFor(keys)
+      .join(broadcast(keys), Seq("cand_id"), "left_semi")
+    val fresh =
+      if (tombLog.readManifestFull(spark).isEmpty) slice
+      else slice.join(tombLog.read(spark), Seq("cand_id"), "left_anti")
+    // one row per LIVE doomed doc: dl is a per-doc constant
+    // (exact integer-valued double — cast back is exact); the frame
+    // is materialized BEFORE the tombstone commit adds these ids
+    val perDoc = fresh.groupBy("cand_id")
+      .agg(max(col("dl")).cast("long").as("__dl"))
+      .localCheckpoint()
+    val negStats = perDoc.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(col("__dl")), lit(0L))).as("sumdl"))
+      .select(lit(1).as("one"), col("n"), col("sumdl"))
+    tombLog.applyBatchWithRetry(perDoc.select("cand_id"), batchId) {
+      (cur, b) => cur.map(_.unionByName(b)).getOrElse(b).distinct()
+    }
+    statsLog.applyBatchWithRetry(negStats, batchId, "deletes") { (cur, b) =>
+      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sumdl").cast("long").as("sumdl"))
+    }
+  }
+
+  /** MORE-LIKE-THIS FROM THE STORE — doc-as-query BM25 where the
+    * query doc's term vector comes from the FORWARD slice (a doc-id
+    * point lookup), never from re-tokenizing text: the stored form
+    * of [[Retrieval.bm25TopK]]'s `excludeSelf` mode. Output/scoring
+    * contract identical to [[bm25TopK]] with the doc as the one
+    * query. Requires `withForward`. */
+  def moreLikeThis(spark: SparkSession, docId: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(withForward,
+      "moreLikeThis needs withForward = true (the doc-keyed state)")
+    require(k >= 1, s"k must be positive: $k")
+    import spark.implicits._
+    val qTerms = fwdLog.readFor(Seq(docId).toDF("cand_id"))
+      .where(col("cand_id") === docId && col("tf") > 0L)
+      .select(lit(docId).as("query_id"), col("term"))
+      .localCheckpoint()
+    val slice = liveSlice(spark, postLog.readFor(qTerms.select("term")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val stats = statsLog.read(spark)
+      .select(col("n").cast("double").as("__n"),
+        col("sumdl").cast("double").as("__sumdl"))
+    Retrieval.bm25Rank(slice, qTerms, stats, k, k1, b, excludeSelf = true)
+  }
+
   /** OPTIMIZE for deferred deletes: physically drop every tombstoned
     * doc's postings (one whole-store maintenance fold — a doc's
     * terms are unknown without its text, so the purge is O(index) BY
@@ -285,6 +379,12 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       else tomb
     postLog.compactNow(spark)(cur =>
       cur.join(hinted, Seq("cand_id"), "left_anti"))
+    // the forward rows go with their postings — otherwise a purged
+    // doc would still be "found" by a later deleteByIds and its
+    // stats decremented a second time
+    if (withForward)
+      fwdLog.compactNow(spark)(cur =>
+        cur.join(hinted, Seq("cand_id"), "left_anti"))
     beforeDrain()
     tombLog.compactNow(spark)(cur =>
       cur.join(hinted, Seq("cand_id"), "left_anti"))

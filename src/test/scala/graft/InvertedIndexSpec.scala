@@ -463,6 +463,70 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(d("quick") === (0L, 0L, 1L) && d("fox")._3 === 1L)
   }
 
+  test("deleteByIds: text-free delete, phantom ids skipped, purge cleans fwd") {
+    val base = "/tmp/graft_invidx_spec_delbyid"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8, withForward = true)
+    idx.init(spark)
+    (0 until 2).foreach { b =>
+      idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    // ids only — includes doc 8 (zero tokens: the sentinel row is
+    // what lets its (n, sumdl=0) decrement land) and phantom id 99
+    idx.deleteByIds(Seq(4L, 7L, 8L, 99L).toDF("doc_id"), "doc_id", 0L)
+    // same-batch replay screened; cross-batch repeat stats-neutral
+    idx.deleteByIds(Seq(4L, 7L, 8L, 99L).toDF("doc_id"), "doc_id", 0L)
+    idx.deleteByIds(Seq(4L, 7L).toDF("doc_id"), "doc_id", 1L)
+    assert(idx.tombstoneCount(spark) === 3L, "phantom 99 must not tombstone")
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L, 8L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "scores diverge iff the id-derived (n, sumdl) decrement is off")
+    idx.purgeDeletes(spark)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+    // post-purge repeat: forward rows are gone with the postings —
+    // nothing re-tombstones, stats untouched
+    idx.deleteByIds(Seq(4L, 7L, 8L).toDF("doc_id"), "doc_id", 2L)
+    assert(idx.tombstoneCount(spark) === 0L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("moreLikeThis == doc-as-query BM25 from re-tokenized text") {
+    val base = "/tmp/graft_invidx_spec_mlt"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8, withForward = true)
+    idx.init(spark)
+    (0 until 2).foreach { b =>
+      idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    val direct = rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") === 1L), corpus, "doc_id", "text",
+      k = 3, excludeSelf = true))
+    assert(rows(idx.moreLikeThis(spark, docId = 1L, k = 3)) === direct,
+      "the stored forward vector must reproduce the re-tokenized query")
+    // a zero-token doc has an empty stored vector: empty result
+    assert(idx.moreLikeThis(spark, docId = 8L, k = 3).count() === 0L)
+    // the forward path is gated on the opt-in state
+    val plain = fresh("nofwd", 1)
+    intercept[IllegalArgumentException] {
+      plain.moreLikeThis(spark, 1L, 3)
+    }
+    intercept[IllegalArgumentException] {
+      plain.deleteByIds(Seq(1L).toDF("doc_id"), "doc_id", 0L)
+    }
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
