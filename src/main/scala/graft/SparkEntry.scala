@@ -243,7 +243,8 @@ object SparkEntry {
     "q215_stream_ivf_append", "q219_stream_trend",
     "q224_stream_rolling_mau", "q231_indexed_ingest",
     "q233_schema_evolution", "q235_watermark_dedup_view",
-    "q241_stream_search_index", "q252_stream_co_deletes")
+    "q241_stream_search_index", "q252_stream_co_deletes",
+    "q259_stream_autocomplete")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -5638,6 +5639,108 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q259_stream_autocomplete" -> ((s, dir) => {
+      // STREAMING CO-MAINTAINED DICTIONARY — q241's co-maintenance
+      // discipline applied to the autocomplete state: each
+      // micro-batch folds its term (df, cf) deltas into the
+      // letter-bucketed dictionary (touched first-letter buckets
+      // only), replay-screened by #batch=. After the drain the gate
+      // fences coveredBatch at the last arrival, replays a poisoned
+      // batch (doubled text would double every count — a no-op by
+      // the watermark), and serves the prefix lookup FROM THE STORE:
+      // one letter bucket read, exact startswith residual,
+      // all-integer ranking. Oracle = q254's LIKE aggregation
+      // verbatim — a dictionary kept live against the firehose must
+      // be indistinguishable from one built one-shot.
+      val base = s"/tmp/graft_q259_sdict_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text").localCheckpoint()
+      (0 until 4).foreach { k =>
+        docs.where(pmod(col("doc_id"), lit(4L)) === k)
+          .appendBatchTo(in, k)
+      }
+      val dict = graft.operators.TermDictionary(s"$base/dict")
+      dict.init(s)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          dict.ingest(b, "doc_id", "text", bid)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      require(dict.coveredBatch(s) == 3L,
+        s"dictionary coverage must reach the last arrival: " +
+          s"${dict.coveredBatch(s)}")
+      // poisoned crash-replay of the last batch: screened
+      dict.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === 3)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 3L)
+      dict.prefixTopK(s, "s", k = 10)
+    }),
+    "q258_audit_repair" -> ((s, dir) => {
+      // AUDIT → TARGETED REPAIR, the closed integrity loop: plant
+      // all three kinds of postings rot by raw state surgery (term
+      // 'scan' rows DROPPED, term 'order' tf DOUBLED in place, five
+      // phantom fake-doc rows added under term 'big' — stats
+      // untouched, exactly what bit rot / a bad maintenance rewrite
+      // looks like), let the audit localize the damage per term
+      // (require-pinned: exactly those three terms, with the planted
+      // shape), then repairTerms rebuilds ONLY those terms' postings
+      // from the corpus (touched buckets, never a whole-index
+      // rebuild) and the re-audit is require-pinned EMPTY. The
+      // served BM25 afterwards must equal the pristine from-scratch
+      // answer — q100's SQL is the oracle verbatim.
+      val base = s"/tmp/graft_q258_repair_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      // raw surgery on the postings state (same path a buggy
+      // maintenance pass would take)
+      import s.implicits._
+      val rot = graft.streaming.BucketedLog(s"$base/post",
+        Seq("term"), 64)
+      val phantoms = (0 until 5).map(i =>
+          ("big", 1000000L + i, 5.0, 1L, Seq(0)))
+        .toDF("term", "cand_id", "dl", "tf", "positions")
+      rot.rewriteBuckets(Seq("scan", "order", "big").toDF("term")) {
+        (cur, _) =>
+          cur.get.where(col("term") =!= "scan")
+            .withColumn("tf", when(col("term") === "order",
+              col("tf") * 2L).otherwise(col("tf")))
+            .unionByName(phantoms)
+      }
+      val a1 = idx.audit(docs, "doc_id", "text").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      require(a1.keySet == Set("scan", "order", "big"),
+        s"audit must localize exactly the three rotted terms: " +
+          s"${a1.keySet}")
+      require(a1("scan")._1 > 0 && a1("scan")._2 == 0 &&
+        a1("scan")._3 == 0, s"scan must read as missing: ${a1("scan")}")
+      require(a1("order")._3 > 0 && a1("order")._1 == 0 &&
+        a1("order")._2 == 0, s"order must read as drift: ${a1("order")}")
+      require(a1("big") == ((0L, 5L, 0L)),
+        s"big must carry exactly the 5 phantoms: ${a1("big")}")
+      idx.repairTerms(docs, "doc_id", "text",
+        idx.audit(docs, "doc_id", "text").select("term"))
+      require(idx.audit(docs, "doc_id", "text").count() == 0L,
+        "the re-audit after a targeted repair must be EMPTY")
+      idx.bm25TopK(docs.where(pmod(col("doc_id"), lit(101L)) === 0),
+        "doc_id", "text", k = 5, excludeSelf = true)
+    }),
     "q257_more_like_this" -> ((s, dir) => {
       // MORE-LIKE-THIS FROM THE STORE — doc-as-query BM25 where the
       // query doc's term vector comes from the FORWARD index (a
@@ -7454,6 +7557,21 @@ object SparkEntry {
        |  SELECT query_id, cand_id, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** q254/q259's oracle: the plain LIKE-prefix term aggregation —
+    * exact long counts, (df desc, term) rank. */
+  private def autocompleteSql: String =
+    s"""WITH toks AS ($toksCte),
+       |pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |ptf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM pairs GROUP BY doc_id, term),
+       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM ptf WHERE term LIKE 's%' GROUP BY term)
+       |SELECT term, df, cf, rank FROM (
+       |  SELECT term, df, cf, row_number() OVER (
+       |    ORDER BY df DESC, term) AS rank FROM d)
+       |WHERE rank <= 10""".stripMargin
 
   /** q253's oracle: exhaustive single-query BM25 for the fixed term
     * set — MaxScore pruning must be answer-invisible, so the SQL
@@ -9854,6 +9972,9 @@ object SparkEntry {
     // q253: MaxScore pruning is answer-invisible — the oracle is the
     // plain exhaustive BM25 for the same fixed query terms
     "q253_maxscore_bm25" -> maxscoreBm25Sql,
+    // q258: after audit-localized rot and a targeted repair, the
+    // served index must be indistinguishable from pristine
+    "q258_audit_repair" -> bm25RetrievalSql,
     // q256: delete-by-id must equal an index never containing the %6
     // docs — same reduced-corpus discipline as q247/q250
     "q256_delete_by_id" -> bm25RetrievalSqlFor("doc_id % 6 <> 0",
@@ -9863,18 +9984,11 @@ object SparkEntry {
     "q257_more_like_this" -> bm25RetrievalSqlFor("TRUE", "doc_id = 101"),
     // q254: prefix lookup from the letter-bucketed dictionary must
     // equal the plain LIKE aggregation — exact long counts
-    "q254_term_autocomplete" ->
-      s"""WITH toks AS ($toksCte),
-         |pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
-         |ptf AS (SELECT doc_id, term, count(*) AS tf
-         |  FROM pairs GROUP BY doc_id, term),
-         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
-         |    CAST(sum(tf) AS BIGINT) AS cf
-         |  FROM ptf WHERE term LIKE 's%' GROUP BY term)
-         |SELECT term, df, cf, rank FROM (
-         |  SELECT term, df, cf, row_number() OVER (
-         |    ORDER BY df DESC, term) AS rank FROM d)
-         |WHERE rank <= 10""".stripMargin,
+    "q254_term_autocomplete" -> autocompleteSql,
+    // q259: the streaming-maintained dictionary must be
+    // indistinguishable from the one-shot build — q254's oracle
+    // verbatim
+    "q259_stream_autocomplete" -> autocompleteSql,
     // q255: the audit's three divergence kinds re-derived from the
     // corpus arithmetic — missing = %7-deleted (still in the audit
     // corpus), phantom = %11-dropped (still in the store), drift =

@@ -12,7 +12,8 @@ import graft.streaming.BucketedLog
   * 100 TB per query, it maintains postings as documents arrive and
   * answers from the store.
   *
-  * Two [[BucketedLog]] states:
+  * The [[BucketedLog]] states (plus the opt-in `fwd/` forward index —
+  * see `fwdLog`):
   *
   *   - `post/` — postings `(term, cand_id, dl, tf)` hash-keyed by
   *     TERM: an ingest batch appends its own docs' postings as an
@@ -342,6 +343,39 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .select(col("n").cast("double").as("__n"),
         col("sumdl").cast("double").as("__sumdl"))
     Retrieval.bm25Rank(slice, qTerms, stats, k, k1, b, excludeSelf = true)
+  }
+
+  /** TARGETED REPAIR — rebuild exactly `terms`' postings from a
+    * reference corpus: the fix path [[audit]]'s per-term divergence
+    * report points at. A touched-bucket maintenance rewrite
+    * ([[BucketedLog.rewriteBuckets]] — only the buckets the affected
+    * terms hash to, O(corpus tokenize + touched buckets), never a
+    * whole-index rebuild): the affected terms' stored rows are
+    * replaced by corpus-true postings (positions included — the full
+    * stored shape), co-bucketed OTHER terms' rows carry verbatim,
+    * and missing/phantom/drifted pairs all converge (a term the
+    * corpus lacks repairs to ABSENT). Corpus stats are untouched —
+    * postings-side rot does not skew (n, sumdl); a stats divergence
+    * is a different failure with a different fix ([[coveredBatch]]
+    * fencing / re-fold). `terms` must be bounded (its buckets are
+    * collected — the audit's divergent-term set, not a vocabulary). */
+  def repairTerms(corpus: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame): Unit = {
+    val keys = terms.select(col("term")).distinct().localCheckpoint()
+    val want = corpus
+      .select(col(idCol).as("cand_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("cand_id"), size(col("toks")).cast("double").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .join(broadcast(keys), Seq("term"), "left_semi")
+      .groupBy("term", "cand_id", "dl")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+      .select("term", "cand_id", "dl", "tf", "positions")
+    postLog.rewriteBuckets(keys) { (cur, k) =>
+      val keep = cur.map(_.join(broadcast(k), Seq("term"), "left_anti"))
+      keep.map(_.unionByName(want)).getOrElse(want)
+    }
   }
 
   /** OPTIMIZE for deferred deletes: physically drop every tombstoned

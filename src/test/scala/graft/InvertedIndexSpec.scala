@@ -527,6 +527,43 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("repairTerms rebuilds only the audited terms; co-bucketed rows carry") {
+    val idx = fresh("repair", 2)
+    // raw rot: drop 'quick' entirely, double 'dog' tf, plant a
+    // phantom under 'fox' — stats untouched
+    val rot = BucketedLog("/tmp/graft_invidx_spec_repair/post",
+      Seq("term"), 8)
+    val phantom = Seq(("fox", 999L, 4.0, 1L, Seq(0)))
+      .toDF("term", "cand_id", "dl", "tf", "positions")
+    rot.rewriteBuckets(Seq("quick", "dog", "fox").toDF("term")) {
+      (cur, _) =>
+        cur.get.where(col("term") =!= "quick")
+          .withColumn("tf", when(col("term") === "dog",
+            col("tf") * 2L).otherwise(col("tf")))
+          .unionByName(phantom)
+    }
+    val a1 = idx.audit(corpus, "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a1.keySet === Set("quick", "dog", "fox"))
+    assert(a1("quick") === ((3L, 0L, 0L)))  // docs 1, 2, 5
+    assert(a1("dog") === ((0L, 0L, 4L)))    // docs 1, 2, 4, 7 drift
+    assert(a1("fox") === ((0L, 1L, 0L)))    // the planted phantom
+    idx.repairTerms(corpus, "doc_id", "text",
+      idx.audit(corpus, "doc_id", "text").select("term"))
+    assert(idx.audit(corpus, "doc_id", "text").count() === 0L)
+    // the repaired index answers like a pristine one — including the
+    // POSITIONS the repair restored (phrase search touches them)
+    val direct = rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 2), corpus, "doc_id", "text", k = 3,
+      excludeSelf = true))
+    assert(rows(idx.bm25TopK(corpus.where(col("doc_id") <= 2),
+      "doc_id", "text", k = 3, excludeSelf = true)) === direct)
+    val qb = idx.phraseTopK(spark, Seq("quick", "brown"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qb === Set(1L, 2L))
+  }
+
   test("conjunction walks rarest-first: ascending df, ties by term") {
     val idx = fresh("conjorder", 1)
     val slice = idx.postingsSlice(spark,
