@@ -254,6 +254,14 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
   def deleteDocsDeferred(docs: DataFrame, idCol: String,
       textCol: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    // replay fast-path: when BOTH states already carry this batch,
+    // skip the (eager) slice/stats derivation entirely — the screens
+    // inside applyBatch would no-op anyway, but only after paying
+    // the anti-join and checkpoint jobs. A crash between the two
+    // commits leaves the stats mark behind → the guard fails → the
+    // re-run completes the pair (tombstone side self-screens).
+    if (tombLog.readManifestFull(spark).exists(_._2 >= batchId) &&
+        statsLog.txnWatermark(spark, "deletes") >= batchId) return
     val ids = docs.select(col(idCol).as("cand_id")).distinct()
     // newly-doomed docs only: materialized (localCheckpoint) BEFORE
     // the tombstone commit below adds these very ids — a lazy frame
@@ -295,6 +303,9 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     require(withForward,
       "deleteByIds needs withForward = true (the doc-keyed state)")
     val spark = ids.sparkSession
+    // replay fast-path — see [[deleteDocsDeferred]]'s guard
+    if (tombLog.readManifestFull(spark).exists(_._2 >= batchId) &&
+        statsLog.txnWatermark(spark, "deletes") >= batchId) return
     val keys = ids.select(col(idCol).cast("long").as("cand_id")).distinct()
     val slice = fwdLog.readFor(keys)
       .join(broadcast(keys), Seq("cand_id"), "left_semi")
