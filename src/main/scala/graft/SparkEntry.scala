@@ -225,7 +225,7 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
-  /** The 27 AvailableNow replay gates (micro-batch streaming with
+  /** The AvailableNow replay gates (micro-batch streaming with
     * checkpointed state) — wrapped by [[queries]] in
     * [[withStatePartitions]]. */
   private val streamingGates: Set[String] = Set(
@@ -244,7 +244,7 @@ object SparkEntry {
     "q224_stream_rolling_mau", "q231_indexed_ingest",
     "q233_schema_evolution", "q235_watermark_dedup_view",
     "q241_stream_search_index", "q252_stream_co_deletes",
-    "q259_stream_autocomplete")
+    "q259_stream_autocomplete", "q260_dict_co_deletes")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -5639,6 +5639,270 @@ object SparkEntry {
           graft.operators.IndexedTable.Range("dd", lit(ddLo), lit(ddHi))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
+    "q263_maxscore_batch" -> ((s, dir) => {
+      // BATCHED MaxScore — q253's pruned walk promoted to the
+      // serving shape q240 has: the WHOLE %101 query frame through
+      // one pruned evaluation, per-query bounds / walk order /
+      // suffix sums / θ all in-plan (windows), the driver looping
+      // over WALK DEPTHS only. A query whose remaining bound-sum
+      // falls below its θ flips non-essential and STAYS so (partials
+      // only grow, suffixes only shrink), so its whole stopword tail
+      // folds in one aggregated join scoring only accumulated docs —
+      // require-pinned strictly fewer postings scored than the
+      // unpruned path across the batch. The accumulated partials are
+      // exact scores (monotone non-essential-ness ⇒ every candidate
+      // entered during its full-outer essential prefix), so the
+      // rounded ranking equals q240's — its oracle (q100's SQL)
+      // verbatim.
+      val base = s"/tmp/graft_q263_msbatch_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0)
+        .localCheckpoint()
+      val report = idx.bm25TopKPrunedBatchReport(queries, "doc_id",
+        "text", k = 5, excludeSelf = true)
+      require(report.scoredPostings < report.totalPostings,
+        s"the batch walk must score strictly fewer postings than " +
+          s"the unpruned path: ${report.scoredPostings} of " +
+          s"${report.totalPostings}")
+      report.result
+    }),
+    "q262_fwd_audit_repair" -> ((s, dir) => {
+      // FORWARD-STATE AUDIT → REPAIR → OPTIMIZE — closing the
+      // maintenance loop q255/q258 built for postings over the
+      // doc-keyed state they left out: forward rot (a drifted stored
+      // dl) is INVISIBLE to the postings audit yet silently skews
+      // every deleteByIds (n, sumdl) decrement and moreLikeThis
+      // score. The gate plants all three rot kinds by raw state
+      // surgery (%17 docs' forward rows DROPPED, surviving %13≡1
+      // docs' stored dl DOUBLED in place, five phantom doc rows
+      // above max(doc_id)); the postings audit is require-pinned
+      // still CLEAN (the rot is forward-only), auditForward
+      // localizes exactly the planted docs per kind, and
+      // repairDocsForward rebuilds ONLY those docs' buckets with the
+      // re-audit require-pinned EMPTY. optimizeSegments then
+      // collapses BOTH states to one dir/bucket (require-pinned —
+      // the forward state is maintenance-covered, not just the
+      // postings), and a deleteByIds afterwards decrements by the
+      // REPAIRED dl — oracle = q100's SQL over the %10-reduced
+      // corpus, which only matches if every stored dl is corpus-true
+      // again.
+      val base = s"/tmp/graft_q262_fwdrepair_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base, withForward = true)
+      idx.init(s)
+      (0 until 4).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      // segments accumulated on BOTH states (the optimize pin's
+      // precondition — taken before any touched-bucket rewrite
+      // collapses lists)
+      require(idx.postingsSegmentCounts(s).values.max > 1 &&
+        idx.fwdSegmentCounts(s).values.max > 1,
+        "corpus shape: segments must have accumulated on both states")
+      import s.implicits._
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val rot = graft.streaming.BucketedLog(s"$base/fwd",
+        Seq("cand_id"), 32)
+      val phantoms = (1 to 5).map(i => (maxId + i, "ghost", 3.0, 1L))
+        .toDF("cand_id", "term", "dl", "tf")
+      val touched = docs.where(pmod(col("doc_id"), lit(17L)) === 0 ||
+          pmod(col("doc_id"), lit(13L)) === 1)
+        .select(col("doc_id").as("cand_id"))
+        .unionByName(phantoms.select("cand_id"))
+      rot.rewriteBuckets(touched) { (cur, _) =>
+        cur.get.where(pmod(col("cand_id"), lit(17L)) =!= 0)
+          .withColumn("dl", when(pmod(col("cand_id"), lit(13L)) === 1,
+            col("dl") * 2.0).otherwise(col("dl")))
+          .unionByName(phantoms)
+      }
+      require(idx.audit(docs, "doc_id", "text").count() == 0L,
+        "the postings audit must stay clean — the rot is forward-only")
+      val a1 = idx.auditForward(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val missingExp = docs.where(pmod(col("doc_id"), lit(17L)) === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val driftExp = docs.where(pmod(col("doc_id"), lit(13L)) === 1 &&
+          pmod(col("doc_id"), lit(17L)) =!= 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val phantomExp = (1 to 5).map(maxId + _).toSet
+      require(a1.keySet == missingExp ++ driftExp ++ phantomExp,
+        s"forward audit must localize exactly the planted docs: " +
+          s"${a1.keySet.size} vs ${(missingExp ++ driftExp ++
+            phantomExp).size}")
+      require(missingExp.forall(d => a1(d)._1 > 0 && a1(d)._2 == 0 &&
+        a1(d)._3 == 0), "dropped docs must read as missing")
+      require(driftExp.forall(d => a1(d)._3 > 0 && a1(d)._1 == 0 &&
+        a1(d)._2 == 0), "dl-doubled docs must read as drift")
+      require(phantomExp.forall(d => a1(d) == ((0L, 1L, 0L))),
+        "planted phantom rows must read as phantom")
+      idx.repairDocsForward(docs, "doc_id", "text",
+        a1.keySet.toSeq.toDF("cand_id"))
+      require(idx.auditForward(docs, "doc_id", "text").count() == 0L,
+        "the re-audit after a targeted forward repair must be EMPTY")
+      idx.optimizeSegments(s)
+      require(idx.postingsSegmentCounts(s).values.forall(_ == 1) &&
+        idx.fwdSegmentCounts(s).values.forall(_ == 1),
+        "post-OPTIMIZE reads must touch one dir/bucket on BOTH states")
+      // the repaired dl is exactly what deleteByIds decrements by
+      idx.deleteByIds(docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select("doc_id"), "doc_id", 0L)
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+        pmod(col("doc_id"), lit(10L)) =!= 0).localCheckpoint()
+      idx.bm25TopK(queries, "doc_id", "text", k = 5, excludeSelf = true)
+    }),
+    "q261_named_delete_streams" -> ((s, dir) => {
+      // NAMED DELETE STREAMS — two INDEPENDENT delete feeds (GDPR
+      // erasure %5, TTL expiry %9) race on ONE index from real
+      // threads, each with its own batch-id sequence and
+      // #txn.<writer>= watermark in both delete states: a single
+      // hardwired writer id would collide the two feeds on one
+      // scalar mark and silently swallow the trailing stream's lower
+      // batch ids (the q238 failure class, delete-side). The %45
+      // overlap is the sharp edge: both streams doom those docs, and
+      // the tombstone CLAIM fold (existing claims win, re-evaluated
+      // on every rebase) makes exactly one stream own each doc's
+      // (n, sumdl) decrement. Poisoned crash-replays per stream are
+      // no-ops by each writer's own marks; the purge then drops the
+      // doomed postings with the served answer require-pinned
+      // bit-identical. Oracle = q100's SQL over the doubly-reduced
+      // corpus — double decrement or a lost batch would skew
+      // N/avgdl and flip it.
+      val base = s"/tmp/graft_q261_namedel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = tbl(s, dir, "documents").localCheckpoint()
+      val idx = graft.operators.InvertedIndex(base)
+      idx.init(s)
+      (0 until 2).foreach { b =>
+        idx.ingest(docs.where(pmod(col("doc_id"), lit(2L)) === b),
+          "doc_id", "text", b.toLong)
+      }
+      val failures = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Throwable]())
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(("gdpr", 5L), ("ttl", 9L)).map { case (w, m) =>
+        new Thread(() => {
+          start.await()
+          try {
+            idx.deleteDocsDeferred(
+              docs.where(pmod(col("doc_id"), lit(m)) === 0),
+              "doc_id", "text", 0L, w)
+            // poisoned crash-replay of THIS stream's batch: doubled
+            // text would double the decrement — screened by ITS mark
+            idx.deleteDocsDeferred(
+              docs.where(pmod(col("doc_id"), lit(m)) === 0)
+                .withColumn("text",
+                  concat(col("text"), lit(" "), col("text"))),
+              "doc_id", "text", 0L, w)
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      require(failures.asScala.isEmpty,
+        s"both delete streams must land via retry: " +
+          s"${failures.asScala.toList}")
+      require(idx.coveredDeletes(s, "gdpr") == 0L &&
+        idx.coveredDeletes(s, "ttl") == 0L,
+        "each delete stream must be fenced by its own watermark")
+      val queries = docs.where(pmod(col("doc_id"), lit(101L)) === 0 &&
+        pmod(col("doc_id"), lit(5L)) =!= 0 &&
+        pmod(col("doc_id"), lit(9L)) =!= 0).localCheckpoint()
+      def answer() = idx.bm25TopK(queries, "doc_id", "text", k = 5,
+        excludeSelf = true)
+      val before = answer().orderBy("query_id", "rank").collect().toSeq
+      idx.purgeDeletes(s)
+      require(idx.tombstoneCount(s) == 0L, "purge must drain tombstones")
+      require(before == answer().orderBy("query_id", "rank").collect()
+        .toSeq, "served answer must be bit-identical across the purge")
+      answer()
+    }),
+    "q260_dict_co_deletes" -> ((s, dir) => {
+      // DELETE-AWARE DICTIONARY, STREAMING CO-MAINTAINED — the
+      // composition hole q259 left open: once q252-class deletes
+      // flow on the corpus, an ingest-only dictionary silently
+      // serves the UN-deleted (df, cf) forever. ONE foreachBatch
+      // drain carries BOTH streams against the dictionary: each
+      // micro-batch folds its new docs' term counts (#batch=-
+      // screened) AND deletes the previous slice's %7 docs — a
+      // doc-id CLAIM commit (existing claims win; cross-batch
+      // repeats and racing writers decrement once) followed by the
+      // claim-derived negative (df, cf) fold under the delete
+      // writer's own watermark. Fences are per-stream; poisoned
+      // replays of BOTH streams are no-ops by their own marks; the
+      // amortized purgeClaims drains covered claims with the served
+      // lookup require-pinned identical. Oracle = q254's LIKE
+      // aggregation over (ingested − deleted) verbatim — a live
+      // dictionary must be indistinguishable from one built one-shot
+      // on the reduced corpus.
+      val base = s"/tmp/graft_q260_dictdel_${md5Hex(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text").localCheckpoint()
+      (0 until 4).foreach { k =>
+        val ins = docs.where(pmod(col("doc_id"), lit(4L)) === k)
+          .withColumn("op", lit("ins"))
+        val del =
+          if (k == 0) ins.limit(0)
+          else docs.where(pmod(col("doc_id"), lit(4L)) === (k - 1) &&
+              pmod(col("doc_id"), lit(7L)) === 0)
+            .withColumn("op", lit("del"))
+        ins.unionByName(del).appendBatchTo(in, k)
+      }
+      val dict = graft.operators.TermDictionary(s"$base/dict")
+      dict.init(s)
+      val q = graft.streaming.IngestPipeline.fileSource(
+          s, s.read.parquet(in).schema, in, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          dict.ingest(b.where(col("op") === "ins"), "doc_id", "text", bid)
+          dict.delete(b.where(col("op") === "del"), "doc_id", "text", bid)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      require(dict.coveredBatch(s) == 3L && dict.coveredDeletes(s) == 3L,
+        s"both streams must be fenced at the last micro-batch: " +
+          s"ingest=${dict.coveredBatch(s)} " +
+          s"deletes=${dict.coveredDeletes(s)}")
+      require(dict.claimCount(s) > 0L, "delete claims must be pending")
+      // poisoned crash-replays of BOTH streams: doubled text would
+      // double every count — no-ops by each stream's own mark
+      dict.ingest(docs.where(pmod(col("doc_id"), lit(4L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 2L)
+      dict.delete(docs.where(pmod(col("doc_id"), lit(4L)) === 1 &&
+            pmod(col("doc_id"), lit(7L)) === 0)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", 2L)
+      def answer() = dict.prefixTopK(s, "s", k = 10)
+      val before = answer().orderBy("rank").collect().toSeq
+      dict.purgeClaims(s)
+      require(dict.claimCount(s) == 0L,
+        "purgeClaims must drain the covered claims")
+      require(before == answer().orderBy("rank").collect().toSeq,
+        "served lookup must be identical across the claim drain")
+      answer()
+    }),
     "q259_stream_autocomplete" -> ((s, dir) => {
       // STREAMING CO-MAINTAINED DICTIONARY — q241's co-maintenance
       // discipline applied to the autocomplete state: each
@@ -5712,8 +5976,11 @@ object SparkEntry {
       import s.implicits._
       val rot = graft.streaming.BucketedLog(s"$base/post",
         Seq("term"), 64)
-      val phantoms = (0 until 5).map(i =>
-          ("big", 1000000L + i, 5.0, 1L, Seq(0)))
+      // phantom ids sit strictly above max(doc_id) so they stay
+      // phantom at any scale factor
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val phantoms = (1 to 5).map(i =>
+          ("big", maxId + i, 5.0, 1L, Seq(0)))
         .toDF("term", "cand_id", "dl", "tf", "positions")
       rot.rewriteBuckets(Seq("scan", "order", "big").toDF("term")) {
         (cur, _) =>
@@ -5734,8 +6001,11 @@ object SparkEntry {
         a1("order")._2 == 0, s"order must read as drift: ${a1("order")}")
       require(a1("big") == ((0L, 5L, 0L)),
         s"big must carry exactly the 5 phantoms: ${a1("big")}")
+      // the audit is already collected: feed ITS term set to the
+      // repair — a second full O(index + corpus-tokenize) audit pass
+      // just to re-derive the same bounded set would be pure waste
       idx.repairTerms(docs, "doc_id", "text",
-        idx.audit(docs, "doc_id", "text").select("term"))
+        a1.keySet.toSeq.toDF("term"))
       require(idx.audit(docs, "doc_id", "text").count() == 0L,
         "the re-audit after a targeted repair must be EMPTY")
       idx.bm25TopK(docs.where(pmod(col("doc_id"), lit(101L)) === 0),
@@ -5790,11 +6060,16 @@ object SparkEntry {
           "doc_id", "text", b.toLong)
       }
       // doomed ids + phantom ids the corpus never contained — the
-      // delete must skip phantoms without skewing (n, sumdl)
+      // delete must skip phantoms without skewing (n, sumdl).
+      // Phantoms sit strictly ABOVE max(doc_id) (an absolute offset
+      // would collide with real docs at a larger scale factor and
+      // silently tombstone live ones); deterministic pick via orderBy
       val doomed = docs.where(pmod(col("doc_id"), lit(6L)) === 0)
         .select("doc_id")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val withPhantoms = doomed.unionByName(
-        docs.select((col("doc_id") + lit(1000000L)).as("doc_id")).limit(5))
+        docs.select((col("doc_id") + lit(maxId + 1L)).as("doc_id"))
+          .orderBy("doc_id").limit(5))
       idx.deleteByIds(withPhantoms, "doc_id", 0L)
       // same-batch replay: screened by the #batch= watermark
       idx.deleteByIds(withPhantoms, "doc_id", 0L)
@@ -5931,8 +6206,8 @@ object SparkEntry {
       // decrement), so deletes arrive interleaved with ingest like a
       // real CDC feed. Fences are per-stream: coveredBatch (min of
       // postings/stats #batch=) AND coveredDeletes (min of the
-      // tombstone log's #batch= and the #txn.deletes= mark) must
-      // both equal the last micro-batch. Poisoned replays of BOTH
+      // delete writer's #txn.deletes= marks in the tombstone and
+      // stats states) must both equal the last micro-batch. Poisoned
       // streams are no-ops by their own marks; one amortized
       // purgeDeletes then drops the doomed postings with the served
       // answer require-pinned bit-identical across the purge.
@@ -7560,8 +7835,12 @@ object SparkEntry {
 
   /** q254/q259's oracle: the plain LIKE-prefix term aggregation —
     * exact long counts, (df desc, term) rank. */
-  private def autocompleteSql: String =
-    s"""WITH toks AS ($toksCte),
+  private def autocompleteSql: String = autocompleteSqlFor("TRUE")
+
+  /** [[autocompleteSql]] over a filtered corpus — q260 grades the
+    * delete-aware dictionary against (ingested − deleted). */
+  private def autocompleteSqlFor(corpusCond: String): String =
+    s"""WITH toks AS (SELECT * FROM ($toksCte) WHERE $corpusCond),
        |pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
        |ptf AS (SELECT doc_id, term, count(*) AS tf
        |  FROM pairs GROUP BY doc_id, term),
@@ -9989,6 +10268,22 @@ object SparkEntry {
     // indistinguishable from the one-shot build — q254's oracle
     // verbatim
     "q259_stream_autocomplete" -> autocompleteSql,
+    // q260: the dictionary served (ingested − deleted) — slices 0..3
+    // all ingested, %7 docs of slices 0..2 deleted (q252's pattern)
+    "q260_dict_co_deletes" -> autocompleteSqlFor(
+      "doc_id % 7 <> 0 OR doc_id % 4 = 3"),
+    // q261: the doubly-reduced corpus after two named delete streams
+    // (GDPR %5 + TTL %9, overlap %45 decremented once)
+    "q261_named_delete_streams" -> bm25RetrievalSqlFor(
+      "doc_id % 5 <> 0 AND doc_id % 9 <> 0", "doc_id % 101 = 0"),
+    // q262: after forward rot, targeted repair and OPTIMIZE, the
+    // deleteByIds decrement must be corpus-true again — the index
+    // equals one never containing the %10 docs
+    "q262_fwd_audit_repair" -> bm25RetrievalSqlFor("doc_id % 10 <> 0",
+      "doc_id % 101 = 0"),
+    // q263: batched MaxScore is answer-invisible — q240's oracle
+    // (the plain exhaustive BM25 for the %101 query set) verbatim
+    "q263_maxscore_batch" -> bm25RetrievalSql,
     // q255: the audit's three divergence kinds re-derived from the
     // corpus arithmetic — missing = %7-deleted (still in the audit
     // corpus), phantom = %11-dropped (still in the store), drift =

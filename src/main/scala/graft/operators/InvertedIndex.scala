@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,17 @@ import graft.streaming.BucketedLog
   *     ONE amortized [[purgeDeletes]] pass physically drops the
   *     postings and drains the tombstones (the Lucene
   *     delete-then-merge discipline; the [[DeletionVectors]]
-  *     broadcast-cap rule bounds the read-time anti-join).
+  *     broadcast-cap rule bounds the read-time anti-join). Each
+  *     tombstone row is a durable CLAIM `(cand_id, dl, src_writer,
+  *     src_batch)`: the fold adds an id only if no earlier claim
+  *     holds it (existing rows win, re-evaluated on every
+  *     optimistic-concurrency rebase), and the (n, sumdl) decrement
+  *     is derived FROM the committed claim — so a crash between the
+  *     two delete commits replays exactly (the decrement re-derives
+  *     from the surviving claim, never from a recomputed anti-join
+  *     that would see its own tombstones), and two delete WRITERS
+  *     racing on overlapping ids decrement each doc exactly once
+  *     (the claim is the atomic "who owns this doc's decrement").
   *
   * == Query path (the 100 TB argument) ==
   *
@@ -78,7 +88,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     postLog.init(Seq.empty[(String, Long, Double, Long, Seq[Int])]
       .toDF("term", "cand_id", "dl", "tf", "positions"))
     statsLog.init(Seq.empty[(Int, Long, Long)].toDF("one", "n", "sumdl"))
-    tombLog.init(Seq.empty[Long].toDF("cand_id"))
+    tombLog.init(Seq.empty[(Long, Long, String, Long)]
+      .toDF("cand_id", "dl", "src_writer", "src_batch"))
     if (withForward)
       fwdLog.init(Seq.empty[(Long, String, Double, Long)]
         .toDF("cand_id", "term", "dl", "tf"))
@@ -98,7 +109,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // index pay nothing for the tombstone feature)
     val pending = tombLog.readManifestFull(spark).exists(_._3.nonEmpty)
     if (!pending) return slice
-    val tomb = tombLog.read(spark).localCheckpoint()
+    val tomb = tombLog.read(spark).select("cand_id").localCheckpoint()
     val n = tomb.count()
     if (n == 0L) slice
     else {
@@ -148,11 +159,17 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       // empty doc (term "", tf 0 — the tokenizer drops empties, so
       // "" can never collide with a real term): every ingested doc
       // has a doc-keyed presence, so deleteByIds can decrement
-      // (n, sumdl) exactly even for docs with no postings. Committed
-      // AFTER postings, BEFORE stats — coveredBatch (min post/stats)
-      // stays the sound fence with fwd between the two
+      // (n, sumdl) exactly even for docs with no postings. The
+      // coalesce matches stats below: a NULL-text doc counts in n
+      // with sumdl contribution 0, so it must get a sentinel too —
+      // a bare `=== 0` is null for null text and would leave the doc
+      // with neither postings nor a forward row, un-deletable by id
+      // with its n contribution stuck. Committed AFTER postings,
+      // BEFORE stats — coveredBatch (min post/stats) stays the sound
+      // fence with fwd between the two
       val sentinels = docs
-        .where(TextFunctions.tokenCount(col(textCol)) === 0)
+        .where(coalesce(TextFunctions.tokenCount(col(textCol)),
+          lit(0)) === 0)
         .select(col(idCol).as("cand_id"), lit("").as("term"),
           lit(0.0).as("dl"), lit(0L).as("tf"))
       val fwdRows = postings.select("cand_id", "term", "dl", "tf")
@@ -217,11 +234,46 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       (-coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
         lit(0L))).as("sumdl"))
       .select(lit(1).as("one"), col("n"), col("sumdl"))
-    statsLog.applyBatch(negStats, batchId, "deletes") { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
-        .agg(sum("n").cast("long").as("n"),
-          sum("sumdl").cast("long").as("sumdl"))
-    }
+    statsLog.applyBatch(negStats, batchId,
+      InvertedIndex.DefaultDeleteWriter)(addStatsFold)
+  }
+
+  /** CLAIM fold for the tombstone log: existing rows WIN, the batch
+    * adds only ids no earlier claim holds. Re-evaluated against the
+    * rebased head on every optimistic-concurrency retry, so of two
+    * delete writers racing on one id, exactly one claim survives —
+    * the claim is the atomic "who owns this doc's (n, sumdl)
+    * decrement". */
+  private def claimFold(cur: Option[DataFrame],
+      b: DataFrame): DataFrame =
+    cur.map(c => c.unionByName(
+        b.join(c.select("cand_id"), Seq("cand_id"), "left_anti")))
+      .getOrElse(b)
+
+  private val addStatsFold: (Option[DataFrame], DataFrame) => DataFrame =
+    (cur, b) => cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
+      .agg(sum("n").cast("long").as("n"),
+        sum("sumdl").cast("long").as("sumdl"))
+
+  /** Commit the (n, sumdl) decrement a delete batch OWNS — derived
+    * from its DURABLE claim rows, never recomputed against a live
+    * tombstone set: a crash-replay re-reads the surviving claim and
+    * decrements exactly once (a recomputed anti-join would see the
+    * batch's own tombstones and decrement zero — the watermark would
+    * then advance with the stats permanently inflated). The claim is
+    * bounded by the batch; [[purgeDeletes]] keeps uncovered claims
+    * alive precisely so this re-derivation always has its rows. */
+  private def commitClaimedStats(spark: SparkSession, writerId: String,
+      batchId: Long): Unit = {
+    val claimed = tombLog.read(spark)
+      .where(col("src_writer") === writerId &&
+        col("src_batch") === batchId)
+      .localCheckpoint()
+    val negStats = claimed.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(col("dl")), lit(0L))).as("sumdl"))
+      .select(lit(1).as("one"), col("n"), col("sumdl"))
+    statsLog.applyBatchWithRetry(negStats, batchId, writerId)(addStatsFold)
   }
 
   /** DEFERRED (tombstoned) DELETE — the merge-on-read dual of
@@ -230,61 +282,63 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * every bucket the doomed docs' terms hash to (~O(index) per
     * delete batch for Zipfian text — the same amplification the
     * segment commit removed from ingest), while this path commits
-    * only (1) the doomed doc ids into the tombstone log — O(|batch|)
-    * — and (2) the negative (n, sumdl) under the named writer
-    * `deletes` (its own exactly-once watermark, as in
-    * [[deleteDocs]]). Every query subtracts the tombstone set before
-    * df, so answers are bit-identical to an index never containing
-    * the docs; the physical postings drop is deferred to ONE
-    * amortized [[purgeDeletes]] pass (Lucene's delete-then-merge).
-    * Replay safety: the tombstone fold is an idempotent set union
-    * AND `#batch=`-screened; the stats decrement is watermark-
-    * screened (non-idempotent, like every additive fold here). Both
-    * commits ride [[BucketedLog.retrying]] — a delete racing a
-    * concurrent ingest (the q251 deployment) rebases instead of
-    * dying, symmetric with the named-writer ingest path. Cross-batch
-    * repeat safety: the (n, sumdl) decrement counts only NEWLY-doomed
-    * docs (anti-joined against the current tombstone set, snapshotted
-    * BEFORE the tombstone commit lands), so re-deleting an already-
-    * tombstoned doc in a later batch is stats-neutral. Residual
-    * caller contract: each doc must currently exist LIVE in the
-    * index (deleting a never-ingested or already-purged doc still
-    * skews stats — the store cannot know a doc's existence without
-    * reading every posting bucket). */
+    * only (1) the doomed ids as tombstone CLAIMS — O(|batch|) rows
+    * `(cand_id, dl, src_writer, src_batch)` added by [[claimFold]]
+    * (existing claims win) — and (2) the negative (n, sumdl) derived
+    * FROM the committed claim, under the writer's own exactly-once
+    * watermark. Every query subtracts the tombstone set before df,
+    * so answers are bit-identical to an index never containing the
+    * docs; the physical postings drop is deferred to ONE amortized
+    * [[purgeDeletes]] pass (Lucene's delete-then-merge).
+    *
+    * Crash-replay safety (claim-first order): a crash between the
+    * two commits leaves the claim durable and the stats mark behind;
+    * the replay's claim commit is a no-op by the writer's tombstone
+    * watermark, and [[commitClaimedStats]] re-derives the exact
+    * decrement from the surviving claim rows. Cross-batch repeat
+    * safety: a later batch re-deleting an already-tombstoned doc
+    * claims nothing for it — stats-neutral. Concurrent-writer
+    * safety: two named delete streams racing on overlapping ids
+    * rebase through [[claimFold]], so exactly one stream's claim
+    * (hence exactly one decrement) survives per doc. Both commits
+    * ride [[BucketedLog.retrying]] — a delete racing a concurrent
+    * ingest (the q251 deployment) rebases instead of dying.
+    * Residual caller contract: each doc must currently exist LIVE
+    * in the index (deleting a never-ingested or already-purged doc
+    * still skews stats — the store cannot know a doc's existence
+    * without reading every posting bucket; [[deleteByIds]] enforces
+    * existence from the forward state instead). */
   def deleteDocsDeferred(docs: DataFrame, idCol: String,
-      textCol: String, batchId: Long): Unit = {
+      textCol: String, batchId: Long): Unit =
+    deleteDocsDeferred(docs, idCol, textCol, batchId,
+      writerId = InvertedIndex.DefaultDeleteWriter)
+
+  /** [[deleteDocsDeferred]] as a NAMED delete stream: N independent
+    * delete feeds (GDPR erasure, TTL expiry, …), each with its own
+    * batch-id sequence, share one index without coordination — each
+    * stream's exactly-once guard is its own `#txn.<writerId>=`
+    * watermark in BOTH the tombstone and stats states, and
+    * overlapping ids across streams decrement exactly once (the
+    * [[claimFold]] argument). `writerId` must not collide with any
+    * INGEST stream's writer id (both mark the one stats state).
+    * Fence per stream with [[coveredDeletes(spark:org\.apache\.spark\.sql\.SparkSession,writerId:String)*]]. */
+  def deleteDocsDeferred(docs: DataFrame, idCol: String,
+      textCol: String, batchId: Long, writerId: String): Unit = {
+    require(writerId.nonEmpty, "deleteDocsDeferred: empty writerId")
     val spark = docs.sparkSession
     // replay fast-path: when BOTH states already carry this batch,
-    // skip the (eager) slice/stats derivation entirely — the screens
-    // inside applyBatch would no-op anyway, but only after paying
-    // the anti-join and checkpoint jobs. A crash between the two
-    // commits leaves the stats mark behind → the guard fails → the
-    // re-run completes the pair (tombstone side self-screens).
-    if (tombLog.readManifestFull(spark).exists(_._2 >= batchId) &&
-        statsLog.txnWatermark(spark, "deletes") >= batchId) return
-    val ids = docs.select(col(idCol).as("cand_id")).distinct()
-    // newly-doomed docs only: materialized (localCheckpoint) BEFORE
-    // the tombstone commit below adds these very ids — a lazy frame
-    // would re-read the post-commit tombstone set and decrement zero
-    val fresh =
-      if (tombLog.readManifestFull(spark).isEmpty) docs
-      else docs.join(
-        tombLog.read(spark).select(col("cand_id").as("__t")),
-        docs(idCol) === col("__t"), "left_anti")
-    val negStats = fresh.agg(
-      (-count(lit(1))).as("n"),
-      (-coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
-        lit(0L))).as("sumdl"))
-      .select(lit(1).as("one"), col("n"), col("sumdl"))
-      .localCheckpoint()
-    tombLog.applyBatchWithRetry(ids, batchId) { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b).distinct()
-    }
-    statsLog.applyBatchWithRetry(negStats, batchId, "deletes") { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
-        .agg(sum("n").cast("long").as("n"),
-          sum("sumdl").cast("long").as("sumdl"))
-    }
+    // skip the claim derivation entirely — the screens inside
+    // applyBatch would no-op anyway, but only after paying the jobs
+    if (tombLog.txnWatermark(spark, writerId) >= batchId &&
+        statsLog.txnWatermark(spark, writerId) >= batchId) return
+    val tagged = docs.select(col(idCol).cast("long").as("cand_id"),
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"),
+          lit(0L)).as("dl"))
+      .dropDuplicates("cand_id")
+      .withColumn("src_writer", lit(writerId))
+      .withColumn("src_batch", lit(batchId))
+    tombLog.applyBatchWithRetry(tagged, batchId, writerId)(claimFold)
+    commitClaimedStats(spark, writerId, batchId)
   }
 
   /** DELETE BY ID — [[deleteDocsDeferred]] without caller-supplied
@@ -296,40 +350,39 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     * store (never ingested, or already purged) are naturally absent
     * from the slice and are skipped — the caller contract
     * [[deleteDocsDeferred]] needs ("doc must currently exist live")
-    * is ENFORCED here, not assumed. Already-tombstoned ids are
-    * anti-joined out (cross-batch repeat is stats-neutral); both
-    * commits ride the retry wrapper. */
-  def deleteByIds(ids: DataFrame, idCol: String, batchId: Long): Unit = {
+    * is ENFORCED here, not assumed. Claim/replay/concurrency
+    * semantics are [[deleteDocsDeferred]]'s verbatim (same claim
+    * fold, same claim-derived decrement). */
+  def deleteByIds(ids: DataFrame, idCol: String, batchId: Long): Unit =
+    deleteByIds(ids, idCol, batchId,
+      writerId = InvertedIndex.DefaultDeleteWriter)
+
+  /** [[deleteByIds]] as a NAMED delete stream — see the named
+    * [[deleteDocsDeferred]] overload for the multi-stream
+    * contract. */
+  def deleteByIds(ids: DataFrame, idCol: String, batchId: Long,
+      writerId: String): Unit = {
     require(withForward,
       "deleteByIds needs withForward = true (the doc-keyed state)")
+    require(writerId.nonEmpty, "deleteByIds: empty writerId")
     val spark = ids.sparkSession
     // replay fast-path — see [[deleteDocsDeferred]]'s guard
-    if (tombLog.readManifestFull(spark).exists(_._2 >= batchId) &&
-        statsLog.txnWatermark(spark, "deletes") >= batchId) return
+    if (tombLog.txnWatermark(spark, writerId) >= batchId &&
+        statsLog.txnWatermark(spark, writerId) >= batchId) return
     val keys = ids.select(col(idCol).cast("long").as("cand_id")).distinct()
     val slice = fwdLog.readFor(keys)
       .join(broadcast(keys), Seq("cand_id"), "left_semi")
-    val fresh =
-      if (tombLog.readManifestFull(spark).isEmpty) slice
-      else slice.join(tombLog.read(spark), Seq("cand_id"), "left_anti")
-    // one row per LIVE doomed doc: dl is a per-doc constant
-    // (exact integer-valued double — cast back is exact); the frame
-    // is materialized BEFORE the tombstone commit adds these ids
-    val perDoc = fresh.groupBy("cand_id")
-      .agg(max(col("dl")).cast("long").as("__dl"))
+    // one claim row per EXISTING doomed doc: dl is a per-doc constant
+    // (exact integer-valued double — cast back is exact); checkpointed
+    // because the claim commit's retry loop re-evaluates its batch
+    // while concurrent fwd commits may supersede the slice's lineage
+    val tagged = slice.groupBy("cand_id")
+      .agg(max(col("dl")).cast("long").as("dl"))
+      .withColumn("src_writer", lit(writerId))
+      .withColumn("src_batch", lit(batchId))
       .localCheckpoint()
-    val negStats = perDoc.agg(
-      (-count(lit(1))).as("n"),
-      (-coalesce(sum(col("__dl")), lit(0L))).as("sumdl"))
-      .select(lit(1).as("one"), col("n"), col("sumdl"))
-    tombLog.applyBatchWithRetry(perDoc.select("cand_id"), batchId) {
-      (cur, b) => cur.map(_.unionByName(b)).getOrElse(b).distinct()
-    }
-    statsLog.applyBatchWithRetry(negStats, batchId, "deletes") { (cur, b) =>
-      cur.map(_.unionByName(b)).getOrElse(b).groupBy("one")
-        .agg(sum("n").cast("long").as("n"),
-          sum("sumdl").cast("long").as("sumdl"))
-    }
+    tombLog.applyBatchWithRetry(tagged, batchId, writerId)(claimFold)
+    commitClaimedStats(spark, writerId, batchId)
   }
 
   /** MORE-LIKE-THIS FROM THE STORE — doc-as-query BM25 where the
@@ -389,6 +442,91 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     }
   }
 
+  /** The corpus-true FORWARD rows of `docs` — the postings
+    * transposed per doc plus the zero-token sentinel, exactly as
+    * [[ingest]] writes them (one derivation, shared by the audit's
+    * `want` side and [[repairDocsForward]]'s replacement rows). */
+  private def fwdRowsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).cast("long").as("cand_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("cand_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("cand_id", "term", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val sentinels = docs
+      .where(coalesce(TextFunctions.tokenCount(col(textCol)),
+        lit(0)) === 0)
+      .select(col(idCol).cast("long").as("cand_id"), lit("").as("term"),
+        lit(0.0).as("dl"), lit(0L).as("tf"))
+    pairs.select("cand_id", "term", "dl", "tf").unionByName(sentinels)
+  }
+
+  /** FORWARD-STATE INTEGRITY AUDIT — [[audit]]'s full-outer compare
+    * applied to the doc-keyed state: re-derive each doc's forward
+    * rows (term vector + stored dl + zero-token sentinel) from
+    * `corpus` and localize divergence per DOC — `n_missing` rows the
+    * corpus implies and the store lacks, `n_phantom` rows the store
+    * has and the corpus lacks, `n_drift` rows present in both with a
+    * different tf OR dl. The dl check is the load-bearing one:
+    * forward rot in a stored dl silently skews every
+    * [[deleteByIds]] (n, sumdl) decrement and [[moreLikeThis]]
+    * score, invisible to the postings [[audit]]. A healthy state
+    * audits EMPTY; a divergence names exactly which DOCS to rebuild
+    * ([[repairDocsForward]] — touched doc buckets only). Tombstones
+    * are subtracted first, so an un-purged deferred delete audits as
+    * absent. O(state + corpus tokenize) off-peak maintenance, like
+    * [[audit]]. Requires `withForward`. */
+  def auditForward(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    require(withForward,
+      "auditForward needs withForward = true (the doc-keyed state)")
+    val spark = corpus.sparkSession
+    val want = fwdRowsOf(corpus, idCol, textCol)
+      .select(col("cand_id"), col("term"),
+        col("dl").as("__wdl"), col("tf").as("__wtf"))
+    val have = liveSlice(spark, fwdLog.read(spark))
+      .select(col("cand_id"), col("term"),
+        col("dl").as("__hdl"), col("tf").cast("long").as("__htf"))
+    want.join(have, Seq("cand_id", "term"), "full_outer")
+      .groupBy("cand_id").agg(
+        sum(when(col("__htf").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_missing"),
+        sum(when(col("__wtf").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_phantom"),
+        sum(when(col("__wtf").isNotNull && col("__htf").isNotNull &&
+            (col("__wtf") =!= col("__htf") ||
+              col("__wdl") =!= col("__hdl")), 1L).otherwise(0L))
+          .cast("long").as("n_drift"))
+      .where(col("n_missing") + col("n_phantom") + col("n_drift") > 0)
+  }
+
+  /** TARGETED FORWARD REPAIR — [[repairTerms]]' discipline on the
+    * doc-keyed state: rebuild exactly `ids`' forward rows from a
+    * reference corpus via a touched-bucket rewrite (only the buckets
+    * the affected doc ids hash to; co-bucketed docs' rows carry
+    * verbatim). Missing/phantom/drifted rows all converge — a doc
+    * the corpus lacks repairs to ABSENT, a drifted stored dl snaps
+    * back so later [[deleteByIds]] decrements are exact again. `ids`
+    * must be bounded (the audit's divergent-doc set, column
+    * `cand_id`). Requires `withForward`. */
+  def repairDocsForward(corpus: DataFrame, idCol: String,
+      textCol: String, ids: DataFrame): Unit = {
+    require(withForward,
+      "repairDocsForward needs withForward = true (the doc-keyed state)")
+    val keys = ids.select(col("cand_id").cast("long").as("cand_id"))
+      .distinct().localCheckpoint()
+    val want = fwdRowsOf(
+      corpus.join(broadcast(keys),
+        corpus(idCol).cast("long") === keys("cand_id"), "left_semi"),
+      idCol, textCol)
+    fwdLog.rewriteBuckets(keys) { (cur, k) =>
+      val keep = cur.map(_.join(broadcast(k), Seq("cand_id"), "left_anti"))
+      keep.map(_.unionByName(want)).getOrElse(want)
+    }
+  }
+
   /** OPTIMIZE for deferred deletes: physically drop every tombstoned
     * doc's postings (one whole-store maintenance fold — a doc's
     * terms are unknown without its text, so the purge is O(index) BY
@@ -419,9 +557,10 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
   private[graft] def purgeDeletes(spark: SparkSession,
       beforeDrain: () => Unit): Unit = {
     val tomb = tombLog.read(spark).localCheckpoint()
-    if (tomb.count() == 0L) return
-    val hinted = if (tomb.count() <= broadcastMaxRows) broadcast(tomb)
-      else tomb
+    val nTomb = tomb.count()
+    if (nTomb == 0L) return
+    val ids = tomb.select("cand_id")
+    val hinted = if (nTomb <= broadcastMaxRows) broadcast(ids) else ids
     postLog.compactNow(spark)(cur =>
       cur.join(hinted, Seq("cand_id"), "left_anti"))
     // the forward rows go with their postings — otherwise a purged
@@ -431,25 +570,51 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       fwdLog.compactNow(spark)(cur =>
         cur.join(hinted, Seq("cand_id"), "left_anti"))
     beforeDrain()
+    // drain ONLY claims whose stats decrement is COVERED (the
+    // claim's writer watermark has passed its batch): an uncovered
+    // claim is a CRASHED delete's durable half — its replay derives
+    // the exact (n, sumdl) decrement from these very rows
+    // (commitClaimedStats), so draining it would lose the decrement
+    // forever. Its postings/fwd rows were still purged above: the
+    // read-time anti-join of absent ids is a no-op, and the next
+    // purge drains the claim once covered. Snapshot-bounded as
+    // before — a racer's claims landing after the snapshot are
+    // never drained this pass.
+    val writers = tomb.select("src_writer").distinct()
+      .collect().map(_.getString(0))
+    val marks = writers.map(w =>
+      w -> statsLog.txnWatermark(spark, w)).toMap
+    val coveredPred = writers.map(w =>
+        col("src_writer") === w && col("src_batch") <= lit(marks(w)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val drain = tomb.where(coveredPred).select("cand_id")
+    val drainHinted =
+      if (nTomb <= broadcastMaxRows) broadcast(drain) else drain
     tombLog.compactNow(spark)(cur =>
-      cur.join(hinted, Seq("cand_id"), "left_anti"))
+      cur.join(drainHinted, Seq("cand_id"), "left_anti"))
   }
 
   /** Un-purged tombstones (monitoring + spec pins). */
   def tombstoneCount(spark: SparkSession): Long =
     tombLog.readManifestFull(spark).fold(0L)(_ => tombLog.read(spark).count())
 
-  /** Segment-aware OPTIMIZE: collapse every postings bucket's segment
-    * list to ONE dir (the q232 discipline for [[BucketedLog
-    * .appendBatch]] stores). Ingest amortizes folds at `compactAfter`
-    * segments/bucket, so reads between folds union up to that many
-    * dirs per touched bucket; a read-heavy deployment pre-pays those
-    * unions off-peak with this one O(index) maintenance pass. Pure
-    * layout: answers are bit-identical, the `#batch=`/`#txn.` replay
-    * guards are carried unchanged, and a lost commit race throws
-    * loudly ([[BucketedLog.compactNow]] semantics). */
-  def optimizeSegments(spark: SparkSession): Unit =
+  /** Segment-aware OPTIMIZE: collapse every segmented bucket's
+    * segment list to ONE dir (the q232 discipline for [[BucketedLog
+    * .appendBatch]] stores) — the postings state, and the forward
+    * state with it when `withForward` (both accumulate segments per
+    * ingest; a doc-keyed point lookup between folds otherwise unions
+    * up to `compactAfter` dirs exactly like a term lookup). Ingest
+    * amortizes folds at `compactAfter` segments/bucket, so reads
+    * between folds union up to that many dirs per touched bucket; a
+    * read-heavy deployment pre-pays those unions off-peak with this
+    * one O(index) maintenance pass. Pure layout: answers are
+    * bit-identical, the `#batch=`/`#txn.` replay guards are carried
+    * unchanged, and a lost commit race throws loudly
+    * ([[BucketedLog.compactNow]] semantics). */
+  def optimizeSegments(spark: SparkSession): Unit = {
     postLog.compactNow(spark)(identity)
+    if (withForward) fwdLog.compactNow(spark)(identity)
+  }
 
   /** Segment dirs the CURRENT manifest references per postings bucket
     * (spec pin for [[optimizeSegments]]: exactly one dir/bucket after
@@ -459,15 +624,27 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     postLog.readManifestFull(spark)
       .fold(Map.empty[Int, Int])(_._3.map { case (b, ds) => b -> ds.size })
 
-  /** The DELETE stream's coverage receipt — the highest delete batch
-    * id BOTH its states have applied: the tombstone log's `#batch=`
-    * mark and the stats decrement's `#txn.deletes=` watermark.
-    * [[deleteDocsDeferred]] commits tombstones THEN stats, so the min
-    * is the sound fence (the [[coveredBatch]] argument, applied to
-    * the delete writer). */
-  def coveredDeletes(spark: SparkSession): Long = math.min(
-    tombLog.readManifestFull(spark).fold(-1L)(_._2),
-    statsLog.txnWatermark(spark, "deletes"))
+  /** [[postingsSegmentCounts]] for the forward state. */
+  private[graft] def fwdSegmentCounts(
+      spark: SparkSession): Map[Int, Int] =
+    fwdLog.readManifestFull(spark)
+      .fold(Map.empty[Int, Int])(_._3.map { case (b, ds) => b -> ds.size })
+
+  /** The default delete stream's coverage receipt — see the named
+    * overload. */
+  def coveredDeletes(spark: SparkSession): Long =
+    coveredDeletes(spark, InvertedIndex.DefaultDeleteWriter)
+
+  /** A named DELETE stream's coverage receipt — the highest delete
+    * batch id BOTH its states have applied under ITS
+    * `#txn.<writerId>=` watermark: the tombstone claim commit and
+    * the stats decrement. [[deleteDocsDeferred]] commits the claim
+    * THEN stats, so the min is the sound fence (the [[coveredBatch]]
+    * argument, applied per delete writer). */
+  def coveredDeletes(spark: SparkSession, writerId: String): Long =
+    math.min(
+      tombLog.txnWatermark(spark, writerId),
+      statsLog.txnWatermark(spark, writerId))
 
   /** INDEX INTEGRITY AUDIT — re-derive postings from `corpus` and
     * full-outer compare against the stored LIVE postings per
@@ -795,6 +972,179 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .select(col("cand_id").as("doc_id"), col("score"), col("rank"))
     PrunedBm25Report(ranked, scored, totalPostings)
   }
+
+  /** BATCHED MaxScore — [[bm25TopKPruned]] for a whole `queries`
+    * FRAME, the serving shape [[bm25TopK]] has and the single-query
+    * walk lacked: per-query term bounds, walk order, suffix-of-bounds
+    * and the evolving θ (k-th best accumulated partial) all live
+    * INSIDE the plan as windows, so the driver loop runs over WALK
+    * DEPTHS, never over queries — serving a thousand queries costs
+    * the same handful of driver actions as one.
+    *
+    * Per depth, each still-walking query is either ESSENTIAL (its
+    * remaining bound-sum could still lift a new doc into its top-k:
+    * that one term's postings merge full-outer, all scored) or it
+    * FLIPS non-essential — and because partials only grow while the
+    * suffix only shrinks, a flipped query STAYS non-essential, so its
+    * ENTIRE remaining tail folds in ONE aggregated left-join (only
+    * postings matching already-accumulated docs are scored; the
+    * skipped tail is exactly MaxScore's win). After
+    * `MaxWalkDepth` depths any still-essential query bulk-folds its
+    * tail full-outer (exact, merely unpruned) so driver actions stay
+    * BOUNDED regardless of query length. The accumulated partials
+    * are each candidate's EXACT score (see the in-body argument), so
+    * the rounded ranking equals [[bm25TopK]]'s with no re-scoring
+    * pass — the [[InvertedIndex.PruneMargin]] and hard-rule-9
+    * rounding arguments together. Output contract = [[bm25TopK]]:
+    * `(query_id, cand_id, score, rank)`, rank 1..k per query by
+    * (score desc, cand_id). */
+  def bm25TopKPrunedBatch(queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame =
+    bm25TopKPrunedBatchReport(queries, idCol, textCol, k, k1, b,
+      excludeSelf).result
+
+  /** [[bm25TopKPrunedBatch]] with the pruning evidence (the
+    * [[bm25TopKPrunedReport]] contract, summed over the batch). */
+  private[graft] def bm25TopKPrunedBatchReport(queries: DataFrame,
+      idCol: String, textCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, excludeSelf: Boolean = false): PrunedBm25Report = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = queries.sparkSession
+    val qTerms = queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .localCheckpoint()
+    val st = statsLog.read(spark)
+      .select(col("n").cast("long"), col("sumdl").cast("long"))
+      .collect().headOption
+    val n = st.fold(0L)(_.getLong(0)).toDouble
+    val avgdl = if (n == 0) 1.0 else st.get.getLong(1).toDouble / n
+    // live postings of the batch's terms, df from the FULL slice (a
+    // corpus fact, attached before any candidate restriction)
+    val slice = liveSlice(spark,
+        postLog.readFor(qTerms.select("term")))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .select("term", "cand_id", "dl", "tf")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .localCheckpoint()
+    val statsDf = statsLog.read(spark)
+      .select(col("n").cast("double").as("__n"),
+        col("sumdl").cast("double").as("__sumdl"))
+    def noSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.where(col("query_id") =!= col("cand_id"))
+      else df
+    val idfCol = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfW = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / lit(avgdl)))
+    val contrib = slice.select(col("term"), col("cand_id"),
+      (idfCol * tfW).as("__c"))
+    // per-term bound u = idf · max tf-weight; per-query walk order
+    // (u desc, term) with the suffix-of-bounds the skip test reads —
+    // all window math, no driver term loop
+    val perTerm = slice.groupBy("term")
+      .agg(max(idfCol * tfW).as("__u"), count(lit(1)).as("__df"))
+    val ranked0 = qTerms.join(perTerm, Seq("term"))
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__u").desc, col("term"))))
+      .withColumn("suffix", sum("__u").over(Window.partitionBy("query_id")
+        .orderBy("r")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select("query_id", "term", "r", "suffix")
+      .localCheckpoint()
+    val totalPostings = qTerms.join(perTerm, Seq("term"))
+      .agg(coalesce(sum("__df"), lit(0L))).head().getLong(0)
+    val maxDepth = ranked0.agg(coalesce(max("r"), lit(0)))
+      .head().getInt(0)
+    if (maxDepth == 0)
+      return PrunedBm25Report(Retrieval.bm25Rank(slice, qTerms, statsDf,
+        k, k1, b, excludeSelf), 0L, 0L)
+    def termsAt(active: DataFrame, pred: Column): DataFrame =
+      active.where(pred).select("query_id", "term")
+    // depth 1 seeds every query: all postings of its top-bound term
+    var active = ranked0
+    var acc = noSelf(contrib
+        .join(termsAt(active, col("r") === 1), Seq("term")))
+      .select(col("query_id"), col("cand_id"),
+        col("__c").as("__partial"))
+      .localCheckpoint()
+    var scored = acc.count()
+    var d = 2
+    var stillEssential = true
+    while (d <= maxDepth && stillEssential) {
+      // θ per query: the k-th best accumulated partial — a lower
+      // bound on its k-th best final score (partials only grow)
+      val theta = acc.withColumn("__rn",
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("__partial").desc, col("cand_id"))))
+        .where(col("__rn") === k)
+        .select(col("query_id"), col("__partial").as("__theta"))
+      val flags = active.where(col("r") === d)
+        .join(theta, Seq("query_id"), "left")
+        .withColumn("__ess",
+          col("__theta").isNull || col("suffix") >=
+            col("__theta") - lit(InvertedIndex.PruneMargin))
+        .select("query_id", "__ess").localCheckpoint()
+      val essQ = flags.where(col("__ess")).select("query_id")
+      val flipQ = flags.where(!col("__ess")).select("query_id")
+      val nEss = essQ.count()
+      val bulk = d >= InvertedIndex.MaxWalkDepth
+      // essential queries: this ONE depth's term, full merge — or,
+      // past the depth cap, their whole remaining tail (exact, just
+      // unpruned — bounds the driver loop for arbitrarily long
+      // queries)
+      val essPred = if (bulk) col("r") >= d else col("r") === d
+      val stepRaw = noSelf(contrib.join(
+        termsAt(active.join(essQ, Seq("query_id"), "left_semi"),
+          essPred), Seq("term")))
+      // flipped queries STAY non-essential (θ only grows, suffix only
+      // shrinks): fold their ENTIRE tail at once, scoring only
+      // postings of already-accumulated docs
+      val tailRaw = noSelf(contrib.join(
+        termsAt(active.join(flipQ, Seq("query_id"), "left_semi"),
+          col("r") >= d), Seq("term")))
+        .join(acc.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_semi")
+      scored += stepRaw.count() + tailRaw.count()
+      val adds = stepRaw.withColumn("__keep", lit(true))
+        .unionByName(tailRaw.withColumn("__keep", lit(false)))
+        .groupBy("query_id", "cand_id")
+        .agg(sum("__c").as("__c"), max("__keep").as("__keep"))
+      acc = acc.join(adds, Seq("query_id", "cand_id"), "full_outer")
+        .where(col("__partial").isNotNull || col("__keep"))
+        .select(col("query_id"), col("cand_id"),
+          (coalesce(col("__partial"), lit(0.0)) +
+            coalesce(col("__c"), lit(0.0))).as("__partial"))
+        .localCheckpoint()
+      active = active.join(essQ, Seq("query_id"), "left_semi")
+        .where(col("r") > d).localCheckpoint()
+      stillEssential = nEss > 0 && !bulk
+      d += 1
+    }
+    // the accumulated partials ARE each candidate's exact score:
+    // non-essential-ness is monotone (θ only grows, the suffix only
+    // shrinks), so every accumulated doc entered during the
+    // essential prefix — where merges are full-outer — and collected
+    // every later matched contribution through the left-join tails;
+    // a doc that never entered scores < θ − margin and cannot reach
+    // the rounded top-k (the PruneMargin argument). The walk sums a
+    // doc's terms in a fixed depth order while the unpruned path's
+    // hash aggregate folds in partition order — they differ by fold
+    // noise (~1e-15/op), which round(·, 6) absorbs (hard-rule-9's
+    // standard argument), so no re-scoring pass is needed: ranks are
+    // identical to [[bm25TopK]]'s under the same (score desc,
+    // cand_id) window.
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val result = acc.select(col("query_id"), col("cand_id"),
+        round(col("__partial"), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    PrunedBm25Report(result, scored, totalPostings)
+  }
 }
 
 /** [[InvertedIndex.bm25TopKPruned]]'s answer plus pruning evidence:
@@ -804,6 +1154,21 @@ final case class PrunedBm25Report(result: DataFrame,
     scoredPostings: Long, totalPostings: Long)
 
 object InvertedIndex {
+  /** Writer id of the default delete stream — deployments with one
+    * delete feed never name it. Named delete streams (GDPR erasure
+    * vs TTL expiry, each with its own batch-id sequence) pass their
+    * own ids and must not collide with any ingest writer id. */
+  val DefaultDeleteWriter: String = "deletes"
+
+  /** Driver-action bound for [[bm25TopKPrunedBatch]]'s depth loop:
+    * past this depth any still-essential query bulk-folds its whole
+    * remaining tail in one commit-free full-outer pass — exact,
+    * merely unpruned, so a pathological query (every term equally
+    * rare, θ never separating) costs bounded driver round-trips
+    * instead of one per term. Real BM25 walks flip non-essential
+    * far earlier (rare terms lead, stopword bounds collapse). */
+  private[operators] val MaxWalkDepth: Int = 16
+
   /** Safety slack for the MaxScore skip test, `suffix < θ − margin`.
     * Scores rank after `round(·, 6)` (hard rule 9), so a skipped doc
     * whose true score trails the k-th best by under 1 ulp-of-6dp

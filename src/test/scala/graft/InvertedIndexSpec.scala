@@ -293,6 +293,132 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       excludeSelf = true)) === direct)
   }
 
+  test("crash between claim and stats commits: the replay completes the decrement") {
+    // the claim-first order's crash window: the tombstone CLAIM
+    // landed, the stats decrement did not. The replay must derive
+    // the exact decrement FROM the surviving claim — a recomputed
+    // anti-join against the live tombstone set would see the batch's
+    // own ids and decrement zero, advancing the watermark with
+    // (n, sumdl) permanently inflated
+    val idx = fresh("crash", 2)
+    val doomed = corpus.where(col("doc_id").isin(4L, 7L))
+    // simulate the crash by hand-committing ONLY the claim half,
+    // exactly as deleteDocsDeferred's first commit writes it
+    val tomb = BucketedLog("/tmp/graft_invidx_spec_crash/tomb",
+      Seq("cand_id"), 8)
+    val tagged = doomed.select(col("doc_id").as("cand_id"),
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long"), lit(0L)).as("dl"),
+        lit("deletes").as("src_writer"), lit(0L).as("src_batch"))
+    tomb.applyBatch(tagged, 0L, "deletes") { (cur, b) =>
+      cur.map(c => c.unionByName(
+          b.join(c.select("cand_id"), Seq("cand_id"), "left_anti")))
+        .getOrElse(b)
+    }
+    assert(idx.tombstoneCount(spark) === 2L)
+    assert(idx.coveredDeletes(spark) === -1L,
+      "the crashed pair must not read as covered")
+    // the replay: claim commit self-screens by the writer watermark,
+    // stats decrement re-derives from the durable claim rows
+    idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+    assert(idx.coveredDeletes(spark) === 0L)
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "scores diverge iff the replayed decrement was lost or doubled")
+    // a second full replay is a no-op via the fast-path
+    idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("a crashed claim is not drained by purge until its stats land") {
+    // purge must keep UNCOVERED claims: they are a crashed delete's
+    // durable half — draining them would lose the decrement forever
+    // (the replay would find no claim rows and decrement zero)
+    val idx = fresh("crashpurge", 2)
+    val doomed = corpus.where(col("doc_id") === 4L)
+    val tomb = BucketedLog("/tmp/graft_invidx_spec_crashpurge/tomb",
+      Seq("cand_id"), 8)
+    val tagged = doomed.select(col("doc_id").as("cand_id"),
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long"), lit(0L)).as("dl"),
+        lit("deletes").as("src_writer"), lit(0L).as("src_batch"))
+    tomb.applyBatch(tagged, 0L, "deletes") { (cur, b) =>
+      cur.map(c => c.unionByName(
+          b.join(c.select("cand_id"), Seq("cand_id"), "left_anti")))
+        .getOrElse(b)
+    }
+    idx.purgeDeletes(spark)
+    assert(idx.tombstoneCount(spark) === 1L,
+      "the uncovered claim must survive the drain")
+    // the replay completes the pair; the next purge drains it
+    idx.deleteDocsDeferred(doomed, "doc_id", "text", 0L)
+    idx.purgeDeletes(spark)
+    assert(idx.tombstoneCount(spark) === 0L)
+    val reduced = corpus.where(col("doc_id") =!= 4L)
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
+  test("two delete writers racing on overlapping ids decrement each doc once") {
+    // the claim is the atomic "who owns this doc's decrement": GDPR
+    // deletes {4, 7}, TTL deletes {7, 8}, both from the same base
+    // version on real threads — doc 7 must decrement EXACTLY once
+    // whichever claim wins the race
+    val base = "/tmp/graft_invidx_spec_twodel"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    idx.ingest(corpus, "doc_id", "text", 0L)
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val sets = Map("gdpr" -> Seq(4L, 7L), "ttl" -> Seq(7L, 8L))
+    val threads = sets.toSeq.map { case (w, ids) =>
+      new Thread(() => {
+        start.await()
+        try idx.deleteDocsDeferred(
+          corpus.where(col("doc_id").isin(ids: _*)),
+          "doc_id", "text", 0L, w)
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown()
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.isEmpty,
+      s"both delete streams must land via retry: " +
+        s"${failures.asScala.toList}")
+    assert(idx.coveredDeletes(spark, "gdpr") === 0L)
+    assert(idx.coveredDeletes(spark, "ttl") === 0L)
+    assert(idx.tombstoneCount(spark) === 3L,
+      "the overlapping id must carry exactly one claim")
+    // poisoned replay per stream: screened by its own watermark
+    idx.deleteDocsDeferred(corpus.where(col("doc_id").isin(4L, 7L))
+        .withColumn("text", concat(col("text"), lit(" poison"))),
+      "doc_id", "text", 0L, "gdpr")
+    val reduced = corpus.where(!col("doc_id").isin(4L, 7L, 8L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "scores diverge iff doc 7 was double-decremented")
+    idx.purgeDeletes(spark)
+    assert(idx.tombstoneCount(spark) === 0L)
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+  }
+
   test("a delete thread racing an ingest thread: both land, one-shot answer") {
     val base = "/tmp/graft_invidx_spec_delrace"
     val f = org.apache.hadoop.fs.FileSystem.get(
@@ -380,6 +506,49 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .select(col("cand_id"), col("score"), col("rank"))
       .orderBy("rank").collect().map(_.toSeq).toSeq
     assert(got2 === want2)
+  }
+
+  test("batched MaxScore == bm25TopK for a whole query frame, fewer postings") {
+    val base = "/tmp/graft_invidx_spec_msbatch"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = (1L to 40L).map { i =>
+      val rare = if (i <= 5) " raremarker rareother" else ""
+      (i, s"common filler tokens number$i$rare common")
+    }.toDF("doc_id", "text").localCheckpoint()
+    val idx = InvertedIndex(base, buckets = 8)
+    idx.init(spark)
+    (0 until 2).foreach { b =>
+      idx.ingest(docs.where(pmod(col("doc_id"), lit(2)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    // heterogeneous batch: a stopword-heavy query that must flip
+    // non-essential, a stopword-only one, an absent-term one, a
+    // single-term one — all served in ONE depth-walk
+    val queries = Seq(
+      (100L, "raremarker rareother common"),
+      (101L, "common filler"),
+      (102L, "nosuchterm"),
+      (103L, "raremarker")).toDF("doc_id", "text")
+    val report = idx.bm25TopKPrunedBatchReport(queries, "doc_id",
+      "text", k = 3)
+    val want = rows(idx.bm25TopK(queries, "doc_id", "text", k = 3))
+    assert(rows(report.result) === want,
+      "batched pruning must be answer-invisible")
+    assert(report.scoredPostings < report.totalPostings,
+      s"the batch walk must skip the stopword tail: " +
+        s"${report.scoredPostings} vs ${report.totalPostings}")
+    // doc-as-query (excludeSelf) parity — θ must exclude self rows
+    val q2 = docs.where(col("doc_id") <= 3)
+    assert(rows(idx.bm25TopKPrunedBatch(q2, "doc_id", "text", 3,
+        excludeSelf = true)) ===
+      rows(idx.bm25TopK(q2, "doc_id", "text", 3, excludeSelf = true)))
+    // composes with tombstones like every query path
+    idx.deleteDocsDeferred(docs.where(col("doc_id") === 1L),
+      "doc_id", "text", 0L)
+    assert(rows(idx.bm25TopKPrunedBatch(queries, "doc_id", "text", 3))
+      === rows(idx.bm25TopK(queries, "doc_id", "text", k = 3)))
   }
 
   test("pruned BM25 edge cases: single term, absent terms, empty store") {
@@ -562,6 +731,66 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     val qb = idx.phraseTopK(spark, Seq("quick", "brown"), k = 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(qb === Set(1L, 2L))
+  }
+
+  test("forward audit: healthy empty, dl drift localizes, repair converges") {
+    val base = "/tmp/graft_invidx_spec_fwdaudit"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idx = InvertedIndex(base, buckets = 8, withForward = true)
+    idx.init(spark)
+    (0 until 2).foreach { b =>
+      idx.ingest(corpus.where(pmod(col("doc_id"), lit(2)) === b),
+        "doc_id", "text", b.toLong)
+    }
+    // healthy — including doc 8's zero-token sentinel row
+    assert(idx.auditForward(corpus, "doc_id", "text").count() === 0L)
+    // a tombstoned doc audits as missing vs the FULL corpus...
+    idx.deleteDocsDeferred(corpus.where(col("doc_id") === 7L),
+      "doc_id", "text", 0L)
+    val m = idx.auditForward(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m.keySet === Set(7L) && m(7L)._1 > 0)
+    // ...and clean vs the live corpus (what queries serve)
+    val live = corpus.where(col("doc_id") =!= 7L)
+    assert(idx.auditForward(live, "doc_id", "text").count() === 0L)
+    // dl-only drift on doc 5 ("quick"×3 + "fox", dl 4): the postings
+    // audit is BLIND to it, the forward audit localizes both rows
+    val rotLog = BucketedLog(s"$base/fwd", Seq("cand_id"), 32)
+    rotLog.rewriteBuckets(Seq(5L).toDF("cand_id")) { (cur, _) =>
+      cur.get.withColumn("dl", when(col("cand_id") === 5L,
+        col("dl") * 2.0).otherwise(col("dl")))
+    }
+    assert(idx.audit(live, "doc_id", "text").count() === 0L,
+      "postings must audit clean — the rot is forward-only")
+    val d = idx.auditForward(live, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d === Map(5L -> ((0L, 0L, 2L))),
+      s"both of doc 5's rows must read as drift: $d")
+    idx.repairDocsForward(live, "doc_id", "text",
+      Seq(5L).toDF("cand_id"))
+    assert(idx.auditForward(live, "doc_id", "text").count() === 0L)
+    // the repaired dl drives an exact deleteByIds decrement
+    idx.deleteByIds(Seq(5L).toDF("doc_id"), "doc_id", 1L)
+    val reduced = corpus.where(!col("doc_id").isin(5L, 7L))
+    val queries = corpus.where(col("doc_id") <= 2)
+    val direct = rows(Retrieval.bm25TopK(queries, reduced,
+      "doc_id", "text", k = 3, excludeSelf = true))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct,
+      "scores diverge iff the repaired dl was still drifted")
+    // OPTIMIZE covers the forward state: one dir/bucket, answers and
+    // the stored-vector query bit-identical
+    val mlt = rows(idx.moreLikeThis(spark, docId = 1L, k = 3))
+    idx.optimizeSegments(spark)
+    assert(idx.fwdSegmentCounts(spark).values.forall(_ === 1) &&
+      idx.postingsSegmentCounts(spark).values.forall(_ === 1))
+    assert(rows(idx.bm25TopK(queries, "doc_id", "text", k = 3,
+      excludeSelf = true)) === direct)
+    assert(rows(idx.moreLikeThis(spark, docId = 1L, k = 3)) === mlt)
   }
 
   test("conjunction walks rarest-first: ascending df, ties by term") {
