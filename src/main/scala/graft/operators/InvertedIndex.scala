@@ -177,6 +177,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       if (writerId.isEmpty) fwdLog.appendBatch(fwdRows, batchId)
       else fwdLog.appendBatchWithRetry(fwdRows, batchId, writerId)
     }
+    // one-row agg; the 1-bucket stats store needs no touched-set job
+    // (BucketedLog's buckets==1 fast path), so this lineage runs once
     val stats = docs.agg(
       count(lit(1)).as("n"),
       coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
@@ -220,6 +222,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       .select(explode(array_distinct(
         TextFunctions.tokens(col(textCol)))).as("term"))
       .distinct()
+      .localCheckpoint()
     val sparkSess = docs.sparkSession
     import sparkSess.implicits._
     val emptyPost = Seq.empty[(String, Long, Double, Long, Seq[Int])]
@@ -331,12 +334,16 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // applyBatch would no-op anyway, but only after paying the jobs
     if (tombLog.txnWatermark(spark, writerId) >= batchId &&
         statsLog.txnWatermark(spark, writerId) >= batchId) return
+    // O(|batch|) rows behind a tokenize pass — checkpointed so the
+    // claim commit's touched-set job + write (and any rebase retries)
+    // read materialized rows instead of re-tokenizing per evaluation
     val tagged = docs.select(col(idCol).cast("long").as("cand_id"),
         coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"),
           lit(0L)).as("dl"))
       .dropDuplicates("cand_id")
       .withColumn("src_writer", lit(writerId))
       .withColumn("src_batch", lit(batchId))
+      .localCheckpoint()
     tombLog.applyBatchWithRetry(tagged, batchId, writerId)(claimFold)
     commitClaimedStats(spark, writerId, batchId)
   }
@@ -397,7 +404,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       "moreLikeThis needs withForward = true (the doc-keyed state)")
     require(k >= 1, s"k must be positive: $k")
     import spark.implicits._
-    val qTerms = fwdLog.readFor(Seq(docId).toDF("cand_id"))
+    val qTerms = fwdLog.readForValues(spark, Seq(docId))
       .where(col("cand_id") === docId && col("tf") > 0L)
       .select(lit(docId).as("query_id"), col("term"))
       .localCheckpoint()
@@ -703,7 +710,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       k: Int): DataFrame = {
     import spark.implicits._
     val slice = liveSlice(spark,
-      postLog.readFor(Seq(termA, termB).toDF("term")))
+      postLog.readForValues(spark, Seq(termA, termB)))
     def side(t: String, p: String) = slice.where(col("term") === t)
       .select(col("cand_id").as("doc_id"),
         explode(col("positions")).as(p))
@@ -726,7 +733,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
   private[graft] def postingsSlice(spark: SparkSession,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    liveSlice(spark, postLog.readFor(terms.toDF("term"))
+    liveSlice(spark, postLog.readForValues(spark, terms)
         .where(col("term").isin(terms: _*)))
       .select("term", "cand_id", "tf")
       .localCheckpoint()
@@ -802,8 +809,9 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     require(k >= 1, s"k must be positive: $k")
     require(terms.size >= 2, s"a phrase needs ≥2 terms: $terms")
     import spark.implicits._
-    val slice = liveSlice(spark, postLog.readFor(terms.distinct.toDF("term"))
-        .where(col("term").isin(terms.distinct: _*)))
+    val slice = liveSlice(spark,
+        postLog.readForValues(spark, terms.distinct)
+          .where(col("term").isin(terms.distinct: _*)))
       .select("term", "cand_id", "positions")
       .localCheckpoint()
     val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
@@ -898,7 +906,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // live postings of the query terms, df attached from the FULL
     // slice BEFORE any candidate restriction (df is a corpus fact,
     // not a candidate fact) — memoized: the walk reads it per term
-    val slice = liveSlice(spark, postLog.readFor(terms.toDF("term"))
+    val slice = liveSlice(spark, postLog.readForValues(spark, terms)
         .where(col("term").isin(terms: _*)))
       .select("term", "cand_id", "dl", "tf")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -1069,9 +1077,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     var acc = noSelf(contrib
         .join(termsAt(active, col("r") === 1), Seq("term")))
       .select(col("query_id"), col("cand_id"),
-        col("__c").as("__partial"))
+        col("__c").as("__partial"), lit(1L).as("__ns"))
       .localCheckpoint()
-    var scored = acc.count()
     var d = 2
     var stillEssential = true
     while (d <= maxDepth && stillEssential) {
@@ -1108,16 +1115,24 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
           col("r") >= d), Seq("term")))
         .join(acc.select("query_id", "cand_id"),
           Seq("query_id", "cand_id"), "left_semi")
-      scored += stepRaw.count() + tailRaw.count()
+      // the pruning evidence (postings scored) rides the accumulator
+      // as a cumulative per-row count (`__ns`) instead of two extra
+      // count() actions per depth — no contribution is ever dropped
+      // (stepRaw rows are kept by __keep, tailRaw rows are left-semi
+      // bound to accumulated docs), so one final sum reproduces the
+      // old per-depth tally exactly, at 2 fewer driver jobs per depth
       val adds = stepRaw.withColumn("__keep", lit(true))
         .unionByName(tailRaw.withColumn("__keep", lit(false)))
         .groupBy("query_id", "cand_id")
-        .agg(sum("__c").as("__c"), max("__keep").as("__keep"))
+        .agg(sum("__c").as("__c"), max("__keep").as("__keep"),
+          count(lit(1)).cast("long").as("__n"))
       acc = acc.join(adds, Seq("query_id", "cand_id"), "full_outer")
         .where(col("__partial").isNotNull || col("__keep"))
         .select(col("query_id"), col("cand_id"),
           (coalesce(col("__partial"), lit(0.0)) +
-            coalesce(col("__c"), lit(0.0))).as("__partial"))
+            coalesce(col("__c"), lit(0.0))).as("__partial"),
+          (coalesce(col("__ns"), lit(0L)) +
+            coalesce(col("__n"), lit(0L))).as("__ns"))
         .localCheckpoint()
       active = active.join(essQ, Seq("query_id"), "left_semi")
         .where(col("r") > d).localCheckpoint()
@@ -1143,6 +1158,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         round(col("__partial"), 6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+    val scored = acc.agg(coalesce(sum("__ns"), lit(0L)))
+      .head().getLong(0)
     PrunedBm25Report(result, scored, totalPostings)
   }
 }

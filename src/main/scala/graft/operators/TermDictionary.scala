@@ -206,7 +206,7 @@ final case class TermDictionary(path: String, buckets: Int = 32) {
     require(prefix.nonEmpty, "prefixTopK: empty prefix")
     require(k >= 1, s"k must be positive: $k")
     import spark.implicits._
-    dictLog.readFor(Seq(prefix.substring(0, 1)).toDF("pfx"))
+    dictLog.readForValues(spark, Seq(prefix.substring(0, 1)))
       .where(col("term").startsWith(prefix))
       .select("term", "df", "cf")
       .orderBy(col("df").desc, col("term")).limit(k)

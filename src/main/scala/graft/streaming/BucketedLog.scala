@@ -664,20 +664,24 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       target: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val wanted = which.fold(entries)(w =>
       entries.view.filterKeys(w).toMap)
-    // invert to dir -> buckets-reading-it: one pruned scan per dir,
-    // a bucket's rows included exactly where its entry lists the dir
+    // invert to dir -> buckets-reading-it: one pruned scan per dir, a
+    // bucket's rows included exactly where its entry lists the dir.
+    // The read schema is the anchor's, passed EXPLICITLY so no scan
+    // pays footer-based schema inference (pre-evolution files lacking
+    // an added column read it back null under a user-supplied schema —
+    // the same unionByName(allowMissingColumns) semantics as before,
+    // now without the per-dir footer round-trip)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      target.fields :+ org.apache.spark.sql.types.StructField(BktCol,
+        org.apache.spark.sql.types.IntegerType))
+    val outCols = target.fields.toSeq.map(f => col(f.name))
     val parts = wanted.toSeq
       .flatMap { case (b, dirs) => dirs.map(d => (d, b)) }
       .groupBy(_._1).map { case (vdir, bs) =>
-      val df = spark.read.parquet(s"$dir/$vdir")
-        .where(col(BktCol).isin(bs.map(x => Integer.valueOf(x._2)): _*))
-        .drop(BktCol)
-      val have = df.columns.toSet
-      df.select(target.fields.toSeq.map { fld =>
-        if (have(fld.name)) col(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
-      }: _*)
-    }.toSeq
+        spark.read.schema(readSchema).parquet(s"$dir/$vdir")
+          .where(col(BktCol).isin(bs.map(x => Integer.valueOf(x._2)): _*))
+          .select(outCols: _*)
+      }.toSeq
     parts.reduceOption(_.unionByName(_))
   }
 
@@ -804,12 +808,28 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     * anchor ≤ `version` (underscore-prefixed: invisible to cleanup/
     * vacuum, which only touch `v*` dirs and manifests). Anchors are
     * VERSIONED so [[readAt]] below an add-column evolution serves the
-    * pre-evolution column set. */
-  private def emptyStateAt(spark: SparkSession, version: Long): DataFrame = {
-    val anchors = allSchemaAnchors(fs(spark)).filter(_._1 <= version)
+    * pre-evolution column set. The anchor's schema is memoized
+    * ([[BucketedLog.anchorSchemaCache]]) keyed on the dir's identity
+    * (path, mtime, total bytes): anchors are immutable once written,
+    * so every commit/read after the first skips the parquet footer
+    * round-trip — pure metadata caching, never data. */
+  private def emptyStateAt(spark: SparkSession, version: Long): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      anchorSchemaAt(spark, version))
+
+  private def anchorSchemaAt(spark: SparkSession,
+      version: Long): org.apache.spark.sql.types.StructType = {
+    val f = fs(spark)
+    val anchors = allSchemaAnchors(f).filter(_._1 <= version)
     if (anchors.isEmpty)
       sys.error(s"BucketedLog: no schema.v* anchor ≤ $version under $dir")
-    spark.read.parquet(anchors.maxBy(_._1)._2.toString)
+    val p = anchors.maxBy(_._1)._2
+    val children = f.listStatus(p)
+    val key = (f.makeQualified(p).toString,
+      children.map(_.getModificationTime).maxOption.getOrElse(0L),
+      children.map(_.getLen).sum)
+    BucketedLog.anchorSchemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(p.toString).schema)
   }
 
   private def allSchemaAnchors(f: FileSystem): Seq[(Long, Path)] = {
@@ -869,9 +889,22 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     // collides only on equal version names); the batch id is already
     // recorded in #batch=, it need not name the version
     val version = curVer + 1
-    // distinct buckets of the batch's keys — bounded by |batch|
-    val touched = batch.select(bkt.cast("int").as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // NOTE (round-17 measurement): caching the batch across the
+    // touched-set job and the merge's write was tried and REVERTED —
+    // the touched pass is column-pruned to the hash columns and
+    // AQE-coalesced, so it is far cheaper than a full materialization
+    // (persist forces every column and pins the pre-AQE partitioning;
+    // ingest gates measured ~2× slower with the cache).
+    // Distinct buckets of the batch's keys — bounded by |batch|. A
+    // 1-bucket store (single-row stats folds) needs no job at all:
+    // every key hashes to bucket 0, and treating an empty batch as
+    // touching it merely rewrites the bucket's identical rows under
+    // the advanced watermark (same observable state as the
+    // empty-touched branch, minus a full batch evaluation per commit)
+    val touched =
+      if (buckets == 1) Set(0)
+      else batch.select(bkt.cast("int").as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
     // an EMPTY batch still advances the `#batch=` high-water mark:
     // the mark is the coverage receipt downstream freshness fences
     // read (ZoneMapIndex.coveredBatch), and a legitimately-empty
@@ -883,8 +916,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
         cleanup(f, version, entries)
         maybeCheckpoint(f)
       }
-      return
-    }
+    } else {
     val compact =
       !retain && entries.values.flatten.toSet.size > compactAfter
     val scope = if (compact) None else Some(touched)
@@ -899,7 +931,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val written = try {
       val cur = if (curVer == -1L) None
         else stateRows(spark, entries, scope,
-          emptyStateAt(spark, curVer).schema)
+          anchorSchemaAt(spark, curVer))
       val next = merge(cur, batch)
       // a store seeded by its FIRST batch (no init) still needs the
       // schema anchor for empty-state reads (anchored at version 0: it
@@ -937,6 +969,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
     cleanup(f, version, newEntries)
     maybeCheckpoint(f)
+    }
   }
 
   /** [[applyBatch]] wrapped in [[BucketedLog.retrying]]: a lost
@@ -993,9 +1026,36 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     val newTxns = if (writerId.isEmpty) txns
       else txns.updated(writerId, batchId)
     val version = curVer + 1
-    val touched = batch.select(bkt.cast("int").as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) {
+    val nonce = newNonce()
+    val vdir = s"data/v$version-$nonce"
+    // WRITE-FIRST (round-17): the segment write needs no current
+    // state, so the batch is written before anything else and the
+    // written dir's `__bkt=` listing IS the touched set — one
+    // evaluation of the batch lineage per commit instead of two (the
+    // old shape ran a separate touched-set job over the same
+    // tokenize/transform pipeline just to learn the buckets). Folding
+    // buckets are discovered from the listing and their current rows
+    // written to a sibling tmp whose per-bucket files are MOVED into
+    // the segment dir before the rename — the dir's final content is
+    // the same batch ∪ folding-state union as before, and a crash
+    // anywhere pre-rename leaves only `.tmp` litter for the sweep.
+    val written = try {
+      if (curVer == -1L)
+        batch.limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
+      batch.withColumn(BktCol, bkt)
+        .write.mode("overwrite").partitionBy(BktCol)
+        .parquet(s"$dir/$vdir.tmp")
+      writtenBuckets(f, s"$vdir.tmp").toSet
+    } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
+      raceOrRethrow(f, curVer, e)
+    }
+    if (written.isEmpty) {
+      // an EMPTY batch still advances the watermark (the coverage
+      // receipt downstream freshness fences read) — same contract as
+      // applyBatch's empty-touched branch
+      f.delete(new Path(s"$dir/$vdir.tmp"), true)
       if (curVer >= 0L) {
         writeManifest(f, version, lastBatch, entries, newNonce(), newTxns)
         cleanup(f, version, entries)
@@ -1004,31 +1064,36 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       return
     }
     // buckets whose segment list is full fold NOW (amortized): their
-    // current rows ride along in this commit's single write and the
-    // entry collapses to the new dir
-    val folding = touched.filter(b =>
+    // current rows join this commit's dir and the entry collapses
+    val folding = written.filter(b =>
       entries.getOrElse(b, Nil).size >= compactAfter)
-    val nonce = newNonce()
-    val vdir = s"data/v$version-$nonce"
-    val written = try {
-      if (curVer == -1L)
-        batch.limit(0).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/${schemaDir(0L)}")
-      val toWrite =
-        if (folding.isEmpty) batch
-        else stateRows(spark, entries, Some(folding),
-            emptyStateAt(spark, curVer).schema)
-          .fold(batch)(cur => batch.unionByName(cur))
-      toWrite.withColumn(BktCol, bkt)
-        .write.mode("overwrite").partitionBy(BktCol)
-        .parquet(s"$dir/$vdir.tmp")
-      val w = writtenBuckets(f, s"$vdir.tmp").toSet
+    try {
+      if (folding.nonEmpty) {
+        val foldTmp = s"$vdir.fold.tmp"
+        stateRows(spark, entries, Some(folding),
+            anchorSchemaAt(spark, curVer))
+          .foreach(_.withColumn(BktCol, bkt)
+            .write.mode("overwrite").partitionBy(BktCol)
+            .parquet(s"$dir/$foldTmp"))
+        // move the folded rows' files in with the batch's (writer-
+        // unique part names — no collision); folding ⊆ written, so
+        // every target bucket dir exists
+        writtenBuckets(f, foldTmp).foreach { b =>
+          f.listStatus(new Path(s"$dir/$foldTmp/$BktCol=$b"))
+            .foreach { st =>
+              require(f.rename(st.getPath, new Path(
+                s"$dir/$vdir.tmp/$BktCol=$b/${st.getPath.getName}")),
+                s"BucketedLog: fold-move into $vdir.tmp failed")
+            }
+        }
+        f.delete(new Path(s"$dir/$foldTmp"), true)
+      }
       require(f.rename(new Path(s"$dir/$vdir.tmp"),
         new Path(s"$dir/$vdir")),
         s"BucketedLog: rename of $vdir.tmp failed — refusing to publish " +
           "a manifest over a missing data dir")
-      w
     } catch { case e: Throwable =>
+      f.delete(new Path(s"$dir/$vdir.fold.tmp"), true)
       f.delete(new Path(s"$dir/$vdir.tmp"), true)
       raceOrRethrow(f, curVer, e)
     }
@@ -1077,13 +1142,13 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       .getOrElse(sys.error(s"BucketedLog.rewriteBuckets before init: $dir"))
     val touched = keys.select(bkt.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
+    if (touched.nonEmpty) {
     val version = curVer + 1
     val nonce = newNonce()
     val vdir = s"data/v$version-$nonce"
     val written = try {
       val cur = stateRows(spark, entries, Some(touched),
-        emptyStateAt(spark, curVer).schema)
+        anchorSchemaAt(spark, curVer))
       merge(cur, keys).withColumn(BktCol, bkt)
         .write.mode("overwrite").partitionBy(BktCol)
         .parquet(s"$dir/$vdir.tmp")
@@ -1105,6 +1170,7 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
     }
     cleanup(f, version, newEntries)
     maybeCheckpoint(f)
+    }
   }
 
   /** Fold the WHOLE state into one fresh version, optionally
@@ -1180,6 +1246,35 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
       .getOrElse(empty)
   }
 
+  /** [[readFor]] for DRIVER-KNOWN keys of a single-hash-column store:
+    * the bucket of each literal is evaluated on the driver through
+    * the same Catalyst expression the writers hash with
+    * (`pmod(xxhash64(key), buckets)` — interpreted eval of the
+    * identical expression tree, so the pruning can never diverge from
+    * the written layout; [[BucketedLogSpec]] pins equality against
+    * [[readFor]]), which saves the one Spark job [[readFor]] spends
+    * collecting the touched set. Each value must be the hash
+    * column's exact external type (String / Long / Int — xxhash64 is
+    * type-sensitive, a Long and an Int of equal value hash apart). */
+  def readForValues(spark: SparkSession, keys: Seq[Any]): DataFrame = {
+    require(hashCols.size == 1,
+      s"readForValues needs a single-hash-column store: $hashCols")
+    val (ver, _, entries) = readManifestFull(spark)
+      .getOrElse(sys.error(s"BucketedLog.readForValues before init: $dir"))
+    val touched = keys.map(bucketOfValue).toSet
+    val empty = emptyStateAt(spark, ver)
+    stateRows(spark, entries, Some(touched), empty.schema)
+      .getOrElse(empty)
+  }
+
+  /** Driver-side bucket of one key value — the [[bkt]] expression
+    * evaluated interpreted over a literal. */
+  private def bucketOfValue(v: Any): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    Pmod(new XxHash64(Seq(Literal(v))), Literal(buckets.toLong))
+      .eval(null).asInstanceOf[Long].toInt
+  }
+
   /** Full state AS OF `version` — the snapshot the highest manifest
     * ≤ `version` published (requires `retain`). */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
@@ -1228,6 +1323,16 @@ final case class BucketedLog(dir: String, hashCols: Seq[String],
 }
 
 object BucketedLog {
+  /** Schema-anchor memo for [[BucketedLog.emptyStateAt]]: anchors are
+    * immutable parquet dirs written once (init / evolveSchema), so
+    * their schema is cached keyed by (qualified path, newest child
+    * mtime, total child bytes) — a re-init at the same path (tests)
+    * gets a fresh key. Metadata only, bounded by live store count. */
+  private val anchorSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
+
   /** Age past which an in-flight `.tmp` data dir is presumed a
     * CRASHED writer's litter and swept by the next commit's cleanup
     * (deleteDeadDataDirs doc). Live writes finish far inside this at

@@ -167,6 +167,38 @@ class BucketedLogSegmentSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readForValues prunes exactly like readFor (driver-side bucket eval)") {
+    // long keys
+    val dir = "/tmp/graft_blseg_rfv"; rm(dir)
+    val log = BucketedLog(dir, Seq("k"), buckets = 4, compactAfter = 2)
+    log.init(batchDf(Seq.empty))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      log.appendBatch(batchDf(b), i.toLong)
+    }
+    val allKeys = batches.flatten.map(_._1).distinct
+    (allKeys.map(Seq(_)) :+ allKeys).foreach { ks =>
+      val viaDf = log.readFor(ks.toDF("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val viaVals = log.readForValues(spark, ks).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(viaVals === viaDf, s"keys $ks")
+    }
+    // string keys (xxhash64 is type-sensitive — pin the string path too)
+    val dirS = "/tmp/graft_blseg_rfvs"; rm(dirS)
+    val logS = BucketedLog(dirS, Seq("t"), buckets = 4)
+    logS.init(Seq.empty[(String, Long)].toDF("t", "v"))
+    logS.appendBatch(Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L),
+      ("delta", 4L)).toDF("t", "v"), 0L)
+    Seq(Seq("alpha"), Seq("beta", "gamma"),
+      Seq("alpha", "beta", "gamma", "delta")).foreach { ks =>
+      val viaDf = logS.readFor(ks.toDF("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      val viaVals = logS.readForValues(spark, ks).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(viaVals === viaDf, s"keys $ks")
+    }
+  }
+
   test("retained segmented store: readAt serves every historical union") {
     val dir = "/tmp/graft_blseg_h"; rm(dir)
     val log = BucketedLog(dir, Seq("k"), buckets = 4, compactAfter = 2,
