@@ -109,7 +109,10 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // index pay nothing for the tombstone feature)
     val pending = tombLog.readManifestFull(spark).exists(_._3.nonEmpty)
     if (!pending) return slice
-    val tomb = tombLog.read(spark).select("cand_id").localCheckpoint()
+    // no checkpoint: the tombstone state is immutable parquet files,
+    // so the count scans once and the anti-join re-scans the same
+    // (tiny) files — one driver job cheaper than materializing first
+    val tomb = tombLog.read(spark).select("cand_id")
     val n = tomb.count()
     if (n == 0L) slice
     else {
@@ -1072,13 +1075,31 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         k, k1, b, excludeSelf), 0L, 0L)
     def termsAt(active: DataFrame, pred: Column): DataFrame =
       active.where(pred).select("query_id", "term")
+    // the still-walking query set lives on the DRIVER (bounded by the
+    // query batch — the serving contract's small side): each depth's
+    // flags come back in the same action that evaluates them, the
+    // essential/flipped sides become broadcast LocalRelations, and
+    // the old per-depth `active` checkpoint disappears entirely —
+    // 2 driver actions per depth (flags collect + accumulator
+    // checkpoint) instead of 4
+    val qidField = org.apache.spark.sql.types.StructField("query_id",
+      qTerms.schema("query_id").dataType)
+    def idsDf(ids: Seq[Any]): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(qidField)))
     // depth 1 seeds every query: all postings of its top-bound term
-    var active = ranked0
     var acc = noSelf(contrib
-        .join(termsAt(active, col("r") === 1), Seq("term")))
+        .join(termsAt(ranked0, col("r") === 1), Seq("term")))
       .select(col("query_id"), col("cand_id"),
         col("__c").as("__partial"), lit(1L).as("__ns"))
       .localCheckpoint()
+    // queries absent from a depth's flags have no row at that depth —
+    // r is a dense per-query row_number, so absent at d means absent
+    // at every deeper depth and dropping them mirrors the old
+    // `active.where(r > d)` pruning exactly. None = all alive (first
+    // depth needs no filter: every query with a row at r=2 is alive)
+    var aliveDf: Option[DataFrame] = None
     var d = 2
     var stillEssential = true
     while (d <= maxDepth && stillEssential) {
@@ -1089,15 +1110,19 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
             .orderBy(col("__partial").desc, col("cand_id"))))
         .where(col("__rn") === k)
         .select(col("query_id"), col("__partial").as("__theta"))
-      val flags = active.where(col("r") === d)
+      val flagRows = aliveDf.foldLeft(ranked0)((r, a) =>
+          r.join(broadcast(a), Seq("query_id"), "left_semi"))
+        .where(col("r") === d)
         .join(theta, Seq("query_id"), "left")
         .withColumn("__ess",
           col("__theta").isNull || col("suffix") >=
             col("__theta") - lit(InvertedIndex.PruneMargin))
-        .select("query_id", "__ess").localCheckpoint()
-      val essQ = flags.where(col("__ess")).select("query_id")
-      val flipQ = flags.where(!col("__ess")).select("query_id")
-      val nEss = essQ.count()
+        .select("query_id", "__ess").collect()
+      val essQ = idsDf(flagRows.filter(_.getBoolean(1)).map(_.get(0))
+        .toSeq)
+      val flipQ = idsDf(flagRows.filterNot(_.getBoolean(1)).map(_.get(0))
+        .toSeq)
+      val nEss = flagRows.count(_.getBoolean(1)).toLong
       val bulk = d >= InvertedIndex.MaxWalkDepth
       // essential queries: this ONE depth's term, full merge — or,
       // past the depth cap, their whole remaining tail (exact, just
@@ -1105,14 +1130,14 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       // queries)
       val essPred = if (bulk) col("r") >= d else col("r") === d
       val stepRaw = noSelf(contrib.join(
-        termsAt(active.join(essQ, Seq("query_id"), "left_semi"),
-          essPred), Seq("term")))
+        termsAt(ranked0.join(broadcast(essQ), Seq("query_id"),
+          "left_semi"), essPred), Seq("term")))
       // flipped queries STAY non-essential (θ only grows, suffix only
       // shrinks): fold their ENTIRE tail at once, scoring only
       // postings of already-accumulated docs
       val tailRaw = noSelf(contrib.join(
-        termsAt(active.join(flipQ, Seq("query_id"), "left_semi"),
-          col("r") >= d), Seq("term")))
+        termsAt(ranked0.join(broadcast(flipQ), Seq("query_id"),
+          "left_semi"), col("r") >= d), Seq("term")))
         .join(acc.select("query_id", "cand_id"),
           Seq("query_id", "cand_id"), "left_semi")
       // the pruning evidence (postings scored) rides the accumulator
@@ -1134,8 +1159,7 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
           (coalesce(col("__ns"), lit(0L)) +
             coalesce(col("__n"), lit(0L))).as("__ns"))
         .localCheckpoint()
-      active = active.join(essQ, Seq("query_id"), "left_semi")
-        .where(col("r") > d).localCheckpoint()
+      aliveDf = Some(essQ)
       stillEssential = nEss > 0 && !bulk
       d += 1
     }
