@@ -28,3 +28,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Run the suites in N forked JVMs concurrently instead of one
+// sequential JVM: each suite owns its scratch paths (per-suite-named
+// /tmp dirs or createTempDirectory) and builds its own local[4]
+// session, so groups are independent; N*4 cores stays within the box.
+// Round-robin over the name-sorted list spreads the heavy
+// BucketedLog*/Inverted* families across groups.
+val testForkGroups = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val forkOpts = (Test / forkOptions).value
+  tests.zipWithIndex.groupBy(_._2 % testForkGroups).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"fork-$i", ts.map(_._1), Tests.SubProcess(forkOpts))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForkGroups),
+  Tags.limitAll(testForkGroups + 2),
+)

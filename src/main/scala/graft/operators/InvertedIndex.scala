@@ -933,14 +933,42 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     val bounds = present.map(t => t -> idfOf(t) * perTerm(t)._2)
       .sortBy { case (t, u) => (-u, t) }
     val suffix = bounds.scanRight(0.0)(_._2 + _).toIndexedSeq
-    def contrib(t: String): DataFrame = slice.where(col("term") === t)
-      .select(col("cand_id"), (lit(idfOf(t)) * tfW).as("__c"))
+    // contributions of a RANGE of walked terms, idf derived in-plan
+    // from the slice's df column (the same longs idfOf reads, so the
+    // same doubles), pre-summed per doc — lets an essential window
+    // merge several terms in one action and the non-essential tail
+    // fold in one action (fold order inside the sum differs from the
+    // sequential per-term adds by ~1e-15 noise, which the PruneMargin
+    // and the final exact re-rank both absorb — partials here drive
+    // candidate selection and θ only, never final scores)
+    val idfCol = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    def contribAgg(ts: Seq[String]): DataFrame =
+      slice.where(col("term").isin(ts: _*))
+        .select(col("cand_id"), (idfCol * tfW).as("__c"))
+        .groupBy("cand_id")
+        .agg(sum(col("__c")).as("__c"),
+          count(lit(1)).cast("long").as("__m"))
     var scored = perTerm(bounds.head._1)._1
-    var acc = contrib(bounds.head._1)
+    var acc = contribAgg(Seq(bounds.head._1))
       .select(col("cand_id"), col("__c").as("__partial"))
       .localCheckpoint()
-    bounds.indices.drop(1).foreach { i =>
-      val t = bounds(i)._1
+    // GEOMETRIC depth windows (round-18): θ is re-evaluated at window
+    // STARTS and each essential window merges its whole term range in
+    // ONE action, so the driver loop runs O(log #terms) actions
+    // instead of one per term — the skip test fires (only) at window
+    // boundaries, which can delay a flip by at most the window width:
+    // strictly less pruning, never a changed answer (every candidate
+    // still enters during a full-outer merge and re-ranks exactly).
+    // Once a window start IS non-essential, every later term is too
+    // (θ only grows, the suffix only shrinks), so the ENTIRE
+    // remaining tail folds in one aggregated left join — the per-term
+    // tail loop the round-17 shape still paid is gone.
+    var i = 1
+    var width = 1
+    var done = false
+    while (i < bounds.size && !done) {
+      val iEnd = math.min(i + width - 1, bounds.size - 1)
       // θ: the k-th best accumulated partial — a LOWER bound on the
       // k-th best final score (partials only grow)
       val topk = acc.orderBy(col("__partial").desc).limit(k)
@@ -948,23 +976,32 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
       val theta =
         if (topk.length < k) Double.NegativeInfinity else topk.last
       if (suffix(i) < theta - InvertedIndex.PruneMargin) {
-        // NON-ESSENTIAL: a doc first seen here is bounded by
-        // suffix(i) < θ − margin — it cannot reach the rounded
-        // top-k. Score only postings of accumulated docs.
-        val joined = acc.join(contrib(t), Seq("cand_id"), "left")
+        // NON-ESSENTIAL: a doc first seen at or after term i is
+        // bounded by suffix(i) < θ − margin — it cannot reach the
+        // rounded top-k, and non-essential-ness is monotone, so the
+        // whole remaining tail scores only postings of accumulated
+        // docs, in one pass.
+        val tail = bounds.drop(i).map(_._1)
+        val joined = acc.join(contribAgg(tail), Seq("cand_id"), "left")
           .localCheckpoint()
-        scored += joined.where(col("__c").isNotNull).count()
+        scored += joined.agg(coalesce(sum(col("__m")), lit(0L)))
+          .head().getLong(0)
         acc = joined.select(col("cand_id"),
           (col("__partial") + coalesce(col("__c"), lit(0.0)))
             .as("__partial"))
+        done = true
       } else {
-        // ESSENTIAL: full merge — every posting of the term scores
-        scored += perTerm(t)._1
-        acc = acc.join(contrib(t), Seq("cand_id"), "full_outer")
+        // ESSENTIAL window: full merge — every posting of every term
+        // in [i, iEnd] scores
+        val ts = bounds.slice(i, iEnd + 1).map(_._1)
+        scored += ts.map(t => perTerm(t)._1).sum
+        acc = acc.join(contribAgg(ts), Seq("cand_id"), "full_outer")
           .select(col("cand_id"),
             (coalesce(col("__partial"), lit(0.0)) +
               coalesce(col("__c"), lit(0.0))).as("__partial"))
           .localCheckpoint()
+        i = iEnd + 1
+        width *= 2
       }
     }
     // exact re-rank of the candidates through the ONE shared formula
@@ -1100,9 +1137,21 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
     // `active.where(r > d)` pruning exactly. None = all alive (first
     // depth needs no filter: every query with a row at r=2 is alive)
     var aliveDf: Option[DataFrame] = None
+    // GEOMETRIC depth windows (round-18, mirroring the single-query
+    // walk): each iteration handles depths [d, dEnd] with the window
+    // width doubling, so the driver loop runs O(log maxDepth)
+    // iterations instead of one per depth — the flags at the window's
+    // START decide each query (its suffix there bounds everything
+    // deeper), an essential query full-merges its whole window in the
+    // one grouped `adds` pass (a doc contributes the sum of its
+    // matched window terms — same rows, same exactness argument), and
+    // a flip can arrive at most a window late: strictly less pruning,
+    // never a changed answer.
     var d = 2
+    var width = 1
     var stillEssential = true
     while (d <= maxDepth && stillEssential) {
+      val dEnd = math.min(d + width - 1, maxDepth)
       // θ per query: the k-th best accumulated partial — a lower
       // bound on its k-th best final score (partials only grow)
       val theta = acc.withColumn("__rn",
@@ -1124,11 +1173,13 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         .toSeq)
       val nEss = flagRows.count(_.getBoolean(1)).toLong
       val bulk = d >= InvertedIndex.MaxWalkDepth
-      // essential queries: this ONE depth's term, full merge — or,
-      // past the depth cap, their whole remaining tail (exact, just
+      // essential queries: this WINDOW's terms, full merge — or, past
+      // the depth cap, their whole remaining tail (exact, just
       // unpruned — bounds the driver loop for arbitrarily long
-      // queries)
-      val essPred = if (bulk) col("r") >= d else col("r") === d
+      // queries; with geometric windows the cap is reached in
+      // O(log MaxWalkDepth) iterations)
+      val essPred = if (bulk) col("r") >= d
+        else col("r") >= d && col("r") <= dEnd
       val stepRaw = noSelf(contrib.join(
         termsAt(ranked0.join(broadcast(essQ), Seq("query_id"),
           "left_semi"), essPred), Seq("term")))
@@ -1161,7 +1212,8 @@ final case class InvertedIndex(path: String, buckets: Int = 64,
         .localCheckpoint()
       aliveDf = Some(essQ)
       stillEssential = nEss > 0 && !bulk
-      d += 1
+      d = dEnd + 1
+      width *= 2
     }
     // the accumulated partials ARE each candidate's exact score:
     // non-essential-ness is monotone (θ only grows, the suffix only

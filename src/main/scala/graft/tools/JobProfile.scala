@@ -27,14 +27,38 @@ object JobProfile {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, Double, String)]())
+    // executionId -> the graft frame of the ACTION's call site (from
+    // the SQL-execution start event), so AQE materialization sub-jobs
+    // attribute to the driver action that owns them
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case st: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          val frame = Option(st.details).toSeq
+            .flatMap(_.linesIterator.map(_.trim))
+            .find(l => l.startsWith("graft.") && !l.contains("JobProfile"))
+            .getOrElse(st.description.linesIterator.nextOption.getOrElse("?"))
+          execDesc.put(st.executionId, frame)
+        case _ => ()
+      }
+    })
     s.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         // first graft frame in the stage submission stack — attributes
-        // the job to the operator method that triggered the action
+        // the job to the operator method that triggered the action.
+        // AQE materialization sub-jobs carry no graft frame in their
+        // stage details; fall back to the ACTION's callSite property
+        // (shared by all of an execution's sub-jobs), so iterative
+        // operators attribute per driver action instead of "?".
         val site = e.stageInfos.headOption.map(_.details)
           .flatMap(_.linesIterator.map(_.trim)
             .find(l => l.startsWith("graft.") &&
               !l.contains("JobProfile")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))
+              .map(id => Option(execDesc.get(id.toLong))
+                .getOrElse(s"exec-$id"))))
           .getOrElse("?")
         starts.put(e.jobId, (System.nanoTime(), site))
       }
